@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method matches BASELINE.md: per query, 1 warm-up run then best of 3
+timed ``collect()``s (per-query overhead ~80-150 ms of Spark job
+scheduling dominates at this scale; see BASELINE.md §Interpretation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set mirrors BASELINE.md rows (names on the left are ours).
+HEADLINE = [
+    "agg_group",            # q1_pricing_summary
+    "join_shipping_priority",  # q3 shape
+    "join_multiway",        # q5 shape
+    "agg_global",           # q6 shape
+    "agg_count_distinct",   # distinct customers
+    "win_rank",             # window rank
+    "topk",                 # order by + limit
+    "window_tumbling",      # events hourly agg
+    "fn_json",              # events json extract
+    "dedup_exact",          # docs md5 dedup
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+    from hadoop_based_distributed_batch_processing_system_spark.session import get_spark
+
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    spark = get_spark(app_name="hbdbps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name].fn
+        fn(spark, sf_dir).collect()  # warm-up (plan + IO cache)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm_best3",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

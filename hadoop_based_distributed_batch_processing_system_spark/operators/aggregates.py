@@ -1,0 +1,209 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A6).
+
+Reference-class parity: the reduce phase with map-side combiners
+(Dean & Ghemawat OSDI'04 §4.3). Spark's ``groupBy().agg()`` compiles
+to a partial/final ``HashAggregateExec`` pair automatically — the
+combiner is built in, there is nothing to hand-schedule.
+
+Scale notes: all group-bys here key on low-cardinality columns
+(returnflag×linestatus = 6 groups; priorities = 5), so the shuffle
+after partial aggregation moves only #groups × #partitions rows —
+the pattern that survives a 100× scale-up. ``agg_count_distinct``
+is the expensive one (exact distinct forces a shuffle on the distinct
+key); ``agg_approx_distinct`` is the scale path (one pass, HLL
+sketch, no second shuffle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+# The flagship: TPC-H Q1 pricing summary (filter → 6-group agg → 8 aggregates).
+PRICING_SUMMARY_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                       AS sum_qty,
+           SUM(l_extendedprice)                                  AS sum_base_price,
+           SUM(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+           SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           AVG(l_quantity)                                       AS avg_qty,
+           AVG(l_extendedprice)                                  AS avg_price,
+           AVG(l_discount)                                       AS avg_disc,
+           COUNT(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_group", oracle=PRICING_SUMMARY_ORACLE, tags=("A1",))
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — hash group-by with sum/avg/count (TPC-H Q1 shape).
+    Partial aggregation (the MR combiner) happens map-side
+    automatically; only 6 groups cross the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (1 - disc)).alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg(price).alias("avg_price"),
+            F.avg(disc).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+        SELECT SUM(l_extendedprice * l_discount) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("A2",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — keyless grand-total aggregate (TPC-H Q6 shape). Partial
+    sums per partition, single-row final merge — no wide shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("A3",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — exact distinct count per group (the two-round MR
+    pattern). Spark plans this as expand + two aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct", tags=("A4",))  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — approximate distinct (HyperLogLog++). The 100 TB path for
+    distinct counting: one pass, fixed-size sketch, mergeable across
+    partitions, no distinct-key shuffle. Invariant-checked in pytest
+    (within 5% of exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A5",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5a — hierarchical rollup: (flag, status), (flag), ()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("A5",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b — full cube over both grouping dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    tags=("A5",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5c — explicit grouping sets: per-flag and per-status totals
+    in one pass (a single Expand + aggregate, not two jobs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+        SELECT lang,
+               list_sort(list(DISTINCT source)) AS sources,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("A6",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — per-group value buffering (collect_set), canonicalized
+    with sort_array so output is deterministic and oracle-comparable.
+    The MR analogue is a reducer that materializes its value iterator
+    — bounded here by the small per-group distinct domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sort_array(F.collect_set("source")).alias("sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -1,0 +1,93 @@
+"""Scan / source / sink operators (SURVEY.md §2.1, S1-S4).
+
+Reference-class parity: HDFS ``FileInputFormat`` full scans (S1),
+map-side projection (S2), ``TextInputFormat`` line reads (S3),
+``OutputFormat`` part-file writes (S4) — all public Hadoop API
+surface (the reference tree itself was empty; SURVEY.md §0).
+
+Scale notes: S1/S2 ride Spark's vectorized parquet reader; column
+pruning in S2 reaches the scan (``ReadSchema`` shows only the
+projected columns — asserted in tests/test_plans.py). At 100 TB the
+same code reads a multi-file table directory with
+``maxPartitionBytes``-sized splits; nothing here is single-file.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table, sink_parquet
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("S1",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — full-table parquet scan, all columns."""
+    return load_table(spark, sf_dir, "nation")
+
+
+@register(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+    tags=("S2",),
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — column-pruned scan: the projection is pushed into the
+    parquet reader (ReadSchema contains only these two columns)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+def _text_export_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"hbdbps_text_export_{tag}")
+
+
+@register("scan_text_lines", tags=("S3",))  # rows-only: line-order/partitioning not SQL-visible
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — line-oriented text read (the TextInputFormat equivalent).
+
+    Exports ``documents.text`` to newline-delimited text once, then
+    reads it back with ``spark.read.text`` — one row per line, column
+    ``value`` — and computes per-line lengths. Rows-only check: the
+    text roundtrip is not expressible against the parquet oracle.
+    """
+    out = _text_export_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        # newline-free corpus text → one doc per line
+        docs.select("text").coalesce(4).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.select(
+        F.col("value"),
+        F.length("value").alias("line_len"),
+    )
+
+
+@register("sink_parquet_roundtrip", tags=("S4",))  # rows-only: sink side effects not SQL-visible
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — partitioned parquet sink + re-read.
+
+    Writes a per-(returnflag, linestatus) aggregate partitioned by
+    ``l_returnflag`` (hive-style directories — the layout that enables
+    partition pruning on re-read at scale), reads it back, and returns
+    the re-read frame. The pytest asserts the roundtrip is lossless.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_sink_parquet_{tag}")
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+    sink_parquet(agg, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out)
+    return back.select("l_returnflag", "l_linestatus", "n", "sum_qty")

@@ -1,0 +1,81 @@
+"""Operator/query registry.
+
+Every engine capability from SURVEY.md §2 registers here as a named
+query: a callable ``(spark, sf_dir) -> DataFrame`` plus (where the
+semantics are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL.
+``__spark_entry__.py`` exposes the registry to the verify driver;
+tests run the same differential comparison locally.
+
+Conventions (binding — the driver hash-compares by column name):
+- every computed/aggregate column is aliased identically in the Spark
+  code and the oracle SQL;
+- every LIMIT query orders by a deterministic unique tiebreaker;
+- timestamps compare at µs precision (oracle literals are
+  ``TIMESTAMP '...'``, never ``DATE``);
+- queries with no oracle entry (sketches, sinks, partitioning,
+  streaming) get the driver's weaker rows-only check and carry an
+  invariant-style pytest instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL, or None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+    @property
+    def doc(self) -> str:
+        return (self.fn.__doc__ or "").strip()
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register an operator query. ``oracle`` is DuckDB SQL or None."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so registrations run, then return
+    the registry. Import errors in optional modules must not hide the
+    rest of the surface, so modules are imported individually."""
+    import importlib
+
+    modules = [
+        "hadoop_based_distributed_batch_processing_system_spark.operators.scans",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.filters",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.joins",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.aggregates",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.windows",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.sorts",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.setops",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.udf_surface",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.dedup",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.similarity",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.text",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.multimodal",
+        "hadoop_based_distributed_batch_processing_system_spark.functions.scalar",
+        "hadoop_based_distributed_batch_processing_system_spark.streaming.event_time",
+    ]
+    for mod in modules:
+        importlib.import_module(mod)
+    return REGISTRY
