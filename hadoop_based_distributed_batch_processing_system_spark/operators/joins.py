@@ -1,1 +1,346 @@
-"""Placeholder — operators land in M1+."""
+"""Join operators (SURVEY.md §2.3, J1-J8).
+
+Reference-class parity: the two public Hadoop join patterns —
+reduce-side (repartition) join = Spark shuffle join (J1), and
+distributed-cache map-side join = Spark broadcast-hash join (J2).
+Everything past J3 is extension surface the MR class only reaches
+with hand-chained jobs.
+
+Scale notes (100 TB):
+- J1/J7 shuffle both sides on the join key; AQE converts to broadcast
+  at runtime when a side's stats allow, and splits skewed partitions.
+- J2 pins ``F.broadcast`` on the dimension side explicitly — nation/
+  region/customer-sized dims must NEVER shuffle the fact table.
+- J6 (theta/band) is an equi-join on the nation key with the range
+  predicate applied post-join — the equi component keeps it a hash
+  join, not a nested-loop cross product. A pure inequality join
+  would degrade to BroadcastNestedLoop; never ship that shape
+  against two fact tables.
+- J8 (as-of) avoids any O(n·m) probe: union + partitioned window
+  scan, one shuffle on the partition key, linear in events.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+    """,
+    tags=("J1",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — equi inner join (the reduce-side join): both sides
+    repartitioned on the key by the shuffle, then hash/merge joined."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+        SELECT r.r_name, COUNT(*) AS n_custs, SUM(c.c_acctbal) AS sum_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    tags=("J2",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — map-side join: dimensions ship to every task
+    (``F.broadcast``), the fact side never shuffles for the join.
+    Plan asserted BroadcastHashJoin in tests/test_plans.py."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"), F.sum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    tags=("J3",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3a — left outer join with a join-side predicate (kept in the
+    ON clause so non-matching customers survive with nulls)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (customer.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000)
+    return customer.join(orders, cond, "left").select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
+        FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("J3",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3b — right outer join (every customer kept)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "right").select(
+        "c_custkey", "c_mktsegment", "o_orderkey"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        SELECT a.o_orderkey AS open_key, b.o_orderkey AS closed_key,
+               COALESCE(a.o_custkey, b.o_custkey) AS custkey
+        FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') a
+        FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') b
+          ON a.o_orderkey = b.o_orderkey
+    """,
+    tags=("J3",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3c — full outer join between disjoint slices (nulls on both
+    sides, exercising the null-row generation path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").alias("a")
+    b = orders.filter(F.col("o_orderstatus") == "F").alias("b")
+    return a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full").select(
+        F.col("a.o_orderkey").alias("open_key"),
+        F.col("b.o_orderkey").alias("closed_key"),
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("J4",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4a — left semi join (existence): no row multiplication, the
+    probe side streams once."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("J4",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4b — left anti join (absence): customers with no large
+    order (the filter keeps the result non-empty at every sf)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+    tags=("J5",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — cartesian product. Size-guarded by construction: only
+    ever between bounded dimension tables (5 × 25 here). At scale a
+    cross join between facts is a plan bug, not an operator choice."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+        SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+        FROM supplier s JOIN customer c
+          ON s.s_nationkey = c.c_nationkey
+         AND s.s_acctbal BETWEEN c.c_acctbal - 100 AND c.c_acctbal + 100
+    """,
+    tags=("J6",),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — band (range) join. The nation equi-key anchors a hash
+    join; the ±100 band is a post-join filter. Without the equi
+    anchor this would be a nested-loop — the equi+band rewrite is the
+    scale-safe shape for band joins."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    cond = (
+        (supplier.s_nationkey == customer.c_nationkey)
+        & (supplier.s_acctbal >= customer.c_acctbal - 100)
+        & (supplier.s_acctbal <= customer.c_acctbal + 100)
+    )
+    return supplier.join(customer, cond).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@register(
+    "join_multiway",
+    oracle="""
+        SELECT n.n_name,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+    tags=("J7",),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — 6-table star join (TPC-H Q5 shape: local-supplier
+    volume). Facts shuffle on their keys; nation/region broadcast;
+    the region filter prunes before any fact join via the dimension
+    chain. In MR this is a 5-job chain with DFS materialization
+    between each — here it is one pipelined plan."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey) & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    tags=("J1", "A1", "O2"),
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — 3-way join + aggregate + top-10 (deterministic
+    tiebreaker on l_orderkey). Headline bench query."""
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tags=("J8",),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — as-of join: for each purchase, the latest view by the
+    same user at-or-before the purchase timestamp.
+
+    Spark has no native as-of join; the scale-safe construction is
+    union + window (one shuffle on user_id, linear scan per user):
+    tag view rows with their own ts, sort (ts, side) with views
+    first at equal ts (inclusive <=, matching DuckDB ASOF), then
+    ``last(ignorenulls)`` over an unbounded-preceding frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("view_ts"), F.lit(1).alias("side")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("view_ts"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(views)
+        .withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_view_ts")
+    )
