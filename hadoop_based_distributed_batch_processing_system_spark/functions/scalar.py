@@ -1,1 +1,223 @@
-"""Placeholder — operators land in M1+."""
+"""Scalar function families (SURVEY.md §2.8, F1-F6).
+
+One composite query per family so the whole built-in function
+surface stays oracle-checkable without one registry entry per
+function. Cross-engine spelling and convention notes are inline —
+these are the validated Spark↔DuckDB mappings from FIXTURES.md:
+``split``↔``string_split``, ``get_json_object``↔``json_extract``,
+``dayofweek`` off-by-one, ``regexp_replace`` needs the ``'g'`` flag
+in DuckDB, integer-typed ``ceil``/``floor`` casts.
+
+Scale notes: everything here is a Catalyst expression inside
+whole-stage codegen — zero Python, zero shuffle (except F6's final
+small group-by).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+
+@register(
+    "fn_string",
+    oracle=r"""
+        SELECT p_partkey,
+               lower(p_name)                        AS name_lower,
+               upper(p_brand)                       AS brand_upper,
+               trim(concat('  ', p_name, '  '))     AS name_trim,
+               substring(p_name, 1, 5)              AS name_pre5,
+               concat(p_brand, ':', p_name)         AS brand_name,
+               length(p_name)                       AS name_len,
+               regexp_extract(p_name, '^(\w+)', 1)  AS first_word,
+               regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+               string_split(p_name, ' ')            AS name_tokens
+        FROM part
+    """,
+    tags=("F1",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — string family: case, trim, substring, concat, length,
+    regex extract/replace, split. DuckDB gotcha: its regexp_replace
+    is first-match-only without the 'g' flag; Spark is global."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.substring("p_name", 1, 5).alias("name_pre5"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_name")).alias("brand_name"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.split("p_name", " ").alias("name_tokens"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)                                       AS yr,
+               month(o_orderdate)                                      AS mo,
+               day(o_orderdate)                                        AS dom,
+               dayofweek(o_orderdate) + 1                              AS dow,
+               date_trunc('month', o_orderdate)                        AS month_start,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)   AS days_since_epoch0,
+               CAST(epoch(o_orderdate) AS BIGINT)                      AS unix_sec,
+               o_orderdate + INTERVAL 7 DAY                            AS plus_week
+        FROM orders
+    """,
+    tags=("F2",),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — date/time family. Convention trap: Spark dayofweek is
+    1=Sunday..7=Saturday, DuckDB is 0=Sunday..6=Saturday — the oracle
+    adds 1. Spark date_add returns DATE; cast back to timestamp to
+    match DuckDB's timestamp + interval."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias("days_since_epoch0"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        F.date_add("o_orderdate", 7).cast("timestamp").alias("plus_week"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 2)                    AS price_2dp,
+               abs(l_quantity - 25)                         AS qty_dev,
+               CAST(ceil(l_discount * 100) AS BIGINT)       AS disc_pct_ceil,
+               CAST(floor(l_tax * 100) AS BIGINT)           AS tax_pct_floor,
+               pow(1 + l_tax, 2)                            AS tax_sq,
+               ln(l_extendedprice)                          AS log_price,
+               exp(l_discount)                              AS exp_disc,
+               greatest(l_quantity, l_discount * 100)       AS hi,
+               least(l_quantity, l_discount * 100)          AS lo,
+               CASE WHEN l_quantity > 40 THEN 'bulk'
+                    WHEN l_quantity > 10 THEN 'mid'
+                    ELSE 'small' END                        AS qty_band
+        FROM lineitem
+    """,
+    tags=("F3",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — math family + CASE WHEN. Spark ceil/floor return LONG
+    natively; DuckDB returns DOUBLE — the oracle casts to BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price_2dp"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.pow(F.lit(1) + F.col("l_tax"), 2).alias("tax_sq"),
+        F.log(F.col("l_extendedprice")).alias("log_price"),
+        F.exp("l_discount").alias("exp_disc"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("hi"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("lo"),
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                   AS n_dims,
+               embedding[1]                                     AS first_val,
+               list_sum(embedding[1:3]::DOUBLE[])               AS sum3,
+               list_sort(embedding[1:4])                        AS sorted4,
+               list_max(embedding)                              AS max_val,
+               list_contains(embedding, 0.0::FLOAT)             AS has_zero
+        FROM embeddings
+    """,
+    tags=("F4",),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — array family: size, element_at, slice, fold (aggregate),
+    sort_array, array_max, array_contains. The fold casts each
+    element to double so both engines accumulate left-to-right in
+    float64 — bit-identical results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.aggregate(
+            F.slice("embedding", 1, 3), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("sum3"),
+        F.sort_array(F.slice("embedding", 1, 4)).alias("sorted4"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+               ['k']                                       AS prop_keys,
+               true                                        AS has_k
+        FROM events
+    """,
+    tags=("F5",),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — map family. The corpus has no native map column, so the
+    map is built from the JSON payload (create_map), then probed with
+    map_keys / element_at / array_contains. Only scalar results are
+    emitted — cross-engine map-value hashing is not comparable."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k").cast("int"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.map_keys(m).alias("prop_keys"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+        SELECT event_type,
+               AVG(CAST(json_extract(props, '$.k') AS INTEGER))  AS avg_k,
+               MIN(CAST(json_extract(props, '$.k') AS INTEGER))  AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS INTEGER))  AS max_k,
+               COUNT(*)                                          AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("F6",),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — lazy JSON field extraction + aggregate (headline bench
+    query: events_json_extract). get_json_object evaluates without
+    materializing a parsed struct; at scale prefer one from_json
+    with an explicit schema when extracting many fields."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.avg(k).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

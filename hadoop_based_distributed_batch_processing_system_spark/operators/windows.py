@@ -1,1 +1,141 @@
-"""Placeholder — operators land in M1+."""
+"""Window-function operators (SURVEY.md §2.5, W1-W4).
+
+Extension surface: the MR class needs the secondary-sort idiom
+(composite key + custom partitioner + grouping comparator) to get
+anything window-like; Spark gives analytic windows natively.
+
+Scale notes: every window here partitions by a key (customer /
+user) — one shuffle, per-partition sort, streaming frame evaluation.
+An un-partitioned window (``Window.orderBy`` alone) serializes the
+whole dataset through one task and is banned by engine convention.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+
+@register(
+    "win_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk, drk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   RANK()       OVER w AS rk,
+                   DENSE_RANK() OVER w AS drk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        )
+        WHERE rk <= 3
+    """,
+    tags=("W1",),
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — rank/dense_rank per partition, top-3 per customer.
+    Spark has no QUALIFY; the filter-on-derived-column rewrite is
+    the validated equivalent (SURVEY §3.2)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.rank().over(w))
+        .withColumn("drk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us,
+               LEAD(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W2",),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — inter-event gap (lag) and next event type (lead) per
+    user. Gap computed in exact integer microseconds so both engines
+    agree bit-for-bit."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+               COUNT(*) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+        FROM orders
+    """,
+    tags=("W3",),
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — running total with an explicit ROWS frame. The total
+    order within each partition is fully deterministic (date + key),
+    so float accumulation order — and hence the result — is
+    reproducible across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum("o_totalprice").over(w).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey, day_num,
+               SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_num
+                                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS spend_30d,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_num
+                              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_num
+            FROM orders
+        )
+    """,
+    tags=("W4",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — RANGE frame over a numeric order key: trailing-30-day
+    spend per customer. The value-based frame means rows with equal
+    day_num share a frame (unlike ROWS) — which also makes the float
+    sum order-independent per frame boundary set."""
+    w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "day_num", F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp"))
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.sum("o_totalprice").over(w).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    )
