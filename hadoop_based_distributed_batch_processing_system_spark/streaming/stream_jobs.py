@@ -1,0 +1,119 @@
+"""True Structured Streaming path for the event-time operators.
+
+Same transformations as :mod:`.event_time`, behind ``readStream`` —
+the batch/stream unification is the point: one logical plan, two
+execution modes. Locally the stream runs with
+``Trigger.AvailableNow`` over the events parquet and a memory sink,
+which processes the full table as micro-batches and terminates, so
+the result is deterministic and (for tumbling counts) equal to the
+batch operator — letting a genuine streaming job be hash-checked
+against the same DuckDB oracle.
+
+At scale the source becomes a Kafka/file stream, the sink a Delta/
+parquet table with checkpointing; the transformation code is
+unchanged. Watermarks bound state: with ``complete`` output the
+memory sink holds every window (fine for a bounded demo table);
+production jobs use ``append`` + watermark-expired emission.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.streaming.event_time import (
+    TUMBLING_ORACLE,
+)
+
+# events schema as read with spark.sql.legacy.parquet.nanosAsLong=true
+# (ts arrives as nanos-since-epoch LONG; converted to µs timestamp below)
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_src_dir(sf_dir: str) -> str:
+    """The file stream source wants a directory it can monitor; the
+    corpus ships one file per table. Stage a directory of symlinks
+    in /tmp (no copy, no write to the read-only corpus)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"hbdbps_stream_src_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the same ns→µs
+    ingest fix as the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(_stream_src_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> DataFrame:
+    spark = result.sparkSession
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@register("stream_window_tumbling", oracle=TUMBLING_ORACLE, tags=("T1", "stream"))
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1, streaming execution — hourly tumbling counts over the
+    event stream with a 1-hour watermark, complete output into a
+    memory sink. Deliberately identical results to the batch
+    ``window_tumbling`` (asserted in tests)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "hbdbps_stream_tumbling", "complete")
+
+
+@register("stream_stateful_dedup", tags=("T5", "stream"))
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5, streaming execution — watermark-bounded exactly-once
+    dedup (``dropDuplicatesWithinWatermark``) of the event stream
+    keyed by event_id. State is expired once the watermark passes an
+    id's event time — bounded memory on an unbounded stream."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "hbdbps_stream_dedup", "append")
