@@ -1,1 +1,179 @@
-"""Placeholder — operators land in M1+."""
+"""User-defined compute surface (SURVEY.md §2.10, X1-X5).
+
+The Mapper/Reducer API is the reference class's ENTIRE extensibility
+surface (public MapReduce contract). The Spark mapping:
+
+- Mapper  → vectorized ``pandas_udf`` scalar / ``mapInPandas`` (X1)
+- Reducer → ``applyInPandas`` grouped map / GROUPED_AGG UDAF (X2, X3')
+- Combiner → automatic partial aggregation; NO user surface needed
+- flatMap/UDTF → ``mapInPandas`` emitting >1 row per input (X4)
+- Partitioner → ``repartition(n, key)`` / ``repartitionByRange`` (X5)
+
+Scale notes: every UDF here crosses Python↔JVM via Arrow batches —
+the only operators in the engine that move data out of the JVM.
+Row-at-a-time ``F.udf`` is banned in this codebase (10-100× slower;
+SURVEY §2.11 discipline). Each oracle re-expresses the UDF logic in
+SQL, proving the Python path computes exactly what the declarative
+path would — the differential test that matters for custom code.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+
+@register(
+    "udf_mapper_vectorized",
+    oracle="""
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(n_chars * 2 AS DOUBLE) AS chars_x2
+        FROM documents
+    """,
+    tags=("X1",),
+)
+def udf_mapper_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — the Mapper: record → record, as an Arrow-vectorized
+    scalar pandas UDF (one Python call per batch, not per row)."""
+
+    @pandas_udf("int")
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return (text.str.count(" ") + 1).astype("int32")
+
+    @pandas_udf("double")
+    def double_it(x: pd.Series) -> pd.Series:
+        return x * 2.0
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens("text").alias("n_tokens"),
+        double_it(F.col("n_chars").cast("double")).alias("chars_x2"),
+    )
+
+
+@register(
+    "udf_reducer_grouped",
+    oracle="""
+        SELECT l_returnflag,
+               SUM(l_quantity)      AS sum_qty,
+               AVG(l_extendedprice) AS avg_price,
+               COUNT(*)             AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("X2",),
+)
+def udf_reducer_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the Reducer: (key, all values) → records, as
+    ``applyInPandas``: each group arrives as one pandas DataFrame.
+    Spark shuffles on the key exactly like the MR framework would.
+    (For big skewed groups prefer GROUPED_AGG or native aggs — a
+    whole group must fit in one task's memory here.)"""
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "sum_qty": [pdf["l_quantity"].sum()],
+                "avg_price": [pdf["l_extendedprice"].mean()],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInPandas(
+        reduce_group, "l_returnflag string, sum_qty double, avg_price double, n long"
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_extendedprice * l_quantity) / SUM(l_quantity) AS wavg_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("X2",),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2' — custom UDAF as a GROUPED_AGG pandas UDF: quantity-
+    weighted average price. Unlike applyInPandas this composes inside
+    a normal ``agg()`` with other aggregates and gets partial-merge
+    treatment per batch."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        wavg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@register(
+    "udf_flatmap",
+    oracle="""
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+        WHERE lang = 'en'
+    """,
+    tags=("X4",),
+)
+def udf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — flatMap/UDTF: one input row → many output rows via
+    ``mapInPandas`` (iterator of batches in, iterator of batches
+    out — constant memory regardless of partition size)."""
+
+    def explode_tokens(batches):
+        for pdf in batches:
+            tokens = pdf["text"].str.split(" ")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat(tokens.str.len()),
+                    "token": [t for toks in tokens for t in toks],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").select("doc_id", "text")
+    return docs.mapInPandas(explode_tokens, "doc_id long, token string")
+
+
+@register("partitioner_hash", tags=("X5",))  # rows-only: physical placement is not SQL-visible
+def partitioner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5a — the Partitioner: hash-route rows to 8 partitions by
+    user_id (``repartition`` = MR hash partitioner). Returns the
+    per-partition histogram; the invariant test asserts no user_id
+    straddles two partitions and no row is lost."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.repartition(8, "user_id")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register("partitioner_range", tags=("X5",))  # rows-only
+def partitioner_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5b — range partitioner (``repartitionByRange`` = MR
+    TotalOrderPartitioner): contiguous ts ranges per partition.
+    Returns per-partition [min, max] spans; the invariant test
+    asserts the spans are non-overlapping and ordered."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.repartitionByRange(8, "ts")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n_rows"))
+    )

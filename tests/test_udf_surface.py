@@ -1,0 +1,50 @@
+"""Invariant tests for the rows-only partitioner operators and the
+approx-distinct sketch."""
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+REG = load_all()
+
+
+def test_partitioner_hash_invariants(spark):
+    hist = REG["partitioner_hash"].fn(spark, SF_ORACLE).toPandas()
+    ev = load_table(spark, SF_ORACLE, "events")
+    assert hist["n_rows"].sum() == ev.count()  # no row lost
+    assert hist["pid"].nunique() <= 8
+    # same key never in two partitions → per-partition distinct users sum to global
+    assert hist["n_users"].sum() == ev.select("user_id").distinct().count()
+
+
+def test_partitioner_range_invariants(spark):
+    hist = REG["partitioner_range"].fn(spark, SF_ORACLE).toPandas().sort_values("pid")
+    ev = load_table(spark, SF_ORACLE, "events")
+    assert hist["n_rows"].sum() == ev.count()
+    spans = list(zip(hist["min_ts"], hist["max_ts"]))
+    for (_, prev_max), (nxt_min, _) in zip(spans, spans[1:]):
+        assert nxt_min >= prev_max  # ranges ordered and non-overlapping
+
+
+def test_approx_distinct_within_tolerance(spark):
+    approx = {
+        r.o_orderstatus: r.approx_custs
+        for r in REG["agg_approx_distinct"].fn(spark, SF_ORACLE).collect()
+    }
+    exact = {r.o_orderstatus: r.n_custs for r in REG["agg_count_distinct"].fn(spark, SF_ORACLE).collect()}
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex < 0.05, f"{k}: approx {approx[k]} vs exact {ex}"
+
+
+def test_scan_text_roundtrip_counts(spark):
+    lines = REG["scan_text_lines"].fn(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert lines.count() == docs.count()
+
+
+def test_sink_parquet_roundtrip_lossless(spark):
+    back = REG["sink_parquet_roundtrip"].fn(spark, SF_SMOKE).toPandas()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").count().toPandas()
+    assert len(back) == len(agg)
+    assert int(back["n"].sum()) == li.count()
