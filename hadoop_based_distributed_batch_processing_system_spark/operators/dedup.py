@@ -1,1 +1,318 @@
-"""Placeholder — operators land in M1+."""
+"""Deduplication operators over ``documents`` / ``embeddings``
+(SURVEY.md §2.11 L1/L2 + SimHash and embedding-cosine near-dup).
+
+Scale design (the 100 TB story, per operator):
+
+- ``dedup_exact``        — hash-groupBy; one shuffle on md5, perfectly
+  distributable, no skew (hashes are uniform).
+- ``dedup_ngram_jaccard``— brute-force O(n²) pair join, kept ONLY as
+  the ground-truth oracle shape under an explicit size guard; the
+  scale path is the LSH operator below.
+- ``dedup_minhash_lsh``  — the real thing: shingle → 16 MinHashes →
+  8 bands of 2 → candidates via an equi-join on (band, signature)
+  (shuffle on band keys, linear in candidates, never all-pairs) →
+  exact-Jaccard verification of candidates only.
+- ``dedup_simhash``      — 64-bit SimHash per doc (pure expression,
+  no UDF), candidates via the pigeonhole trick: split the signature
+  into 4×16-bit chunks; any pair within Hamming distance 3 must
+  agree on ≥1 chunk, so an equi-join on (chunk_idx, chunk_val) finds
+  all of them without an all-pairs comparison.
+- ``dedup_embedding_cosine`` — guarded brute-force at test scale; at
+  100 TB the ANN operator in similarity.py provides the blocked path.
+
+All signatures are computed with JVM-side higher-order functions
+(``transform``/``aggregate``/``xxhash64``) — zero Python UDFs, whole
+pipeline stays in codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+# LSH parameters: 16 MinHashes in 8 bands of 2 rows. Collision
+# probability at Jaccard s is 1-(1-s²)⁸: ≈0.90 at s=0.5, ≈0.9998 at
+# s=0.8, ≈1 at s=0.9 — tuned for the ≥0.5 threshold used below.
+_NUM_HASHES = 16
+_BAND_ROWS = 2
+_NUM_BANDS = _NUM_HASHES // _BAND_ROWS
+_JACCARD_THRESHOLD = 0.5
+
+_SHINGLE_WIDTH = 3
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct 3-word shingles; docs with <3 tokens have no
+    shingle and are excluded (matching the oracle's WHERE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        docs.filter(F.size(toks) >= _SHINGLE_WIDTH)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_WIDTH - 1}),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {_SHINGLE_WIDTH})))"
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+_ORACLE_SHINGLES = f"""
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - {_SHINGLE_WIDTH - 1}),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))) AS sh
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SHINGLE_WIDTH}
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("L1",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — exact dedup by content hash: group on md5(text), keep the
+    smallest doc_id per group. One uniform-key shuffle; the classic
+    dedup-MR pattern and the first pass of every training-data
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH tok AS ({_ORACLE_SHINGLES})
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM tok a, tok b
+          WHERE a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("L2", "ground-truth"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup, brute force: all doc pairs, exact
+    Jaccard on distinct 3-shingles, threshold 0.5.
+
+    SIZE GUARD: O(n²) pairs — this shape is the ground truth for the
+    LSH operator and is only valid at corpus sizes where n² fits a
+    shuffle (raises beyond 100k docs). At scale use
+    ``dedup_minhash_lsh``, which finds the same pairs via banding."""
+    tok = _shingles(spark, sf_dir)
+    n = tok.count()
+    if n > 100_000:
+        raise ValueError(f"brute-force jaccard guard: {n} docs would make {n * n // 2} pairs; use dedup_minhash_lsh")
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+@register("dedup_minhash_lsh", tags=("L2",))  # rows-only: hash-dependent candidates; invariants in tests
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — MinHash-LSH near-dedup, the 100 TB path:
+
+    1. 3-word shingles per doc (narrow map);
+    2. 16 MinHash slots: min over shingles of a salted xxhash64
+       (pure expression — one pass over the shingle array per slot);
+    3. 8 bands of 2 slots, band signature = xxhash64 of the pair;
+    4. candidate pairs = equi-self-join on (band_idx, band_sig) —
+       a hash shuffle on band keys, NEVER an all-pairs product;
+    5. verify candidates with exact Jaccard; emit pairs ≥ 0.5.
+
+    Output equals the brute-force operator's output minus LSH false
+    negatives (P[miss] = (1-s²)⁸, ≈2e-6 at the s≥0.9 the corpus
+    plants); the pytest invariant pins candidates ⊆ ground truth and
+    recall on the planted near-dups."""
+    tok = _shingles(spark, sf_dir)
+
+    sigs = tok.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(
+                F.transform("sh", lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s)))
+            ).alias(f"mh_{i}")
+            for i in range(_NUM_HASHES)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(*[f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]).alias("band_sig"),
+                )
+                for b in range(_NUM_BANDS)
+            ]
+        ).alias("bands"),
+    ).select("doc_id", "sh", F.explode("bands").alias("band")).select(
+        "doc_id", "sh", "band.band_idx", "band.band_sig"
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair can collide in several bands
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks equal
+
+_SIMHASH_EXPR = """
+  aggregate(
+    transform(sequence(0, 63), j ->
+      CASE WHEN aggregate(hashes, 0L,
+        (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      THEN 1L ELSE 0L END),
+    0L, (acc, b) -> shiftleft(acc, 1) | b)
+"""
+
+
+@register("dedup_simhash", tags=("L2", "simhash"))  # rows-only: bit-level hashing is engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature per doc (per-bit majority
+    vote over token xxhash64 bits — nested higher-order functions,
+    no UDF), then pairs within Hamming distance 3.
+
+    Candidate generation is the standard pigeonhole blocking: split
+    each signature into 4 16-bit chunks; a pair with ≤3 differing
+    bits must match on at least one whole chunk, so an equi-join on
+    (chunk_idx, chunk_val) is exhaustive for the radius while staying
+    a linear hash shuffle — the same plan shape at 5k docs and 5B."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = (
+        docs.select("doc_id", F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("hashes"))
+        .select("doc_id", F.expr(_SIMHASH_EXPR).alias("sig"))
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.expr(f"shiftrightunsigned(sig, {16 * c}) & 65535").alias("chunk_val"),
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk"),
+    ).select("doc_id", "sig", "chunk.chunk_idx", "chunk.chunk_val")
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.sig ^ b.sig)").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+    )
+
+
+_COSINE_DUP_THRESHOLD = 0.3  # testdata embeddings are near-orthogonal random
+# vectors (max pairwise cosine ≈ 0.51); a production near-dup pass would use
+# ~0.95 — the threshold is a parameter, the plan shape is what's under test.
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+        )
+        WHERE cosine >= {_COSINE_DUP_THRESHOLD}
+    """,
+    tags=("L2", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all vector pairs above a cosine
+    threshold. Norms are precomputed per side BEFORE the join so the
+    pair stage does one dot product, not three.
+
+    SIZE GUARD: brute-force O(n²) — ground-truth shape only (raises
+    beyond 100k vectors). The scale path is sim_search_ann_lsh's
+    hyperplane bucketing followed by this same verification."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import with_norm, pair_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > 100_000:
+        raise ValueError(f"brute-force cosine guard: {n} vectors; use sim_search_ann_lsh")
+    v = with_norm(emb.select("vec_id", "embedding"))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            pair_cosine().alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    )

@@ -1,1 +1,185 @@
-"""Placeholder — operators land in M1+."""
+"""Multimodal-column operators (SURVEY.md §2.11 L7 + the binary-
+payload plumbing a training-data pipeline needs).
+
+Design: media lives in the table as an opaque ``binary`` column plus
+typed metadata columns. All routing/filtering/joining happens on the
+metadata JVM-side; only the decode/feature steps touch the payload,
+as Arrow-batched ``mapInPandas`` — the payload bytes cross to Python
+once, in columnar batches, never row-at-a-time.
+
+The container has no image/audio codecs, so the decode step is a
+STUB: a deterministic fake decoder derived from the payload's md5
+(schema, partitioning, UDF signature and batch shape are real and
+tested; swap ``_fake_decode`` for PIL/ffmpeg in production — the
+``real_codec=True`` path raises NotImplementedError by design).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+_KINDS = ("image", "audio", "video")
+
+
+def binary_payload(docs: DataFrame) -> DataFrame:
+    """documents → a multimodal table shape: opaque binary payload +
+    typed metadata. (The corpus has no real media; the utf-8 bytes of
+    ``text`` stand in as the payload, which is exactly how an opaque
+    blob behaves — the engine never interprets it.)"""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        "lang",
+        "source",
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5,
+               CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               lang
+        FROM documents
+    """,
+    tags=("L7", "binary"),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: byte length, content hash and media
+    kind of each payload — all computed on the binary column JVM-side
+    (no decode, no Python). This metadata projection is what scans,
+    filters, and dedup run on at 100 TB; the payload itself is only
+    read by the decode stage."""
+    mm = binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        "kind",
+        "lang",
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real media decoder: pretend
+    dimensions derived from the content hash. Replace with
+    PIL.Image.open / soundfile / pyav in production."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 3
+
+
+def decode_batch(batches, real_codec: bool = False):
+    """The mapInPandas decode kernel: iterator of Arrow batches in,
+    iterator of decoded-metadata batches out — constant memory per
+    task regardless of partition size."""
+    if real_codec:
+        raise NotImplementedError(
+            "real media decoding needs PIL/ffmpeg, which this container does not ship; "
+            "the deterministic fake below exercises the identical Spark plumbing"
+        )
+    for pdf in batches:
+        decoded = [_fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_channels": [d[2] for d in decoded],
+            }
+        )
+
+
+@register("mm_decode_stub", tags=("L7", "decode"))  # rows-only: decoder output is engine-external
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stage over the binary payload via
+    ``mapInPandas``: the one place payload bytes cross to Python
+    (Arrow batches). Partitioning note: decode is CPU-bound and
+    embarrassingly parallel — at scale, repartition to #cores before
+    this stage and NEVER after it (output is tiny metadata)."""
+    mm = binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.select("doc_id", "kind", "payload").mapInPandas(
+        decode_batch, "doc_id long, kind string, width int, height int, n_channels int"
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+        SELECT doc_id, frame_id, frame_id * 40 AS pts_ms FROM (
+          SELECT doc_id, unnest(generate_series(0, CAST(n_chars % 7 AS INTEGER))) AS frame_id
+          FROM documents
+        )
+        WHERE frame_id % 2 = 0
+    """,
+    tags=("L7", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each payload notionally has n_chars%7+1 frames
+    at 25 fps; emit every 2nd frame with its presentation timestamp.
+    The frame index expansion is a JVM-side ``sequence``+``explode``
+    (a generator, not a UDF) — the real video path would feed the
+    sampled (doc_id, frame_id) list to the decode stage, so frame
+    SELECTION never decodes anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), (F.col("n_chars") % 7).cast("int"))).alias("frame_id"),
+        )
+        .filter(F.col("frame_id") % 2 == 0)
+        .select("doc_id", F.col("frame_id").cast("long").alias("frame_id"), (F.col("frame_id") * 40).cast("long").alias("pts_ms"))
+    )
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+        SELECT d.doc_id, d.lang, e.label,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+        FROM documents d
+        JOIN embeddings e ON d.doc_id = e.vec_id, q
+        WHERE d.lang = 'en'
+        ORDER BY cosine DESC, d.doc_id
+        LIMIT 10
+    """,
+    tags=("L7",),
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 — the multimodal retrieval shape: join text metadata to the
+    embedding table (doc_id = vec_id), filter by language, rank by
+    similarity to a probe vector, top-10. Language filter pushes to
+    the documents scan; doc⋈emb is a co-partitionable equi-join; the
+    probe is a broadcast 1-row join; top-k is TakeOrderedAndProject."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import with_norm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").select("doc_id", "lang")
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        with_norm(load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(1))
+        .select(F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    )
+    cos = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) / (norm * qnorm)"
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", "lang", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(10)
+    )

@@ -1,1 +1,263 @@
-"""Placeholder — operators land in M1+."""
+"""Vector similarity search over ``embeddings`` (SURVEY.md §2.11
+L3/L4): brute-force cosine top-k as the ground-truth baseline, a
+random-hyperplane LSH-bucketed ANN as the scale path, and kNN
+majority-vote classification on top.
+
+All cosine math is JVM-side array expressions (``zip_with`` +
+``aggregate`` folds in DOUBLE) — no Python UDF, no data leaves the
+JVM. Norms are computed once per vector BEFORE any join, so pair
+stages do exactly one dot product per pair.
+
+Scale design: the brute-force operators carry explicit size guards
+and exist as ground truth; ``sim_search_ann_lsh`` is the 100 TB
+shape — signature bucketing turns the all-pairs product into an
+equi-join on bucket keys (hash shuffle, linear in candidates), the
+same blocking idea IVF implements with learned centroids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+_DIM = 64
+
+def pair_cosine() -> Column:
+    """dot(a.v, b.v) / (|a| * |b|) over two ``with_norm``-prepared
+    sides aliased "a" and "b". Left-to-right double fold — the exact
+    same operation sequence DuckDB's list_dot_product performs, so
+    values compare bitwise across engines. (A function, not a module
+    constant: building a Column requires an active SparkContext.)"""
+    return F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+        " / (a.norm * b.norm)"
+    )
+
+_ORACLE_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``v`` (the vector cast to double) and ``norm`` columns —
+    computed once per row, upstream of any join."""
+    return df.withColumn(
+        "v", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    ).withColumn("norm", F.expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+
+
+@register(
+    "sim_search_topk",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_ORACLE_COS.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")} AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+        ORDER BY cosine DESC, id_a, id_b
+        LIMIT 100
+    """,
+    tags=("L3",),
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 baseline — top-100 most-similar vector pairs, brute force.
+
+    SIZE GUARD: O(n²) ground truth (raises beyond 100k vectors); the
+    scale path is ``sim_search_ann_lsh``. The top-k itself is cheap:
+    Spark turns orderBy+limit into TakeOrderedAndProject — per-
+    partition heaps, only 100 rows ever reach the driver side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > 100_000:
+        raise ValueError(f"brute-force topk guard: {n} vectors; use sim_search_ann_lsh")
+    v = with_norm(emb.select("vec_id", "embedding"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            pair_cosine().alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+@register(
+    "sim_search_query_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings ORDER BY vec_id LIMIT 1)
+        SELECT b.vec_id, {_ORACLE_COS.format(a="q.qv", b="CAST(b.embedding AS DOUBLE[])")} AS cosine
+        FROM embeddings b, q
+        WHERE b.vec_id <> q.q_id
+        ORDER BY cosine DESC, b.vec_id
+        LIMIT 10
+    """,
+    tags=("L3",),
+)
+def sim_search_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 — single-query search: the 10 nearest vectors to one probe
+    vector (the lowest vec_id). The probe is a broadcast 1-row join
+    — at any corpus size this is ONE scan of the embedding table
+    with a per-partition heap; no shuffle of the corpus at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        with_norm(emb.orderBy("vec_id").limit(1))
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    )
+    refs = with_norm(emb.select("vec_id", "embedding"))
+    cos = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) / (norm * qnorm)"
+    )
+    return (
+        refs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---- ANN: random-hyperplane LSH ------------------------------------
+
+_ANN_BITS = 4  # 16 buckets; multiprobe widens recall
+_ANN_K = 5
+
+
+def _hyperplanes(bits: int = _ANN_BITS, dim: int = _DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5 — reproducible
+    across sessions with no RNG state (sign LSH only needs component
+    signs, not gaussian magnitudes)."""
+    planes = []
+    for i in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{i}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _signature(vec_col: str) -> Column:
+    """Pack sign-of-projection bits into one int bucket id."""
+    sig = F.lit(0)
+    for i, plane in enumerate(_hyperplanes()):
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, array({','.join(str(c) for c in plane)}), (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+@register("sim_search_ann_lsh", tags=("L3", "ann"))  # rows-only: approximate by design
+def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path — approximate top-k neighbors for EVERY vector
+    via random-hyperplane LSH:
+
+    1. 4-bit sign signature per vector (16 buckets), pure expression;
+    2. query side multiprobes its own bucket plus each 1-bit flip
+       (5 probes) — the standard recall lever without more tables;
+    3. candidates = equi-join probe_sig == data_sig (hash shuffle on
+       bucket id — NEVER an all-pairs product);
+    4. exact cosine on candidates, row_number top-5 per query.
+
+    Approximate by construction → rows-only check; the pytest
+    invariant measures recall@1 against the brute-force ground truth
+    (deterministic — the planes are fixed). At 100 TB the same plan
+    holds with more bits + balanced buckets (or IVF centroids in
+    place of hyperplanes); candidate count per query stays bounded
+    by bucket size, not corpus size."""
+    emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    sigged = emb.withColumn("sig", _signature("v"))
+
+    probes = sigged.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(
+            F.array(F.col("sig"), *[F.expr(f"sig ^ {1 << i}") for i in range(_ANN_BITS)])
+        ).alias("probe_sig"),
+    )
+    data = sigged.select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("nv"), F.col("norm").alias("nnorm"), "sig"
+    )
+    cos = F.expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) / (qnorm * nnorm)"
+    )
+    scored = (
+        probes.join(data, probes.probe_sig == data.sig)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .dropDuplicates(["q_id", "n_id"])  # multiprobe can re-find the same neighbor
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _ANN_K)
+
+
+_KNN_K = 10
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id % 20 = 0),
+        r AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS rv
+              FROM embeddings WHERE vec_id % 20 <> 0),
+        scored AS (
+          SELECT q.q_id, r.vec_id, r.label,
+                 {_ORACLE_COS.format(a="q.qv", b="r.rv")} AS cosine
+          FROM q, r
+        ),
+        knn AS (
+          SELECT q_id, label FROM (
+            SELECT q_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored
+          ) WHERE rn <= {_KNN_K}
+        ),
+        votes AS (SELECT q_id, label, COUNT(*) AS n_votes FROM knn GROUP BY q_id, label)
+        SELECT q_id, label AS pred_label, n_votes FROM (
+          SELECT q_id, label, n_votes,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS rnk
+          FROM votes
+        ) WHERE rnk = 1
+    """,
+    tags=("L4",),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — kNN classification: held-out queries (vec_id % 20 = 0)
+    vote with the labels of their 10 nearest reference vectors;
+    majority wins, ties break to the smaller label (deterministic in
+    both engines). The query side is broadcast (it is 5% of the
+    corpus by construction); references stream through one scan."""
+    from pyspark.sql.window import Window
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    r = emb.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("n_id"), "label", F.col("v").alias("nv"), F.col("norm").alias("nnorm")
+    )
+    cos = F.expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) / (qnorm * nnorm)"
+    )
+    scored = r.crossJoin(F.broadcast(q)).select("q_id", "n_id", "label", cos.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KNN_K)
+    votes = knn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+    )

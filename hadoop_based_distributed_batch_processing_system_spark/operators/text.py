@@ -1,1 +1,267 @@
-"""Placeholder — operators land in M1+."""
+"""Text-analysis operators over the ``documents`` table
+(SURVEY.md §2.11 L5/L6 + the training-data-pipeline text suite:
+language ID, quality scoring, token counting, fingerprinting).
+
+Everything here is pure JVM-side expression work — ``split`` /
+higher-order functions / ``md5`` — no Python UDFs, so the whole suite
+stays inside whole-stage codegen and scales linearly with input
+splits (no shuffle except the final aggregations, which are
+partial-aggregated map-side first).
+
+Wordcount (L5) is the canonical MapReduce demo — the reference
+class's flagship program shape (map: tokenize/emit, reduce: sum) —
+re-expressed as explode + groupBy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID score. Deliberately literal so the DuckDB oracle can
+# embed the identical lists; real pipelines would broadcast a larger
+# dictionary (still a broadcast, never a shuffle).
+_LANG_WORDS = {
+    "en": ("the", "a", "of", "and", "fast", "slow", "key", "row", "scan", "table"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "schnell", "langsam"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "vite", "lent"),
+    "es": ("el", "los", "las", "y", "es", "no", "rapido", "lento"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _score_expr(words: tuple[str, ...]) -> str:
+    """Fraction of a doc's tokens found in ``words`` (Spark SQL)."""
+    return (
+        f"CAST(size(filter(split(text, ' '), t -> t IN ({_sql_list(words)}))) AS DOUBLE)"
+        f" / size(split(text, ' '))"
+    )
+
+
+def _oracle_score(words: tuple[str, ...]) -> str:
+    """Same fraction in DuckDB spelling (len/list_filter)."""
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_sql_list(words)}))) AS DOUBLE)"
+        f" / len(string_split(text, ' '))"
+    )
+
+
+@register(
+    "text_wordcount",
+    oracle="""
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    """,
+    tags=("L5",),
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — wordcount, THE MapReduce demo: tokenize (map) → count per
+    word (combine+reduce). Spark's groupBy does map-side partial
+    aggregation automatically, so the shuffle carries one row per
+    distinct word per partition — the combiner for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               AVG(CAST(n_chars AS DOUBLE)) AS avg_chars,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med_chars,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("L6",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 — per-language corpus stats with an EXACT interpolated
+    median (Spark ``percentile`` ≡ DuckDB ``quantile_cont``). The
+    exact percentile needs the full value list per group — fine for
+    ~thousands of groups; at 100 TB swap to ``percentile_approx``
+    (t-digest sketch, mergeable map-side) and a rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").alias("med_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+_LANG_ORACLE_SCORES = ",\n".join(
+    f"               {_oracle_score(w)} AS score_{lang}" for lang, w in _LANG_WORDS.items()
+)
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+               CASE
+                 WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_es = 0 THEN 'und'
+                 WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                 WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                 WHEN score_fr >= score_es THEN 'fr'
+                 ELSE 'es'
+               END AS pred_lang
+        FROM (
+          SELECT doc_id, lang,
+{_LANG_ORACLE_SCORES}
+          FROM documents
+        )
+    """,
+    tags=("L6", "lang-id"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-hit ratio against fixed per-language
+    wordlists, argmax with a deterministic priority order
+    (en>de>fr>es) so ties break identically in both engines. Pure
+    narrow map — no shuffle at all; the wordlists ride along in the
+    plan (a real dictionary would be a broadcast variable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[F.expr(_score_expr(w)).alias(f"score_{lang}") for lang, w in _LANG_WORDS.items()],
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.expr(
+            """
+            CASE
+              WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_es = 0 THEN 'und'
+              WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+              WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+              WHEN score_fr >= score_es THEN 'fr'
+              ELSE 'es'
+            END
+            """
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               n_tokens,
+               uniq_ratio,
+               avg_token_len,
+               ROUND(least(1.0, n_tokens / 50.0) * 0.5 + uniq_ratio * 0.5, 6) AS quality,
+               CASE
+                 WHEN least(1.0, n_tokens / 50.0) * 0.5 + uniq_ratio * 0.5 >= 0.66 THEN 'high'
+                 WHEN least(1.0, n_tokens / 50.0) * 0.5 + uniq_ratio * 0.5 >= 0.33 THEN 'medium'
+                 ELSE 'low'
+               END AS band
+        FROM (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS uniq_ratio,
+                 CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_token_len
+          FROM documents
+        )
+    """,
+    tags=("L6", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score: length saturation (50+
+    tokens = full marks) blended with unique-token ratio, banded
+    high/medium/low. The formula is computed identically in both
+    engines so even the band boundaries compare exactly. Narrow map,
+    no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("uniq_ratio"),
+        (
+            (F.length("text") - (F.size(toks) - F.lit(1))).cast("double") / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+    quality = F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * 0.5 + F.col("uniq_ratio") * 0.5
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "uniq_ratio",
+        "avg_token_len",
+        F.round(quality, 6).alias("quality"),
+        F.when(quality >= 0.66, "high").when(quality >= 0.33, "medium").otherwise("low").alias("band"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS re_tokens,
+               length(text) AS n_chars_measured
+        FROM documents
+    """,
+    tags=("L6", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    pre-tokenizer regex (letter runs | digit runs | single other
+    char — the GPT-2 pre-tokenizer shape without lookarounds, so the
+    pattern means the same thing to Java regex and RE2). Narrow map;
+    an estimated-token column like this is the unit of accounting in
+    LLM data pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+_FP_SEEDS = ("s0", "s1", "s2", "s3")
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+{",".join(chr(10) + f"               list_aggregate(list_transform(string_split(text, ' '), t -> md5('{s}|' || t)), 'min') AS fp_{i}" for i, s in enumerate(_FP_SEEDS))}
+        FROM documents
+    """,
+    tags=("L6", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a 4-way MinHash over tokens (min of
+    salted md5 per seed). Order-independent, locality-sensitive —
+    two docs sharing most tokens share most fingerprint slots —
+    and exactly reproducible in ANSI SQL, unlike a positional
+    rolling hash. Narrow map, no shuffle; the same primitive the
+    LSH near-dedup operator scales up with 16 hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    # NB: expression-built lambdas — a two-parameter Python lambda in
+    # F.transform would be bound as (element, index), not a closure.
+    return docs.select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(split(text, ' '), t -> md5(concat('{s}|', t))))").alias(f"fp_{i}")
+            for i, s in enumerate(_FP_SEEDS)
+        ],
+    )
