@@ -31,6 +31,12 @@ HEADLINE = [
     "window_tumbling",      # events hourly agg
     "fn_json",              # events json extract
     "dedup_exact",          # docs md5 dedup
+    "text_wordcount",       # tokenize + word frequency (the MR demo)
+    "dedup_minhash_lsh",    # near-dup via MinHash banding
+    "sim_search_topk_blas", # all-pairs cosine top-k, blocked GEMM
+    "sim_search_ann_lsh",   # bucketed ANN, cogroup GEMM kernel
+    "knn_label_vote",       # kNN classification
+    "multimodal_join",      # docs ⋈ embeddings retrieval shape
 ]
 
 

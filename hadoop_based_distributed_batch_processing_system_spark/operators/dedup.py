@@ -63,6 +63,26 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct xxhash64'd 3-shingles (array<long>). The LSH
+    internals never need the shingle text — hashing at the source
+    keeps every downstream array 8 bytes/element instead of ~25 and
+    makes set ops integer comparisons. Jaccard over hashed shingles
+    equals Jaccard over strings absent 64-bit collisions (~1e-13 per
+    corpus here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.filter(F.size(toks) >= _SHINGLE_WIDTH).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_WIDTH - 1}),"
+                f" i -> xxhash64(slice(split(text, ' '), i, {_SHINGLE_WIDTH})))"
+            )
+        ).alias("sh"),
+    )
+
+
 _ORACLE_SHINGLES = f"""
         SELECT doc_id,
                list_distinct(list_transform(
@@ -154,33 +174,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives (P[miss] = (1-s²)⁸, ≈2e-6 at the s≥0.9 the corpus
     plants); the pytest invariant pins candidates ⊆ ground truth and
     recall on the planted near-dups."""
-    tok = _shingles(spark, sf_dir)
+    tok = _shingles_hashed(spark, sf_dir)
 
+    # Bands carry ONLY (doc_id, band_idx, band_sig) — the shingle
+    # arrays must not ride through the candidate shuffle (at scale
+    # they are ~100× the key width; shipping them here was measured
+    # 10× slower at sf0.1). Arrays are joined back just-in-time for
+    # verification of the (tiny) candidate set.
     sigs = tok.select(
         "doc_id",
-        "sh",
         *[
+            # salt must live INSIDE the hashed byte stream: both
+            # xxhash64(h, i) and xxhash64(i, h) leave the 16 slots
+            # argmin-correlated (only a constant XOR separates them
+            # post-mixing — measured: planted pairs get missed).
+            # String-salting gives genuinely independent functions.
             F.array_min(
-                F.transform("sh", lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s)))
+                F.transform(
+                    "sh",
+                    lambda h, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), h.cast("string"))),
+                )
             ).alias(f"mh_{i}")
             for i in range(_NUM_HASHES)
         ],
     )
     bands = sigs.select(
         "doc_id",
-        "sh",
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.xxhash64(*[f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]).alias("band_sig"),
-                )
-                for b in range(_NUM_BANDS)
-            ]
-        ).alias("bands"),
-    ).select("doc_id", "sh", F.explode("bands").alias("band")).select(
-        "doc_id", "sh", "band.band_idx", "band.band_sig"
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(*[f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]).alias("band_sig"),
+                    )
+                    for b in range(_NUM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_sig")
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -191,17 +222,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # a pair can collide in several bands
     )
+    sha = tok.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = tok.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        candidates.select("id_a", "id_b", jac.alias("jaccard"))
+        candidates.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
 

@@ -103,6 +103,20 @@ def test_ann_lsh_shape_invariants(spark):
     assert not pdf.duplicated(["q_id", "n_id"]).any()
 
 
+def test_blas_topk_matches_exact_topk(spark):
+    """The blocked-GEMM brute force must return the identical top-100
+    pair list as the expression-fold version (numpy vs SQL fold may
+    differ in the last ulp of cosine, nothing more)."""
+    import numpy as np
+
+    exact = REG["sim_search_topk"].fn(spark, SF_ORACLE).toPandas()
+    blas = REG["sim_search_topk_blas"].fn(spark, SF_ORACLE).toPandas()
+    assert list(map(tuple, exact[["id_a", "id_b"]].values.tolist())) == list(
+        map(tuple, blas[["id_a", "id_b"]].values.tolist())
+    )
+    assert float(np.abs(exact["cosine"].values - blas["cosine"].values).max()) < 1e-9
+
+
 def test_decode_stub_deterministic_and_typed(spark):
     one = REG["mm_decode_stub"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id").reset_index(drop=True)
     two = REG["mm_decode_stub"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id").reset_index(drop=True)
