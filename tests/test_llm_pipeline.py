@@ -6,7 +6,7 @@ import pytest
 
 import pyspark.sql.functions as F
 
-from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import _SIMHASH_EXPR
+from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import simhash_signatures
 from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import decode_batch
 from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import pair_cosine, with_norm
 from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
@@ -42,11 +42,7 @@ def test_simhash_blocking_is_exhaustive(spark):
     brute-force all-pairs Hamming scan finds (pigeonhole: <=3
     differing bits can't touch all 4 chunks)."""
     blocked = _pairset(REG["dedup_simhash"].fn(spark, SF_ORACLE).toPandas())
-    docs = load_table(spark, SF_ORACLE, "documents")
-    sigs = (
-        docs.select("doc_id", F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("hashes"))
-        .select("doc_id", F.expr(_SIMHASH_EXPR).alias("sig"))
-    )
+    sigs = simhash_signatures(spark, SF_ORACLE)
     a, b = sigs.alias("a"), sigs.alias("b")
     brute = _pairset(
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
