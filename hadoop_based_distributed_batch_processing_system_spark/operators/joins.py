@@ -344,3 +344,47 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "last_view_ts")
     )
+
+
+_SKEW_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_items,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("J9", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — skew-mitigated shuffle join via manual key salting: the
+    fact side scatters each key across 8 salted sub-keys
+    (deterministic hash of the row), the build side replicates once
+    per salt, and the join runs on (key, salt) — a hot key's rows
+    now land on 8 reducers instead of one.
+
+    Salting must be invisible to semantics: the oracle is the PLAIN
+    join, so the differential test proves the rewrite exact. At 100
+    TB prefer AQE's skew-join splitting first (enabled in
+    session.py); manual salting is for the cases AQE can't split —
+    e.g. a single giant key inside one partition of a
+    sort-merge-join with aggregation pushed below the join."""
+    s = F.lit(_SKEW_SALTS)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), s)
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), s - 1))
+    )
+    return (
+        li.join(orders, (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
