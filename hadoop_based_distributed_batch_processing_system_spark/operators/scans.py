@@ -91,3 +91,42 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_parquet(agg, out, partition_by=["l_returnflag"])
     back = spark.read.parquet(out)
     return back.select("l_returnflag", "l_linestatus", "n", "sum_qty")
+
+
+@register(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("S3", "csv"),
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3' — CSV source: export nation once to header'd CSV
+    part-files, read it back with an EXPLICIT schema (never
+    inferSchema at scale — it triggers a full extra pass). The oracle
+    is the parquet table itself, proving the text roundtrip lossless.
+    """
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_csv_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", "true"
+    ).csv(out)
+
+
+@register(
+    "scan_json",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    tags=("S3", "json"),
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3'' — JSON-lines source: export customer once to NDJSON,
+    read back with an explicit schema. Doubles survive because both
+    writer and reader use round-trip float representations. NDJSON is
+    splittable line-wise, so at 100 TB this parallelizes like any
+    text input — but parquet stays the engine's preferred format
+    (columnar pruning, pushdown, 5-10× smaller)."""
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_json_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "customer").write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).json(out).select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")

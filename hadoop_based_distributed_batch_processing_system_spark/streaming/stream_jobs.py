@@ -117,3 +117,48 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return _run_to_memory(deduped, "hbdbps_stream_dedup", "append")
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("T5", "X2", "stream"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: per-user running totals held in
+    explicit GroupState across micro-batches (the arbitrary-state
+    API — what sessionization, CDC merge, or online feature
+    aggregation build on; the Spark analogue of a stateful Reducer).
+
+    Each micro-batch delivers a user's new rows as Arrow batches; the
+    handler folds them into (n, total) state and emits the updated
+    row. Over the bounded demo stream the final emission per user
+    equals the batch group-by, so even this operator is
+    oracle-checkable. In production, pair with a timeout
+    (``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle
+    keys and bound state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_user_totals", "update")
