@@ -388,3 +388,64 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+_N_BUCKETS = 8
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT l.l_orderkey, o.o_orderpriority,
+               COUNT(*) AS n_items,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey, o.o_orderpriority
+    """,
+    tags=("J1", "bucketing"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1' — co-located join via bucketed tables: both fact tables
+    are written ``bucketBy(8, orderkey)`` + ``sortBy``, so the join
+    AND the orderkey-grained aggregation run with ZERO Exchange nodes
+    (plan-asserted) — the bucketing IS the shuffle, paid once at
+    write time and amortized over every subsequent join on that key.
+    This is the 100 TB answer to any repeatedly-joined fact pair
+    (the Hadoop analogue: pre-partitioned inputs + map-side merge
+    join). Bucket metadata lives in the session catalog; the data
+    files live under an explicit path."""
+    import os
+    import tempfile
+
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"hbdbps_bucketed_{tag}")
+    specs = [
+        (f"hbdbps_orders_b_{tag}", "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        (f"hbdbps_lineitem_b_{tag}", "lineitem", "l_orderkey",
+         ["l_orderkey", "l_extendedprice", "l_discount"]),
+    ]
+    for tname, src, key, cols in specs:
+        if not spark.catalog.tableExists(tname):
+            (
+                load_table(spark, sf_dir, src)
+                .select(*cols)
+                .write.bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, tname))
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tname)
+            )
+    o = spark.table(specs[0][0])
+    l = spark.table(specs[1][0])
+    # force SortMergeJoin: at test scale Spark would broadcast the
+    # small side, which hides what bucketing buys at 100 TB (two
+    # fact tables, neither broadcastable, joined with no shuffle)
+    return (
+        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

@@ -97,6 +97,15 @@ def test_query_probe_is_broadcast(spark):
     assert "Broadcast" in plan
 
 
+def test_bucketed_join_has_zero_exchanges(spark):
+    """J1' contract: with both sides bucketed on the join key, the
+    sort-merge join AND the orderkey-grained aggregation need no
+    shuffle at all — not one Exchange node in the whole plan."""
+    plan = plan_of(REG["join_bucketed_colocated"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 def test_events_filter_partition_epoch_pushdown(spark):
     """Date-range predicates on events reach the scan even through
     the ns→µs timestamp rewrite (filter on the derived column cannot
