@@ -207,3 +207,21 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("source")).alias("sources"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register("agg_approx_quantile", tags=("A4", "quantile"))  # rows-only: sketch-based, engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4' — approximate percentiles via ``percentile_approx``
+    (KLL/GK-style mergeable sketch): p50/p95/p99 of order totals per
+    status in ONE pass with map-side partial sketches — the 100 TB
+    path where exact percentile (full sort or value buffering per
+    group) is off the table. Accuracy set to 10k (~0.01% rank
+    error); pytest invariant pins each value within 1% rank of the
+    exact percentile."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

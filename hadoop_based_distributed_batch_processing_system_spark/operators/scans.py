@@ -130,3 +130,23 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
     ).json(out).select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register("sink_partition_pruned", tags=("S4", "pruning"))  # rows-only: sink side effect + plan property
+def sink_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4' — hive-partitioned sink + pruned re-read: events written
+    ``partitionBy(event_type)``, then read back filtered to one type.
+    The filter becomes a PartitionFilter (directory pruning — the
+    other four types' files are never opened), the 100 TB layout for
+    any re-read keyed by a low-cardinality column. Plan-asserted in
+    tests/test_plans.py; rows invariant: pruned count == filtered
+    count on the source table."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_sink_part_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        sink_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )

@@ -177,3 +177,42 @@ def partitioner_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pid")
         .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "udtf_tokenize_lateral",
+    oracle="""
+        SELECT d.doc_id, t.token, t.pos
+        FROM (SELECT doc_id, text FROM documents WHERE lang = 'de') d,
+             LATERAL (
+               SELECT unnest(string_split(d.text, ' ')) AS token,
+                      CAST(unnest(generate_series(0, len(string_split(d.text, ' ')) - 1)) AS INTEGER) AS pos
+             ) t
+    """,
+    tags=("X4", "udtf"),
+)
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4' — a REAL Python UDTF (Spark 4 ``@udtf``): one input row →
+    many output rows with per-row Python state, consumed via LATERAL
+    join in SQL. This is the table-function half of the Mapper
+    contract (``explode``/``mapInPandas`` cover the common cases;
+    a UDTF adds arbitrary generator logic + the SQL surface).
+    Python-side per-row iteration — keep off the hot path; shown on
+    the small 'de' slice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield t, i
+
+    spark.udtf.register("hbdbps_tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("hbdbps_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM (SELECT doc_id, text FROM hbdbps_docs_udtf WHERE lang = 'de') d,
+             LATERAL hbdbps_tokenize_udtf(d.text) t
+        """
+    )

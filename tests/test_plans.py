@@ -106,6 +106,26 @@ def test_bucketed_join_has_zero_exchanges(spark):
     assert "Exchange" not in plan
 
 
+def test_partitioned_sink_reread_prunes_directories(spark):
+    """S4' contract: a filter on the partition column of a
+    hive-partitioned sink must become a PartitionFilter (directory
+    pruning), not a data filter."""
+    REG["sink_partition_pruned"].fn(spark, SF_SMOKE).collect()  # ensure written
+    import os, tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "hbdbps_sink_part_sf0.001")
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0]
+
+
+def test_partition_pruned_counts_match_source(spark):
+    pruned = REG["sink_partition_pruned"].fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "purchase")
+    assert pruned[0]["n"] == ev.count()
+
+
 def test_events_filter_partition_epoch_pushdown(spark):
     """Date-range predicates on events reach the scan even through
     the ns→µs timestamp rewrite (filter on the derived column cannot

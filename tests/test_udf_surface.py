@@ -48,3 +48,26 @@ def test_sink_parquet_roundtrip_lossless(spark):
     agg = li.groupBy("l_returnflag", "l_linestatus").count().toPandas()
     assert len(back) == len(agg)
     assert int(back["n"].sum()) == li.count()
+
+
+def test_approx_quantile_within_rank_tolerance(spark):
+    """percentile_approx at accuracy 10000 must land within ~1% rank
+    of the exact interpolated percentile."""
+    import pyspark.sql.functions as F
+
+    approx = {r.o_orderstatus: r for r in REG["agg_approx_quantile"].fn(spark, SF_ORACLE).collect()}
+    o = load_table(spark, SF_ORACLE, "orders")
+    exact = {
+        r.o_orderstatus: r
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for status, ex in exact.items():
+        for p in ["p50", "p95", "p99"]:
+            assert abs(getattr(approx[status], p) - getattr(ex, p)) / getattr(ex, p) < 0.02, (
+                status, p, getattr(approx[status], p), getattr(ex, p))
