@@ -35,8 +35,10 @@ HEADLINE = [
     "dedup_minhash_lsh",    # near-dup via MinHash banding
     "sim_search_topk_blas", # all-pairs cosine top-k, blocked GEMM
     "sim_search_ann_lsh",   # bucketed ANN, cogroup GEMM kernel
+    "sim_search_ann_ivf",   # IVF ANN, learned centroids + inverted lists
     "knn_label_vote",       # kNN classification
     "multimodal_join",      # docs ⋈ embeddings retrieval shape
+    "sample_hash_deterministic",  # pushed-down deterministic 10% sample
 ]
 
 

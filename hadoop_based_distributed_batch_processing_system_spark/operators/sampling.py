@@ -1,0 +1,208 @@
+"""Sampling and reshaping operators (SURVEY.md §2.11 scale
+discipline + training-data-pipeline surface).
+
+Sampling at 100 TB must be DETERMINISTIC and repeatable — a pipeline
+re-run (or a late-arriving partition) has to select the same rows, so
+`rand()`-based `df.sample` is the wrong tool for lineage-stable
+subsets. The operators here sample by content hash: a row is in the
+sample iff a hex prefix of `md5(key)` falls below a threshold. That
+predicate is a plain filter — it pushes down, costs no shuffle, needs
+no RNG state, and is expressible identically in any engine (so the
+DuckDB oracle proves the selection itself, not just aggregates of
+it).
+
+Pivot/unpivot cover the wide↔long reshapes every feature-extraction
+pipeline ends with. Pivot is a single hash aggregation over
+(group, spread) pairs — no extra shuffle vs a plain group-by when the
+spread values are enumerated up front (passing the value list skips
+Spark's extra distinct-scan job).
+
+Reference parity: the reference system class samples by emitting a
+subset in user map code (`[REF-EMPTY]`, SURVEY.md §0) — hash-mod
+selection is the canonical MapReduce idiom for it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+# hex prefix < '1a' ⇒ 26/256 ≈ 10.2% of keys, uniformly (md5 is
+# uniform over hex chars); 2 chars of prefix keeps the string compare
+# cheap while bounding selection granularity at 1/256.
+_P10 = "1a"
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def hash_bucket(col_expr) -> "F.Column":
+    """First two hex chars of md5 — a deterministic 256-bucket hash
+    identical across engines (md5 of the same string is the same
+    lowercase hex everywhere)."""
+    return F.substring(F.md5(col_expr), 1, 2)
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price
+        FROM lineitem
+        WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, 2) < '{_P10}'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("P5", "sampling"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of lineitem by content hash of the
+    primary key, then the Q1-shape summary over the sample. The
+    sample predicate is a pushable filter (no shuffle, no RNG): the
+    SAME rows are selected on every run, on any engine, under any
+    partitioning — which is what makes downstream experiments
+    reproducible and incremental re-runs consistent at 100 TB. The
+    oracle runs the identical predicate in DuckDB, proving the
+    selection itself is engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.filter(hash_bucket(key) < _P10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sample_stratified_deterministic",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+              CASE event_type
+                WHEN 'error' THEN 'ff'
+                WHEN 'purchase' THEN '80'
+                ELSE '1a'
+              END
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("P5", "sampling"),
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — per-stratum rates (errors
+    kept ~100%, purchases ~50%, the high-volume rest ~10%) via a
+    CASE'd threshold on the same md5 bucket. This is the standard
+    class-rebalancing read for training pipelines: one pushed-down
+    filter, no `sampleBy` RNG, and rare strata survive re-runs
+    bit-identically. (`ff` keeps 254/256 of errors — the two top
+    buckets fold out so the threshold stays a strict compare in both
+    engines.)"""
+    ev = load_table(spark, sf_dir, "events")
+    thresh = (
+        F.when(F.col("event_type") == "error", F.lit("ff"))
+        .when(F.col("event_type") == "purchase", F.lit("80"))
+        .otherwise(F.lit(_P10))
+    )
+    return (
+        ev.filter(hash_bucket(F.col("event_id").cast("string")) < thresh)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "pivot_event_type_daily",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events
+        GROUP BY 1
+        ORDER BY day
+    """,
+    tags=("A7", "pivot"),
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: daily event counts spread into one column per
+    event type. The spread values are passed explicitly, which (a)
+    skips the extra distinct-scan job Spark otherwise runs to learn
+    them and (b) fixes the output schema — both mandatory at scale
+    (an unenumerated pivot on a high-cardinality column is a schema
+    explosion). One hash aggregation; missing cells filled to 0 to
+    match COUNT FILTER semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    wide = (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+    total = sum((F.col(t) for t in _EVENT_TYPES[1:]), F.col(_EVENT_TYPES[0]))
+    return wide.withColumn("total", total.cast("long")).orderBy("day")
+
+
+@register(
+    "unpivot_metrics_long",
+    oracle="""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+                 CAST(COUNT(*) AS DOUBLE) AS n_rows
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, ROUND(value, 6) AS value FROM (
+          SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+          UNION ALL
+          SELECT l_returnflag, 'sum_price', sum_price FROM wide
+          UNION ALL
+          SELECT l_returnflag, 'n_rows', n_rows FROM wide
+        )
+        ORDER BY l_returnflag, metric
+    """,
+    tags=("A7", "unpivot"),
+)
+def unpivot_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): a per-flag metrics row becomes one
+    (flag, metric, value) row per metric via ``DataFrame.unpivot`` —
+    a zero-shuffle generate step (each input row expands in place),
+    the inverse reshape of the pivot above and the standard form for
+    feature stores and plotting pipelines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_extendedprice").cast("double").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "n_rows"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .withColumn("value", F.round("value", 6))
+        .orderBy("l_returnflag", "metric")
+    )

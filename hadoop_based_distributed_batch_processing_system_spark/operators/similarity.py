@@ -224,6 +224,125 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _ANN_K)
 
 
+# ---- ANN: IVF (inverted-file index over learned centroids) ---------
+
+_IVF_K_TARGET = 16  # coarse centroids ≈ sqrt(n) capped; nprobe widens recall
+_IVF_NPROBE = 4
+
+
+def _assign_kernel(centroids):
+    """mapInPandas closure: per Arrow batch, one GEMM of
+    (batch × dim) @ (dim × K) picks each vector's nearest centroid by
+    cosine. The centroid matrix is a tiny model (K × 64 floats)
+    shipped inside the serialized closure — the IVF pattern: train
+    small, assign distributively."""
+    import numpy as np
+
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ c.T
+            order = np.argsort(-sims, axis=1)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "cluster": order[:, 0].astype("int32"),
+                    "probes": list(order[:, : min(_IVF_NPROBE, sims.shape[1])].astype("int32")),
+                }
+            )
+            yield out
+
+    return assign
+
+
+@register("sim_search_ann_ivf", tags=("L3", "ann", "ivf"))  # rows-only: approximate by design
+def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #2 — IVF (inverted-file) ANN, the learned-
+    centroid counterpart of ``sim_search_ann_lsh``:
+
+    1. deterministic seeds: every (n/K)-th vec_id — no RNG, same
+       index on every run;
+    2. ONE distributed Lloyd step refines them: assign-by-GEMM
+       (mapInPandas, centroid model in the closure), then
+       ``posexplode`` + groupBy(cluster, pos) mean re-estimates each
+       centroid component — k-means as two hash aggregations, the
+       shape that holds at any corpus size;
+    3. every vector lands in its nearest refined centroid's inverted
+       list; queries probe their ``nprobe=4`` nearest lists;
+    4. candidate scoring is the same cogroup-by-cluster GEMM kernel
+       as LSH ANN (one shuffle on the cluster key, BLAS per list);
+       global top-5 per query.
+
+    Only the K×64 centroid model ever touches the driver (bounded by
+    K, not n — IVF training is a small-model fit by construction).
+    Approximate → rows-only; pytest pins recall@1 vs brute force."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    k = max(4, min(_IVF_K_TARGET, n // 25))
+    stride = max(1, n // k)
+
+    seeds = np.stack(
+        [
+            r["embedding"]
+            for r in emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k))
+            .orderBy("vec_id")
+            .collect()
+        ]
+    ).astype(np.float64)
+
+    assigned0 = emb.mapInPandas(
+        _assign_kernel(seeds),
+        "vec_id long, embedding array<float>, cluster int, probes array<int>",
+    )
+    # one Lloyd step: component-wise mean per cluster, distributively
+    refined_rows = (
+        assigned0.select("cluster", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("mm"))
+        .select("cluster", F.col("mm.m").alias("centroid"))
+        .orderBy("cluster")
+        .collect()
+    )
+    refined = seeds.copy()
+    for r in refined_rows:
+        refined[r["cluster"]] = np.asarray(r["centroid"], dtype=np.float64)
+
+    assigned = emb.mapInPandas(
+        _assign_kernel(refined),
+        "vec_id long, embedding array<float>, cluster int, probes array<int>",
+    )
+    data = assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("nv"),
+        "cluster",
+    )
+    probes = assigned.select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qv"),
+        F.explode("probes").alias("probe_cluster"),
+    )
+    scored = (
+        probes.groupBy("probe_cluster")
+        .cogroup(data.groupBy("cluster"))
+        .applyInPandas(_bucket_knn_kernel, "q_id long, n_id long, cosine double")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _ANN_K)
+
+
 _BLAS_BLOCKS = 8
 _BLAS_TOPK = 100
 

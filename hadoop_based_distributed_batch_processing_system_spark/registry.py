@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         "hadoop_based_distributed_batch_processing_system_spark.operators.sorts",
         "hadoop_based_distributed_batch_processing_system_spark.operators.setops",
         "hadoop_based_distributed_batch_processing_system_spark.operators.udf_surface",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.sampling",
         "hadoop_based_distributed_batch_processing_system_spark.operators.analytics",
         "hadoop_based_distributed_batch_processing_system_spark.operators.dedup",
         "hadoop_based_distributed_batch_processing_system_spark.operators.similarity",

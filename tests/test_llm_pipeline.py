@@ -127,3 +127,37 @@ def test_decode_stub_deterministic_and_typed(spark):
 def test_decode_real_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         list(decode_batch(iter([]), real_codec=True))
+
+
+def test_ann_ivf_recall_against_brute_force(spark):
+    """IVF (learned centroids, nprobe=4) should comfortably beat the
+    LSH variant's recall on this corpus — measured at sf0.01; pin a
+    margin below. Fully deterministic: seeds are stride-sampled and
+    the Lloyd step is exact arithmetic."""
+    emb = with_norm(load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
+    a, b = emb.alias("a"), emb.alias("b")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    bf1 = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("q_id"), F.col("b.vec_id").alias("n_id"), pair_cosine().alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("q_id", "n_id")
+        .toPandas()
+    )
+    truth = dict(zip(bf1.q_id, bf1.n_id))
+    ann = REG["sim_search_ann_ivf"].fn(spark, SF_ORACLE).toPandas()
+    got: dict = {}
+    for r in ann.itertuples():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    recall = sum(1 for q, n in truth.items() if n in got.get(q, set())) / len(truth)
+    assert recall >= 0.5, f"IVF recall degraded: {recall}"
+
+
+def test_ann_ivf_shape_invariants(spark):
+    pdf = REG["sim_search_ann_ivf"].fn(spark, SF_ORACLE).toPandas()
+    assert (pdf["rk"] >= 1).all() and (pdf["rk"] <= 5).all()
+    assert not (pdf["q_id"] == pdf["n_id"]).any()
+    assert not pdf.duplicated(["q_id", "n_id"]).any()
