@@ -132,6 +132,62 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(out).select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
 
+@register(
+    "scan_orc",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 6) AS s_acctbal
+        FROM supplier
+    """,
+    tags=("S3", "orc"),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3''' — ORC source/sink roundtrip: export supplier once to
+    ORC (Spark's second native columnar format — same vectorized
+    reader, predicate pushdown, and split planning as parquet), read
+    it back with an explicit schema. Oracle is the parquet original:
+    the columnar re-encode is lossless. In a 100 TB estate this is
+    the interop path for Hive-era ORC warehouses."""
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_orc_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return (
+        spark.read.schema("s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+        .orc(out)
+        .select("s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 6).alias("s_acctbal"))
+    )
+
+
+@register("compact_small_files", tags=("S4", "compaction"))  # rows-only: file layout is engine-internal
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4'' — small-file compaction: the standing maintenance job of
+    any 100 TB estate (streaming sinks and partitioned writes breed
+    kB-sized part-files; each costs a task + an open at read time).
+    Simulates the problem (events fragmented into 64 part-files),
+    then compacts by rewriting through ``coalesce(4)`` — a NARROW
+    dependency: files are concatenated partition-wise with no
+    shuffle, unlike ``repartition`` which would pay one. Returns
+    before/after file counts + row count; pytest asserts rows
+    survive and the file count actually drops."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    frag = os.path.join(tempfile.gettempdir(), f"hbdbps_frag_{tag}")
+    compacted = os.path.join(tempfile.gettempdir(), f"hbdbps_compacted_{tag}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+    small = spark.read.parquet(frag)
+    small.coalesce(4).write.mode("overwrite").parquet(compacted)
+
+    def _nfiles(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(_nfiles(frag)).alias("files_before"),
+        F.lit(_nfiles(compacted)).alias("files_after"),
+    )
+
+
 @register("sink_partition_pruned", tags=("S4", "pruning"))  # rows-only: sink side effect + plan property
 def sink_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4' — hive-partitioned sink + pruned re-read: events written

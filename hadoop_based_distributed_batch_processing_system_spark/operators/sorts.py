@@ -91,3 +91,59 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "secondary_sort_user_timeline",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS timeline
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("O3", "secondary-sort"),
+)
+def secondary_sort_user_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3' — the literal MapReduce SECONDARY SORT translation: route
+    all rows of a key to one partition (``repartition(key)``), sort
+    each partition by (key, ts, event_id) (``sortWithinPartitions``
+    — the shuffle's sort phase, never a global sort), then a single
+    forward scan per partition emits each user's event-type timeline
+    in time order. The scan is ``mapInPandas`` with carry-over state
+    between Arrow batches, because one user's run of rows may span a
+    batch boundary — exactly the reduce()-iterator contract the
+    reference class gives user code. Oracle: ordered ``string_agg``
+    proves both the grouping and the within-key order."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+
+    def scan(batches):
+        carry_uid = None
+        carry_types: list[str] = []
+        carry_n = 0
+        for pdf in batches:
+            for uid, grp in pdf.groupby("user_id", sort=False):
+                types = list(grp["event_type"])
+                if uid == carry_uid:
+                    carry_types.extend(types)
+                    carry_n += len(types)
+                else:
+                    if carry_uid is not None:
+                        yield pd.DataFrame(
+                            {"user_id": [carry_uid], "n_events": [carry_n], "timeline": [">".join(carry_types)]}
+                        )
+                    carry_uid, carry_types, carry_n = uid, types, len(types)
+        if carry_uid is not None:
+            yield pd.DataFrame(
+                {"user_id": [carry_uid], "n_events": [carry_n], "timeline": [">".join(carry_types)]}
+            )
+
+    return (
+        ev.repartition(32, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(scan, "user_id long, n_events long, timeline string")
+        .orderBy("user_id")
+    )

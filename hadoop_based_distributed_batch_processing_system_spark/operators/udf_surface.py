@@ -216,3 +216,56 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL hbdbps_tokenize_udtf(d.text) t
         """
     )
+
+
+@register(
+    "counters_job_audit",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+               CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL) AS BIGINT) AS n_valid_props,
+               CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative_value
+        FROM events
+    """,
+    tags=("X6", "counters"),
+)
+def counters_job_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — the Hadoop COUNTERS surface: user code increments named
+    counters while a job runs; the framework merges them and hands
+    totals to the driver. Spark's equivalent is accumulators — here
+    a vectorized ``mapInPandas`` audit pass counts rows seen, rows
+    with parseable JSON props, and negative values, each into its
+    own LongAccumulator, merged task→driver exactly like MR counter
+    aggregation (and, like MR counters, only trustworthy from ACTIONS
+    on non-retried stages — this runs one deliberate pass). The
+    totals come back as a 1-row DataFrame; the oracle recomputes the
+    same counts declaratively, proving the side-channel exact."""
+    import json as _json
+
+    import pandas as pd
+
+    sc = spark.sparkContext
+    n_seen = sc.accumulator(0)
+    n_valid = sc.accumulator(0)
+    n_neg = sc.accumulator(0)
+
+    ev = load_table(spark, sf_dir, "events").select("props", "value")
+
+    def audit(batches):
+        for pdf in batches:
+            n_seen.add(len(pdf))
+            valid = 0
+            for p in pdf["props"]:
+                try:
+                    if _json.loads(p).get("k") is not None:
+                        valid += 1
+                except (TypeError, ValueError):
+                    pass
+            n_valid.add(valid)
+            n_neg.add(int((pdf["value"] < 0).sum()))
+            yield pd.DataFrame({"ok": [True]})
+
+    ev.mapInPandas(audit, "ok boolean").count()  # the action that runs the counters
+    return spark.createDataFrame(
+        [(n_seen.value, n_valid.value, n_neg.value)],
+        "n_seen long, n_valid_props long, n_negative_value long",
+    )

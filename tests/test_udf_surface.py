@@ -71,3 +71,26 @@ def test_approx_quantile_within_rank_tolerance(spark):
         for p in ["p50", "p95", "p99"]:
             assert abs(getattr(approx[status], p) - getattr(ex, p)) / getattr(ex, p) < 0.02, (
                 status, p, getattr(approx[status], p), getattr(ex, p))
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark):
+    row = REG["compact_small_files"].fn(spark, SF_ORACLE).collect()[0]
+    ev = load_table(spark, SF_ORACLE, "events")
+    assert row["n_rows"] == ev.count()
+    assert row["files_after"] < row["files_before"]
+    assert row["files_after"] <= 4
+
+
+def test_counters_match_declarative_counts(spark):
+    """Accumulator totals must equal the same counts computed
+    declaratively in one Spark aggregate."""
+    import pyspark.sql.functions as F
+
+    got = REG["counters_job_audit"].fn(spark, SF_ORACLE).collect()[0]
+    ev = load_table(spark, SF_ORACLE, "events")
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.get_json_object("props", "$.k").isNotNull(), 1)).alias("v"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("neg"),
+    ).collect()[0]
+    assert (got["n_seen"], got["n_valid_props"], got["n_negative_value"]) == (want["n"], want["v"], want["neg"])
