@@ -215,3 +215,127 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_custs"), F.sum("c_acctbal").alias("total_bal")
     )
+
+
+@register(
+    "pipeline_training_data_prep",
+    oracle="""
+        WITH filtered AS (
+          SELECT doc_id, text, lang, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+          WHERE lang IN ('en', 'de', 'fr')
+            AND len(string_split(text, ' ')) >= 5
+        ),
+        deduped AS (
+          SELECT lang, n_tokens, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+          FROM filtered
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM deduped
+        WHERE rn = 1
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("L1", "L6", "composite", "pipeline"),
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's reason to exist, as ONE plan: a training-data
+    prep pipeline — language filter → minimum-length quality gate →
+    exact dedup (keep lowest doc_id per content hash) → per-language
+    corpus stats. The reference class runs this as 3-4 chained jobs
+    with materialized intermediates; declared as a single DataFrame
+    chain, Catalyst pushes the lang/length filters into the scan and
+    the dedup window rides the same hash shuffle as the final
+    aggregation's partial combine. Counts removed duplicates as a
+    quality metric alongside kept-doc token totals."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = (
+        docs.withColumn("n_tokens", F.size(F.split("text", " ")))
+        .filter(F.col("lang").isin("en", "de", "fr") & (F.col("n_tokens") >= 5))
+    )
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    wc = Window.partitionBy(F.md5("text"))
+    deduped = filtered.withColumn("rn", F.row_number().over(wd)).withColumn(
+        "n_copies", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        deduped.filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(F.col("n_copies") - 1).alias("n_dups_removed"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "upsert_cdc_apply",
+    oracle="""
+        WITH changes AS (
+          -- updates: every 10th order re-priced; inserts: every 100th key offset past the keyspace
+          SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice, 'update' AS op
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_custkey, 1.0, 'insert'
+          FROM orders WHERE o_orderkey % 100 = 0
+        ),
+        merged AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, src,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri) AS rn
+          FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice, 'cdc' AS src, 0 AS pri FROM changes
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice, 'base', 1 FROM orders
+          )
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE src = 'cdc') AS BIGINT) AS n_from_cdc,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM merged WHERE rn = 1
+    """,
+    tags=("J2", "cdc", "composite"),
+)
+def upsert_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (MERGE INTO semantics, engine-level): apply a
+    change set — updates for existing keys, inserts for new ones —
+    onto a base snapshot, newest-wins per key. Implemented as
+    union + one row_number window over the key (one hash shuffle),
+    the standard formulation when the table format has no native
+    MERGE; at 100 TB the same plan works partition-wise against a
+    hive-partitioned base so only touched partitions rewrite. The
+    change set here is derived deterministically from the base so
+    both engines build the identical input. Returns audit totals
+    (row count, rows taken from CDC, post-merge sum)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", (F.col("o_totalprice") + 1000.0).alias("o_totalprice"))
+    )
+    inserts = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    changes = updates.union(inserts).withColumn("src", F.lit("cdc")).withColumn("pri", F.lit(0))
+    base = o.withColumn("src", F.lit("base")).withColumn("pri", F.lit(1))
+    w = Window.partitionBy("o_orderkey").orderBy("pri")
+    merged = changes.union(base).withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("src") == "cdc", 1)).alias("n_from_cdc"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )

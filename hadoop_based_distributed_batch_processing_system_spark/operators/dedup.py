@@ -360,3 +360,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
     )
+
+
+_CC_MAX_ITERS = 20
+
+_ORACLE_PAIRS = f"""
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM tok a, tok b
+          WHERE a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE
+        tok AS ({_ORACLE_SHINGLES}),
+        pairs AS ({_ORACLE_PAIRS}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e, reach WHERE e.v = reach.u
+        )
+        SELECT u AS doc_id,
+               CAST(MIN(r) AS BIGINT) AS component,
+               (u = MIN(r)) AS is_canonical
+        FROM reach GROUP BY u ORDER BY doc_id
+    """,
+    tags=("L2", "components"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2' — duplicate CLUSTERS, not just pairs: near-dup pairs form
+    a graph; the dedup decision needs its connected components (keep
+    one canonical doc per component — pairwise keep-the-smaller drops
+    too much when A~B~C but A≁C). Components via iterative min-label
+    propagation: each round every vertex takes the min label among
+    itself and its neighbors (one join + one groupBy per round),
+    converging in diameter(G) rounds — dup clusters are shallow, so
+    this is 2-4 rounds in practice; a hard cap guards pathology. The
+    same alternating-join shape is how large-star/small-star CC runs
+    on planet-scale graphs. Edges here come from the exact-Jaccard
+    pairs so DuckDB can oracle the fixpoint with a recursive CTE."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("u", "v")
+    edges = edges.repartition(32, "v").cache()
+
+    labels = edges.select(F.col("u")).distinct().select("u", F.col("u").alias("label")).cache()
+    for _ in range(_CC_MAX_ITERS):
+        neighbor = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"), "inner")
+            .select(F.col("e.u").alias("u"), F.col("l.label").alias("label"))
+        )
+        new_labels = (
+            labels.select("u", "label").union(neighbor)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("u") == F.col("label")).alias("is_canonical"),
+    ).orderBy("doc_id")

@@ -162,3 +162,36 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, "hbdbps_stream_user_totals", "update")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(e.value), 6) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("T6", "J2", "stream"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — stream-static enrichment join: the event stream joins a
+    static dimension (customer) on the fly, then aggregates per
+    segment. The static side is planned per micro-batch as an
+    ordinary batch relation — small dims broadcast, so the stream
+    never shuffles for the join; this is THE standard streaming
+    enrichment shape (dimension lookups on a fact stream). Complete-
+    mode aggregation over the bounded stream equals the batch join,
+    so the whole streaming job is oracle-checked."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+    agg = (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    return _run_to_memory(agg, "hbdbps_stream_static_join", "complete")

@@ -161,3 +161,35 @@ def test_ann_ivf_shape_invariants(spark):
     assert (pdf["rk"] >= 1).all() and (pdf["rk"] <= 5).all()
     assert not (pdf["q_id"] == pdf["n_id"]).any()
     assert not pdf.duplicated(["q_id", "n_id"]).any()
+
+
+def test_connected_components_agree_with_unionfind(spark):
+    """Spark label propagation must produce exactly the components a
+    driver-side union-find builds from the same pair list."""
+    pairs = REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).select("id_a", "id_b").collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r.doc_id: r.component
+        for r in REG["dedup_connected_components"].fn(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_one_canonical_per_component(spark):
+    pdf = REG["dedup_connected_components"].fn(spark, SF_ORACLE).toPandas()
+    per_comp = pdf.groupby("component")["is_canonical"].sum()
+    assert (per_comp == 1).all()
+    assert (pdf["component"] <= pdf["doc_id"]).all()
