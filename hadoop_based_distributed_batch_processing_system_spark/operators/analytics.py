@@ -339,3 +339,473 @@ def upsert_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("src") == "cdc", 1)).alias("n_from_cdc"),
         F.round(F.sum("o_totalprice"), 4).alias("total_price"),
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 4) AS revenue
+        FROM (
+          SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+          JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+          WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+              OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+            AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("J7", "composite"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — volume shipping between two trading nations, by
+    supplier nation x customer nation x ship year. The nation pair
+    disjunction sits ABOVE two independent dimension joins; both
+    nation joins broadcast, so only the lineitem->orders->customer
+    chain shuffles (fact keys). At 100 TB the date filter prunes at
+    the scan and the pair predicate cuts the fact stream before the
+    wide joins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        pair.withColumn("l_year", F.year("l_shipdate"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 ns.n_name AS supp_nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+          JOIN region r ON nc.n_regionkey = r.r_regionkey
+          JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_name LIKE '%widget%'
+        )
+        GROUP BY o_year
+    """,
+    tags=("J7", "A1", "composite"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — national market share: of all 'widget' volume sold
+    to ASIA customers, the fraction supplied by NATION_3 per order
+    year. Conditional aggregation (share = CASE'd sum / total sum)
+    over a 7-way star join; every dimension broadcasts, the fact
+    chain shuffles once per fact-fact key. The share division happens
+    post-aggregation on grouped rows (cheap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    asia_nations = nat.join(F.broadcast(region), nat.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+        SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+        FROM (
+          SELECT ns.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - p.p_retailprice * 0.5 * l.l_quantity AS amount
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+          WHERE p.p_name LIKE '%red%'
+        )
+        GROUP BY nation, o_year
+    """,
+    tags=("J7", "A1", "composite"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — product-type profit by nation and year. The corpus
+    has no partsupp, so supply cost is proxied as half the part's
+    retail price (deterministic, both engines compute it from the
+    same column). LIKE-filtered part dim broadcasts; profit expression
+    is pure columnar arithmetic inside whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.5 * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("amount", amount)
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+        WITH pv AS (
+          SELECT l.l_partkey,
+                 SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name IN ('NATION_4', 'NATION_7')
+          GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, ROUND(val, 4) AS part_value
+        FROM pv
+        WHERE val > (SELECT SUM(val) * 0.001 FROM pv)
+    """,
+    tags=("A1", "composite", "scalar-subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — important stock: parts whose revenue (restricted
+    to two supplier nations) exceeds a fraction of the TOTAL such
+    revenue. The scalar subquery is a 1-row aggregate broadcast-cross-
+    joined against the grouped rows — the aggregated input is computed
+    once and reused for both sides at the DataFrame level (the
+    fraction threshold compares group rows against their own grand
+    total)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_4", "NATION_7")
+    ).select("n_nationkey")
+    nation_supp = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == nation_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
+    )
+    total = pv.agg((F.sum("val") * 0.001).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 4).alias("part_value"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    tags=("J3", "A1", "composite"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — customer order-count distribution: LEFT join with
+    a predicate ON THE JOIN CONDITION (not a post-filter — customers
+    with only urgent orders must still appear with count 0), per-
+    customer count, then the distribution of those counts. Two
+    cascaded aggregations; the second groups on the first's output so
+    it re-shuffles a tiny intermediate."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 4) AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("A1", "composite", "scalar-subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — top supplier by quarterly revenue, via a scalar
+    MAX subquery over a derived revenue view (the TPC-H CREATE VIEW
+    step becomes a reused DataFrame). The max is a 1-row broadcast;
+    no window needed, and ties are returned (not LIMIT 1) exactly as
+    the spec requires."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 9, 19, 25, 49)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("J4", "A3", "composite"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — parts/supplier relationship: distinct supplier
+    count per (brand, type, size) bucket, excluding a blacklist of
+    suppliers via NOT IN -> broadcast anti join (null-safe here
+    because s_suppkey is a PK, never null). The distinct-count rides
+    a single hash shuffle on the group keys with partial distinct
+    merging map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 19, 25, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < 0.2 * (
+            SELECT AVG(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+          )
+    """,
+    tags=("A1", "composite", "correlated-subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — small-quantity-order revenue with a CORRELATED
+    AVG subquery per part. Decorrelated the standard way: compute
+    avg(l_quantity) per part once as an aggregate, join it back to
+    the brand-filtered lines, filter below-threshold rows, global
+    sum. The per-part average must run over ALL lineitems (not just
+    the brand's) to match the correlation semantics — the brand
+    filter applies only to the outer side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        brand_lines.join(per_part_avg, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, SUM(l.l_quantity) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    tags=("J4", "A1", "O2", "composite"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — large-volume orders: IN-subquery with HAVING
+    becomes an aggregate -> semi join; the winning orders then join
+    customer and re-aggregate line quantities. Top-100 by price with
+    the orderkey tiebreaker (deterministic LIMIT across engines).
+    The HAVING aggregate and the final per-order sum reuse the same
+    l_orderkey shuffle partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).filter(F.col("sq") > 250).select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_orderkey")), F.col("l_orderkey") == F.col("big_orderkey"), "inner")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+        WITH late AS (
+          SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        ),
+        all_supp AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (
+          SELECT 1 FROM all_supp a
+          WHERE a.l_orderkey = l1.l_orderkey AND a.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM late l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        GROUP BY s.s_name
+    """,
+    tags=("J4", "composite"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — suppliers who kept orders waiting: in finished
+    orders, the supplier was late (shipped >60 days after order) in a
+    multi-supplier order where NO OTHER supplier was late. The corpus
+    lacks commit/receipt dates, so 'late' is defined against
+    o_orderdate (same definition on both engines). EXISTS -> left-semi
+    on (order, other-supplier), NOT EXISTS -> left-anti on the late
+    set; both sides derive from the same distinct (order, supplier)
+    projection so the shuffles share partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+    has_other = l1.join(
+        all_supp,
+        (F.col("ok") == all_supp.l_orderkey) & (F.col("sk") != all_supp.l_suppkey),
+        "left_semi",
+    )
+    no_other_late = has_other.join(
+        late,
+        (F.col("ok") == late.l_orderkey) & (F.col("sk") != late.l_suppkey),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        no_other_late.join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
