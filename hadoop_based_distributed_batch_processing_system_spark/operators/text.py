@@ -265,3 +265,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, s in enumerate(_FP_SEEDS)
         ],
     )
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunk_sliding",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(s AS INTEGER) AS chunk_start,
+               array_to_string(toks[s + 1 : s + {_CHUNK_TOKENS}], ' ') AS chunk_text,
+               CAST(least(n - s, {_CHUNK_TOKENS}) AS INTEGER) AS chunk_len
+        FROM t, LATERAL unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) AS u(s)
+    """,
+    tags=("L6", "X4", "pipeline"),
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the transform that turns a
+    raw corpus into training samples: each document becomes
+    overlapping {_CHUNK_TOKENS}-token chunks every {_CHUNK_STRIDE}
+    tokens. Entirely native expressions (split -> sequence ->
+    explode -> slice -> array_join), so chunking is a zero-shuffle
+    narrow map that whole-stage-codegens; output rows land in the
+    same partitions as their source docs. At 100 TB this is the
+    shape you want: no Python, no state, explode fan-out bounded by
+    ceil(n_tokens/stride) per doc."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    return (
+        docs.withColumn("n", F.size("toks"))
+        .withColumn(
+            "chunk_start",
+            F.explode(F.expr(f"sequence(0, greatest(n - 1, 0), {_CHUNK_STRIDE})")),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.array_join(
+                F.expr(f"slice(toks, chunk_start + 1, {_CHUNK_TOKENS})"), " "
+            ).alias("chunk_text"),
+            F.least(F.col("n") - F.col("chunk_start"), F.lit(_CHUNK_TOKENS))
+            .cast("int")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'
+               ) AS scrubbed,
+               CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INTEGER) AS n_ssn,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email
+        FROM documents
+    """,
+    tags=("L6", "F1", "pipeline"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""PII scrubbing pass — redact SSN- and email-shaped substrings
+    and count redactions per doc (the audit trail a compliance
+    pipeline needs). Pure regexp_replace/regexp_count expressions:
+    JVM-side, zero shuffle, linear scan. The corpus has no planted
+    PII, so counts are zero and scrubbed == text — the operator still
+    proves the rewrite semantics differentially (both engines agree
+    on every byte of output)."""
+    ssn = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.regexp_replace("text", ssn, "<SSN>"), email, "<EMAIL>").alias("scrubbed"),
+        F.regexp_count("text", F.lit(ssn)).cast("int").alias("n_ssn"),
+        F.regexp_count("text", F.lit(email)).cast("int").alias("n_email"),
+    )

@@ -195,3 +195,60 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
     return _run_to_memory(agg, "hbdbps_stream_static_join", "complete")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT a.user_id,
+               a.event_id AS click_id,
+               b.event_id AS purchase_id,
+               CAST(a.ts AS TIMESTAMP) AS click_ts,
+               CAST(b.ts AS TIMESTAMP) AS purchase_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("T6", "stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with event-time bounds — attribution: each
+    click joins the same user's purchases within the following 30
+    minutes. BOTH sides are unbounded streams, so the join is
+    stateful: each side buffers rows until its watermark plus the
+    time-range slack proves no more matches can arrive, then evicts —
+    the time-interval condition is what makes state finite (an
+    unbounded stream-stream equi-join would hold both streams
+    forever). Watermark 1 hour on both sides; append-mode emission of
+    matched pairs. Over the bounded demo table the emitted set equals
+    the batch self-join, so the whole stateful machinery is
+    hash-checked against DuckDB."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    return _run_to_memory(joined, "hbdbps_stream_stream_join", "append")

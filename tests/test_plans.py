@@ -133,3 +133,21 @@ def test_events_filter_partition_epoch_pushdown(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     plan = plan_of(ev.filter(F.col("user_id") == 7))
     assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_doc_chunking_is_zero_shuffle(spark):
+    """doc_chunk_sliding must be a narrow map (split/sequence/explode/
+    slice) — no Exchange anywhere; chunk rows stay in their source
+    doc's partition."""
+    plan = plan_of(REG["doc_chunk_sliding"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_tpch_star_composites_broadcast_dims(spark):
+    """Q7/Q8/Q9: every dimension (nation/supplier/part/region) must
+    broadcast; only the fact chain may shuffle."""
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit"):
+        plan = plan_of(REG[name].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
