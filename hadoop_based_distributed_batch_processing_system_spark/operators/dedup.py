@@ -189,15 +189,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = tok.select(
         "doc_id",
         *[
-            # salt must live INSIDE the hashed byte stream: both
-            # xxhash64(h, i) and xxhash64(i, h) leave the 16 slots
-            # argmin-correlated (only a constant XOR separates them
-            # post-mixing — measured: planted pairs get missed).
-            # String-salting gives genuinely independent functions.
+            # Salt choice matters: multi-arg salting (xxhash64(h, i) /
+            # xxhash64(i, h)) leaves the 16 slots argmin-correlated —
+            # planted pairs get silently missed (measured). XORing a
+            # per-slot odd constant into the INPUT before hashing does
+            # decorrelate (each slot hashes a different 64-bit value
+            # through full avalanche): pair sets identical to the
+            # string-salted variant at sf0.01 and sf0.1, with perfect
+            # recall vs brute force — at half the cost (no long→string
+            # conversion + concat per shingle per slot; 3.2s→1.7s at
+            # sf0.1).
             F.array_min(
-                F.transform(
-                    "sh",
-                    lambda h, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), h.cast("string"))),
+                F.expr(
+                    f"transform(sh, h -> xxhash64(h ^ "
+                    f"{(0x9E3779B97F4A7C15 * (i + 1)) & 0x7FFFFFFFFFFFFFFF}L))"
                 )
             ).alias(f"mh_{i}")
             for i in range(_NUM_HASHES)
