@@ -225,3 +225,78 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+               ROUND(var_samp(l_extendedprice), 2) AS var_price,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               ROUND(skewness(l_extendedprice)
+                     * (COUNT(*) - 2) / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 6) AS skew_price,
+               ROUND(kurtosis_pop(l_extendedprice), 6) AS kurt_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("A1", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregate family: stddev/variance (sample),
+    correlation, covariance, skewness, kurtosis per group. All are
+    single-pass mergeable aggregates (sum of powers / co-moments
+    partial-aggregated map-side, combined associatively) — the same
+    combiner discipline as SUM, so one shuffle of tiny partial states
+    regardless of input size. Spark and DuckDB both use sample
+    (n-1) normalization for stddev/var/covar; Spark's skewness /
+    kurtosis are POPULATION moments while DuckDB's defaults are
+    sample-corrected, so the oracle uses kurtosis_pop and rescales
+    skewness by (n-2)/sqrt(n(n-1)) — verified equal at 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt_price"),
+    )
+
+
+_HIST_BINS = 20
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+        WITH b AS (
+          SELECT CAST(least(floor(o_totalprice / (SELECT (MAX(o_totalprice) + 0.000001) / {_HIST_BINS} FROM orders)),
+                      {_HIST_BINS - 1}) AS INTEGER) AS bin
+          FROM orders
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY bin
+    """,
+    tags=("A1", "stats"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over a numeric column: bin width from a
+    1-row MAX aggregate (broadcast scalar), then floor-divide +
+    group. Two passes over the scan but both are columnar min/max +
+    hash agg; the scalar never leaves the JVM. The +1e-6 on the max
+    keeps the max row in the last bin under pure floor arithmetic
+    (identical in both engines, no branch on the boundary)."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    width = o.agg(((F.max("o_totalprice") + 0.000001) / _HIST_BINS).alias("w"))
+    return (
+        o.crossJoin(F.broadcast(width))
+        .select(
+            F.least(
+                F.floor(F.col("o_totalprice") / F.col("w")), F.lit(_HIST_BINS - 1)
+            ).cast("int").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,134 @@
+"""Iterative graph analytics over a graph derived from the star
+schema — PageRank, the canonical "chained MapReduce jobs" workload
+(each iteration was one full MR job with materialized intermediates;
+here it is one lazy plan per iteration over an in-memory cached edge
+list).
+
+Graph: bipartite customer <-> supplier, an edge wherever a customer's
+order has a line from that supplier (distinct pairs), materialized in
+BOTH directions so every node has out-degree >= 1 (no dangling-mass
+redistribution needed). Node ids are disjoint by parity:
+customer -> 2*c_custkey, supplier -> 2*s_suppkey + 1 — deterministic
+and identical in both engines.
+
+Scale notes: the edge list is the only large state; it is hash-
+partitioned on src once and cached, so every iteration's
+contributions join reuses the same partitioning (one shuffle per
+iteration for the dst-sum, which is the PageRank lower bound on any
+engine). Ranks are vertex-sized (tiny next to edges). The DuckDB
+oracle unrolls the same fixed iteration count as chained CTEs —
+aggregation inside a recursive CTE member is not portable SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+_DAMPING = 0.85
+_ITERS = 10
+
+
+def _pagerank_oracle() -> str:
+    prev = "pr0"
+    iters = []
+    for k in range(1, _ITERS + 1):
+        iters.append(
+            f"""pr{k} AS (
+          SELECT n.node,
+                 (1 - {_DAMPING}) / t.n_nodes
+                   + {_DAMPING} * COALESCE(contrib.c, 0) AS rank
+          FROM nodes n CROSS JOIN total t
+          LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / d.deg) AS c
+            FROM edges e
+            JOIN {prev} p ON e.src = p.node
+            JOIN deg d ON e.src = d.node
+            GROUP BY e.dst
+          ) contrib ON contrib.node = n.node
+        )"""
+        )
+        prev = f"pr{k}"
+    chain = ",\n        ".join(iters)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+          SELECT cnode AS src, snode AS dst FROM pairs
+          UNION ALL
+          SELECT snode, cnode FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        total AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+        pr0 AS (
+          SELECT node, 1.0 / t.n_nodes AS rank FROM nodes CROSS JOIN total t
+        ),
+        {chain}
+        SELECT node, ROUND(rank * 1000, 6) AS rank_permille
+        FROM {prev}
+        ORDER BY rank_permille DESC, node
+        LIMIT 50
+    """
+
+
+@register("pagerank_bipartite", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {_ITERS} fixed iterations, d={_DAMPING}: rank flows
+    customer->supplier->customer along order lines; top-50 nodes by
+    final rank. Every node has out-degree >= 1 by construction, so
+    mass is conserved without a dangling-node term. Each iteration:
+    contributions = ranks join edges (pre-partitioned on src, narrow
+    after the first shuffle) -> groupBy dst (THE per-iteration
+    shuffle) -> left join back onto the static node list for the
+    teleport term. Ranks stay full-precision until the final
+    output rounding; rank_permille (x1000) keeps the rounded digits
+    informative."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .union(pairs.select(F.col("snode"), F.col("cnode")))
+        .repartition(32, "src")
+        .cache()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    n_nodes = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # fold degree into the edge list once: contribution share per edge
+    edges_w = edges.join(deg, "src").select("src", "dst", (1.0 / F.col("deg")).alias("share")).cache()
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges_w.join(ranks, edges_w.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1 - _DAMPING) / n_nodes)
+                + _DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    return (
+        ranks.select("node", F.round(F.col("rank") * 1000, 6).alias("rank_permille"))
+        .orderBy(F.desc("rank_permille"), "node")
+        .limit(50)
+    )

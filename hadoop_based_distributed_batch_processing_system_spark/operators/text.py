@@ -352,3 +352,101 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(ssn)).cast("int").alias("n_ssn"),
         F.regexp_count("text", F.lit(email)).cast("int").alias("n_email"),
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+        WITH tok AS (
+          SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term, doc_id
+          FROM documents
+        ),
+        idx AS (
+          SELECT term,
+                 list_sort(list(doc_id)) AS postings,
+                 COUNT(*) AS doc_freq
+          FROM tok GROUP BY term
+        )
+        SELECT term, postings, CAST(doc_freq AS BIGINT) AS doc_freq
+        FROM idx WHERE doc_freq >= 50
+    """,
+    tags=("L5", "A6"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index — with wordcount, THE canonical MapReduce
+    program (map: emit (term, doc_id); reduce: collect the posting
+    list). Spark shape: explode distinct (term, doc) pairs, one
+    groupBy building sorted postings via collect_set. Restricted to
+    terms appearing in >= 50 docs so posting lists stay demo-sized;
+    at 100 TB you'd never materialize full postings through one
+    reducer anyway — you'd bucket by term and write partitioned
+    posting shards (the partitioned-sink operator shows that path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"), "doc_id"
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= 50)
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf FROM (
+          SELECT doc_id, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("L5", "L6", "W1"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic two-MR-job
+    chain (job 1: term frequency per doc; job 2: document frequency
+    + join + score) as one plan. df is tiny (vocabulary-sized) so it
+    broadcasts into the tf stream; n_docs is a broadcast scalar;
+    top-3 per doc is the window + filter rewrite. ln() on both
+    engines is the natural log of the same double ratio."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
