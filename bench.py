@@ -39,6 +39,8 @@ HEADLINE = [
     "knn_label_vote",       # kNN classification
     "multimodal_join",      # docs ⋈ embeddings retrieval shape
     "sample_hash_deterministic",  # pushed-down deterministic 10% sample
+    "doc_chunk_sliding",    # corpus -> overlapping training chunks (zero-shuffle)
+    "pipeline_training_data_prep",  # filter -> quality gate -> dedup -> stats, one plan
 ]
 
 

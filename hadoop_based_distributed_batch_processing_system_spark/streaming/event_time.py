@@ -197,3 +197,113 @@ def stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by event_id, expired by the watermark."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
     return ev.unionByName(ev).dropDuplicates(["event_id", "ts", "user_id", "event_type", "value"])
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased,
+               ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase_rate
+    """,
+    tags=("T1", "composite", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first click — the
+    strict-ordering semantics that separate a funnel from three
+    independent counts. Three stage aggregates, each a per-user MIN
+    shuffled on user_id; every stage join reuses that same hash
+    partitioning, so the funnel costs one shuffle per stage (the
+    floor for per-user ordered state on any engine)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.round(F.col("n_purchased").cast("double") / F.col("n_viewed"), 6).alias(
+            "view_to_purchase_rate"
+        ),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH first_seen AS (
+          SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+          FROM events GROUP BY user_id
+        ),
+        activity AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day
+          FROM events
+        )
+        SELECT f.cohort_day,
+               CAST(datediff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+        GROUP BY f.cohort_day, day_offset
+    """,
+    tags=("T1", "composite", "cohort"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day; for
+    each cohort, how many were active N days later. The (user, day)
+    activity set is deduped BEFORE the join (distinct users per day,
+    not events), so the join fan-out is bounded by users x days,
+    independent of event volume — the difference between a retention
+    query that survives 100 TB of events and one that doesn't.
+    COUNT(*) after the join is exact because both sides are unique
+    per (user, day)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
