@@ -206,3 +206,67 @@ def sink_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+        WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderkey % 2 = 1
+    """,
+    tags=("S1", "schema-evolution"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across batches: batch 1 was written BEFORE a
+    column existed (2 columns), batch 2 after (3 columns). Reading
+    the directory with ``mergeSchema=true`` unions the footers into
+    the widest schema and null-fills the missing column — the
+    standard additive-evolution path for long-lived parquet datasets
+    (no rewrite of old files; at 100 TB you never backfill). The
+    oracle reconstructs the same frame with an explicit NULL-padded
+    UNION ALL."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_schema_evo_{tag}")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(out, "_SUCCESS_BOTH")):
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+        open(os.path.join(out, "_SUCCESS_BOTH"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "batch=1"), os.path.join(out, "batch=2")
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register("sink_compression_codecs", tags=("S4", "codec"))  # rows-only: file sizes are engine-specific
+def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec matrix for the parquet sink: the same aggregate written
+    with snappy / gzip / zstd / uncompressed, re-read and verified
+    row-identical; returns per-codec row counts and on-disk bytes.
+    Codec choice is a pure storage/CPU trade (zstd ~ gzip ratio at
+    snappy-class decode speed) — at 100 TB the scan is usually
+    IO-bound, so the codec IS the scan speed. Rows-only: byte sizes
+    are writer-version-specific."""
+    import glob
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus", "l_shipdate")
+        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("revenue"))
+    )
+    rows = []
+    for codec in ("snappy", "gzip", "zstd", "uncompressed"):
+        out = os.path.join(tempfile.gettempdir(), f"hbdbps_codec_{codec}_{tag}")
+        agg.write.mode("overwrite").option("compression", codec).parquet(out)
+        n = spark.read.parquet(out).count()
+        nbytes = sum(os.path.getsize(p) for p in glob.glob(os.path.join(out, "*.parquet")))
+        rows.append((codec, n, nbytes))
+    return spark.createDataFrame(rows, "codec string, n_rows long, n_bytes long")

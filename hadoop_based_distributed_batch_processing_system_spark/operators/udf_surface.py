@@ -269,3 +269,50 @@ def counters_job_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_seen.value, n_valid.value, n_neg.value)],
         "n_seen long, n_valid_props long, n_negative_value long",
     )
+
+
+_LANG_NAMES = {
+    "en": "English",
+    "de": "German",
+    "fr": "French",
+    "es": "Spanish",
+}
+
+
+@register(
+    "udf_broadcast_dictionary",
+    oracle="""
+        SELECT CASE lang
+                 WHEN 'en' THEN 'English'
+                 WHEN 'de' THEN 'German'
+                 WHEN 'fr' THEN 'French'
+                 WHEN 'es' THEN 'Spanish'
+                 ELSE 'Unknown'
+               END AS lang_name,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang_name
+    """,
+    tags=("X1", "X7", "broadcast"),
+)
+def udf_broadcast_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — the Hadoop DistributedCache pattern: a side dictionary
+    shipped once per executor (``sc.broadcast``), consulted inside a
+    vectorized mapper instead of joined. Right shape when the lookup
+    is a small in-memory dict and the semantics are richer than an
+    equi-join (defaults, normalization, code). The pandas UDF does a
+    whole-column ``Series.map`` against ``bc.value`` — one Arrow
+    batch per task, no per-row Python. The oracle re-expresses the
+    same lookup as a CASE, proving broadcast-lookup ≡ declarative
+    mapping."""
+    bc = spark.sparkContext.broadcast(_LANG_NAMES)
+
+    @pandas_udf("string")
+    def lang_name(s: pd.Series) -> pd.Series:
+        return s.map(bc.value).fillna("Unknown")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_name(F.col("lang")).alias("lang_name"))
+        .groupBy("lang_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
