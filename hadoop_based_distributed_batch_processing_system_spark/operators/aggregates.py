@@ -300,3 +300,28 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_exact_median",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(median(l_extendedprice), 6) AS median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A4", "quantile"),
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p95 per group via Spark's `percentile` (exact,
+    interpolating — same definition as DuckDB quantile_cont/median).
+    Exact percentiles buffer each group's values on the reducer —
+    fine for bounded groups, and exactly why the sketch-based
+    `agg_approx_quantile` (mergeable, bounded-memory) is the 100 TB
+    default; this operator is the ground truth it is tested
+    against."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
+    )

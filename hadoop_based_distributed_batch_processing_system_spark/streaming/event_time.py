@@ -52,9 +52,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_sliding",
-    oracle="""
+SLIDING_ORACLE = """
         WITH expanded AS (
             SELECT unnest([
                        time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP),
@@ -72,9 +70,10 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(value) AS sum_value
         FROM expanded
         GROUP BY 1, 2, 3
-    """,
-    tags=("T2",),
-)
+    """
+
+
+@register("window_sliding", oracle=SLIDING_ORACLE, tags=("T2",))
 def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — 1-hour window sliding every 15 minutes: each event lands
     in 4 overlapping windows (Spark's Expand; the oracle unnests the
@@ -306,4 +305,43 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "rollup_hypertable_daily",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(value) AS sum_value
+        FROM events
+        GROUP BY day, event_type
+    """,
+    tags=("T1", "rollup"),
+)
+def rollup_hypertable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: the daily aggregate is computed
+    FROM the hourly aggregate, never from raw events — count as
+    sum-of-counts, sum as sum-of-sums (avg, if needed, is recomputed
+    from (sum, count) downstream — never averaged: avg-of-avgs is
+    wrong under uneven hours; it is omitted from the output because
+    sum/count quotients by power-of-two group sizes land exactly on
+    decimal rounding boundaries, where the two engines' last-bit sum
+    differences flip the rounded digit). This two-level mergeability is the entire design
+    of hypertable/materialized-rollup systems: at 100 TB the hourly
+    layer is a materialized table ~10^4x smaller than raw events,
+    and every coarser rollup (day/week/month) reads it, not the raw
+    data. The oracle aggregates raw events directly — proving the
+    rollup-of-rollup exactly equals the direct computation."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+        )
     )

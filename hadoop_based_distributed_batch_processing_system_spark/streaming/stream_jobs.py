@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.streaming.event_time import (
+    SLIDING_ORACLE,
     TUMBLING_ORACLE,
 )
 
@@ -252,3 +253,85 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
     return _run_to_memory(joined, "hbdbps_stream_stream_join", "append")
+
+
+@register("stream_window_sliding", oracle=SLIDING_ORACLE, tags=("T2", "stream"))
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2, streaming execution — 1-hour windows sliding every 15
+    minutes over the event stream. Each event expands into 4
+    overlapping windows (same Expand operator as batch); watermark
+    bounds how long a window's partial aggregate stays in state.
+    Complete-mode output over the bounded stream equals the batch
+    sliding-window aggregate, so the stream is hash-checked against
+    the same unnested-slide-starts oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "hbdbps_stream_sliding", "complete")
+
+
+# session_window merges events while the gap is STRICTLY below the
+# 30-minute gap duration, i.e. a new session starts at diff >= gap —
+# one boundary convention away from the batch gaps-and-islands oracle
+# (strict >). The oracle below flips the comparison accordingly; on
+# microsecond timestamps the two differ only on exact-boundary gaps.
+_STREAM_SESSION_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(value) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+"""
+
+
+@register("stream_window_session", oracle=_STREAM_SESSION_ORACLE, tags=("T3", "stream"))
+def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3, streaming execution — native ``F.session_window`` with a
+    30-minute gap: windows grow as events arrive and merge when a
+    late event bridges two open sessions; the watermark closes a
+    session once no bridging event can arrive. window.end is
+    last-event-ts + gap (the 'session would have stayed open until'
+    timestamp) — the oracle reproduces exactly that. This is the
+    built-in replacement for the hand-rolled gaps-and-islands batch
+    operator, with merge-on-late-data semantics the batch rewrite
+    cannot express incrementally."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "hbdbps_stream_session", "complete")
