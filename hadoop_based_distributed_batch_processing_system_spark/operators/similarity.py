@@ -472,3 +472,42 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("q_id", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, ve,
+                 list_aggregate(list_transform(ve, x -> abs(x)), 'max') AS max_abs
+          FROM v
+        )
+        SELECT vec_id,
+               ROUND(127.0 / max_abs, 6) AS scale,
+               list_transform(ve, x -> CAST(round(x * (127.0 / max_abs)) AS INTEGER)) AS q
+        FROM s
+        WHERE max_abs > 0
+    """,
+    tags=("L3", "quantize"),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/bandwidth lever for vector search at scale (4x smaller
+    than float32, 8x than float64; dot products run in int arithmetic
+    with one per-vector rescale). Per-vector scale = 127/max|x|;
+    elements round half-away-from-zero identically in both engines
+    because every intermediate (float->double widen, divide,
+    multiply) is the same IEEE operation on the same bits. Pure
+    higher-order functions — zero shuffle, zero Python."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    s = emb.withColumn("max_abs", F.array_max(F.transform("ve", lambda x: F.abs(x))))
+    return s.filter(F.col("max_abs") > 0).select(
+        "vec_id",
+        F.round(F.lit(127.0) / F.col("max_abs"), 6).alias("scale"),
+        F.expr("transform(ve, x -> CAST(round(x * (127.0 / max_abs)) AS INT))").alias("q"),
+    )

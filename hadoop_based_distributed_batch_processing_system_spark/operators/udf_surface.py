@@ -316,3 +316,46 @@ def udf_broadcast_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_name")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "udf_mapper_arrow",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+        FROM lineitem
+        WHERE l_quantity >= 45
+    """,
+    tags=("X1", "arrow"),
+)
+def udf_mapper_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1' — the Mapper surface at the lowest Python overhead:
+    ``mapInArrow`` hands each task raw ``pyarrow.RecordBatch``es (no
+    pandas conversion at all) and streams batches back. Right level
+    when the per-batch work is itself Arrow-native (compute kernels,
+    flight puts, tokenizers with Arrow bindings). Here: filter +
+    charge computation via pyarrow.compute — zero-copy in, one
+    allocation out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge_batches(batches):
+        for batch in batches:
+            mask = pc.greater_equal(batch.column("l_quantity"), pa.scalar(45.0))
+            kept = batch.filter(mask)
+            price = kept.column("l_extendedprice")
+            charge = pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), kept.column("l_discount"))),
+                pc.add(pa.scalar(1.0), kept.column("l_tax")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [kept.column("l_orderkey"), kept.column("l_linenumber"), pc.round(charge, 6)],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return li.mapInArrow(
+        charge_batches, "l_orderkey long, l_linenumber int, charge double"
+    )

@@ -335,3 +335,72 @@ def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "hbdbps_stream_session", "complete")
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    oracle="""
+        SELECT user_id, event_id, ts, value FROM (
+          SELECT user_id, event_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("T6", "stream", "cdc"),
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink — the streaming CDC-apply pattern:
+    each micro-batch MERGEs into a keyed state table (newest event
+    per user, ts then event_id as the version order) via
+    read + union + newest-wins window + atomic overwrite. foreachBatch
+    is the escape hatch for sinks Structured Streaming lacks native
+    MERGE for (JDBC, parquet-as-table, external KV): the batch
+    DataFrame is an ordinary one, so the full batch API applies,
+    and checkpointed batch ids make retries idempotent (same batch
+    re-MERGEs to the same state). Over the bounded stream the final
+    table equals the batch newest-wins query, so the whole sink loop
+    is oracle-checked."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    state_dir = os.path.join(tempfile.gettempdir(), f"hbdbps_fb_upsert_{tag}")
+    # fresh run: clear state AND checkpoint (a surviving checkpoint marks
+    # the bounded source as already processed — no batch would fire)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(state_dir + ".ckpt", ignore_errors=True)
+
+    from pyspark.sql.window import Window
+
+    def merge_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        incoming = batch_df.select("user_id", "event_id", "ts", "value")
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            current = sp.read.parquet(state_dir)
+            merged = current.unionByName(incoming)
+        else:
+            merged = incoming
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # write the merged state to a sibling dir first (the plan still
+        # reads the current dir), then swap — never overwrite in place
+        tmp = state_dir + ".tmp"
+        latest.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.replace(tmp, state_dir)
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    query = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + ".ckpt")
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.read.parquet(state_dir)
