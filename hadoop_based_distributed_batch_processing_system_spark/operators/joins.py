@@ -449,3 +449,72 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+        SELECT o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(SUM(l.l_extendedprice), 4) AS total_price
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("J1", "hint"),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the same fact-fact join as the
+    sort-merge default, forced to a shuffled-hash join with the
+    SHUFFLE_HASH hint. Hash beats merge when one side fits a
+    per-partition hash table and sort cost dominates (skewless keys,
+    wide rows); merge wins when either side is pre-sorted (bucketed).
+    The hint overrides the planner's cost pick, not the result —
+    plan-asserted as ShuffledHashJoin, value-asserted against the
+    identical SQL. At 100 TB this is the knob you turn when AQE's
+    choice is wrong for a known workload."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        orders.hint("shuffle_hash")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "nested_order_lines_roundtrip",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+    """,
+    tags=("J1", "nested"),
+)
+def nested_order_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data handling: lines are rolled up into one
+    array<struct> row per order (sorted by line number — the
+    document/denormalized shape parquet nests natively), then
+    exploded back to flat rows. The oracle is the original
+    projection, proving the nest↔unnest roundtrip is lossless.
+    Nesting co-locates an order's lines in one row/row-group — the
+    layout that turns an orders-with-lines scan from a join into a
+    single sequential read at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice"))
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey", F.explode("lines").alias("ln")
+    ).select(
+        "l_orderkey",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.l_quantity").alias("l_quantity"),
+        F.col("ln.l_extendedprice").alias("l_extendedprice"),
+    )

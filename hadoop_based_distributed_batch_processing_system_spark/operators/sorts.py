@@ -147,3 +147,38 @@ def secondary_sort_user_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(scan, "user_id long, n_events long, timeline string")
         .orderBy("user_id")
     )
+
+
+@register("sink_sorted_runs", tags=("O1", "S4"))  # rows-only: file layout is not SQL-visible
+def sink_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraSort's write half: range-partition on the sort key, sort
+    within each partition, write one file per range — globally sorted
+    output as N sorted runs with disjoint, ordered key ranges (file i
+    's max <= file i+1's min). This is `TotalOrderPartitioner` +
+    per-reducer sort, and the layout that gives downstream readers
+    merge-free global order. Returns per-file (min, max, rows) so the
+    test can assert the disjoint-range invariant."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_sorted_runs_{tag}")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    (
+        orders.repartitionByRange(8, "o_totalprice", "o_orderkey")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .select("o_totalprice", F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("min_price")
+    )
+    return per_file.select("min_price", "max_price", "n_rows")

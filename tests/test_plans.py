@@ -151,3 +151,21 @@ def test_tpch_star_composites_broadcast_dims(spark):
         plan = plan_of(REG[name].fn(spark, SF_SMOKE))
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_shuffle_hash_hint_overrides_sort_merge(spark):
+    """The SHUFFLE_HASH hint must actually flip the physical join."""
+    plan = plan_of(REG["join_shuffle_hash_hint"].fn(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sorted_runs_are_disjoint_and_complete(spark):
+    """sink_sorted_runs: file ranges must be disjoint and ordered
+    (file i's max <= file i+1's min) and cover every input row."""
+    pdf = REG["sink_sorted_runs"].fn(spark, SF_SMOKE).toPandas()
+    n_src = REG["scan_parquet"].fn(spark, SF_SMOKE).count() if "scan_parquet" in REG else None
+    for i in range(len(pdf) - 1):
+        assert pdf.iloc[i]["max_price"] <= pdf.iloc[i + 1]["min_price"]
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+    assert pdf["n_rows"].sum() == load_table(spark, SF_SMOKE, "orders").count()
