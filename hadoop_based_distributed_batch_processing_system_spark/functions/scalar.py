@@ -221,3 +221,39 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+        SELECT vec_id,
+               ROUND(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'), 6) AS sum_sq,
+               CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INTEGER) AS n_pos,
+               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> CASE WHEN x > 0.5 THEN 1 ELSE 0 END), 'max') = 1 AS any_big,
+               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> CASE WHEN abs(x) <= 1.0 THEN 1 ELSE 0 END), 'min') = 1 AS all_unit
+        FROM embeddings
+    """,
+    tags=("F4", "hof"),
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4' — higher-order-function family over array columns:
+    transform (map), filter, exists, forall, aggregate (fold) — the
+    lambda surface that keeps per-element logic inside whole-stage
+    codegen instead of a Python UDF. The left-to-right double fold
+    makes sum_sq bitwise-reproducible against DuckDB's list_aggregate
+    'sum' on the same cast doubles. exists/forall are spelled as
+    max/min over indicator transforms in the oracle (DuckDB's
+    list_bool_or differs in NULL handling)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, e) -> acc + e)"),
+            6,
+        ).alias("sum_sq"),
+        F.size(F.filter("v", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.exists("v", lambda x: x > 0.5).alias("any_big"),
+        F.forall("v", lambda x: F.abs(x) <= 1.0).alias("all_unit"),
+    )

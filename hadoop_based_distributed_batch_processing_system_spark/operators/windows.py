@@ -139,3 +139,34 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").over(w).alias("spend_30d"),
         F.count(F.lit(1)).over(w).alias("n_30d"),
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("W1", "W5"),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — distribution window functions: NTILE quartiles,
+    percent_rank and cume_dist per status partition. All three ride
+    ONE sort per partition (same window spec → one WindowExec);
+    o_orderkey in the ORDER BY makes frame positions — and therefore
+    every output — deterministic across engines. The shape behind
+    percentile-bucketing features (spend quartiles, freshness
+    deciles) in feature pipelines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
