@@ -270,3 +270,46 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbytes = sum(os.path.getsize(p) for p in glob.glob(os.path.join(out, "*.parquet")))
         rows.append((codec, n, nbytes))
     return spark.createDataFrame(rows, "codec string, n_rows long, n_bytes long")
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(e.value), 6) AS sum_value
+        FROM events e
+        JOIN (SELECT DISTINCT event_type FROM events WHERE event_type LIKE 'p%') d
+          ON e.event_type = d.event_type
+        GROUP BY e.event_type
+    """,
+    tags=("J2", "pruning", "dpp"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a hive-partitioned
+    table (partitioned by event_type) joined to a dimension whose
+    filter is only known at runtime — Spark inserts a dynamic pruning
+    subquery into the fact scan, so only the partitions matching the
+    dim's surviving keys are ever listed/opened. THE mechanism that
+    makes star-schema joins against a date/type-partitioned 100 TB
+    fact read 1% of the data instead of 100%. Plan-asserted
+    (dynamicpruningexpression on the scan); reuses the
+    sink_partition_pruned dataset as the partitioned fact."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_sink_part_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        sink_parquet(ev, out, partition_by=["event_type"])
+    fact = spark.read.parquet(out)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").like("p%"))
+        .select("event_type")
+        .distinct()
+        .withColumnRenamed("event_type", "d_type")
+    )
+    return (
+        fact.join(dim, fact.event_type == dim.d_type)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )

@@ -169,3 +169,14 @@ def test_sorted_runs_are_disjoint_and_complete(spark):
         assert pdf.iloc[i]["max_price"] <= pdf.iloc[i + 1]["min_price"]
     from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
     assert pdf["n_rows"].sum() == load_table(spark, SF_SMOKE, "orders").count()
+
+
+def test_dynamic_partition_pruning_subquery_present(spark):
+    """join_dynamic_partition_pruning: the fact scan must carry a
+    dynamicpruning expression (runtime partition filter from the dim
+    side), not scan every partition."""
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REG["join_dynamic_partition_pruning"].fn(spark, SF_SMOKE).explain(True)
+    assert "dynamicpruning" in buf.getvalue().lower()
