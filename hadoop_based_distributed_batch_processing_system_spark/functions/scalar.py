@@ -257,3 +257,36 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists("v", lambda x: x > 0.5).alias("any_big"),
         F.forall("v", lambda x: F.abs(x) <= 1.0).alias("all_unit"),
     )
+
+
+@register(
+    "fn_conversions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor_long,
+               CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+               TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders
+    """,
+    tags=("F3", "cast"),
+)
+def fn_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast / try_cast family — type-conversion semantics under ANSI
+    mode (Spark 4's default): double→bigint TRUNCATES toward zero in
+    Spark but ROUNDS in DuckDB — the oracle floors explicitly (one of
+    the cross-engine cast traps this differential suite exists to
+    catch); long↔string roundtrips exactly; `try_cast` of a
+    non-numeric string yields NULL instead of failing the job (the
+    ingestion-hardening idiom for dirty data at scale — one malformed
+    row must not kill a 100 TB job); timestamp→date truncates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("long").alias("price_floor_long"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_digit"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )

@@ -325,3 +325,33 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
     )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+        SELECT o_orderstatus,
+               arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+               arg_max(o_orderkey, o_totalprice) AS priciest_order,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("A1", "argminmax"),
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregates: the key of the extreme row, not
+    the extreme value — one pass, mergeable (carry (value, key) pairs
+    through partial aggregation), where the naive formulation is a
+    self-join back onto the min/max. o_totalprice is unique per
+    status group at this corpus (doubles from a continuous range), so
+    the arg is deterministic; with ties, pair the target with a
+    unique tiebreak column instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
