@@ -809,3 +809,126 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_Q3_SQL = """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+"""
+
+
+@register("sql_catalog_query", oracle=_Q3_SQL, tags=("entry3", "sql"))
+def sql_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry 3 of the lifecycle (SURVEY §3.2): the SQL-string path.
+    All ten tables are registered as temp views and the query is ONE
+    ANSI-SQL string through Spark's parser — the exact same text runs
+    as the DuckDB oracle, so this also pins Spark/DuckDB SQL-dialect
+    compatibility for the join/agg/sort/limit core. Same Catalyst
+    pipeline as the DataFrame path after parsing; the deterministic
+    o_orderkey tiebreaker makes LIMIT stable across engines."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice >= 100000.0
+        GROUP BY o_orderpriority
+    """,
+    tags=("entry3", "sql"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameters): the query text
+    contains :status / :min_price placeholders bound server-side —
+    no string interpolation, no injection surface, and the parsed
+    plan is cacheable across bindings. The productionized form of
+    ad-hoc SQL in a multi-tenant engine."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 100000.0},
+    )
+
+
+@register(
+    "scd2_history_build",
+    oracle="""
+        WITH versions AS (
+          SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice * 1.1, o_orderdate + INTERVAL 30 DAY
+          FROM orders WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice * 1.2, o_orderdate + INTERVAL 60 DAY
+          FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT o_orderkey,
+               ROUND(price, 4) AS price,
+               valid_from,
+               LEAD(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from) AS valid_to,
+               (LEAD(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from) IS NULL) AS is_current
+        FROM versions
+    """,
+    tags=("W2", "composite", "scd2"),
+)
+def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build — the warehouse ETL staple: a pile of
+    versioned records per key becomes validity intervals
+    [valid_from, valid_to) with exactly one open (is_current) row per
+    key. One lead() window over (key, version-ts) — a single shuffle
+    on the key, no self-join (the naive interval build joins each
+    version to its successor). The version set is derived
+    deterministically from orders so both engines construct identical
+    input. Downstream point-in-time lookups become a BETWEEN filter —
+    at scale, partition the history table by valid_to bucket so
+    current-state reads prune all closed history."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    v0 = o.select("o_orderkey", F.col("o_totalprice").alias("price"), F.col("o_orderdate").alias("valid_from"))
+    v1 = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("valid_from"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("valid_from"),
+    )
+    versions = v0.union(v1).union(v2)
+    w = Window.partitionBy("o_orderkey").orderBy("valid_from")
+    return versions.select(
+        "o_orderkey",
+        F.round("price", 4).alias("price"),
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    )
