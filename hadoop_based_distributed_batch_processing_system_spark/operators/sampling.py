@@ -206,3 +206,69 @@ def unpivot_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.round("value", 6))
         .orderBy("l_returnflag", "metric")
     )
+
+
+@register(
+    "sample_train_val_test",
+    oracle="""
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (
+          SELECT n_chars,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        GROUP BY split
+    """,
+    tags=("L8", "split"),
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by md5 hex
+    range of the document key ('cc' = 204/256 ≈ 80%, 'e6' = 230/256
+    ≈ 90%). Lineage-stable: a doc's split never changes as the corpus
+    grows (no RNG, no global count), so no eval example ever leaks
+    into training across pipeline re-runs — the property random
+    splits lose the moment data arrives incrementally. Pure
+    expression, pushes down, zero shuffle before the audit agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.select(
+            "n_chars",
+            F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test").alias("split"),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "sample_class_weights",
+    oracle="""
+        WITH counts AS (
+          SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        ),
+        total AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM counts)
+        SELECT c.label, CAST(c.n AS BIGINT) AS n,
+               ROUND(CAST(t.t AS DOUBLE) / (t.k * c.n), 6) AS weight
+        FROM counts c CROSS JOIN total t
+    """,
+    tags=("L8", "weights"),
+)
+def sample_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced'
+    convention: total / (n_classes * n_label)) — the rebalancing
+    factor a training pipeline joins back onto examples of skewed
+    classes. Two tiny aggregates + a broadcast scalar; the weight
+    table is classes-sized, so the join back onto 100 TB of examples
+    is a broadcast, never a shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("k"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "label",
+        "n",
+        F.round(F.col("t").cast("double") / (F.col("k") * F.col("n")), 6).alias("weight"),
+    )
