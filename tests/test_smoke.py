@@ -7,7 +7,8 @@ import __spark_entry__ as se
 from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
 from tests.conftest import SF_SMOKE
 
-ALL_SPECS = list(load_all().values())
+REG = load_all()
+ALL_SPECS = list(REG.values())
 
 
 def test_entry_returns_rows(spark):
@@ -28,3 +29,14 @@ def test_driver_surface_shapes():
 def test_query_executes_smoke(spark, spec):
     df = spec.fn(spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+def test_codec_matrix_row_identical_and_sized(spark):
+    """sink_compression_codecs: every codec must hold the same rows;
+    uncompressed must be at least as large on disk as any codec."""
+    pdf = REG["sink_compression_codecs"].fn(spark, SF_SMOKE).toPandas()
+    assert set(pdf["codec"]) == {"snappy", "gzip", "zstd", "uncompressed"}
+    assert pdf["n_rows"].nunique() == 1
+    unc = int(pdf.loc[pdf["codec"] == "uncompressed", "n_bytes"].iloc[0])
+    for _, r in pdf.iterrows():
+        assert r["n_bytes"] <= unc or r["codec"] == "uncompressed"
