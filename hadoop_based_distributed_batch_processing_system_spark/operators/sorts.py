@@ -182,3 +182,52 @@ def sink_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("min_price")
     )
     return per_file.select("min_price", "max_price", "n_rows")
+
+
+def _morton_spread(var: str, shl) -> str:
+    """Classic 16->32-bit Morton spread as a SQL expression string:
+    interleave zeros between the bits of ``var`` via the magic-mask
+    shift cascade. ``shl(expr, n)`` renders a left shift in the
+    target dialect (Spark: shiftleft(); DuckDB: <<) — the arithmetic
+    is otherwise dialect-identical, so both engines compute the same
+    key from the same masks."""
+    x = f"CAST({var} AS BIGINT)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = f"(({x} | {shl(x, shift)}) & {mask})"
+    return x
+
+
+def _morton_expr(a: str, b: str, shl) -> str:
+    return f"({_morton_spread(a, shl)} | {shl(_morton_spread(b, shl), 1)})"
+
+
+_ZORDER_A = "CAST(least(floor(o_totalprice / 8.0), 65535) AS BIGINT)"
+_ZORDER_B = "CAST(least(datediff('day', TIMESTAMP '1995-01-01', o_orderdate), 65535) AS BIGINT)"
+_ZORDER_B_SPARK = "CAST(least(datediff(o_orderdate, TIMESTAMP '1995-01-01'), 65535) AS BIGINT)"
+
+
+@register(
+    "layout_zorder_key",
+    oracle=f"""
+        SELECT o_orderkey,
+               {_morton_expr(_ZORDER_A, _ZORDER_B, lambda x, n: f"({x} << {n})")} AS zkey
+        FROM orders
+    """,
+    tags=("O1", "layout"),
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality key over (price bucket, order day) —
+    the multi-dimensional data-layout technique behind lakehouse
+    Z-ORDER clustering: sorting by the interleaved-bit key keeps rows
+    close in BOTH dimensions close on disk, so parquet row-group
+    min/max statistics prune scans filtered on EITHER column (a
+    single-column sort only prunes its own column). The key is pure
+    bit arithmetic (mask-shift cascade) — identical in both engines,
+    so even the layout key itself is hash-checked. Pair with
+    repartitionByRange(zkey) + sortWithinPartitions(zkey) to
+    materialize the clustered layout (the sink_sorted_runs shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    expr = _morton_expr(
+        _ZORDER_A, _ZORDER_B_SPARK, lambda x, n: f"shiftleft({x}, {n})"
+    )
+    return o.select("o_orderkey", F.expr(expr).alias("zkey"))

@@ -450,3 +450,54 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@register(
+    "text_bigram_freq",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        bi AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        big AS (
+          SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY w1, w2
+        ),
+        uni AS (
+          SELECT w1, SUM(n) AS n1 FROM big GROUP BY w1
+        )
+        SELECT b.w1, b.w2, CAST(b.n AS BIGINT) AS n,
+               ROUND(CAST(b.n AS DOUBLE) / u.n1, 6) AS p_cond
+        FROM big b JOIN uni u ON b.w1 = u.w1
+        WHERE b.n >= 50
+    """,
+    tags=("L5", "ngram"),
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram statistics with conditional probability P(w2|w1) —
+    the count layer of an n-gram language model (the original
+    large-scale MapReduce NLP workload). Adjacent-pair extraction is
+    the same zero-shuffle sequence/transform shape as shingling; the
+    unigram normalizer reuses the bigram aggregate (sum over w2)
+    instead of re-scanning the corpus, and joins back on the tiny
+    vocabulary-sized table. Filtered to frequent pairs for a bounded
+    output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("t"))
+    bi = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uni = big.groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        big.join(uni, "w1")
+        .filter(F.col("n") >= 50)
+        .select(
+            "w1", "w2", "n",
+            F.round(F.col("n").cast("double") / F.col("n1"), 6).alias("p_cond"),
+        )
+    )

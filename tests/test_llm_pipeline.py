@@ -193,3 +193,21 @@ def test_connected_components_one_canonical_per_component(spark):
     per_comp = pdf.groupby("component")["is_canonical"].sum()
     assert (per_comp == 1).all()
     assert (pdf["component"] <= pdf["doc_id"]).all()
+
+
+def test_knn_ann_agreement_and_recall(spark):
+    """knn_label_vote_ann: deterministic (fixed hyperplanes), so its
+    quality floor is pinned: the ANN candidate set must recover most
+    of the exact top-10 neighborhood, and predictions must mostly
+    agree with the exact classifier. (Agreement < 1.0 is expected —
+    near-50/50 votes flip when one neighbor differs.)"""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import with_norm
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+    exact_pred = {r.q_id: r.pred_label for r in REG["knn_label_vote"].fn(spark, SF_ORACLE).collect()}
+    ann_pred = {r.q_id: r.pred_label for r in REG["knn_label_vote_ann"].fn(spark, SF_ORACLE).collect()}
+    assert set(ann_pred) == set(exact_pred)  # every query classified
+    agree = sum(1 for q in exact_pred if ann_pred[q] == exact_pred[q]) / len(exact_pred)
+    assert agree >= 0.6, f"prediction agreement {agree}"
