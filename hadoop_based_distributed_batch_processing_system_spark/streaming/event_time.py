@@ -345,3 +345,78 @@ def rollup_hypertable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value").alias("sum_value"),
         )
     )
+
+
+@register(
+    "dedup_debounce_window",
+    oracle="""
+        SELECT event_id, user_id, event_type, ts FROM (
+          SELECT event_id, user_id, event_type, ts,
+                 LAG(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        )
+        WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+    """,
+    tags=("T5", "debounce"),
+)
+def dedup_debounce_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup: drop an event when the same (user, type) fired
+    within the previous 5 minutes — double-click / retry suppression,
+    the time-window generalization of exact dedup (same key twice is
+    fine if far apart). One lag() per (user, type) partition — a
+    single shuffle; streaming form is applyInPandasWithState keeping
+    last-emitted-ts per key. Strictly-greater boundary matches both
+    engines on µs timestamps."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 5 * 60 * 1_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type, hour
+        ),
+        stats AS (
+          SELECT event_type, AVG(n) AS mu, stddev_samp(n) AS sigma
+          FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, h.hour, CAST(h.n AS BIGINT) AS n,
+               ROUND((h.n - s.mu) / s.sigma, 4) AS zscore
+        FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        WHERE abs((h.n - s.mu) / s.sigma) > 2.5
+    """,
+    tags=("T1", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type,
+    z-scored against that type's own mean/stddev; hours beyond 2.5
+    sigma flagged. Two cascaded aggregations (hourly shuffle, then a
+    types-sized stats table broadcast back onto it) — the monitoring
+    query every event pipeline runs; at scale the stats side is a
+    rolling window over recent history rather than all time, same
+    plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_type", "hour", "n", F.round(z, 4).alias("zscore"))
+    )
