@@ -290,3 +290,37 @@ def fn_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_digit"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
+
+
+@register(
+    "fn_string_distance",
+    oracle="""
+        SELECT p_partkey, p_name,
+               levenshtein(p_name, 'red widget') AS dist_widget,
+               array_to_string(list_transform(string_split(p_name, ' '),
+                 w -> upper(w[1]) || lower(w[2:])), ' ') AS title_name,
+               translate(p_name, 'aeiou', 'AEIOU') AS vowels_up
+        FROM part
+        WHERE levenshtein(p_name, 'red widget') <= 5
+    """,
+    tags=("F1", "distance"),
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance + case/translate family: Levenshtein edit
+    distance (fuzzy matching — the poor man's near-dup for SHORT
+    strings; MinHash takes over at document length), initcap,
+    translate. The distance predicate is O(len²) per comparison
+    against a constant — fine in a scan; never use it as a join
+    condition at scale (that's an all-pairs product — LSH instead)."""
+    p = load_table(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("red widget"))
+    return (
+        p.filter(dist <= 5)
+        .select(
+            "p_partkey",
+            "p_name",
+            dist.alias("dist_widget"),
+            F.initcap("p_name").alias("title_name"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        )
+    )

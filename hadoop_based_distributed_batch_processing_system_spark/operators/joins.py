@@ -518,3 +518,47 @@ def nested_order_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln.l_quantity").alias("l_quantity"),
         F.col("ln.l_extendedprice").alias("l_extendedprice"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN NULL
+                      ELSE o_orderpriority END AS prio
+          FROM orders
+        ),
+        dim AS (
+          SELECT * FROM (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+                                ('5-LOW', 5), (NULL, 0)) AS t(prio, severity)
+        )
+        SELECT d.severity, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM o JOIN dim d ON o.prio IS NOT DISTINCT FROM d.prio
+        GROUP BY d.severity
+    """,
+    tags=("J1", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics needed when
+    'unknown' is a real category (here: unspecified priority maps to
+    a severity row with a NULL key). A plain equi join silently drops
+    every NULL-keyed row; this is one of the classic silent-data-loss
+    bugs in ETL. Spark plans `<=>` as an ordinary hash join (null-safe
+    keys still hash-partition), so the shape scales identically."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "4-NOT SPECIFIED", F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    dim = o.sparkSession.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3), ("5-LOW", 5), (None, 0)],
+        "prio string, severity int",
+    )
+    return (
+        o.join(F.broadcast(dim), o.prio.eqNullSafe(dim.prio))
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
