@@ -355,3 +355,29 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "agg_bool_any_every",
+    oracle="""
+        SELECT l_returnflag,
+               bool_or(l_discount > 0.09) AS any_deep_discount,
+               bool_and(l_quantity >= 1) AS every_qty_positive,
+               CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_tax_free
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("A1", "bool"),
+)
+def agg_bool_any_every(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates — any()/every() per group plus a FILTER'd
+    count: the data-quality assertion shape (does ANY row violate X /
+    do ALL rows satisfy Y), one pass, mergeable partials like every
+    other aggregate here. The FILTER clause spelling avoids the
+    CASE-WHEN-1-ELSE-0-SUM contortion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("every_qty_positive"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+    )

@@ -127,3 +127,30 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "union_by_name_evolution",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, NULL FROM orders
+        WHERE o_orderkey % 3 = 1
+    """,
+    tags=("U1", "schema-evolution"),
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tolerant union (`unionByName(allowMissingColumns=True)`):
+    the newer branch carries an extra column, the older branch gets it
+    null-filled — and columns match BY NAME, not position (positional
+    UNION with drifted schemas is another classic silent-corruption
+    bug; by-name is the safe default for long-lived pipelines). Same
+    additive-evolution semantics as the mergeSchema parquet read, at
+    the plan level instead of the storage level."""
+    o = load_table(spark, sf_dir, "orders")
+    new_branch = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old_branch = o.filter(F.col("o_orderkey") % 3 == 1).select("o_orderkey", "o_totalprice")
+    return new_branch.unionByName(old_branch, allowMissingColumns=True)
