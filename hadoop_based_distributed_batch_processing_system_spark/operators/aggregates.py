@@ -381,3 +381,30 @@ def agg_bool_any_every(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") >= 1).alias("every_qty_positive"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+        SELECT o_orderstatus,
+               bit_and(o_orderkey) AS key_and,
+               bit_or(o_orderkey) AS key_or,
+               bit_xor(o_orderkey) AS key_xor
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("A1", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR fold per group) — the flag-mask
+    merge shape: OR accumulates capability bits, AND detects
+    universally-set bits, XOR gives order-independent parity (a poor
+    man's checksum usable as a cheap cross-engine content fingerprint
+    on key sets). All three are associative+commutative, so partial
+    aggregation applies as usual."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )

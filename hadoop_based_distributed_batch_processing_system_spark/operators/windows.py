@@ -170,3 +170,43 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "win_first_last_ignore_nulls",
+    oracle="""
+        SELECT event_id, user_id,
+               FIRST_VALUE(v IGNORE NULLS) OVER w AS first_real_value,
+               LAST_VALUE(v IGNORE NULLS) OVER w AS running_last_value
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W2", "ignore-nulls"),
+)
+def win_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last_value with IGNORE NULLS over a running frame — the
+    gap-fill idiom: error events carry no value (NULLed here), and
+    every row sees the user's first real reading plus the
+    most-recent real reading at-or-before it (last-observation-
+    carried-forward). One window sort per user; the same frame
+    serves both functions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("v", ignorenulls=True).over(w).alias("first_real_value"),
+        F.last("v", ignorenulls=True).over(w).alias("running_last_value"),
+    )
