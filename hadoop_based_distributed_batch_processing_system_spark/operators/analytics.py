@@ -932,3 +932,111 @@ def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w).alias("valid_to"),
         F.lead("valid_from").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH unit AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+          GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        best AS (
+          SELECT l_partkey, MIN(unit_price) AS min_price FROM unit GROUP BY l_partkey
+        )
+        SELECT p.p_partkey, p.p_name, u.l_suppkey AS s_suppkey,
+               ROUND(u.unit_price, 6) AS unit_price
+        FROM unit u
+        JOIN best b ON u.l_partkey = b.l_partkey AND u.unit_price = b.min_price
+        JOIN part p ON p.p_partkey = u.l_partkey
+        WHERE p.p_size = 25 AND p.p_type = 'SMALL'
+    """,
+    tags=("J7", "composite", "correlated-subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — minimum-cost supplier: for each qualifying part,
+    the ASIA supplier(s) offering the minimum unit price (corpus has
+    no partsupp; unit price is derived from lineitem). The correlated
+    MIN subquery decorrelates into: per-(part, supplier) MIN, then
+    per-part MIN, then an equality join-back that keeps ties — the
+    same two-aggregate + join-on-value shape Catalyst produces for
+    the SQL form. Part filter broadcasts last: the price computation
+    is part-filter-independent, so at 100 TB you materialize the
+    unit-price table once and reuse it across part predicates."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    asia_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    unit = (
+        li.join(F.broadcast(asia_supp), li.l_suppkey == asia_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    best = unit.groupBy(F.col("l_partkey").alias("b_partkey")).agg(F.min("unit_price").alias("min_price"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    return (
+        unit.join(best, (unit.l_partkey == best.b_partkey) & (unit.unit_price == best.min_price))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey", "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+    )
+
+
+@register(
+    "q20_part_promotion_suppliers",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(l.l_quantity) > 50
+        )
+    """,
+    tags=("J4", "composite"),
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — promotion-eligible suppliers: the nested-IN chain
+    (suppliers ∈ {supplied a red part in 1996 in bulk}). Both IN
+    subqueries become semi joins: parts filter broadcasts into the
+    lineitem scan, the HAVING aggregate keys on (supplier, part), and
+    the outer IN collapses to a distinct-supplier semi join against
+    the supplier table. No decorrelation needed — the whole chain is
+    pipeline-able and every intermediate shrinks."""
+    red_parts = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    bulk = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(F.broadcast(bulk), supp.s_suppkey == bulk.l_suppkey, "left_semi")
