@@ -408,3 +408,30 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").alias("key_or"),
         F.bit_xor("o_orderkey").alias("key_xor"),
     )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A5", "grouping"),
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING() indicators — the disambiguation the
+    plain rollup lacks: an output NULL can mean 'subtotal across this
+    column' or 'the data really was NULL'; grouping() = 1 only for
+    the former. Any consumer routing subtotal rows (report layers,
+    cube caches) needs these bits, and they come free from the same
+    Expand operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
