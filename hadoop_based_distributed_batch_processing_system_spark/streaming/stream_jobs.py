@@ -404,3 +404,44 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(120)
     return spark.read.parquet(state_dir)
+
+
+@register(
+    "stream_append_closed_windows",
+    oracle="""
+        WITH agg AS (
+          SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+                 date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+                 event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT window_start, window_end, event_type, n
+        FROM agg
+        WHERE window_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+    tags=("T1", "T4", "stream"),
+)
+def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation — the production emission
+    discipline: a window's row is emitted exactly once, only after
+    the watermark (max event time - 1 hour) passes its end, then its
+    state is dropped. Complete mode re-emits everything per batch
+    (fine for demos, unbounded sink writes in production); append is
+    what a downstream table wants. Over the bounded stream the
+    emitted set is exactly the windows whose end <= final watermark —
+    the trailing open window is correctly WITHHELD (measured and
+    oracle-encoded: the last hour of data never appears)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "hbdbps_stream_append_closed", "append")
