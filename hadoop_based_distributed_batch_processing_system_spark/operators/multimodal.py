@@ -183,3 +183,35 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_id")
         .limit(10)
     )
+
+
+_FEAT_DIM = 8
+
+
+@register("mm_feature_extract_stub", tags=("L7", "features"))  # rows-only: extractor is engine-external
+def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media — the embed-everything
+    step of a multimodal training pipeline: payload bytes -> fixed-dim
+    float vector, as a ``mapInPandas`` kernel (iterator of Arrow
+    batches -> iterator of batches with an ``array<float>`` column;
+    constant memory per task). The extractor here is a deterministic
+    md5-derived fake (the container ships no vision/audio models —
+    swap in CLIP/wav2vec via the same batch signature; the Spark
+    plumbing, schema, and batch shape are the real, tested part).
+    Downstream the column feeds the exact sim-search/ANN operators
+    already in similarity.py. Rows-only; pytest pins dimension,
+    determinism, and the [0, 1) value range."""
+    import hashlib
+
+    def feature_batches(batches):
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                h = hashlib.md5(bytes(p)).digest()
+                feats.append([h[i] / 256.0 for i in range(_FEAT_DIM)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    docs = binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "payload").mapInPandas(
+        feature_batches, "doc_id long, features array<float>"
+    )

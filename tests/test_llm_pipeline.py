@@ -211,3 +211,13 @@ def test_knn_ann_agreement_and_recall(spark):
     assert set(ann_pred) == set(exact_pred)  # every query classified
     agree = sum(1 for q in exact_pred if ann_pred[q] == exact_pred[q]) / len(exact_pred)
     assert agree >= 0.6, f"prediction agreement {agree}"
+
+
+def test_mm_feature_extract_shape_and_determinism(spark):
+    """Stubbed feature extractor: fixed dim, values in [0,1), and
+    bit-identical across runs (md5-derived — no RNG)."""
+    a = REG["mm_feature_extract_stub"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id")
+    b = REG["mm_feature_extract_stub"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id")
+    assert (a["features"].map(len) == 8).all()
+    assert a["features"].map(lambda v: all(0 <= x < 1 for x in v)).all()
+    assert list(map(list, a["features"])) == list(map(list, b["features"]))
