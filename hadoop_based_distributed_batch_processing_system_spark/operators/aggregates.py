@@ -435,3 +435,27 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+        SELECT lang,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("A6", "listagg"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg — ordered, delimited concatenation per
+    group. Spark has no direct string_agg; the equivalent is
+    sort_array(collect_set(...)) + array_join — and the explicit sort
+    is NOT optional: unordered concatenation is nondeterministic
+    across partitions/runs (the classic flaky-report bug; DuckDB's
+    ORDER BY clause inside the aggregate exists for the same
+    reason)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources_csv")
+    )
