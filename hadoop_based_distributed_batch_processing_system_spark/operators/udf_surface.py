@@ -359,3 +359,42 @@ def udf_mapper_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         charge_batches, "l_orderkey long, l_linenumber int, charge double"
     )
+
+
+@register(
+    "observe_query_metrics",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_extendedprice), 4) AS revenue
+        FROM lineitem
+        WHERE l_quantity >= 25
+        GROUP BY l_returnflag
+    """,
+    tags=("X6", "observe"),
+)
+def observe_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6' — the modern MR-counters: ``df.observe`` attaches named
+    aggregate metrics (rows seen, rows matching a predicate) to a
+    query's OWN execution — collected as a side effect of the action,
+    no second pass, no accumulator plumbing. The data-quality hook at
+    scale: every production job observes its input/kept/dropped
+    counts for free. The observed metrics are driver-side metadata;
+    the returned DataFrame (and its oracle) is the main result."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("rows_kept"),
+    )
+    return (
+        observed.filter(F.col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )

@@ -420,3 +420,68 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.5)
         .select("event_type", "hour", "n", F.round(z, 4).alias("zscore"))
     )
+
+
+@register(
+    "timeseries_resample_locf",
+    oracle="""
+        WITH bounds AS (
+          SELECT user_id,
+                 date_trunc('hour', MIN(ts)) AS t0,
+                 date_trunc('hour', MAX(ts)) AS t1
+          FROM events GROUP BY user_id
+        ),
+        grid AS (
+          SELECT b.user_id, CAST(g AS TIMESTAMP) AS hour
+          FROM bounds b,
+               LATERAL unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS u(g)
+        ),
+        hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour,
+                 SUM(value) AS v
+          FROM events GROUP BY user_id, hour
+        )
+        SELECT g.user_id, g.hour,
+               ROUND(LAST_VALUE(h.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled,
+               (h.v IS NULL) AS was_gap
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+    tags=("T1", "resample"),
+)
+def timeseries_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling onto a dense hourly grid with
+    last-observation-carried-forward gap fill — the step that turns
+    irregular events into the regular series every downstream model
+    (and every per-user feature window) assumes. Grid = per-user
+    sequence(min_hour, max_hour) exploded (zero-shuffle after the
+    bounds agg); left join the actual hourly sums onto it; LOCF via
+    last(ignorenulls) over a running frame. Grid size is
+    users x hours — independent of event volume, the property that
+    keeps it viable at 100 TB of events."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, INTERVAL 1 HOUR)")).alias("hour"),
+    )
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.sum("value").alias("v")
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
