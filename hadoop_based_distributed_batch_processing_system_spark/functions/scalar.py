@@ -34,7 +34,7 @@ from hadoop_based_distributed_batch_processing_system_spark.sources.io import lo
                length(p_name)                       AS name_len,
                regexp_extract(p_name, '^(\w+)', 1)  AS first_word,
                regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
-               string_split(p_name, ' ')            AS name_tokens
+               array_to_string(string_split(p_name, ' '), '|') AS name_tokens
         FROM part
     """,
     tags=("F1",),
@@ -54,7 +54,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.regexp_replace("p_name", " ", "_").alias("name_snake"),
-        F.split("p_name", " ").alias("name_tokens"),
+        F.array_join(F.split("p_name", " "), "|").alias("name_tokens"),
     )
 
 
@@ -143,7 +143,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(embedding)                                   AS n_dims,
                embedding[1]                                     AS first_val,
                list_sum(embedding[1:3]::DOUBLE[])               AS sum3,
-               list_sort(embedding[1:4])                        AS sorted4,
+               list_sort(embedding[1:4])[1]                     AS sorted4_1,
+               list_sort(embedding[1:4])[2]                     AS sorted4_2,
+               list_sort(embedding[1:4])[3]                     AS sorted4_3,
+               list_sort(embedding[1:4])[4]                     AS sorted4_4,
                list_max(embedding)                              AS max_val,
                list_contains(embedding, 0.0::FLOAT)             AS has_zero
         FROM embeddings
@@ -163,7 +166,13 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.slice("embedding", 1, 3), F.lit(0.0), lambda acc, x: acc + x.cast("double")
         ).alias("sum3"),
-        F.sort_array(F.slice("embedding", 1, 4)).alias("sorted4"),
+        # Driver-facing: the sorted slice is unnested into 4 scalar float
+        # columns (float arrays don't stringify identically cross-engine,
+        # and the driver's canonicalizer can't hash list cells).
+        F.element_at(F.sort_array(F.slice("embedding", 1, 4)), 1).alias("sorted4_1"),
+        F.element_at(F.sort_array(F.slice("embedding", 1, 4)), 2).alias("sorted4_2"),
+        F.element_at(F.sort_array(F.slice("embedding", 1, 4)), 3).alias("sorted4_3"),
+        F.element_at(F.sort_array(F.slice("embedding", 1, 4)), 4).alias("sorted4_4"),
         F.array_max("embedding").alias("max_val"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
     )
@@ -174,7 +183,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
-               ['k']                                       AS prop_keys,
+               'k'                                         AS prop_keys,
                true                                        AS has_k
         FROM events
     """,
@@ -190,7 +199,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.element_at(m, F.lit("k")).alias("k_val"),
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
         F.array_contains(F.map_keys(m), "k").alias("has_k"),
     )
 

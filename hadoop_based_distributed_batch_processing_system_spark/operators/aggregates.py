@@ -190,7 +190,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
         SELECT lang,
-               list_sort(list(DISTINCT source)) AS sources,
+               array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
                COUNT(*) AS n_docs
         FROM documents
         GROUP BY lang
@@ -201,10 +201,14 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — per-group value buffering (collect_set), canonicalized
     with sort_array so output is deterministic and oracle-comparable.
     The MR analogue is a reducer that materializes its value iterator
-    — bounded here by the small per-group distinct domain."""
+    — bounded here by the small per-group distinct domain.
+
+    The sorted set is serialized with array_join because the verify
+    driver's canonicalizer hashes scalar cells only (list cells raise
+    ``unhashable type`` — the one red row in CORRECTNESS_r01)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
-        F.sort_array(F.collect_set("source")).alias("sources"),
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 

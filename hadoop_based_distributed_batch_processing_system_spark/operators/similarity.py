@@ -495,7 +495,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT vec_id,
                ROUND(127.0 / max_abs, 6) AS scale,
-               list_transform(ve, x -> CAST(round(x * (127.0 / max_abs)) AS INTEGER)) AS q
+               array_to_string(list_transform(ve, x -> CAST(round(x * (127.0 / max_abs)) AS INTEGER)), ',') AS q
         FROM s
         WHERE max_abs > 0
     """,
@@ -517,7 +517,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.col("max_abs") > 0).select(
         "vec_id",
         F.round(F.lit(127.0) / F.col("max_abs"), 6).alias("scale"),
-        F.expr("transform(ve, x -> CAST(round(x * (127.0 / max_abs)) AS INT))").alias("q"),
+        # int vector serialized to csv: driver-facing outputs are scalar-only
+        F.expr(
+            "array_join(transform(ve, x -> CAST(CAST(round(x * (127.0 / max_abs)) AS INT) AS STRING)), ',')"
+        ).alias("q"),
     )
 
 

@@ -363,7 +363,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         idx AS (
           SELECT term,
-                 list_sort(list(doc_id)) AS postings,
+                 array_to_string(list_sort(list(doc_id)), ',') AS postings,
                  COUNT(*) AS doc_freq
           FROM tok GROUP BY term
         )
@@ -388,7 +388,8 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tok.groupBy("term")
         .agg(
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            # serialized: the verify driver hashes scalar cells only
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
             F.count(F.lit(1)).alias("doc_freq"),
         )
         .filter(F.col("doc_freq") >= 50)
