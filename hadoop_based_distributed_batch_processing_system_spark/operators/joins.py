@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import corpus_tag, load_table
 
 
 @register(
@@ -417,7 +417,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    tag = corpus_tag(sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"hbdbps_bucketed_{tag}")
     specs = [
         (f"hbdbps_orders_b_{tag}", "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),

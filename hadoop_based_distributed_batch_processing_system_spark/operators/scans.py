@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table, sink_parquet
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import corpus_tag, load_table, sink_parquet
 
 
 @register(
@@ -46,7 +46,7 @@ def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_export_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     return os.path.join(tempfile.gettempdir(), f"hbdbps_text_export_{tag}")
 
 
@@ -81,7 +81,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning on re-read at scale), reads it back, and returns
     the re-read frame. The pytest asserts the roundtrip is lossless.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hbdbps_sink_parquet_{tag}")
     agg = (
         load_table(spark, sf_dir, "lineitem")
@@ -104,7 +104,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferSchema at scale — it triggers a full extra pass). The oracle
     is the parquet table itself, proving the text roundtrip lossless.
     """
-    out = os.path.join(tempfile.gettempdir(), f"hbdbps_csv_{os.path.basename(os.path.normpath(sf_dir))}")
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_csv_{corpus_tag(sf_dir)}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         load_table(spark, sf_dir, "nation").write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
@@ -124,7 +124,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     splittable line-wise, so at 100 TB this parallelizes like any
     text input — but parquet stays the engine's preferred format
     (columnar pruning, pushdown, 5-10× smaller)."""
-    out = os.path.join(tempfile.gettempdir(), f"hbdbps_json_{os.path.basename(os.path.normpath(sf_dir))}")
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_json_{corpus_tag(sf_dir)}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         load_table(spark, sf_dir, "customer").write.mode("overwrite").json(out)
     return spark.read.schema(
@@ -147,7 +147,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     it back with an explicit schema. Oracle is the parquet original:
     the columnar re-encode is lossless. In a 100 TB estate this is
     the interop path for Hive-era ORC warehouses."""
-    out = os.path.join(tempfile.gettempdir(), f"hbdbps_orc_{os.path.basename(os.path.normpath(sf_dir))}")
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_orc_{corpus_tag(sf_dir)}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     return (
@@ -168,7 +168,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, unlike ``repartition`` which would pay one. Returns
     before/after file counts + row count; pytest asserts rows
     survive and the file count actually drops."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     frag = os.path.join(tempfile.gettempdir(), f"hbdbps_frag_{tag}")
     compacted = os.path.join(tempfile.gettempdir(), f"hbdbps_compacted_{tag}")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
@@ -197,7 +197,7 @@ def sink_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     any re-read keyed by a low-cardinality column. Plan-asserted in
     tests/test_plans.py; rows invariant: pruned count == filtered
     count on the source table."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hbdbps_sink_part_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
@@ -228,7 +228,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no rewrite of old files; at 100 TB you never backfill). The
     oracle reconstructs the same frame with an explicit NULL-padded
     UNION ALL."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hbdbps_schema_evo_{tag}")
     orders = load_table(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(out, "_SUCCESS_BOTH")):
@@ -256,7 +256,7 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are writer-version-specific."""
     import glob
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     agg = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus", "l_shipdate")
@@ -295,7 +295,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     fact read 1% of the data instead of 100%. Plan-asserted
     (dynamicpruningexpression on the scan); reuses the
     sink_partition_pruned dataset as the partitioned fact."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hbdbps_sink_part_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")

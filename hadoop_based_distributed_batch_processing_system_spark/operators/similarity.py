@@ -175,7 +175,11 @@ def _bucket_topk_kernel(k_partial: int):
         sims = (q @ n.T) / np.outer(np.linalg.norm(q, axis=1), np.linalg.norm(n, axis=1))
         q_ids = left["q_id"].to_numpy()
         n_ids = right["n_id"].to_numpy()
-        k = min(k_partial, sims.shape[1])
+        # k_partial+1: in a probe's own bucket the self-match (cosine
+        # 1.0) always survives argpartition, so without the extra slot
+        # it would evict one real neighbor before the q_id != n_id
+        # filter below removes it.
+        k = min(k_partial + 1, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         rows = np.repeat(np.arange(sims.shape[0]), k)
         cols = idx.ravel()
@@ -423,6 +427,9 @@ def sim_search_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 10
+# broadcast-side ceiling for the exact classifier: ~0.5 GB of float64
+# at 64 dims. Past this, knn_label_vote_ann is the only sane plan.
+_KNN_BROADCAST_BOUND = 1_000_000
 
 @register(
     "knn_label_vote",
@@ -457,10 +464,23 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote with the labels of their 10 nearest reference vectors;
     majority wins, ties break to the smaller label (deterministic in
     both engines). The query side is broadcast (it is 5% of the
-    corpus by construction); references stream through one scan."""
+    corpus by construction); references stream through one scan.
+
+    SIZE GUARD: the broadcast side grows with the corpus — 5% of a
+    100 TB embedding table is multi-TB and exceeds any executor. The
+    guard raises beyond 1M query vectors (~0.5 GB at 64 float64
+    dims); past it, use ``knn_label_vote_ann``, which shuffles both
+    sides once on LSH bucket ids instead of broadcasting."""
     from pyspark.sql.window import Window
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
+    n_queries = emb.filter(F.col("vec_id") % 20 == 0).count()
+    if n_queries > _KNN_BROADCAST_BOUND:
+        raise ValueError(
+            f"knn_label_vote broadcast guard: {n_queries} query vectors exceed the "
+            f"{_KNN_BROADCAST_BOUND} broadcast bound; use knn_label_vote_ann "
+            "(bucketed shuffle, no broadcast)"
+        )
     q = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )

@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import corpus_tag, load_table
 
 
 @register(
@@ -161,7 +161,7 @@ def sink_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hbdbps_sorted_runs_{tag}")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     (

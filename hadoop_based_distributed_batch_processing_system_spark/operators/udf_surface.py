@@ -238,9 +238,11 @@ def counters_job_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (and, like MR counters, only trustworthy from ACTIONS
     on non-retried stages — this runs one deliberate pass). The
     totals come back as a 1-row DataFrame; the oracle recomputes the
-    same counts declaratively, proving the side-channel exact."""
-    import json as _json
+    same counts declaratively, proving the side-channel exact.
 
+    The JSON-validity predicate is evaluated JVM-side
+    (``get_json_object``) before the pandas pass, so the accumulator
+    updates are whole-column sums — no per-row Python loop."""
     import pandas as pd
 
     sc = spark.sparkContext
@@ -248,19 +250,14 @@ def counters_job_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_valid = sc.accumulator(0)
     n_neg = sc.accumulator(0)
 
-    ev = load_table(spark, sf_dir, "events").select("props", "value")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"), "value"
+    )
 
     def audit(batches):
         for pdf in batches:
             n_seen.add(len(pdf))
-            valid = 0
-            for p in pdf["props"]:
-                try:
-                    if _json.loads(p).get("k") is not None:
-                        valid += 1
-                except (TypeError, ValueError):
-                    pass
-            n_valid.add(valid)
+            n_valid.add(int(pdf["has_k"].sum()))
             n_neg.add(int((pdf["value"] < 0).sum()))
             yield pd.DataFrame({"ok": [True]})
 

@@ -40,6 +40,24 @@ TABLES = (
 )
 
 
+def corpus_tag(sf_dir: str) -> str:
+    """Content fingerprint of a corpus directory for /tmp cache keys:
+    hash of the absolute path plus (name, size, mtime) of every
+    parquet file. Caches keyed by this are stale-proof — regenerating
+    a corpus in place, or pointing at a same-basename corpus at a
+    different path, changes the tag and forces a fresh export
+    (basename-only keys silently served stale data)."""
+    import glob
+    import hashlib
+    import os
+
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-corpus table as a DataFrame.
 

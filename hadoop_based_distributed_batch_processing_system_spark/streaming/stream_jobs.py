@@ -23,6 +23,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import corpus_tag
 from hadoop_based_distributed_batch_processing_system_spark.streaming.event_time import (
     SLIDING_ORACLE,
     TUMBLING_ORACLE,
@@ -45,16 +46,27 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def _stream_src_dir(sf_dir: str) -> str:
     """The file stream source wants a directory it can monitor; the
     corpus ships one file per table. Stage a directory of symlinks
-    in /tmp (no copy, no write to the read-only corpus)."""
+    in /tmp (no copy, no write to the read-only corpus).
+
+    The staging dir is keyed by a hash of the ABSOLUTE corpus path so
+    two corpora sharing a basename never collide, and a dangling or
+    wrong-target symlink is recreated (``os.path.exists`` follows
+    links, so a dangling one must be detected with ``islink``)."""
+    import hashlib
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), f"hbdbps_stream_src_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(src):
+        os.remove(link)
+    if os.path.islink(link) and not os.path.exists(link):  # dangling
+        os.remove(link)
+    if not os.path.islink(link):
+        os.symlink(src, link)
     return d
 
 
@@ -365,7 +377,7 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_tag(sf_dir)
     state_dir = os.path.join(tempfile.gettempdir(), f"hbdbps_fb_upsert_{tag}")
     # fresh run: clear state AND checkpoint (a surviving checkpoint marks
     # the bounded source as already processed — no batch would fire)
@@ -402,7 +414,12 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", state_dir + ".ckpt")
         .start()
     )
-    query.awaitTermination(120)
+    if not query.awaitTermination(120):
+        query.stop()
+        raise TimeoutError(
+            "stream_foreach_batch_upsert: query did not drain within 120s; "
+            "refusing to read a state dir that may still be mid-write"
+        )
     return spark.read.parquet(state_dir)
 
 

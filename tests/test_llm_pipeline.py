@@ -221,3 +221,36 @@ def test_mm_feature_extract_shape_and_determinism(spark):
     assert (a["features"].map(len) == 8).all()
     assert a["features"].map(lambda v: all(0 <= x < 1 for x in v)).all()
     assert list(map(list, a["features"])) == list(map(list, b["features"]))
+
+
+def test_knn_broadcast_guard_raises(spark, monkeypatch):
+    """The exact kNN classifier broadcasts the query side; beyond the
+    bound it must refuse and point at the ANN variant instead of
+    shipping a multi-GB broadcast."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_KNN_BROADCAST_BOUND", 0)
+    with pytest.raises(ValueError, match="broadcast guard"):
+        REG["knn_label_vote"].fn(spark, SF_ORACLE)
+
+
+def test_bucket_topk_kernel_keeps_k_after_self_filter():
+    """In a probe's own bucket the self-match must not evict a real
+    neighbor: with k_partial=2 and 3 non-self candidates, both slots
+    survive the q_id != n_id filter."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        _bucket_topk_kernel,
+    )
+
+    kernel = _bucket_topk_kernel(2)
+    v = np.eye(4, dtype=np.float64)
+    # query 0 lives in the bucket with itself and 3 neighbors; its own
+    # vector has cosine 1.0 and would win any top-k slot.
+    left = pd.DataFrame({"q_id": [0], "qv": [v[0] + 0.1]})
+    right = pd.DataFrame({"n_id": [0, 1, 2, 3], "nv": [v[0] + 0.1, v[0], v[1], v[2]]})
+    out = kernel(left, right)
+    real = out[out["q_id"] != out["n_id"]]
+    assert len(real) == 2, f"self-match evicted a neighbor: {out}"
