@@ -25,7 +25,8 @@ HEADLINE = [
     "join_shipping_priority",  # q3 shape
     "join_multiway",        # q5 shape
     "agg_global",           # q6 shape
-    "agg_count_distinct",   # distinct customers
+    "agg_count_distinct",   # grouped distinct (harder shape, kept for trend)
+    "agg_count_distinct_global",  # BASELINE.md distinct_customers, like-for-like
     "win_rank",             # window rank
     "topk",                 # order by + limit
     "window_tumbling",      # events hourly agg

@@ -111,6 +111,20 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_count_distinct_global",
+    oracle="SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs FROM orders",
+    tags=("A3",),
+)
+def agg_count_distinct_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3, global shape — single exact COUNT(DISTINCT) with no
+    grouping: the exact query BASELINE.md's `distinct_customers` row
+    times (the grouped variant above does strictly more work, so the
+    bench compares this one against that row like-for-like)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(F.countDistinct("o_custkey").alias("n_custs"))
+
+
 @register("agg_approx_distinct", tags=("A4",))  # rows-only: HLL sketches differ across engines
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — approximate distinct (HyperLogLog++). The 100 TB path for

@@ -473,14 +473,19 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides once on LSH bucket ids instead of broadcasting."""
     from pyspark.sql.window import Window
 
-    emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
-    n_queries = emb.filter(F.col("vec_id") % 20 == 0).count()
-    if n_queries > _KNN_BROADCAST_BOUND:
+    # Guard on the parquet footer row count (metadata-only, no scan):
+    # queries are vec_id % 20 == 0, i.e. ~1/20 of the table, so the
+    # estimate is exact to ±1 per file. The extra job is ~ms; a real
+    # filter-count would cost a full column scan per invocation.
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    n_queries_est = n_total // 20 + 1
+    if n_queries_est > _KNN_BROADCAST_BOUND:
         raise ValueError(
-            f"knn_label_vote broadcast guard: {n_queries} query vectors exceed the "
+            f"knn_label_vote broadcast guard: ~{n_queries_est} query vectors exceed the "
             f"{_KNN_BROADCAST_BOUND} broadcast bound; use knn_label_vote_ann "
             "(bucketed shuffle, no broadcast)"
         )
+    emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
     q = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
