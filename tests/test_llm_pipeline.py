@@ -254,3 +254,27 @@ def test_bucket_topk_kernel_keeps_k_after_self_filter():
     out = kernel(left, right)
     real = out[out["q_id"] != out["n_id"]]
     assert len(real) == 2, f"self-match evicted a neighbor: {out}"
+
+
+def test_wav_decode_rms_and_determinism():
+    """The WAV path is a real codec round-trip: synth → RIFF bytes →
+    parse. RMS of the decoded PCM must sit near amplitude/sqrt(2)
+    (sine), and synthesis must be bit-deterministic."""
+    import math
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import (
+        _WAV_AMP,
+        decode_wav,
+        synth_wav_bytes,
+    )
+
+    for doc_id in [0, 1, 7, 123, 9999]:
+        b1, b2 = synth_wav_bytes(doc_id), synth_wav_bytes(doc_id)
+        assert b1 == b2 and b1[:4] == b"RIFF" and b1[8:12] == b"WAVE"
+        sr, n_ch, n_frames, dur_ms, rms = decode_wav(b1)
+        assert sr in (8000, 16000, 22050, 44100)
+        assert n_ch == 1 + doc_id % 2
+        assert n_frames == 400 + (doc_id % 7) * 100
+        assert dur_ms == (n_frames * 1000) // sr
+        expected = _WAV_AMP / 32768.0 / math.sqrt(2)
+        assert abs(rms - expected) / expected < 0.02, (doc_id, rms, expected)
