@@ -562,3 +562,52 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("severity")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+_BAND_W = 5.0
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND abs(a.c_acctbal - b.c_acctbal) <= {_BAND_W}
+    """,
+    tags=("J6", "range-binned"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6' — PURE band join (no equi anchor): customer pairs whose
+    account balances differ by at most W=5. Without an equi key Spark
+    would plan a broadcast nested loop — O(n²) comparisons, the plan
+    that dies at scale. The binned rewrite makes it a hash join:
+
+    1. bin = floor(acctbal / W) with W = the band width, so any
+       qualifying pair sits in the same or adjacent bins;
+    2. the probe side explodes to (bin-1, bin, bin+1) — 3 rows each;
+    3. equi-join on the bin, then the exact |a-b| <= W filter.
+
+    Shuffle moves 3n + n rows hashed on bin instead of comparing
+    n² pairs; each pair is found exactly once because the build row's
+    own bin is unique. This is the standard interval-join recipe
+    (Flink's interval join and range-join hints in other engines do
+    the same binning internally)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    binned = cust.withColumn("bin", F.floor(F.col("c_acctbal") / _BAND_W))
+    probe = binned.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.explode(F.sequence(F.col("bin") - 1, F.col("bin") + 1)).alias("jbin"),
+    )
+    build = binned.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.col("bin").alias("jbin"),
+    )
+    return (
+        probe.join(build, "jbin")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("bal_a") - F.col("bal_b")) <= _BAND_W))
+        .select("id_a", "id_b", "bal_a", "bal_b")
+    )

@@ -603,3 +603,61 @@ def knn_label_vote_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("q_id", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+# --- Johnson-Lindenstrauss random projection -------------------------------
+
+_JL_OUT_DIM = 16
+
+
+def _jl_signs(out_dim: int = _JL_OUT_DIM, in_dim: int = _DIM) -> list[list[int]]:
+    """Deterministic Rademacher (+/-1) projection matrix derived from
+    md5 — identical on both engines because it is data, not RNG."""
+    import hashlib
+
+    return [
+        [1 if hashlib.md5(f"jl|{j}|{i}".encode()).digest()[0] % 2 == 0 else -1 for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def _jl_oracle() -> str:
+    rows = _jl_signs()
+    cols = ",\n               ".join(
+        f"0.25 * list_dot_product(ve, [{', '.join(str(s) for s in row)}]::DOUBLE[]) AS proj_{j}"
+        for j, row in enumerate(rows)
+    )
+    return f"""
+        SELECT vec_id,
+               {cols}
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+    """
+
+
+@register("embed_random_projection", oracle=_jl_oracle(), tags=("L13", "jl"))
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: 64-dim
+    embeddings -> 16 dims via a fixed Rademacher sign matrix, scaled
+    by 1/sqrt(16) = 0.25 (a power of two, so the scaling is exact in
+    both engines). Pairwise distances survive within the JL bound
+    (pytest pins the distortion envelope on sampled pairs).
+
+    Scale shape: a narrow map — 16 fused JVM fold expressions per
+    row, zero shuffle, zero Python; the cheap preprocessing step
+    before ANN indexing when 64 dims of float64 are 4x more IO than
+    recall needs. The sign matrix is DATA derived from md5, not RNG,
+    so recomputation anywhere (any executor, any engine) agrees."""
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    projections = [
+        F.expr(
+            "0.25 * aggregate(zip_with(ve, array({lits}), (x, s) -> x * s), "
+            "CAST(0 AS DOUBLE), (acc, p) -> acc + p)".format(
+                lits=", ".join(f"CAST({s} AS DOUBLE)" for s in row)
+            )
+        ).alias(f"proj_{j}")
+        for j, row in enumerate(signs)
+    ]
+    return emb.select("vec_id", *projections)

@@ -395,3 +395,58 @@ def observe_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
         )
     )
+
+
+_MG_CAPACITY = 64  # summary slots per partition
+_MG_TOPK = 10
+
+
+@register("topk_heavy_hitters_mg", tags=("A4", "O2", "sketch"))  # rows-only: approximate by design
+def topk_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k heavy hitters via per-partition Misra-Gries
+    summaries — the one-pass answer to "which user_ids dominate this
+    100 TB event log" WITHOUT shuffling on the (possibly billions-
+    cardinality) key:
+
+    1. each partition folds its rows into a 64-slot Misra-Gries
+       summary (mapInPandas over Arrow batches; counts decremented
+       when the summary overflows — the classic streaming bound);
+    2. only #partitions × 64 candidate rows shuffle (key-agnostic,
+       tiny), merged by a hash agg;
+    3. merged estimates are under-counts with error <= n/capacity per
+       partition, so any key with true frequency > n/64 is guaranteed
+       present (pytest pins this superset property plus exact
+       agreement on the test corpus).
+
+    The exact equivalent (groupBy(user).count().orderBy.limit) ships
+    every distinct key through a shuffle; this ships a constant."""
+
+    def mg_partition(batches):
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for uid in pdf["user_id"].to_numpy():
+                uid = int(uid)
+                if uid in counts:
+                    counts[uid] += 1
+                elif len(counts) < _MG_CAPACITY:
+                    counts[uid] = 1
+                else:
+                    dead = []
+                    for k in counts:
+                        counts[k] -= 1
+                        if counts[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counts[k]
+        yield pd.DataFrame(
+            {"user_id": list(counts.keys()), "est_count": list(counts.values())}
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    summaries = ev.mapInPandas(mg_partition, "user_id long, est_count long")
+    return (
+        summaries.groupBy("user_id")
+        .agg(F.sum("est_count").alias("est_count"))
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(_MG_TOPK)
+    )

@@ -278,3 +278,31 @@ def test_wav_decode_rms_and_determinism():
         assert dur_ms == (n_frames * 1000) // sr
         expected = _WAV_AMP / 32768.0 / math.sqrt(2)
         assert abs(rms - expected) / expected < 0.02, (doc_id, rms, expected)
+
+
+def test_jl_projection_distance_distortion(spark):
+    """JL with 16 Rademacher dims: pairwise distances on sampled
+    pairs must survive within a loose distortion envelope (the bound
+    is probabilistic; 16 dims at eps~0.75 leaves generous slack, and
+    the matrix is fixed so this cannot flake)."""
+    import numpy as np
+
+    proj = REG["embed_random_projection"].fn(spark, SF_ORACLE).orderBy("vec_id").limit(50).toPandas()
+    emb = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .orderBy("vec_id")
+        .limit(50)
+        .toPandas()
+    )
+    high = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    low = proj[[c for c in proj.columns if c.startswith("proj_")]].to_numpy()
+    rng_pairs = [(i, j) for i in range(0, 50, 7) for j in range(i + 1, 50, 11)]
+    ratios = []
+    for i, j in rng_pairs:
+        dh = np.linalg.norm(high[i] - high[j])
+        dl = np.linalg.norm(low[i] - low[j])
+        if dh > 1e-9:
+            ratios.append(dl / dh)
+    ratios = np.array(ratios)
+    assert 0.25 < ratios.mean() < 1.75, f"JL mean distortion off: {ratios.mean()}"
+    assert (ratios > 0.05).all(), "JL collapsed a pair to near-zero"

@@ -94,3 +94,29 @@ def test_counters_match_declarative_counts(spark):
         F.count(F.when(F.col("value") < 0, 1)).alias("neg"),
     ).collect()[0]
     assert (got["n_seen"], got["n_valid_props"], got["n_negative_value"]) == (want["n"], want["v"], want["neg"])
+
+
+def test_heavy_hitters_superset_and_agreement(spark):
+    """Misra-Gries guarantee: every key with true count > n/capacity
+    survives the per-partition summaries; on the test corpus the
+    merged top-k must match the exact top-k set."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.udf_surface import (
+        _MG_CAPACITY,
+        _MG_TOPK,
+    )
+
+    approx = REG["topk_heavy_hitters_mg"].fn(spark, SF_ORACLE).toPandas()
+    ev = load_table(spark, SF_ORACLE, "events")
+    n = ev.count()
+    exact = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").limit(_MG_TOPK).toPandas()
+    )
+    exact_all = ev.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    # superset guarantee for guaranteed-frequent keys
+    guaranteed = set(exact_all[exact_all > n / _MG_CAPACITY].index)
+    assert guaranteed <= set(approx["user_id"]), "MG lost a guaranteed heavy hitter"
+    # estimates never exceed true counts (MG under-counts)
+    for _, row in approx.iterrows():
+        assert row["est_count"] <= exact_all[row["user_id"]]
