@@ -14,6 +14,13 @@ parquet table with checkpointing; the transformation code is
 unchanged. Watermarks bound state: with ``complete`` output the
 memory sink holds every window (fine for a bounded demo table);
 production jobs use ``append`` + watermark-expired emission.
+
+Spark 4's ``transformWithStateInPandas`` (the successor arbitrary-
+state API) is NOT covered: its Python driver worker imports
+google.protobuf, which this container does not ship (verified:
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError).
+``applyInPandasWithState`` above is the working arbitrary-state
+surface here; the TWS port is mechanical once protobuf exists.
 """
 
 from __future__ import annotations

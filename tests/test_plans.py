@@ -180,3 +180,30 @@ def test_dynamic_partition_pruning_subquery_present(spark):
     with contextlib.redirect_stdout(buf):
         REG["join_dynamic_partition_pruning"].fn(spark, SF_SMOKE).explain(True)
     assert "dynamicpruning" in buf.getvalue().lower()
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark):
+    """J6': the binned rewrite must plan as a hash/sort-merge join on
+    the bin key — a BroadcastNestedLoopJoin would mean the rewrite
+    failed and the O(n^2) plan is back."""
+    plan = plan_of(REG["join_range_binned"].fn(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # an actual equi join on jbin
+
+
+def test_jl_projection_is_narrow_map(spark):
+    """L13': the projection is 16 fold expressions over one scan —
+    zero Exchange nodes, zero Python workers in the plan."""
+    plan = plan_of(REG["embed_random_projection"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF evaluation node
+
+
+def test_heavy_hitters_shuffles_constant_rows(spark):
+    """MG heavy hitters: the only wide op may be the summary merge —
+    the events scan itself must not repartition/exchange on user_id
+    before the mapInPandas pass."""
+    plan = plan_of(REG["topk_heavy_hitters_mg"].fn(spark, SF_SMOKE))
+    before_python = plan.split("MapInPandas")[0] if "MapInPandas" in plan else plan
+    # no exchange upstream of the summary stage (scan feeds Python directly)
+    assert "Exchange hashpartitioning(user_id" not in before_python
