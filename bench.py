@@ -42,6 +42,10 @@ HEADLINE = [
     "sample_hash_deterministic",  # pushed-down deterministic 10% sample
     "doc_chunk_sliding",    # corpus -> overlapping training chunks (zero-shuffle)
     "pipeline_training_data_prep",  # filter -> quality gate -> dedup -> stats, one plan
+    "join_range_binned",    # pure band join via bin equi-join (no nested loop)
+    "topk_heavy_hitters_mg",  # one-pass Misra-Gries heavy hitters
+    "embed_random_projection",  # JL 64->16 narrow map
+    "mm_audio_decode_wav",  # real WAV synth+decode through a binary column
 ]
 
 

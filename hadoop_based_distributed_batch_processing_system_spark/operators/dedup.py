@@ -163,7 +163,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", tags=("L2",))  # rows-only: hash-dependent candidates; invariants in tests
+@register(
+    "dedup_minhash_lsh",
+    # The oracle is the BRUTE-FORCE ground truth: at oracle scale the
+    # banding has perfect recall on this corpus (pinned by
+    # test_minhash_lsh_matches_ground_truth, P[miss] ≈ 2e-6 per planted
+    # pair), and verification recomputes exact Jaccard, so the LSH path
+    # must reproduce the exact result set, values included.
+    oracle=f"""
+        WITH tok AS ({_ORACLE_SHINGLES})
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM tok a, tok b
+          WHERE a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("L2",),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 — MinHash-LSH near-dedup, the 100 TB path:
 

@@ -50,7 +50,13 @@ def _text_export_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"hbdbps_text_export_{tag}")
 
 
-@register("scan_text_lines", tags=("S3",))  # rows-only: line-order/partitioning not SQL-visible
+@register(
+    "scan_text_lines",
+    # corpus text is newline-free (verified), so lines == documents and
+    # the text roundtrip IS oracle-expressible (order-insensitive hash)
+    oracle="SELECT text AS value, CAST(length(text) AS INTEGER) AS line_len FROM documents",
+    tags=("S3",),
+)
 def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — line-oriented text read (the TextInputFormat equivalent).
 
@@ -72,7 +78,19 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_parquet_roundtrip", tags=("S4",))  # rows-only: sink side effects not SQL-visible
+@register(
+    "sink_parquet_roundtrip",
+    # the re-read frame must equal the aggregate that was written — the
+    # oracle recomputes it from the source table, proving the
+    # partitioned write+read cycle lossless value-by-value
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("S4",),
+)
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 — partitioned parquet sink + re-read.
 

@@ -124,7 +124,15 @@ def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "hbdbps_stream_tumbling", "complete")
 
 
-@register("stream_stateful_dedup", tags=("T5", "stream"))
+@register(
+    "stream_stateful_dedup",
+    # event_id is unique in the corpus (verified), so exactly-once
+    # emission must reproduce the full projection — the stateful-dedup
+    # machinery itself (state store, watermark bookkeeping) is what the
+    # hash check exercises; a double- or dropped-emission breaks it
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("T5", "stream"),
+)
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5, streaming execution — watermark-bounded exactly-once
     dedup (``dropDuplicatesWithinWatermark``) of the event stream
