@@ -611,3 +611,74 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("bal_a") - F.col("bal_b")) <= _BAND_W))
         .select("id_a", "id_b", "bal_a", "bal_b")
     )
+
+
+_BLOOM_CONFS = {
+    # injection gates: the fact side must look big enough to bother and
+    # the dim side small enough to build the filter (local test files
+    # are far below the 10 GB production default, so open both gates)
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # a broadcast join needs no bloom (the dim rides to every task
+    # anyway), and a merge HINT suppresses the injection rule — so the
+    # shuffle join is forced via conf, mirroring the 100 TB case where
+    # neither side broadcasts
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "join_bloom_filtered",
+    oracle="""
+        SELECT o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(l.l_extendedprice) AS rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("J1", "bloom", "runtime-filter"),
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — Catalyst's row-level
+    semi-join reduction: the selective dim side (urgent orders)
+    builds a bloom filter on its join keys during its own scan, and
+    the filter is pushed into the FACT side's scan as a
+    ``might_contain`` predicate, dropping ~80% of lineitem rows
+    BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling only rows that can
+    possibly match — the engine-internal version of the manual
+    semi-join-then-join rewrite.
+
+    The injection gates are session confs, so the query materializes
+    eagerly under a snapshot-and-restore: no conf leaks into
+    subsequently planned queries (the driver runs 170+ through one
+    session). The bloom's presence in the plan is asserted in
+    tests/test_plans.py."""
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_join_frame(spark, sf_dir)
+        rows = df.collect()  # optimized (and bloom-injected) under the confs
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, df.schema)
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_extendedprice").alias("rev"))
+    )

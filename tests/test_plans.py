@@ -207,3 +207,22 @@ def test_heavy_hitters_shuffles_constant_rows(spark):
     before_python = plan.split("MapInPandas")[0] if "MapInPandas" in plan else plan
     # no exchange upstream of the summary stage (scan feeds Python directly)
     assert "Exchange hashpartitioning(user_id" not in before_python
+
+
+def test_bloom_filter_injected_into_fact_scan(spark):
+    """Runtime bloom-filter pruning: under the injection confs the
+    fact side must carry a bloom_filter_agg/might_contain pair."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.joins import (
+        _BLOOM_CONFS,
+        _bloom_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = plan_of(_bloom_join_frame(spark, SF_SMOKE))
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, "bloom filter was not injected"
