@@ -1040,3 +1040,49 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return supp.join(F.broadcast(bulk), supp.s_suppkey == bulk.l_suppkey, "left_semi")
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('MONTH', MIN(o_orderdate)) AS m_min,
+             date_trunc('MONTH', MAX(o_orderdate)) AS m_max
+      FROM {orders}
+    ),
+    spine(m) AS (
+      SELECT m_min FROM bounds
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM spine, bounds WHERE m < m_max
+    ),
+    monthly AS (
+      SELECT date_trunc('MONTH', o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(o_totalprice) AS revenue
+      FROM {orders} GROUP BY 1
+    )
+    SELECT spine.m AS month_start,
+           COALESCE(monthly.n_orders, 0) AS n_orders,
+           COALESCE(monthly.revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+"""
+
+
+@register(
+    "sql_recursive_cte_spine",
+    oracle=_RCTE_SQL.format(orders="orders"),
+    tags=("SQL", "recursive"),
+)
+def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4) — a monthly calendar spine generated by
+    recursion over the orders date span, left-joined to monthly order
+    aggregates so gap months appear as explicit zero rows (the dense-
+    grid discipline reporting pipelines need; the LOCF resampler does
+    the same with ``sequence``, this one exercises the WITH RECURSIVE
+    SQL surface itself). Identical SQL text runs on both engines —
+    the whole query IS its oracle.
+
+    Scale: recursion depth = #months (~84 for the corpus span), far
+    under the 100-level default limit; each iteration is a 1-row
+    frame, so the recursive union is driver-cheap regardless of table
+    size — the heavy lifting stays in the one monthly aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("hbdbps_rcte_orders")
+    return spark.sql(_RCTE_SQL.format(orders="hbdbps_rcte_orders"))
