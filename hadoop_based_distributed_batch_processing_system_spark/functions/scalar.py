@@ -363,3 +363,39 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k_typed"),
         F.col("p.missing").alias("absent_field"),
     )
+
+
+@register(
+    "fn_generators",
+    oracle="""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN [] ELSE string_split(text, ' ')[1:2] END AS toks
+          FROM documents
+        )
+        SELECT doc_id, tok, CAST(pos AS INTEGER) AS pos FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok,
+                 unnest(CASE WHEN len(toks) = 0 THEN [NULL]
+                        ELSE range(0, len(toks)) END) AS pos
+          FROM src
+        )
+    """,
+    tags=("F7", "generator"),
+)
+def fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — null-preserving generators: ``posexplode_outer`` keeps a
+    row (with NULL token/pos) when the array is empty, where plain
+    explode silently DROPS the parent row — the generator-family
+    analogue of inner-vs-outer join, and a classic silent-data-loss
+    bug in token pipelines (empty docs vanish from per-doc stats).
+    Every 10th doc's token array is emptied to force the case. The
+    DuckDB oracle emulates outer semantics by substituting [NULL]
+    for empty lists (its unnest drops empties like explode does)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.when(F.col("doc_id") % 10 == 0, F.array().cast("array<string>")).otherwise(
+        F.slice(F.split("text", " "), 1, 2)
+    )
+    return docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    ).select("doc_id", "tok", "pos")
