@@ -231,3 +231,60 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ZORDER_A, _ZORDER_B_SPARK, lambda x, n: f"shiftleft({x}, {n})"
     )
     return o.select("o_orderkey", F.expr(expr).alias("zkey"))
+
+
+@register(
+    "rownum_scalable_global",
+    oracle="""
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    """,
+    tags=("O1", "rownum"),
+)
+def rownum_scalable_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous row numbering WITHOUT the single-partition
+    window. ``ROW_NUMBER() OVER (ORDER BY k)`` with no PARTITION BY
+    collapses all data into one task — the canonical scale trap
+    (Spark even warns). The scalable recipe:
+
+    1. bucket each row by a DETERMINISTIC function of the key (here:
+       8 equal-width ranges between min and max, one cheap agg; at
+       scale, boundaries come from a sampled quantile pass computed
+       ONCE and baked in as literals — the point is that bucketing
+       must be a pure function of the data, NOT re-sampled per job:
+       ``repartitionByRange`` re-samples boundaries on every action,
+       so offsets computed in one job need not match the partitioning
+       of the next);
+    2. count rows per bucket — #buckets rows to the driver, bounded
+       by the bucket count, never by n; global offset per bucket =
+       exclusive prefix sum;
+    3. each bucket sorts locally and numbers rows offset+1..offset+n
+       (``applyInPandas`` per bucket; memory bound = bucket size,
+       the same bound any sort task has).
+
+    ``monotonically_increasing_id`` cannot do this: its ids are
+    unique but NOT contiguous (63-bit partition-stamped gaps)."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    n_buckets = 8
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    with_pid = orders.withColumn("pid", ((F.col("o_orderkey") - lo) / width).cast("int"))
+
+    counts = with_pid.groupBy("pid").count().orderBy("pid").collect()
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["pid"]] = acc
+        acc += r["count"]
+
+    def number_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        base = offsets[int(pdf["pid"].iloc[0])]
+        return pd.DataFrame(
+            {"o_orderkey": pdf["o_orderkey"], "rn": range(base + 1, base + 1 + len(pdf))}
+        )
+
+    return with_pid.groupBy("pid").applyInPandas(number_bucket, "o_orderkey long, rn long")
