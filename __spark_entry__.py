@@ -27,27 +27,39 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # queries never driver-verified come first (highest-risk first), and
 # queries already green in a past CORRECTNESS_r{N}.json go last (they
 # stay registered — local parity tests guard them against regression).
-_VERIFIED_PAST_ROUNDS = [
-    # round 1 (CORRECTNESS_r01.json): first 50 in original order
-    "scan_parquet", "scan_projected", "scan_text_lines", "sink_parquet_roundtrip",
-    "scan_csv", "scan_json", "scan_orc", "compact_small_files",
-    "sink_partition_pruned", "scan_schema_evolution", "sink_compression_codecs",
-    "join_dynamic_partition_pruning", "project_compute", "filter_pred",
-    "filter_regex", "filter_like", "join_inner_equi", "join_broadcast",
-    "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
-    "join_anti", "join_cross", "join_theta_range", "join_multiway",
-    "join_shipping_priority", "join_asof", "join_skew_salted",
-    "join_bucketed_colocated", "join_shuffle_hash_hint",
-    "nested_order_lines_roundtrip", "join_null_safe", "agg_group", "agg_global",
-    "agg_count_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_approx_quantile", "agg_stats_moments",
-    "agg_histogram", "agg_exact_median", "agg_min_max_by", "agg_bool_any_every",
-    "agg_bitwise", "agg_rollup_grouping_id", "agg_string_concat",
-    # NOT listed: agg_collect — red in r01 (driver list-hash crash),
-    # fixed this round, so it re-enters the front window.
-]
+# Past-round results are read from the CORRECTNESS files themselves, so
+# the rotation maintains itself round over round.
 
-# Round-2 window: the 50 entries the driver should verify this round.
+
+def _verified_past_rounds() -> list[str]:
+    """Names with a passing driver row in any past CORRECTNESS file:
+    hash-verified (rows+schema+hash all true) or a clean rows-only run
+    (err == 'no_oracle'). ERROR rows do NOT count — those queries stay
+    in front until a green row exists. First-seen order preserved."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    verified: list[str] = []
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict) or name in verified:
+                continue
+            hash_pass = rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
+            rows_only_ok = rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            if hash_pass or rows_only_ok:
+                verified.append(name)
+    return verified
+
+# Hand-curated head of the never-verified set: the entries the next
+# driver window should reach first (highest value / recently fixed).
+# Never-verified entries missing from this list still precede all
+# verified ones — they follow in registration order.
 _PRIORITY_WINDOW = [
     # fixed-this-round array-output queries (prove the fix on the scoreboard)
     "agg_collect", "fn_array", "fn_string", "fn_map",
@@ -76,10 +88,11 @@ _PRIORITY_WINDOW = [
 
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _PRIORITY_WINDOW if n in REGISTRY]
-    placed = set(front) | set(_VERIFIED_PAST_ROUNDS)
+    verified = _verified_past_rounds()
+    front = [n for n in _PRIORITY_WINDOW if n in REGISTRY and n not in verified]
+    placed = set(front) | set(verified)
     middle = [n for n in REGISTRY if n not in placed]
-    back = [n for n in _VERIFIED_PAST_ROUNDS if n in REGISTRY]
+    back = [n for n in verified if n in REGISTRY]
     return front + middle + back
 
 
