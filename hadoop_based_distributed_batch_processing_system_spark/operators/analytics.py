@@ -1086,3 +1086,52 @@ def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — the heavy lifting stays in the one monthly aggregate."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("hbdbps_rcte_orders")
     return spark.sql(_RCTE_SQL.format(orders="hbdbps_rcte_orders"))
+
+
+_DQ_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "dq_profile_lineitem",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_val,
+               CAST(MAX({c}) AS DOUBLE) AS max_val
+        FROM lineitem
+        """
+        for c in _DQ_COLS
+    ),
+    tags=("DQ", "profile"),
+)
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling — the audit every ingestion pipeline
+    runs before trusting a batch: per-column null count, distinct
+    count, and min/max range, for all columns in ONE scan (a single
+    wide aggregate; the oracle's per-column UNION ALL scans once per
+    column — the Spark shape is #cols times cheaper), then unpivoted
+    to one row per column with ``stack``. At 100 TB the wide-agg
+    shape is the only viable one: profiling must not multiply scans
+    of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _DQ_COLS:
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_expr = "stack({n}, {args}) AS (col_name, n_nulls, n_distinct, min_val, max_val)".format(
+        n=len(_DQ_COLS),
+        args=", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _DQ_COLS
+        ),
+    )
+    return wide.select("n_rows", F.expr(stack_expr)).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+    )
