@@ -477,3 +477,32 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources_csv")
     )
+
+
+@register(
+    "agg_count_distinct_salted",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("A3", "skew"),
+)
+def agg_count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3'' — two-stage salted exact distinct count, the rewrite for
+    skewed groups: a plain per-key COUNT(DISTINCT) funnels each hot
+    key's whole distinct set through one task. Stage 1 splits every
+    key into 16 sub-keys by HASHING THE VALUE (each distinct value
+    lands in exactly one salt bucket, so per-bucket distinct counts
+    are disjoint); stage 2 sums the 16 partial counts per key. Both
+    stages are ordinary hash aggs with partial aggregation — the hot
+    key's work now spreads over 16 tasks. The oracle is the plain
+    single-stage distinct, proving the rewrite exact."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.groupBy(
+        "event_type", F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("salt")
+    ).agg(F.countDistinct("user_id").alias("part_distinct"))
+    return salted.groupBy("event_type").agg(
+        F.sum("part_distinct").alias("n_users")
+    )
