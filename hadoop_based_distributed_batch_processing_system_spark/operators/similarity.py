@@ -192,6 +192,52 @@ def _bucket_topk_kernel(k_partial: int):
 _bucket_knn_kernel = _bucket_topk_kernel(_ANN_K)
 
 
+def _assign_emit_kernel(centroids, nprobe: int = None):
+    """Fused IVF assignment + inverted-list emission: for each vector
+    emit one data row (side=0, bucket=nearest centroid) and one probe
+    row per probed centroid (side=1). One Arrow pass produces the
+    frame the grouped scorer shuffles ONCE on the bucket key."""
+    import numpy as np
+
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    np_ = nprobe if nprobe is not None else _IVF_NPROBE
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            order = np.argsort(-(vn @ c.T), axis=1)
+            k = min(np_, order.shape[1])
+            n = len(ids)
+            vlist = list(v)
+            probe_vs = [vlist[i] for i in np.repeat(np.arange(n), k)]
+            yield pd.DataFrame(
+                {
+                    "bucket": np.concatenate([order[:, 0], order[:, :k].ravel()]).astype("int32"),
+                    "side": np.concatenate([np.zeros(n), np.ones(n * k)]).astype("int32"),
+                    "id": np.concatenate([ids, np.repeat(ids, k)]),
+                    "v": vlist + probe_vs,
+                }
+            )
+
+    return emit
+
+
+def _union_knn_kernel(pdf):
+    """Per-bucket scorer over the fused frame: probe rows (side=1)
+    GEMM against data rows (side=0) — same math and self-pair
+    handling as the cogroup kernel, one input instead of two."""
+    import numpy as np
+    import pandas as pd
+
+    left = pdf[pdf["side"] == 1].rename(columns={"id": "q_id", "v": "qv"})
+    right = pdf[pdf["side"] == 0].rename(columns={"id": "n_id", "v": "nv"})
+    return _bucket_knn_kernel(left, right)
+
+
 @register("sim_search_ann_lsh", tags=("L3", "ann"))  # rows-only: approximate by design
 def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path — approximate top-k neighbors for EVERY vector
@@ -329,24 +375,20 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in refined_rows:
         refined[r["cluster"]] = np.asarray(r["centroid"], dtype=np.float64)
 
-    assigned = emb.mapInPandas(
-        _assign_kernel(refined),
-        "vec_id long, embedding array<float>, cluster int, probes array<int>",
-    )
-    data = assigned.select(
-        F.col("vec_id").alias("n_id"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("nv"),
-        "cluster",
-    )
-    probes = assigned.select(
-        F.col("vec_id").alias("q_id"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qv"),
-        F.explode("probes").alias("probe_cluster"),
+    # Fused assign + inverted-list emission: ONE mapInPandas pass emits
+    # each vector's data row (side=0, its own list) and nprobe probe
+    # rows (side=1) directly. The two-sided cogroup variant recomputed
+    # the uncached assignment once per side — an extra Python pass over
+    # the corpus and a second shuffle. (At sf0.1 the wall-clock gain is
+    # small because fixed job overheads dominate; at 100 TB the saved
+    # pass is a full corpus scan.)
+    emitted = emb.mapInPandas(
+        _assign_emit_kernel(refined),
+        "bucket int, side int, id long, v array<double>",
     )
     scored = (
-        probes.groupBy("probe_cluster")
-        .cogroup(data.groupBy("cluster"))
-        .applyInPandas(_bucket_knn_kernel, "q_id long, n_id long, cosine double")
+        emitted.groupBy("bucket")
+        .applyInPandas(_union_knn_kernel, "q_id long, n_id long, cosine double")
         .dropDuplicates(["q_id", "n_id"])
     )
     from pyspark.sql.window import Window
