@@ -226,3 +226,56 @@ def test_bloom_filter_injected_into_fact_scan(spark):
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, "bloom filter was not injected"
+
+
+# Operators allowed to plan a cartesian/broadcast-nested-loop join.
+# Two legitimate classes; anything NEW that shows up here is a scale
+# regression and must either be fixed or justified in this table.
+_NESTED_LOOP_ALLOWED = {
+    # intentional cartesian / guarded brute-force ground truth
+    "join_cross": "J5: the cartesian operator itself",
+    "dedup_ngram_jaccard": "guarded brute-force ground truth (raises >100k docs)",
+    "dedup_embedding_cosine": "guarded brute-force ground truth",
+    "sim_search_topk": "guarded brute-force ground truth (raises >100k vectors)",
+    "knn_label_vote": "exact classifier; broadcast side guarded at 1M vectors",
+    # 1-row scalar broadcasts (min/max, totals, probe vectors) — the
+    # nested loop's build side is a single row by construction
+    "agg_histogram": "broadcasts 1-row global min/max for bin width",
+    "sample_class_weights": "broadcasts 1-row global total",
+    "q22_idle_rich_customers": "TPC-H Q22 scalar avg-acctbal subquery",
+    "q11_important_parts": "TPC-H Q11 scalar threshold subquery",
+    "dedup_connected_components": "1-row convergence/base-case scalar",
+    "sim_search_query_topk": "broadcasts the single probe vector",
+    "multimodal_join": "broadcasts the single probe vector",
+    "text_tfidf_topterms": "broadcasts 1-row corpus doc count",
+    "watermark_late_drop": "broadcasts 1-row max event time (the watermark)",
+    "funnel_conversion": "broadcasts 1-row cohort baseline scalar",
+}
+
+# Eager-on-call operators (streams, sinks, driver-side collects) are
+# exercised elsewhere; building their "plan" would execute them.
+_PLAN_SWEEP_SKIP_PREFIX = ("stream_", "sink_", "compact_")
+_PLAN_SWEEP_SKIP = {
+    "counters_job_audit", "join_bloom_filtered", "rownum_scalable_global",
+    "sim_search_ann_ivf", "observe_query_metrics", "mr_wordcount",
+    "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
+    "sql_parameterized",
+}
+
+
+def test_no_unapproved_nested_loop_joins(spark):
+    """Fleet-wide scale audit: no operator may plan a cartesian or
+    broadcast-nested-loop join unless it is on the documented
+    allowlist (guarded brute force or 1-row scalar broadcast)."""
+    flagged = []
+    for name, spec in REG.items():
+        if name.startswith(_PLAN_SWEEP_SKIP_PREFIX) or name in _PLAN_SWEEP_SKIP:
+            continue
+        plan = plan_of(spec.fn(spark, SF_SMOKE))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            flagged.append(name)
+    unapproved = [n for n in flagged if n not in _NESTED_LOOP_ALLOWED]
+    assert not unapproved, f"new nested-loop/cartesian plans: {unapproved}"
+    # and the allowlist must not rot: every entry still plans one
+    gone = [n for n in _NESTED_LOOP_ALLOWED if n in REG and n not in flagged]
+    assert not gone, f"allowlist entries no longer nested-loop (prune them): {gone}"
