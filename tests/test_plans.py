@@ -264,16 +264,25 @@ _PLAN_SWEEP_SKIP = {
 
 
 def test_no_unapproved_nested_loop_joins(spark):
-    """Fleet-wide scale audit: no operator may plan a cartesian or
-    broadcast-nested-loop join unless it is on the documented
-    allowlist (guarded brute force or 1-row scalar broadcast)."""
-    flagged = []
+    """Fleet-wide scale audit, one plan sweep, two properties:
+
+    1. no operator may plan a cartesian or broadcast-nested-loop join
+       unless it is on the documented allowlist (guarded brute force
+       or 1-row scalar broadcast);
+    2. NO operator may plan a row-at-a-time Python UDF
+       (BatchEvalPython) — Arrow-batched nodes (ArrowEvalPython,
+       MapInPandas, FlatMapGroupsInPandas & co.) are the only Python
+       allowed in any plan, per the repo-wide vectorization rule."""
+    flagged, row_udfs = [], []
     for name, spec in REG.items():
         if name.startswith(_PLAN_SWEEP_SKIP_PREFIX) or name in _PLAN_SWEEP_SKIP:
             continue
         plan = plan_of(spec.fn(spark, SF_SMOKE))
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             flagged.append(name)
+        if "BatchEvalPython" in plan:
+            row_udfs.append(name)
+    assert not row_udfs, f"row-at-a-time Python UDF plans (banned): {row_udfs}"
     unapproved = [n for n in flagged if n not in _NESTED_LOOP_ALLOWED]
     assert not unapproved, f"new nested-loop/cartesian plans: {unapproved}"
     # and the allowlist must not rot: every entry still plans one
