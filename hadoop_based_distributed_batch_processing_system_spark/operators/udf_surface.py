@@ -197,11 +197,14 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     join in SQL. This is the table-function half of the Mapper
     contract (``explode``/``mapInPandas`` cover the common cases;
     a UDTF adds arbitrary generator logic + the SQL surface).
-    Python-side per-row iteration — keep off the hot path; shown on
-    the small 'de' slice."""
+    ``useArrow=True`` plans it as ArrowEvalPythonUDTF — rows still
+    cross one at a time through ``eval`` (inherent to the UDTF
+    contract), but transport is Arrow-batched, keeping the fleet-wide
+    no-BatchEvalPython plan audit clean. Shown on the small 'de'
+    slice."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token string, pos int")
+    @udtf(returnType="token string, pos int", useArrow=True)
     class Tokenize:
         def eval(self, text: str):
             for i, t in enumerate((text or "").split(" ")):
