@@ -399,3 +399,34 @@ def fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", toks.alias("toks")).select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     ).select("doc_id", "tok", "pos")
+
+
+@register(
+    "fn_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+               CAST(json_extract(props, '$.k') AS DOUBLE)  AS k_as_double,
+               'OBJECT<k: BIGINT>'                         AS v_schema
+        FROM events
+    """,
+    tags=("F8", "variant"),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — Spark 4 VARIANT, the modern semi-structured path: parse
+    the JSON payload ONCE into a binary variant (typed, shreddable at
+    the storage layer), then extract typed fields with
+    ``variant_get`` and introspect with ``schema_of_variant``. Versus
+    per-field ``get_json_object`` (re-parses the string per call,
+    F6), one parse serves every extraction — the difference between
+    O(fields) and O(1) parses per row on wide payloads. The oracle
+    types each extraction via DuckDB json_extract casts; the schema
+    string is constant because every props payload has the same
+    single-key shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_typed"),
+        F.expr("variant_get(parse_json(props), '$.k', 'double')").alias("k_as_double"),
+        F.expr("schema_of_variant(parse_json(props))").alias("v_schema"),
+    )
