@@ -33,9 +33,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def _verified_past_rounds() -> list[str]:
     """Names with a passing driver row in any past CORRECTNESS file:
-    hash-verified (rows+schema+hash all true) or a clean rows-only run
-    (err == 'no_oracle'). ERROR rows do NOT count — those queries stay
-    in front until a green row exists. First-seen order preserved."""
+    hash-verified (rows+schema+hash all true), or a clean rows-only
+    run (err == 'no_oracle') for a query that STILL has no oracle — a
+    query that has since gained an oracle was never hash-checked, so
+    it re-enters the front for a hash-verified row. ERROR rows never
+    count. First-seen order preserved."""
     import glob
     import json
     import os
@@ -51,7 +53,11 @@ def _verified_past_rounds() -> list[str]:
             if not isinstance(rec, dict) or name in verified:
                 continue
             hash_pass = rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
-            rows_only_ok = rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            rows_only_ok = (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+                and (name not in REGISTRY or REGISTRY[name].oracle is None)
+            )
             if hash_pass or rows_only_ok:
                 verified.append(name)
     return verified
