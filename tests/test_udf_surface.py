@@ -120,3 +120,18 @@ def test_heavy_hitters_superset_and_agreement(spark):
     # estimates never exceed true counts (MG under-counts)
     for _, row in approx.iterrows():
         assert row["est_count"] <= exact_all[row["user_id"]]
+
+
+def test_hll_mergeable_tolerance(spark):
+    """Per-group HLL estimates within 5% of exact, and the
+    union-of-parts estimate within 5% of the exact corpus-wide
+    distinct count. (Union is NOT bit-identical to sketch-of-whole —
+    the union gadget's representation differs from a direct HLL_4
+    build — but both must land inside the same error bound.)"""
+    out = {r.o_orderstatus: r for r in REG["agg_hll_mergeable"].fn(spark, SF_ORACLE).collect()}
+    for status, row in out.items():
+        if status == "ALL":
+            continue
+        assert abs(row.est_custs - row.exact_custs) / row.exact_custs < 0.05, (status, row)
+    exact_whole = load_table(spark, SF_ORACLE, "orders").select("o_custkey").distinct().count()
+    assert abs(out["ALL"].est_custs - exact_whole) / exact_whole < 0.05
