@@ -430,3 +430,38 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(parse_json(props), '$.k', 'double')").alias("k_as_double"),
         F.expr("schema_of_variant(parse_json(props))").alias("v_schema"),
     )
+
+
+@register(
+    "fn_xml",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_from_xml,
+               event_type AS type_from_xml
+        FROM events
+    """,
+    tags=("F9", "xml"),
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — XML ingestion surface (``from_xml``, Spark 4): the events
+    payload is re-serialized as an XML document JVM-side, then parsed
+    back with a declared schema — a full XML round-trip proving the
+    parse path (the corpus ships no native XML, so the operator
+    manufactures real XML from real data; the oracle recomputes the
+    same fields from the original JSON). Same discipline as scan_csv/
+    scan_json: explicit schema, never inference, and parse-once into
+    a typed struct."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><k>"),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("")),
+        F.lit("</k><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    parsed = ev.select("event_id", F.from_xml(xml, "k INT, t STRING").alias("s"))
+    return parsed.select(
+        "event_id",
+        F.col("s.k").alias("k_from_xml"),
+        F.col("s.t").alias("type_from_xml"),
+    )
