@@ -1135,3 +1135,85 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("n_rows", F.expr(stack_expr)).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
     )
+
+
+@register(
+    "catalog_managed_table_roundtrip",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(o_totalprice) AS total
+        FROM orders
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'MANUAL-APPEND', CAST(1 AS BIGINT), 0.0
+    """,
+    tags=("catalog", "sql"),
+)
+def catalog_managed_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse/catalog layer: ``saveAsTable`` writes a MANAGED
+    parquet table into the metastore (spark-warehouse/), ``INSERT
+    INTO`` appends through the catalog, and the final read goes by
+    table NAME, not path — the lifecycle a multi-tenant engine
+    offers over raw file sinks (ownership, schema-on-catalog, DROP
+    cleans storage). The oracle recomputes write + append from the
+    source table, proving the whole catalog cycle lossless.
+
+    Scale: a managed table is just a parquet directory with catalog
+    metadata — partitioned/bucketed variants behave like the path
+    sinks (S4'), so nothing here changes shape with data size."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import corpus_tag
+
+    tbl = f"hbdbps_managed_{corpus_tag(sf_dir)}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+    )
+    agg.write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(f"INSERT INTO {tbl} VALUES ('MANUAL-APPEND', 1, 0.0)")
+    out = spark.table(tbl).localCheckpoint(eager=True)  # detach from the table before DROP
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out
+
+
+@register(
+    "cache_two_phase_reuse",
+    oracle="""
+        WITH f AS (
+          SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        )
+        SELECT 'by_flag' AS phase, l_returnflag AS k,
+               CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS s
+        FROM f GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'by_status', l_linestatus,
+               CAST(COUNT(*) AS BIGINT), SUM(l_quantity)
+        FROM f GROUP BY l_linestatus
+    """,
+    tags=("cache", "iterative"),
+)
+def cache_two_phase_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage reuse via ``cache()`` — the headline difference from a
+    MapReduce system, where every job re-reads the DFS: one filtered
+    frame is materialized once in executor memory and TWO aggregation
+    phases read it back (InMemoryTableScan, plan-asserted in tests)
+    instead of re-scanning parquet. The pattern behind every
+    iterative workload here (pagerank caches its edge list the same
+    way). Materializes eagerly so the cache can be unpersisted before
+    returning — no state leaks into the driver's shared session."""
+    filtered = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    filtered.cache()
+    try:
+        by_flag = filtered.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+        ).select(F.lit("by_flag").alias("phase"), F.col("l_returnflag").alias("k"), "n", "s")
+        by_status = filtered.groupBy("l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+        ).select(F.lit("by_status").alias("phase"), F.col("l_linestatus").alias("k"), "n", "s")
+        return by_flag.unionAll(by_status).localCheckpoint(eager=True)
+    finally:
+        filtered.unpersist()

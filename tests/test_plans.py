@@ -259,7 +259,8 @@ _PLAN_SWEEP_SKIP = {
     "counters_job_audit", "join_bloom_filtered", "rownum_scalable_global",
     "sim_search_ann_ivf", "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
-    "sql_parameterized",
+    "sql_parameterized", "catalog_managed_table_roundtrip",
+    "cache_two_phase_reuse",
 }
 
 
@@ -288,3 +289,22 @@ def test_no_unapproved_nested_loop_joins(spark):
     # and the allowlist must not rot: every entry still plans one
     gone = [n for n in _NESTED_LOOP_ALLOWED if n in REG and n not in flagged]
     assert not gone, f"allowlist entries no longer nested-loop (prune them): {gone}"
+
+
+def test_cache_reuse_plans_in_memory_scan(spark):
+    """cache_two_phase_reuse: both aggregation phases must read the
+    cached relation (InMemoryTableScan), not re-scan parquet."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+    filtered = load_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    filtered.cache()
+    try:
+        agg = filtered.groupBy("l_returnflag").count()
+        plan = plan_of(agg)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    finally:
+        filtered.unpersist()
