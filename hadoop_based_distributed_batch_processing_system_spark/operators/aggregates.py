@@ -542,3 +542,79 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("exact_custs"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        FROM orders
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+    """,
+    tags=("A3", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3''' — EXACT distinct counting via mergeable bitmaps
+    (``bitmap_construct_agg``/``bitmap_or_agg``, Spark 3.5+): each
+    group builds a fixed-width bitmap of its key positions; bitmaps
+    OR together losslessly, so the corpus-wide distinct count comes
+    from merging the per-group bitmaps — NO second pass over data and
+    no re-shuffle on the key. The exact counterpart of the HLL sketch
+    path (A4''''): same merge shape, zero error, at the cost of
+    bitmap width scaling with the key domain (fine for dense int
+    keys like custkey; HLL wins on unbounded/string domains). The
+    oracle recomputes both levels with plain COUNT(DISTINCT),
+    proving bitmap counting exact.
+
+    The bucket dimension is mandatory: ``bitmap_bit_position`` is a
+    position WITHIN a 32k-key bucket (``bitmap_bucket_number``), so
+    bitmaps must be built per (group, bucket) and the counts summed —
+    collapsing buckets makes distinct keys collide (custkey 0 and 1
+    share position 0 across buckets; measured off-by-one per group)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_bucket = orders.groupBy(
+        "o_orderstatus", F.expr("bitmap_bucket_number(o_custkey)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+    per_group = per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_custs")
+    )
+    overall = (
+        per_bucket.groupBy("bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .agg(F.sum("c").alias("n_custs"))
+        .select(F.lit("ALL").alias("o_orderstatus"), "n_custs")
+    )
+    return per_group.unionByName(overall)
+
+
+@register(
+    "agg_regression_stats",
+    oracle="""
+        SELECT l_returnflag,
+               regr_slope(l_extendedprice, l_quantity)      AS slope,
+               regr_intercept(l_extendedprice, l_quantity)  AS intercept,
+               corr(l_extendedprice, l_quantity)            AS price_qty_corr,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("A8", "regression"),
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8' — the SQL linear-regression aggregate family: per-group
+    OLS slope/intercept of price on quantity plus correlation — the
+    in-engine version of the fit-a-trend step every metrics pipeline
+    runs (no mllib, no driver-side math; one hash agg with partial
+    merge, the same shuffle shape as any sum). DuckDB implements the
+    identical ANSI regr_* family, so the whole fit is value-checked
+    cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope"),
+        F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("intercept"),
+        F.corr("l_extendedprice", "l_quantity").alias("price_qty_corr"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+    )
