@@ -477,3 +477,39 @@ def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "hbdbps_stream_append_closed", "append")
+
+
+@register(
+    "stream_file_sink_exactly_once",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("T8", "stream", "sink"),
+)
+def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet FILE sink with checkpointed exactly-once
+    delivery: the query drains the bounded stream into a parquet
+    directory; the checkpoint records which source files each batch
+    committed, and the sink's _spark_metadata log records which
+    output files are valid — so a RERUN with the same checkpoint
+    writes NOTHING new (pytest invokes the operator twice and pins
+    identical row counts), and a reader sees no partial batches.
+    This pair of logs IS the streaming exactly-once contract; the
+    oracle checks content equality against the source table
+    (event_ids unique in the corpus)."""
+    import os
+    import tempfile
+
+    tag = corpus_tag(sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_stream_sink_{tag}")
+    ckpt = out + ".ckpt"
+    ev = read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    query = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(120):
+        query.stop()
+        raise TimeoutError("stream_file_sink_exactly_once: drain exceeded 120s")
+    return spark.read.parquet(out)

@@ -46,3 +46,18 @@ def test_session_window_invariants(spark):
         starts, ends = g["session_start"].tolist(), g["session_end"].tolist()
         for prev_end, nxt_start in zip(ends, starts[1:]):
             assert nxt_start > prev_end
+
+
+def test_file_sink_rerun_is_exactly_once(spark):
+    """Running the checkpointed file-sink query twice must not
+    duplicate a single row — the batch commit log makes the second
+    drain a no-op."""
+    from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+    from tests.conftest import SF_ORACLE
+
+    REG = load_all()
+    first = REG["stream_file_sink_exactly_once"].fn(spark, SF_ORACLE).count()
+    second = REG["stream_file_sink_exactly_once"].fn(spark, SF_ORACLE).count()
+    n_src = load_table(spark, SF_ORACLE, "events").count()
+    assert first == second == n_src
