@@ -27,7 +27,8 @@ HEADLINE = [
     "agg_global",           # q6 shape
     "agg_count_distinct",   # grouped distinct (harder shape, kept for trend)
     "agg_count_distinct_global",  # BASELINE.md distinct_customers, like-for-like
-    "win_rank",             # window rank
+    "win_rank",             # window rank, full top-3 output (kept for trend)
+    "win_rank_limited",     # BASELINE.md window_rank_orders, like-for-like
     "topk",                 # order by + limit
     "window_tumbling",      # events hourly agg
     "fn_json",              # events json extract

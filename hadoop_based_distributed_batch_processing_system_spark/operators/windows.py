@@ -210,3 +210,37 @@ def win_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(w).alias("first_real_value"),
         F.last("v", ignorenulls=True).over(w).alias("running_last_value"),
     )
+
+
+@register(
+    "win_rank_limited",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   RANK() OVER w AS rk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        )
+        WHERE rk <= 3
+        ORDER BY o_custkey, rk, o_orderkey
+        LIMIT 100
+    """,
+    tags=("W1",),
+)
+def win_rank_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1, baseline shape — rank per customer, top-3, LIMIT 100: the
+    exact query BASELINE.md's `window_rank_orders` row times. The
+    unlimited variant above returns every customer's top-3 (~35k rows
+    at sf0.1), so its wall-clock is dominated by result transfer, not
+    the window — this one is the like-for-like bench row. The limit
+    rides a deterministic (custkey, rank, orderkey) order so both
+    engines pick identical rows."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk", "o_orderkey")
+        .limit(100)
+    )
