@@ -154,3 +154,24 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_branch = o.filter(F.col("o_orderkey") % 3 == 1).select("o_orderkey", "o_totalprice")
     return new_branch.unionByName(old_branch, allowMissingColumns=True)
+
+
+@register(
+    "intersect_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("U2",),
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2c — MULTISET intersection: each customer appears
+    min(#open-orders, #closed-orders) times, where the distinct
+    variant above collapses to one row. Spark plans both as the same
+    left-semi-style shuffle; ALL semantics just keep per-key counts
+    (an Expand + aggregate under the hood)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
