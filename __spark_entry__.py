@@ -90,6 +90,18 @@ _PRIORITY_WINDOW = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "dedup_connected_components", "sim_search_topk", "sim_search_query_topk",
     "knn_label_vote", "text_tfidf_topterms",
+    # --- round-3 head (positions 51+ this round; front once the above
+    # verify): operators added in round 2 — newest code, highest risk —
+    # then rows-only-upgraded oracles and the streaming/oracle'd tail.
+    "join_range_binned", "join_bloom_filtered", "agg_count_distinct_global",
+    "agg_count_distinct_salted", "agg_bitmap_distinct", "agg_regression_stats",
+    "mm_audio_decode_wav", "embed_random_projection", "rownum_scalable_global",
+    "dq_profile_lineitem", "sql_recursive_cte_spine", "fn_generators",
+    "fn_variant", "fn_xml", "intersect_all", "catalog_managed_table_roundtrip",
+    "cache_two_phase_reuse", "stream_file_sink_exactly_once",
+    "scan_text_lines", "sink_parquet_roundtrip", "dedup_minhash_lsh",
+    "stream_stateful_dedup",
+    # streaming + remaining oracle'd entries follow in registration order
 ]
 
 
