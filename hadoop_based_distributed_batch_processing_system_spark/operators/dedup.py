@@ -40,6 +40,8 @@ _NUM_HASHES = 16
 _BAND_ROWS = 2
 _NUM_BANDS = _NUM_HASHES // _BAND_ROWS
 _JACCARD_THRESHOLD = 0.5
+# ceiling for the O(n^2) ground-truth operators; scale paths take over past it
+_BRUTE_FORCE_BOUND = 100_000
 
 _SHINGLE_WIDTH = 3
 
@@ -147,7 +149,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh``, which finds the same pairs via banding."""
     tok = _shingles(spark, sf_dir)
     n = tok.count()
-    if n > 100_000:
+    if n > _BRUTE_FORCE_BOUND:
         raise ValueError(f"brute-force jaccard guard: {n} docs would make {n * n // 2} pairs; use dedup_minhash_lsh")
     a = tok.alias("a")
     b = tok.alias("b")
@@ -370,7 +372,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    if n > 100_000:
+    if n > _BRUTE_FORCE_BOUND:
         raise ValueError(f"brute-force cosine guard: {n} vectors; use sim_search_ann_lsh")
     v = with_norm(emb.select("vec_id", "embedding"))
     a = v.alias("a")

@@ -26,6 +26,8 @@ from hadoop_based_distributed_batch_processing_system_spark.registry import regi
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
 
 _DIM = 64
+# ceiling for the O(n^2) ground-truth operator; ANN paths take over past it
+_BRUTE_FORCE_BOUND = 100_000
 
 def pair_cosine() -> Column:
     """dot(a.v, b.v) / (|a| * |b|) over two ``with_norm``-prepared
@@ -72,7 +74,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition heaps, only 100 rows ever reach the driver side."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    if n > 100_000:
+    if n > _BRUTE_FORCE_BOUND:
         raise ValueError(f"brute-force topk guard: {n} vectors; use sim_search_ann_lsh")
     v = with_norm(emb.select("vec_id", "embedding"))
     a, b = v.alias("a"), v.alias("b")

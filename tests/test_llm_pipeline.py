@@ -306,3 +306,18 @@ def test_jl_projection_distance_distortion(spark):
     ratios = np.array(ratios)
     assert 0.25 < ratios.mean() < 1.75, f"JL mean distortion off: {ratios.mean()}"
     assert (ratios > 0.05).all(), "JL collapsed a pair to near-zero"
+
+
+def test_brute_force_guards_raise(spark, monkeypatch):
+    """Every O(n^2) ground-truth operator must refuse above its bound
+    and name its scale path in the error."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators import dedup, similarity
+
+    monkeypatch.setattr(dedup, "_BRUTE_FORCE_BOUND", 0)
+    monkeypatch.setattr(similarity, "_BRUTE_FORCE_BOUND", 0)
+    with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+        REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE)
+    with pytest.raises(ValueError, match="guard"):
+        REG["dedup_embedding_cosine"].fn(spark, SF_ORACLE)
+    with pytest.raises(ValueError, match="sim_search_ann_lsh"):
+        REG["sim_search_topk"].fn(spark, SF_ORACLE)
