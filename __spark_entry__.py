@@ -101,7 +101,24 @@ _PRIORITY_WINDOW = [
     "cache_two_phase_reuse", "stream_file_sink_exactly_once",
     "scan_text_lines", "sink_parquet_roundtrip", "dedup_minhash_lsh",
     "stream_stateful_dedup",
-    # streaming + remaining oracle'd entries follow in registration order
+    # --- round-3 risk-ordered tail: the never-verified code most likely
+    # to behave differently under the driver than under pytest.
+    # True-stream executions (subprocess/session/staging interactions) — 8
+    "stream_window_tumbling", "stream_window_sliding", "stream_window_session",
+    "stream_stateful_user_totals", "stream_static_join", "stream_stream_join",
+    "stream_foreach_batch_upsert", "stream_append_closed_windows",
+    # UDF / UDAF / UDTF surface (Arrow paths) + MR-compat bridge — 13
+    "udf_mapper_vectorized", "udf_mapper_arrow", "udf_reducer_grouped",
+    "udf_grouped_agg", "udf_flatmap", "udtf_tokenize_lateral",
+    "partitioner_hash", "partitioner_range", "counters_job_audit",
+    "udf_broadcast_dictionary", "observe_query_metrics",
+    "mr_wordcount", "mr_grep_map_only",
+    # event-time batch layer (§2.9 windows/watermark/sessionization) — 11
+    "window_tumbling", "window_sliding", "window_session",
+    "watermark_late_drop", "stateful_dedup", "dedup_debounce_window",
+    "events_anomaly_zscore", "timeseries_resample_locf",
+    "rollup_hypertable_daily", "funnel_conversion", "cohort_retention",
+    # remaining oracle'd entries follow in registration order
 ]
 
 
