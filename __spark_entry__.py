@@ -31,26 +31,56 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # the rotation maintains itself round over round.
 
 
+# Events blast radius: every query whose result depends on events.ts.
+# The corpus regenerated between rounds 2 and 3 (ts NANOS → MICROS) and
+# all of these either errored, produced wrong answers, or carry stale
+# green rows measured against the OLD corpus. Rounds ≤ 3 therefore
+# cannot attest them: their pre-r4 CORRECTNESS rows are ignored below
+# so each re-earns a driver row against today's corpus + fixed ingest.
+_EVENTS_TAINTED_BEFORE_ROUND = 4
+_EVENTS_TAINTED = {
+    "sink_partition_pruned", "compact_small_files", "join_dynamic_partition_pruning",
+    "join_asof", "agg_count_distinct_salted", "topk_heavy_hitters_mg",
+    "pivot_event_type_daily", "win_lag_lead", "win_first_last_ignore_nulls",
+    "secondary_sort_user_timeline", "fn_map", "fn_json", "fn_json_struct",
+    "fn_variant", "fn_xml", "window_tumbling", "window_sliding", "window_session",
+    "watermark_late_drop", "stateful_dedup", "dedup_debounce_window",
+    "events_anomaly_zscore", "timeseries_resample_locf", "rollup_hypertable_daily",
+    "funnel_conversion", "cohort_retention", "stream_window_tumbling",
+    "stream_window_sliding", "stream_window_session", "stream_stateful_dedup",
+    "stream_stateful_user_totals", "stream_static_join", "stream_stream_join",
+    "stream_foreach_batch_upsert", "stream_append_closed_windows",
+    "stream_file_sink_exactly_once", "partitioner_hash", "partitioner_range",
+    "counters_job_audit", "sql_catalog_query", "sql_parameterized",
+}
+
+
 def _verified_past_rounds() -> list[str]:
     """Names with a passing driver row in any past CORRECTNESS file:
     hash-verified (rows+schema+hash all true), or a clean rows-only
     run (err == 'no_oracle') for a query that STILL has no oracle — a
     query that has since gained an oracle was never hash-checked, so
     it re-enters the front for a hash-verified row. ERROR rows never
-    count. First-seen order preserved."""
+    count, nor do events-tainted rows from before round 4 (stale
+    corpus). First-seen order preserved."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     verified: list[str] = []
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
             continue
         for name, rec in rows.items():
             if not isinstance(rec, dict) or name in verified:
+                continue
+            if name in _EVENTS_TAINTED and rnd < _EVENTS_TAINTED_BEFORE_ROUND:
                 continue
             hash_pass = rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
             rows_only_ok = (
@@ -67,58 +97,51 @@ def _verified_past_rounds() -> list[str]:
 # Never-verified entries missing from this list still precede all
 # verified ones — they follow in registration order.
 _PRIORITY_WINDOW = [
-    # fixed-this-round array-output queries (prove the fix on the scoreboard)
-    "agg_collect", "fn_array", "fn_string", "fn_map",
-    "text_inverted_index", "embed_quantize_int8",
-    # TPC-H-shape composite workloads (ops/analytics.py) — 23
-    "q2_min_cost_supplier", "q4_late_shipping_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_revenue",
-    "q11_important_parts", "q12_priority_by_returnflag",
-    "q13_customer_distribution", "q14_promo_revenue_ratio", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_brackets", "q20_part_promotion_suppliers",
-    "q21_waiting_suppliers", "q22_idle_rich_customers",
-    "pipeline_training_data_prep", "upsert_cdc_apply", "scd2_history_build",
-    "sql_catalog_query", "sql_parameterized",
-    # window functions — 6
-    "win_rank", "win_lag_lead", "win_running", "win_range_frame",
-    "win_distribution", "win_first_last_ignore_nulls",
-    # remaining scalar function families — 7
-    "fn_datetime", "fn_math", "fn_json", "fn_higher_order", "fn_conversions",
-    "fn_string_distance", "fn_json_struct",
-    # LLM dedup / similarity layer (oracle'd subset) — 8
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_connected_components", "sim_search_topk", "sim_search_query_topk",
-    "knn_label_vote", "text_tfidf_topterms",
-    # --- round-3 head (positions 51+ this round; front once the above
-    # verify): operators added in round 2 — newest code, highest risk —
-    # then rows-only-upgraded oracles and the streaming/oracle'd tail.
-    "join_range_binned", "join_bloom_filtered", "agg_count_distinct_global",
-    "agg_count_distinct_salted", "agg_bitmap_distinct", "agg_regression_stats",
-    "mm_audio_decode_wav", "embed_random_projection", "rownum_scalable_global",
-    "dq_profile_lineitem", "sql_recursive_cte_spine", "fn_generators",
-    "fn_variant", "fn_xml", "intersect_all", "catalog_managed_table_roundtrip",
-    "cache_two_phase_reuse", "stream_file_sink_exactly_once",
-    "scan_text_lines", "sink_parquet_roundtrip", "dedup_minhash_lsh",
-    "stream_stateful_dedup",
-    # --- round-3 risk-ordered tail: the never-verified code most likely
-    # to behave differently under the driver than under pytest.
-    # True-stream executions (subprocess/session/staging interactions) — 8
-    "stream_window_tumbling", "stream_window_sliding", "stream_window_session",
-    "stream_stateful_user_totals", "stream_static_join", "stream_stream_join",
-    "stream_foreach_batch_upsert", "stream_append_closed_windows",
-    # UDF / UDAF / UDTF surface (Arrow paths) + MR-compat bridge — 13
-    "udf_mapper_vectorized", "udf_mapper_arrow", "udf_reducer_grouped",
-    "udf_grouped_agg", "udf_flatmap", "udtf_tokenize_lateral",
-    "partitioner_hash", "partitioner_range", "counters_job_audit",
-    "udf_broadcast_dictionary", "observe_query_metrics",
-    "mr_wordcount", "mr_grep_map_only",
-    # event-time batch layer (§2.9 windows/watermark/sessionization) — 11
+    # --- round-4 window (first 50): everything repaired by the
+    # events-ingest fix (footer probe, sources/io.py) plus the
+    # highest-value never-attested entries.
+    # Repaired batch event-time layer (ERR in r3) — 11
     "window_tumbling", "window_sliding", "window_session",
     "watermark_late_drop", "stateful_dedup", "dedup_debounce_window",
     "events_anomaly_zscore", "timeseries_resample_locf",
     "rollup_hypertable_daily", "funnel_conversion", "cohort_retention",
-    # remaining oracle'd entries follow in registration order
+    # Repaired true-stream layer (wrong rows / weak passes in r3) — 10
+    "stream_window_tumbling", "stream_window_sliding", "stream_window_session",
+    "stream_stream_join", "stream_append_closed_windows",
+    "stream_foreach_batch_upsert", "stream_stateful_dedup",
+    "stream_stateful_user_totals", "stream_static_join",
+    "stream_file_sink_exactly_once",
+    # Repaired misc events readers (ERR in r3 / never attested) — 9
+    "agg_count_distinct_salted", "fn_variant", "fn_xml",
+    "partitioner_hash", "partitioner_range", "counters_job_audit",
+    "topk_heavy_hitters_mg", "pivot_event_type_daily",
+    "secondary_sort_user_timeline",
+    # Events-tainted stale-green rows (pass r1/r2 on the OLD corpus;
+    # re-earn against today's) — 11
+    "fn_json", "fn_map", "fn_json_struct", "win_lag_lead",
+    "win_first_last_ignore_nulls", "join_asof",
+    "join_dynamic_partition_pruning", "sql_catalog_query",
+    "sql_parameterized", "sink_partition_pruned", "compact_small_files",
+    # LLM scale paths, never driver-attested (rows-only by design) — 5
+    "sim_search_topk_blas", "sim_search_ann_lsh", "sim_search_ann_ivf",
+    "knn_label_vote_ann", "dedup_simhash",
+    # Never-attested sorts — 3 (window position ~47-49)
+    "sort_global", "topk", "topk_per_group",
+    # --- positions 51+ (front of round 5 once the above verify):
+    # setops tail — 8
+    "union_all", "union_distinct", "union_by_name_evolution",
+    "dedup_rows", "dedup_latest_per_key", "intersect_distinct",
+    "except_all", "win_rank_limited",
+    # text tail — 8
+    "text_wordcount", "text_stats", "text_bigram_freq", "text_pii_scrub",
+    "text_lang_id", "text_quality_score", "text_fingerprint",
+    "text_token_count",
+    # multimodal / graph / layout / sketch tail
+    "multimodal_join", "mm_feature_extract_stub", "pagerank_bipartite",
+    "layout_zorder_key", "agg_hll_mergeable", "sink_sorted_runs",
+    "sink_compression_codecs", "sample_stratified_deterministic",
+    "sample_train_val_test", "sample_class_weights", "unpivot_metrics_long",
+    # remaining never-verified entries follow in registration order
 ]
 
 

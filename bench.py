@@ -57,6 +57,14 @@ def main() -> None:
 
     registry = load_all()
     names = [n for n in HEADLINE if n in registry]
+    # Apples-to-apples with BASELINE.md: the baseline was measured at
+    # spark.sql.shuffle.partitions=8 (BASELINE.md §Provenance); earlier
+    # rounds benched at the engine default 2×cores=64, which at sf0.1
+    # pays ~64 empty-task scheduling overheads per shuffle and explained
+    # most of the fleet-wide ~1.5× drift (worst: topk 2.17×). Env var
+    # still wins if the driver sets one.
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ:
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "8"
     spark = get_spark(app_name="hbdbps-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -45,8 +45,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # events.ts is parquet TIMESTAMP(NANOS); spark 4.x needs this to read it
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # no events.ts encoding conf here: the physical encoding is
+        # probed per corpus inside the load path (sources/io.py), which
+        # sets any needed conf at runtime — the corpus has been
+        # regenerated with a different encoding mid-build once already
         # arrow transfer for the pandas-UDF operators (X1/X2, multimodal)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )

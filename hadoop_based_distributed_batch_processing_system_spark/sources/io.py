@@ -8,8 +8,11 @@ columnar Parquet scans (vectorized reader, predicate pushdown and
 column pruning for free) and ``DataFrameWriter`` sinks.
 
 All table loading funnels through :func:`load_table` — the single
-place that knows the one ingest quirk in the test corpus
-(``events.ts`` is parquet TIMESTAMP(NANOS); see FIXTURES.md).
+place that knows the one ingest quirk in the test corpus: the
+physical encoding of ``events.ts`` has changed across corpus
+regenerations (TIMESTAMP(NANOS) in early corpora, TIMESTAMP(MICROS,
+isAdjustedToUTC=false) today; see FIXTURES.md), so the encoding is
+PROBED from the parquet footer per corpus — never assumed.
 
 Scale notes:
 - One parquet file per table locally; at 100 TB each "table" is a
@@ -24,6 +27,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -58,23 +62,79 @@ def corpus_tag(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
+# (abspath, size, mtime_ns) -> ("timestamp", unit, tz-aware) | ("int64",)
+# Keyed on file identity so an in-place corpus regeneration re-probes.
+_TS_SPEC_CACHE: dict = {}
+
+
+def events_ts_spec(sf_dir: str) -> tuple:
+    """Probe the physical parquet type of ``events.ts`` from the file
+    footer (pyarrow — no Spark session needed, no data read).
+
+    Returns ``("timestamp", unit, tz_aware)`` with unit in
+    {"s","ms","us","ns"}, or ``("int64",)`` for a raw long column.
+    The corpus has been regenerated mid-build once already (NANOS →
+    MICROS between rounds 2 and 3), so nothing downstream may assume
+    an encoding: batch and stream ingest both branch on this probe.
+    """
+    import os
+
+    path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    spec = _TS_SPEC_CACHE.get(key)
+    if spec is None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(path).schema_arrow.field("ts").type
+        if pa.types.is_timestamp(t):
+            spec = ("timestamp", t.unit, t.tz is not None)
+        else:
+            spec = ("int64",)
+        _TS_SPEC_CACHE[key] = spec
+    return spec
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-corpus table as a DataFrame.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    4.x refuses to read natively ([PARQUET_TYPE_ILLEGAL]). The legacy
-    flag makes it arrive as nanos-since-epoch LONG; truncating to µs
-    reproduces exactly what the DuckDB oracle's µs-precision TIMESTAMP
-    does (hash-verified in SURVEY.md §1.2). The conf is set at runtime
-    so externally built sessions (the verify driver's) work too.
+    ``events.ts``'s physical encoding is probed per corpus
+    (:func:`events_ts_spec`) and normalized to a µs-precision
+    TimestampType instant, which is what the DuckDB oracle's naive
+    TIMESTAMP hashes to under a UTC session timezone:
+
+    - TIMESTAMP(NANOS): Spark 4.x refuses to read it natively
+      ([PARQUET_TYPE_ILLEGAL]); the legacy flag makes it arrive as
+      nanos-since-epoch LONG, truncated here to µs with integer
+      division (double division would round the low µs up for ~half
+      the values; DuckDB truncates).
+    - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ; cast to TimestampType under the UTC session TZ
+      is a lossless wall-clock→instant reinterpretation.
+    - already UTC-adjusted, or raw INT64 (treated as µs): passthrough.
+
+    Confs are set at runtime so externally built sessions (the verify
+    driver's) work too.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spec = events_ts_spec(sf_dir)
+        # the NTZ→instant cast (and any ts rendering) must agree with
+        # the naive-UTC oracle regardless of the host/session TZ
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if spec[0] == "timestamp" and spec[1] == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = spark.read.parquet(path)
-        # integer division, NOT `/1000` (double division rounds the low
-        # microsecond up for ~half the values; DuckDB truncates)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if isinstance(ts_type, T.LongType):
+            # raw int64 with no logical annotation: µs since epoch
+            return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+        return df
     return spark.read.parquet(path)
 
 

@@ -30,24 +30,29 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import corpus_tag
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import corpus_tag, events_ts_spec
 from hadoop_based_distributed_batch_processing_system_spark.streaming.event_time import (
     SLIDING_ORACLE,
     TUMBLING_ORACLE,
 )
 
-# events schema as read with spark.sql.legacy.parquet.nanosAsLong=true
-# (ts arrives as nanos-since-epoch LONG; converted to µs timestamp below)
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_field: T.DataType) -> T.StructType:
+    """Events schema for ``readStream`` (a file stream must declare its
+    schema up front). The ``ts`` field's declared type depends on the
+    corpus's physical encoding — probed from the parquet footer, same
+    as the batch path (:func:`...sources.io.events_ts_spec`), never
+    assumed: NANOS corpora arrive as nanos-since-epoch LONG (legacy
+    flag), MICROS-NTZ corpora as TIMESTAMP_NTZ."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_src_dir(sf_dir: str) -> str:
@@ -78,15 +83,37 @@ def _stream_src_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the same ns→µs
-    ingest fix as the batch path."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """``readStream`` over the events parquet, normalizing ``ts`` to a
+    µs TimestampType instant with the same footer-probe branching as
+    the batch path (``load_table``) — the corpus's physical encoding
+    has changed once mid-build already and must never be assumed."""
+    spec = events_ts_spec(sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spec[0] == "timestamp" and spec[1] == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_stream_schema(T.LongType()))
+            .format("parquet")
+            .load(_stream_src_dir(sf_dir))
+        )
+        # integer division: truncate ns→µs exactly like the DuckDB oracle
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spec[0] == "timestamp" and not spec[2]:
+        raw = (
+            spark.readStream.schema(_events_stream_schema(T.TimestampNTZType()))
+            .format("parquet")
+            .load(_stream_src_dir(sf_dir))
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    ts_field = T.TimestampType() if spec[0] == "timestamp" else T.LongType()
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_field))
         .format("parquet")
         .load(_stream_src_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spec[0] == "int64":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    return raw
 
 
 def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -1,0 +1,113 @@
+"""Corpus-drift guard: assert the measured physical reality of
+/root/testdata against what FIXTURES.md documents and the engine
+assumes.
+
+The corpus was silently regenerated mid-build once (between rounds 2
+and 3: events.ts flipped from TIMESTAMP(NANOS) to TIMESTAMP(MICROS,
+isAdjustedToUTC=false)), which broke 42 queries at the driver. These
+tests make the NEXT regeneration fail loudly in one obvious place
+instead of as a scatter of DATATYPE_MISMATCH errors.
+
+Footer-only checks (pyarrow): no Spark session, so this module runs
+in milliseconds and is safe to put first in the suite.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import TABLES, events_ts_spec
+
+SF_DIRS = [d for d in glob.glob("/root/testdata/sf*") if os.path.isdir(d)]
+
+# row counts per FIXTURES.md (measured; driver-generated, seed-stable)
+EXPECTED_ROWS = {
+    "sf0.001": {"region": 5, "nation": 25, "supplier": 10, "customer": 150,
+                "part": 200, "orders": 1_500, "lineitem": 6_000, "events": 1_000,
+                "documents": 500, "embeddings": 500},
+    "sf0.01": {"region": 5, "nation": 25, "supplier": 100, "customer": 1_500,
+               "part": 2_000, "orders": 15_000, "lineitem": 60_000, "events": 10_000,
+               "documents": 500, "embeddings": 500},
+    "sf0.1": {"region": 5, "nation": 25, "supplier": 1_000, "customer": 15_000,
+              "part": 20_000, "orders": 150_000, "lineitem": 600_000, "events": 100_000,
+              "documents": 5_000, "embeddings": 2_000},
+}
+
+EVENTS_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
+def test_all_tables_present(sf_dir):
+    for t in TABLES:
+        assert os.path.exists(f"{sf_dir}/{t}.parquet"), f"missing {t} in {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
+def test_row_counts_match_fixtures(sf_dir):
+    sf = os.path.basename(sf_dir)
+    expected = EXPECTED_ROWS.get(sf)
+    if expected is None:
+        pytest.skip(f"no documented counts for {sf}")
+    measured = {t: pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows for t in TABLES}
+    assert measured == expected, (
+        f"{sf}: corpus row counts drifted from FIXTURES.md — "
+        f"re-measure and update docs + this test"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
+def test_events_schema_and_ts_encoding(sf_dir):
+    """The engine's ingest branches on the probed ts encoding; this
+    pins (a) probe output == footer reality, (b) the encoding is one
+    the engine has a handled branch for, (c) column set is stable."""
+    schema = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow
+    assert schema.names == EVENTS_COLUMNS, f"events columns drifted: {schema.names}"
+
+    t = schema.field("ts").type
+    spec = events_ts_spec(sf_dir)
+    if pa.types.is_timestamp(t):
+        assert spec == ("timestamp", t.unit, t.tz is not None)
+        assert t.unit in ("s", "ms", "us", "ns"), f"unhandled ts unit {t.unit}"
+    else:
+        assert pa.types.is_int64(t), f"unhandled ts physical type {t} — add an ingest branch"
+        assert spec == ("int64",)
+    # today's corpus (re-measured 2026-08-13): micros, not UTC-adjusted.
+    # If this line fails, the corpus regenerated AGAIN — the probe-based
+    # ingest should still work (that's the point); re-measure, update
+    # FIXTURES.md, and move this pin.
+    assert spec == ("timestamp", "us", False), (
+        f"events.ts encoding changed to {spec}; ingest auto-adapts but "
+        f"FIXTURES.md needs re-measuring"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
+def test_other_timestamp_columns_native(sf_dir):
+    """orders/lineitem timestamps must be Spark-4-native (not NANOS);
+    the engine reads them without special-casing."""
+    for table, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        t = pq.ParquetFile(f"{sf_dir}/{table}.parquet").schema_arrow.field(col).type
+        assert pa.types.is_timestamp(t) and t.unit != "ns", f"{table}.{col} is {t}"
+
+
+def test_probe_memoization_is_stale_proof(tmp_path):
+    """Regenerating a corpus in place (same path, new mtime) must
+    re-probe — the cache key includes size+mtime_ns."""
+    import pyarrow.parquet as pqw
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    p = d / "events.parquet"
+    tbl_us = pa.table({"ts": pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))})
+    pqw.write_table(tbl_us, p)
+    assert events_ts_spec(str(d)) == ("timestamp", "us", False)
+
+    tbl_ns = pa.table({"ts": pa.array([1], type=pa.timestamp("ns"))})
+    pqw.write_table(tbl_ns, p)
+    os.utime(p, ns=(os.stat(p).st_mtime_ns + 1, os.stat(p).st_mtime_ns + 1))
+    assert events_ts_spec(str(d)) == ("timestamp", "ns", False)

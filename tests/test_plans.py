@@ -113,7 +113,9 @@ def test_partitioned_sink_reread_prunes_directories(spark):
     REG["sink_partition_pruned"].fn(spark, SF_SMOKE).collect()  # ensure written
     import os, tempfile
 
-    out = os.path.join(tempfile.gettempdir(), "hbdbps_sink_part_sf0.001")
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import corpus_tag
+
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_sink_part_{corpus_tag(SF_SMOKE)}")
     df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     plan = plan_of(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
