@@ -129,12 +129,31 @@ def test_partition_pruned_counts_match_source(spark):
 
 
 def test_events_filter_partition_epoch_pushdown(spark):
-    """Date-range predicates on events reach the scan even through
-    the ns→µs timestamp rewrite (filter on the derived column cannot
-    push, so the operator must filter on raw ts — asserted here)."""
+    """Predicates on events reach the scan through whatever ts
+    normalization the probed corpus encoding required."""
     ev = load_table(spark, SF_SMOKE, "events")
     plan = plan_of(ev.filter(F.col("user_id") == 7))
     assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_events_ts_range_predicate_pushes_to_scan(spark):
+    """100 TB property: a ts-range predicate must reach the parquet
+    scan as a PushedFilter (row-group pruning), not stay a post-scan
+    data filter. For the micros-NTZ corpus, Catalyst rewrites the
+    predicate through the NTZ→timestamp cast (UTC session TZ makes it
+    bijective); for a nanos corpus the raw-long column can't take a
+    timestamp pushdown, so this only asserts on natively-read ts."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import events_ts_spec
+
+    spec = events_ts_spec(SF_SMOKE)
+    if not (spec[0] == "timestamp" and spec[1] != "ns"):
+        import pytest
+
+        pytest.skip(f"ts not natively readable ({spec}); pushdown N/A")
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = plan_of(ev.filter(F.col("ts") >= F.lit("2024-01-05")))
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(ts" in pushed, pushed
 
 
 def test_doc_chunking_is_zero_shuffle(spark):
