@@ -72,6 +72,13 @@ def main() -> None:
     for name in names:
         fn = registry[name].fn
         fn(spark, sf_dir).collect()  # warm-up (plan + IO cache)
+        # Each timed run rebuilds the DataFrame (fresh lineage, so no
+        # cross-run shuffle-file reuse — timing one shared DataFrame
+        # object would skip whole stages on runs 2-3 and overstate).
+        # The table scans themselves are memoized in load_table, so a
+        # rebuild costs plan analysis only — matching a catalog-table
+        # workflow (and BASELINE.md, whose per-run cost excluded file
+        # listing/schema inference; that gap was the topk "2.17×").
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

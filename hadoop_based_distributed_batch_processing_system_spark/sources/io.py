@@ -66,6 +66,18 @@ def corpus_tag(sf_dir: str) -> str:
 # Keyed on file identity so an in-place corpus regeneration re-probes.
 _TS_SPEC_CACHE: dict = {}
 
+# Per-session scan cache: SparkSession -> {(abspath, size, mtime_ns): DataFrame}.
+# A DataFrame is an immutable lazy plan, so handing the same scan node to
+# every caller is semantically free, and it skips the per-call file
+# listing + footer schema inference of spark.read.parquet (~100-150 ms
+# per query at bench scale) — the catalog-table workflow, where schema
+# and file index are resolved once, not per query. Weak-keyed so a
+# stopped session's cache dies with it; file-identity keys make an
+# in-place corpus regeneration miss cleanly.
+import weakref
+
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
 
 def events_ts_spec(sf_dir: str) -> tuple:
     """Probe the physical parquet type of ``events.ts`` from the file
@@ -117,7 +129,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Confs are set at runtime so externally built sessions (the verify
     driver's) work too.
     """
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    cache = _SCAN_CACHE.setdefault(spark, {})
+    df = cache.get(key)
+    if df is not None:
+        return df
+
     if name == "events":
         spec = events_ts_spec(sf_dir)
         # the NTZ→instant cast (and any ts rendering) must agree with
@@ -126,16 +147,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spec[0] == "timestamp" and spec[1] == "ns":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.parquet(path)
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, T.TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            elif isinstance(ts_type, T.LongType):
+                # raw int64 with no logical annotation: µs since epoch
+                df = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    else:
         df = spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.TimestampNTZType):
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        if isinstance(ts_type, T.LongType):
-            # raw int64 with no logical annotation: µs since epoch
-            return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
-        return df
-    return spark.read.parquet(path)
+    cache[key] = df
+    return df
 
 
 class Tables:
