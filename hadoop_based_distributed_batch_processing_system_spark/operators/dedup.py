@@ -448,11 +448,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"), "inner")
             .select(F.col("e.u").alias("u"), F.col("l.label").alias("label"))
         )
+        # localCheckpoint (not cache): truncates lineage so round k's
+        # plan doesn't embed rounds 1..k-1 — planner cost per round
+        # stays flat (cache short-circuits execution but the analyzer
+        # still walks the whole accumulated logical plan each round).
         new_labels = (
             labels.select("u", "label").union(neighbor)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
