@@ -1048,10 +1048,15 @@ _RCTE_SQL = """
              date_trunc('MONTH', MAX(o_orderdate)) AS m_max
       FROM {orders}
     ),
-    spine(m) AS (
-      SELECT m_min FROM bounds
+    -- the recursive member must NOT re-reference bounds: Spark inlines
+    -- a referenced CTE into every iteration, re-running the min/max
+    -- aggregate (a full orders scan) per month of the span — measured
+    -- ~80 scans, 13.5s → 0.6s at sf0.01. Carrying m_max along in the
+    -- spine rows keeps each iteration a 1-row frame.
+    spine(m, m_max) AS (
+      SELECT m_min, m_max FROM bounds
       UNION ALL
-      SELECT m + INTERVAL 1 MONTH FROM spine, bounds WHERE m < m_max
+      SELECT m + INTERVAL 1 MONTH, m_max FROM spine WHERE m < m_max
     ),
     monthly AS (
       SELECT date_trunc('MONTH', o_orderdate) AS m,
