@@ -502,3 +502,75 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("n1"), 6).alias("p_cond"),
         )
     )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences_concat_chunk",
+    oracle=f"""
+        SELECT doc_id,
+               source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS stream_offset,
+               CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+        FROM documents
+    """,
+    tags=("L9'", "packing", "pipeline"),
+)
+def pack_sequences_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for causal-LM pretraining, concat-and-chunk
+    style: within each source stream, documents are concatenated in
+    deterministic doc_id order and the token stream is cut every
+    {_PACK_BUDGET} tokens; each doc gets the pack it STARTS in and
+    its offset within that pack (docs may straddle packs — standard
+    pretraining behavior; the attention mask handles the seam).
+
+    One window cumsum per source partition is the whole computation:
+    stream_offset = running token total before the doc, pack_id =
+    offset div budget, pack_offset = offset mod budget.
+
+    Scale: partitioned by ``source``, so the sort-by-doc_id windows
+    run per-partition in parallel — no global sort, one shuffle on
+    source. Skew bound = largest single source; at 100 TB you'd
+    sub-shard sources (salt the partition key per, say, 1M docs) and
+    offset pack_ids by a per-shard base — same plan shape. Token
+    counts here are whitespace counts (matching text_token_count);
+    swapping in a real tokenizer changes only the n_tokens column
+    (an Arrow-batched pandas_udf), not the packing plan."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(n_tok).over(w), F.lit(0)).cast("long")
+    # integer `div`, not float `/`+cast: stream offsets are exact longs
+    # and a petatoken-scale offset would lose exactness through double
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        offset.alias("stream_offset"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "stream_offset",
+        F.expr(f"stream_offset div {_PACK_BUDGET}").alias("pack_id"),
+        (F.col("stream_offset") % _PACK_BUDGET).alias("pack_offset"),
+    )

@@ -40,6 +40,34 @@ EXPECTED_ROWS = {
 
 EVENTS_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
+# full physical schemas, measured 2026-08-13 (arrow type spellings).
+# A drift here means the corpus regenerated with different types —
+# re-measure, update FIXTURES.md, and adjust any affected ingest.
+EXPECTED_SCHEMAS = {
+    "region": [("r_regionkey", "int32"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int32"), ("n_name", "string"), ("n_regionkey", "int32")],
+    "customer": [("c_custkey", "int64"), ("c_name", "string"), ("c_nationkey", "int32"),
+                 ("c_acctbal", "double"), ("c_mktsegment", "string")],
+    "supplier": [("s_suppkey", "int64"), ("s_name", "string"), ("s_nationkey", "int32"),
+                 ("s_acctbal", "double")],
+    "part": [("p_partkey", "int64"), ("p_name", "string"), ("p_brand", "string"),
+             ("p_type", "string"), ("p_size", "int32"), ("p_retailprice", "double")],
+    "orders": [("o_orderkey", "int64"), ("o_custkey", "int64"), ("o_orderstatus", "string"),
+               ("o_totalprice", "double"), ("o_orderdate", "timestamp[us]"),
+               ("o_orderpriority", "string")],
+    "lineitem": [("l_orderkey", "int64"), ("l_partkey", "int64"), ("l_suppkey", "int64"),
+                 ("l_linenumber", "int32"), ("l_quantity", "double"),
+                 ("l_extendedprice", "double"), ("l_discount", "double"), ("l_tax", "double"),
+                 ("l_returnflag", "string"), ("l_linestatus", "string"),
+                 ("l_shipdate", "timestamp[us]")],
+    "events": [("event_id", "int64"), ("ts", "timestamp[us]"), ("user_id", "int64"),
+               ("event_type", "string"), ("value", "double"), ("props", "string")],
+    "documents": [("doc_id", "int64"), ("text", "string"), ("lang", "string"),
+                  ("source", "string"), ("n_chars", "int64")],
+    "embeddings": [("vec_id", "int64"), ("embedding", "list<element: float>"),
+                   ("label", "int32")],
+}
+
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
 def test_all_tables_present(sf_dir):
@@ -84,6 +112,17 @@ def test_events_schema_and_ts_encoding(sf_dir):
         f"events.ts encoding changed to {spec}; ingest auto-adapts but "
         f"FIXTURES.md needs re-measuring"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)
+def test_all_table_schemas_match_fixtures(sf_dir):
+    for t, expected in EXPECTED_SCHEMAS.items():
+        schema = pq.ParquetFile(f"{sf_dir}/{t}.parquet").schema_arrow
+        measured = [(f.name, str(f.type)) for f in schema]
+        assert measured == expected, (
+            f"{os.path.basename(sf_dir)}/{t}: physical schema drifted — "
+            f"measured {measured}"
+        )
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=os.path.basename)

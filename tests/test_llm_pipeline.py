@@ -321,3 +321,33 @@ def test_brute_force_guards_raise(spark, monkeypatch):
         REG["dedup_embedding_cosine"].fn(spark, SF_ORACLE)
     with pytest.raises(ValueError, match="sim_search_ann_lsh"):
         REG["sim_search_topk"].fn(spark, SF_ORACLE)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: offsets are a per-source running total of
+    token counts in doc_id order; pack_offset < budget; pack_ids are
+    contiguous from 0 per source; total packed tokens equals the sum
+    of doc token counts (nothing dropped or double-packed)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.text import _PACK_BUDGET
+
+    pdf = (
+        REG["pack_sequences_concat_chunk"].fn(spark, SF_ORACLE)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    assert (pdf["pack_offset"] < _PACK_BUDGET).all()
+    assert (pdf["pack_offset"] == pdf["stream_offset"] % _PACK_BUDGET).all()
+    assert (pdf["pack_id"] == pdf["stream_offset"] // _PACK_BUDGET).all()
+    for _, g in pdf.groupby("source"):
+        # running total: offset[i] = offset[i-1] + n_tokens[i-1]
+        expect = g["n_tokens"].cumsum().shift(1, fill_value=0)
+        assert (g["stream_offset"].values == expect.values).all()
+        assert g["pack_id"].iloc[0] == 0
+        # pack ids never skip: consecutive docs differ by at most
+        # ceil(n_tokens/budget) packs and are monotone
+        diffs = g["pack_id"].diff().dropna()
+        assert (diffs >= 0).all()
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        F.size(F.split("text", " ")).alias("n")
+    )
+    assert int(pdf["n_tokens"].sum()) == docs.agg(F.sum("n")).collect()[0][0]
