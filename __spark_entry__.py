@@ -141,7 +141,7 @@ _PRIORITY_WINDOW = [
     "layout_zorder_key", "agg_hll_mergeable", "sink_sorted_runs",
     "sink_compression_codecs", "sample_stratified_deterministic",
     "sample_train_val_test", "sample_class_weights", "unpivot_metrics_long",
-    "pack_sequences_concat_chunk",
+    "pack_sequences_concat_chunk", "text_unigram_logprob_score",
     # remaining never-verified entries follow in registration order
 ]
 

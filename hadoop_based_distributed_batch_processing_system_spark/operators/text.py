@@ -574,3 +574,58 @@ def pack_sequences_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stream_offset div {_PACK_BUDGET}").alias("pack_id"),
         (F.col("stream_offset") % _PACK_BUDGET).alias("pack_offset"),
     )
+
+
+@register(
+    "text_unigram_logprob_score",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, u.w
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(w)
+        ),
+        vocab AS (
+          SELECT w,
+                 CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM tok) AS p
+          FROM tok GROUP BY w
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(-SUM(ln(v.p)) / COUNT(*) / ln(2), 4) AS bits_per_token
+        FROM tok t JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    """,
+    tags=("L6'", "quality", "pipeline"),
+)
+def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality scoring, CCNet-style: per-document mean
+    negative log2 unigram probability (bits/token) under the corpus's
+    own unigram model — the language-model-perplexity filter that
+    production corpus pipelines run beside heuristic scores (docs of
+    rare-token soup score high, repetitive boilerplate scores low).
+
+    Plan: one explode → one vocab aggregate → broadcast the vocab
+    back onto the token stream → per-doc aggregate. The vocab is
+    BROADCAST (word-type count grows ~O(corpus^0.5), Heaps' law — at
+    100 TB still ~100M rows; if that outgrows broadcast, drop the
+    hint and the same plan shuffle-joins on the token). Rounded to
+    4 dp so double summation order (Spark partial aggs vs DuckDB
+    serial) cannot flip the hash: bits/token values are O(10), and
+    ~100-term float sums agree to well past 8 significant digits."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    total = tok.count()
+    vocab = tok.groupBy("w").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("p")
+    )
+    return (
+        tok.join(broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round((-F.sum(F.log("p")) / F.count(F.lit(1)) / F.lit(__import__("math").log(2))), 4).alias(
+                "bits_per_token"
+            ),
+        )
+    )
