@@ -237,15 +237,32 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     the region filter prunes before any fact join via the dimension
     chain. In MR this is a 5-job chain with DFS materialization
     between each — here it is one pipelined plan."""
-    customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     lineitem = load_table(spark, sf_dir, "lineitem")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    # Push the region predicate into BOTH fact-adjacent dimensions
+    # before any fact join: nation⨝region(ASIA) is 5 rows, broadcast
+    # into supplier and customer, shrinking each to the ~1/5 that can
+    # contribute — so the big customer⨝orders and lineitem⨝supplier
+    # shuffles carry only matching rows. Catalyst won't hoist the
+    # filter across the compound (l_suppkey, c_nationkey) join itself.
+    asia_nations = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        asia_nations, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    customer = load_table(spark, sf_dir, "customer").join(
+        asia_nations.select(F.col("n_nationkey").alias("cn_nationkey")),
+        F.col("c_nationkey") == F.col("cn_nationkey"),
+    )
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
@@ -253,8 +270,6 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             supplier,
             (lineitem.l_suppkey == supplier.s_suppkey) & (customer.c_nationkey == supplier.s_nationkey),
         )
-        .join(nation, supplier.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
