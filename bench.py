@@ -42,6 +42,8 @@ HEADLINE = [
     "multimodal_join",      # docs ⋈ embeddings retrieval shape
     "sample_hash_deterministic",  # pushed-down deterministic 10% sample
     "doc_chunk_sliding",    # corpus -> overlapping training chunks (zero-shuffle)
+    "pack_sequences_concat_chunk",  # causal-LM sequence packing (window cumsum)
+    "text_unigram_logprob_score",   # CCNet-style LM quality score (broadcast vocab)
     "pipeline_training_data_prep",  # filter -> quality gate -> dedup -> stats, one plan
     "join_range_binned",    # pure band join via bin equi-join (no nested loop)
     "topk_heavy_hitters_mg",  # one-pass Misra-Gries heavy hitters

@@ -265,7 +265,10 @@ _NESTED_LOOP_ALLOWED = {
     "sample_class_weights": "broadcasts 1-row global total",
     "q22_idle_rich_customers": "TPC-H Q22 scalar avg-acctbal subquery",
     "q11_important_parts": "TPC-H Q11 scalar threshold subquery",
-    "dedup_connected_components": "1-row convergence/base-case scalar",
+    # dedup_connected_components left the list when its label loop
+    # switched to localCheckpoint: the returned plan now starts from
+    # the materialized final labels, so the 1-row convergence scalar
+    # no longer appears in it.
     "sim_search_query_topk": "broadcasts the single probe vector",
     "multimodal_join": "broadcasts the single probe vector",
     "text_tfidf_topterms": "broadcasts 1-row corpus doc count",
