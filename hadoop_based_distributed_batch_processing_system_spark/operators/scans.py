@@ -331,3 +331,40 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
+
+
+_PYDS_ROWS = 10_000
+
+
+@register(
+    "scan_python_datasource",
+    oracle=f"""
+        SELECT g AS event_id,
+               CAST(g % 10 AS INTEGER) AS bucket,
+               ROUND(sqrt(g + 1.0), 6) AS value
+        FROM generate_series(0, {_PYDS_ROWS - 1}) t(g)
+    """,
+    tags=("S8", "custom-source"),
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — custom Python Data Source (Spark 4 ``pyspark.sql.
+    datasource``): the InputFormat-style extensibility surface. A
+    pure-Python source declares schema + partition planning + per-
+    partition readers; the scan parallelizes one task per
+    ``InputPartition`` with Arrow-batched row transfer, and composes
+    under Catalyst like any relation. The demo source's cells are
+    closed-form functions of event_id, so the entire custom-source
+    path is hash-checked against a DuckDB generate_series oracle
+    (10k rows over 8 partitions). ``sf_dir`` is unused — the source
+    is the data."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", str(_PYDS_ROWS))
+        .option("partitions", "8")
+        .load()
+    )
