@@ -24,7 +24,12 @@ reads → Arrow transfer) is hash-checkable against a DuckDB
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _DEFAULT_ROWS = 10_000
 _DEFAULT_PARTITIONS = 8
@@ -67,3 +72,50 @@ class SyntheticEventsReader(DataSourceReader):
 def register_synthetic_source(spark: SparkSession) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic micro-batch stream: offset = next row id;
+    each ``read`` emits up to ``batch`` rows until ``rows`` are out.
+    ``readBetweenOffsets`` replays any committed range exactly —
+    that determinism is what gives the source exactly-once semantics
+    under checkpoint replay (same contract a Kafka offset range
+    gives a JVM source)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("rows", _DEFAULT_ROWS))
+        self.batch = int(options.get("batch", 1000))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        import math
+
+        return [(i, i % 10, round(math.sqrt(i + 1.0), 6)) for i in range(start, end)]
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.batch, self.n)
+        return iter(self._rows(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["next"], end["next"]))
+
+
+class SyntheticEventsStreamSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "event_id BIGINT, bucket INT, value DOUBLE"
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark: SparkSession) -> None:
+    spark.dataSource.register(SyntheticEventsStreamSource)

@@ -557,3 +557,57 @@ def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
         query.stop()
         raise TimeoutError("stream_file_sink_exactly_once: drain exceeded 120s")
     return spark.read.parquet(out)
+
+
+_PYDS_STREAM_ROWS = 10_000
+
+
+@register(
+    "stream_python_datasource",
+    oracle=f"""
+        SELECT g AS event_id,
+               CAST(g % 10 AS INTEGER) AS bucket,
+               ROUND(sqrt(g + 1.0), 6) AS value
+        FROM generate_series(0, {_PYDS_STREAM_ROWS - 1}) t(g)
+    """,
+    tags=("S8", "T1", "stream", "custom-source"),
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING source (Spark 4
+    ``SimpleDataSourceStreamReader``): offsets are plain dicts, each
+    micro-batch reads rows [lo, hi), and ``readBetweenOffsets``
+    replays any committed range exactly — the determinism that gives
+    checkpoint-replay exactly-once, same contract as a Kafka offset
+    range. The bounded demo source emits 10k closed-form rows in
+    2.5k-row micro-batches into a memory sink (4 micro-batches,
+    drained with ``processAllAvailable`` — availableNow captures only
+    the first batch of a simple reader); the appended union is
+    hash-checked against a DuckDB generate_series oracle, proving no
+    batch was dropped or double-emitted. ``sf_dir`` unused — the
+    source is the data."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        register_synthetic_stream_source,
+    )
+
+    register_synthetic_stream_source(spark)
+    raw = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("rows", str(_PYDS_STREAM_ROWS))
+        .option("batch", "2500")
+        .load()
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            raw.writeStream.format("memory")
+            .queryName("hbdbps_stream_pyds")
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("hbdbps_stream_pyds")
