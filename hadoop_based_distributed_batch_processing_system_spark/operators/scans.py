@@ -368,3 +368,47 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "8")
         .load()
     )
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("S8''", "custom-sink"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8'' — custom PYTHON SINK (Spark 4 ``DataSourceWriter``), the
+    OutputFormat half of the extensibility pair: each task writes a
+    private temp file and returns a commit message; the driver-side
+    ``commit`` runs only after ALL tasks succeed, atomically renaming
+    temps into place and dropping ``_SUCCESS`` — a failed/speculative
+    task can never leave a partial file visible (FileOutputCommitter's
+    contract, in pure Python). Verified end-to-end: a deterministic
+    orders projection goes out through the sink, comes back via
+    ``spark.read.json``, and must hash-equal the direct SQL oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    tag = corpus_tag(sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_pysink_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        shutil.rmtree(out, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 100 == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.format("jsonl_sink")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    return back.select("o_orderkey", "o_orderstatus", "o_totalprice")

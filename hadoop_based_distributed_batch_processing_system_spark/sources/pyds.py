@@ -27,8 +27,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _DEFAULT_ROWS = 10_000
@@ -119,3 +121,72 @@ class SyntheticEventsStreamSource(DataSource):
 
 def register_synthetic_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(SyntheticEventsStreamSource)
+
+
+class JsonlWriterCommit(WriterCommitMessage):
+    """One per task: the temp file the task wrote and its row count."""
+
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class JsonlDataSourceWriter(DataSourceWriter):
+    """Task-side half of the OutputFormat-style commit protocol: each
+    task writes a private temp file (never visible to readers), and
+    only the driver-side ``commit`` — which runs once, after ALL
+    tasks succeeded — atomically renames the temp files into the
+    output directory and drops a ``_SUCCESS`` marker. A failed or
+    speculative duplicate task leaves at most an orphan temp file
+    that ``abort`` removes; readers keyed on ``_SUCCESS`` never see a
+    partial write. This is exactly the contract FileOutputCommitter
+    gives JVM sinks."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlWriterCommit(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlDataSourceWriter":
+        return JsonlDataSourceWriter(self.options)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
