@@ -88,7 +88,13 @@ def events_ts_spec(sf_dir: str) -> tuple:
     The corpus has been regenerated mid-build once already (NANOS →
     MICROS between rounds 2 and 3), so nothing downstream may assume
     an encoding: batch and stream ingest both branch on this probe.
+
+    ``events.parquet`` may be a single file (the local corpus) or a
+    DIRECTORY of part-files (every table at 100 TB): for a directory,
+    one part-file's footer speaks for all — a table whose parts
+    disagree on the ts encoding is corrupt upstream of this engine.
     """
+    import glob
     import os
 
     path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
@@ -99,7 +105,13 @@ def events_ts_spec(sf_dir: str) -> tuple:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.ParquetFile(path).schema_arrow.field("ts").type
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(f"no parquet part-files under {path}")
+            probe = parts[0]
+        t = pq.ParquetFile(probe).schema_arrow.field("ts").type
         if pa.types.is_timestamp(t):
             spec = ("timestamp", t.unit, t.tz is not None)
         else:

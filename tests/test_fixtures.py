@@ -150,3 +150,31 @@ def test_probe_memoization_is_stale_proof(tmp_path):
     pqw.write_table(tbl_ns, p)
     os.utime(p, ns=(os.stat(p).st_mtime_ns + 1, os.stat(p).st_mtime_ns + 1))
     assert events_ts_spec(str(d)) == ("timestamp", "ns", False)
+
+
+def test_probe_handles_directory_tables(tmp_path, spark):
+    """100 TB layout: a 'table' is a DIRECTORY of part-files. The
+    footer probe must probe a part-file, and load_table must read the
+    directory (spark.read.parquet takes either)."""
+    import pyarrow.parquet as pqw
+
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+    d = tmp_path / "corpus" / "events.parquet"
+    d.mkdir(parents=True)
+    for i in range(2):
+        tbl = pa.table({
+            "event_id": pa.array([2 * i, 2 * i + 1], type=pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i, 1_700_000_000_500_000 + i],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1, 2], type=pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(['{"k": 1}', '{"k": 2}']),
+        })
+        pqw.write_table(tbl, d / f"part-{i:05d}.parquet")
+    sf_dir = str(tmp_path / "corpus")
+    assert events_ts_spec(sf_dir) == ("timestamp", "us", False)
+    df = load_table(spark, sf_dir, "events")
+    assert df.count() == 4
+    assert str(df.schema["ts"].dataType) == "TimestampType()"
