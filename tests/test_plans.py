@@ -332,3 +332,29 @@ def test_cache_reuse_plans_in_memory_scan(spark):
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     finally:
         filtered.unpersist()
+
+
+def test_pack_sequences_single_exchange(spark):
+    """L9' contract: packing is one window cumsum partitioned by
+    source — exactly one shuffle, no global sort."""
+    plan = plan_of(REG["pack_sequences_concat_chunk"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_unigram_score_broadcasts_vocab(spark):
+    """L6'' contract: the vocab joins back onto the token stream as a
+    BROADCAST (word types, not corpus rows); the token stream itself
+    is never broadcast."""
+    plan = plan_of(REG["text_unigram_logprob_score"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_python_datasource_plans_as_scan(spark):
+    """S8 contract: the custom Python source plans as a batch scan
+    relation (one task per InputPartition), not a driver-side
+    collect/parallelize."""
+    df = REG["scan_python_datasource"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "PythonDataSource" in plan or "BatchScan" in plan, plan[:500]
+    assert df.rdd.getNumPartitions() == 8
