@@ -143,7 +143,7 @@ _PRIORITY_WINDOW = [
     "sample_train_val_test", "sample_class_weights", "unpivot_metrics_long",
     "pack_sequences_concat_chunk", "text_unigram_logprob_score",
     "scan_python_datasource", "stream_python_datasource",
-    "sink_python_datasource",
+    "sink_python_datasource", "join_asof_tolerance",
     # remaining never-verified entries follow in registration order
 ]
 

@@ -697,3 +697,60 @@ def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_extendedprice").alias("rev"))
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN v.ts >= p.ts - INTERVAL 15 MINUTE THEN v.ts END
+                 AS last_view_ts,
+               (v.ts IS NOT NULL AND v.ts >= p.ts - INTERVAL 15 MINUTE)
+                 AS within_tolerance
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tags=("J8'", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8' — as-of join with a TOLERANCE bound (kdb ``wj``/pandas
+    ``merge_asof(tolerance=...)`` surface): the latest view
+    at-or-before each purchase counts only if it happened within the
+    last 15 minutes; staler matches become NULL. Same union+window
+    construction as J8 (one shuffle on user_id, linear per-user
+    scan) with the bound applied as a post-window projection — the
+    match search is unchanged, so tolerance costs nothing extra. At
+    scale, tolerance is also a state bound: a streaming as-of keeps
+    only 15 minutes of view history per user."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("view_ts"), F.lit(1).alias("side")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("view_ts"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bound = F.col("ts") - F.expr("INTERVAL 15 MINUTES")
+    raw = (
+        purchases.unionByName(views)
+        .withColumn("last_view_raw", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return raw.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("last_view_raw") >= bound, F.col("last_view_raw")).alias("last_view_ts"),
+        (F.col("last_view_raw").isNotNull() & (F.col("last_view_raw") >= bound)).alias(
+            "within_tolerance"
+        ),
+    )
