@@ -16,7 +16,7 @@ re-expressed as explode + groupBy.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
@@ -629,3 +629,42 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_K_ANON = 25
+
+
+@register(
+    "privacy_k_anonymity_suppress",
+    oracle=f"""
+        SELECT doc_id, lang, source, group_size,
+               group_size >= {_K_ANON} AS released
+        FROM (
+          SELECT doc_id, lang, source,
+                 CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+                   AS group_size
+          FROM documents
+        )
+    """,
+    tags=("L10'", "privacy", "pipeline"),
+)
+def privacy_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over the quasi-identifier (lang,
+    source): a document is released only if at least {_K_ANON} docs
+    share its quasi-identifier group — the suppression step privacy
+    reviews require before corpus release, downstream of PII
+    scrubbing (suppressing small groups kills linkage attacks that
+    survive scrubbing). One window count per group — equivalently a
+    groupBy+join; the window form keeps it a single shuffle and
+    carries every doc's verdict, so the released/suppressed split is
+    auditable. At 100 TB the same shape holds: group cardinality is
+    the shuffle key, and heavy groups are exactly the releasable
+    ones (skew is harmless — no per-group state beyond a count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn("released", F.col("group_size") >= _K_ANON)
