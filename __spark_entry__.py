@@ -144,7 +144,7 @@ _PRIORITY_WINDOW = [
     "pack_sequences_concat_chunk", "text_unigram_logprob_score",
     "scan_python_datasource", "stream_python_datasource",
     "sink_python_datasource", "join_asof_tolerance",
-    "privacy_k_anonymity_suppress",
+    "privacy_k_anonymity_suppress", "decontaminate_against_benchmark",
     # remaining never-verified entries follow in registration order
 ]
 

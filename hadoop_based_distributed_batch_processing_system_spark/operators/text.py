@@ -668,3 +668,80 @@ def privacy_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.count(F.lit(1)).over(w).alias("group_size"),
     ).withColumn("released", F.col("group_size") >= _K_ANON)
+
+
+_DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> "benchmark" holdout set
+
+
+@register(
+    "decontaminate_against_benchmark",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2])))) AS sh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ),
+        bench AS (
+          SELECT DISTINCT sh FROM tok WHERE doc_id % {_DECON_BENCH_MOD} = 0
+        ),
+        hits AS (
+          SELECT t.doc_id, CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared
+          FROM tok t JOIN bench b USING (sh)
+          WHERE t.doc_id % {_DECON_BENCH_MOD} <> 0
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_shared, 0) AS n_shared,
+               COALESCE(h.n_shared, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0
+    """,
+    tags=("L15", "decontamination", "pipeline"),
+)
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the check every pretraining corpus
+    runs before release: flag training documents sharing any 3-word
+    shingle with the held-out benchmark set (here: doc_id %
+    {_DECON_BENCH_MOD} == 0 stands in for the benchmark). The
+    mechanism is an EQUI-JOIN on shingle values — contamination
+    detection at 100 TB is a shuffle on shingles, never a
+    doc×benchmark product; benchmark shingle sets are typically small
+    enough to broadcast outright (hinted here). Raw string shingles
+    keep the DuckDB oracle exact; a production run hashes shingles
+    first (dedup_minhash_lsh's trick) to shrink the shuffle ~10×."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 2),"
+                        " i -> concat_ws(' ', split(text, ' ')[i - 1],"
+                        " split(text, ' ')[i], split(text, ' ')[i + 1]))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    bench = F.broadcast(
+        tok.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0).select("sh").distinct()
+    )
+    hits = (
+        tok.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+        .join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+    corpus = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0).select("doc_id")
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )
