@@ -145,6 +145,7 @@ _PRIORITY_WINDOW = [
     "scan_python_datasource", "stream_python_datasource",
     "sink_python_datasource", "join_asof_tolerance",
     "privacy_k_anonymity_suppress", "decontaminate_against_benchmark",
+    "embed_label_centroids",
     # remaining never-verified entries follow in registration order
 ]
 

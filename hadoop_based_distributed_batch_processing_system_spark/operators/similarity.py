@@ -705,3 +705,42 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, row in enumerate(signs)
     ]
     return emb.select("vec_id", *projections)
+
+
+@register(
+    "embed_label_centroids",
+    oracle=f"""
+        WITH flat AS (
+          SELECT label, i, AVG(embedding[i]) AS m
+          FROM embeddings, LATERAL unnest(generate_series(1, {_DIM})) AS t(i)
+          GROUP BY label, i
+        ),
+        cnt AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+        )
+        SELECT c.label, c.n, list(ROUND(f.m, 6) ORDER BY f.i) AS centroid
+        FROM flat f JOIN cnt c ON f.label = c.label
+        GROUP BY c.label, c.n
+    """,
+    tags=("L13''", "centroid"),
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean pooling) — the primitive
+    under nearest-centroid classification, k-means init, and class
+    prototypes. Computed as {_DIM} independent element aggregates
+    (``avg(embedding[i])``) in ONE grouped pass: all JVM-side, full
+    map-side partial aggregation, shuffle carries #labels × {_DIM}
+    doubles — at 100 TB the reduce side is microscopic regardless of
+    row count (contrast collect_list-then-average, which ships every
+    vector). The oracle unnests with ordinality and re-packs with an
+    ordered list agg. Rounded to 6 dp: element sums accumulate in
+    double from float32 inputs, so partial-agg ordering noise
+    (~1e-13 relative) is far below the rounding grain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.round(F.avg(F.col("embedding")[i]), 6).alias(f"c{i}") for i in range(_DIM)
+    ]
+    wide = emb.groupBy("label").agg(*aggs)
+    return wide.select(
+        "label", "n", F.array(*[F.col(f"c{i}") for i in range(_DIM)]).alias("centroid")
+    )
