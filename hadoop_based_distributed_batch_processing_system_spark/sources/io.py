@@ -62,9 +62,41 @@ def corpus_tag(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
-# (abspath, size, mtime_ns) -> ("timestamp", unit, tz-aware) | ("int64",)
+# file identity -> ("timestamp", unit, tz-aware) | ("int64", unit)
 # Keyed on file identity so an in-place corpus regeneration re-probes.
 _TS_SPEC_CACHE: dict = {}
+
+# Physical events.ts encodings actually observed in a corpus so far
+# (FIXTURES.md pins the measured one per corpus generation). Anything
+# else is still handled if decodable, but tests/test_fixtures.py fails
+# loudly when the probe returns a spec outside this set so a THIRD
+# silent corpus regeneration surfaces before the driver runs.
+KNOWN_EVENTS_TS_SPECS = {
+    ("timestamp", "ns", False),  # rounds 1-2 corpus: TIMESTAMP(NANOS)
+    ("timestamp", "us", False),  # current corpus: TIMESTAMP(MICROS, NTZ)
+}
+
+
+def _file_identity(path: str) -> tuple:
+    """Stale-proof cache key for a table path. For a single file:
+    (abspath, size, mtime_ns). For a DIRECTORY table (the 100 TB
+    layout), the directory's own stat does NOT change when part-files
+    are rewritten in place with unchanged names — so the key
+    aggregates (name, size, mtime_ns) of every part-file, exactly as
+    :func:`corpus_tag` does, and an in-place regeneration misses
+    cleanly."""
+    import glob
+    import os
+
+    apath = os.path.abspath(path)
+    if os.path.isdir(apath):
+        parts = tuple(
+            (os.path.basename(p), os.stat(p).st_size, os.stat(p).st_mtime_ns)
+            for p in sorted(glob.glob(os.path.join(apath, "*.parquet")))
+        )
+        return (apath, parts)
+    st = os.stat(apath)
+    return (apath, st.st_size, st.st_mtime_ns)
 
 # Per-session scan cache: SparkSession -> {(abspath, size, mtime_ns): DataFrame}.
 # A DataFrame is an immutable lazy plan, so handing the same scan node to
@@ -79,12 +111,44 @@ import weakref
 _SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
+def _int64_ts_unit(pf) -> str:
+    """Classify the epoch unit of an UNANNOTATED int64 ``ts`` column
+    from the parquet footer's column statistics (metadata only, no
+    data scan). The only raw-long encoding seen historically (NANOS
+    via the legacy flag) is ns, so silently assuming µs would misread
+    a future unannotated corpus 1000×: instead, pick the unique unit
+    that lands the min stat inside the plausible event-time domain
+    [2000-01-01, 2100-01-01) — units are ×1000 apart while the domain
+    spans only ×3.2, so at most one unit matches — and raise loudly
+    otherwise."""
+    idx = pf.schema_arrow.get_field_index("ts")
+    col = pf.metadata.row_group(0).column(idx)
+    if not col.is_stats_set:
+        raise ValueError(
+            "events.ts is an unannotated int64 and the parquet footer has no "
+            "column statistics: cannot determine the epoch unit. Re-measure "
+            "the corpus and add an explicit branch (see FIXTURES.md)."
+        )
+    sample = col.statistics.min
+    lo, hi = 946684800, 4102444800  # 2000-01-01 .. 2100-01-01 epoch-seconds
+    for unit, scale in (("s", 1), ("ms", 10**3), ("us", 10**6), ("ns", 10**9)):
+        if lo * scale <= sample < hi * scale:
+            return unit
+    raise ValueError(
+        f"events.ts int64 sample {sample} matches no epoch unit in the "
+        "2000-2100 domain — unknown encoding; refusing to guess. "
+        "Probe the corpus and extend load_table (see FIXTURES.md)."
+    )
+
+
 def events_ts_spec(sf_dir: str) -> tuple:
     """Probe the physical parquet type of ``events.ts`` from the file
     footer (pyarrow — no Spark session needed, no data read).
 
     Returns ``("timestamp", unit, tz_aware)`` with unit in
-    {"s","ms","us","ns"}, or ``("int64",)`` for a raw long column.
+    {"s","ms","us","ns"}, or ``("int64", unit)`` for a raw long
+    column whose epoch unit was classified from footer statistics
+    (:func:`_int64_ts_unit` — never assumed).
     The corpus has been regenerated mid-build once already (NANOS →
     MICROS between rounds 2 and 3), so nothing downstream may assume
     an encoding: batch and stream ingest both branch on this probe.
@@ -93,13 +157,14 @@ def events_ts_spec(sf_dir: str) -> tuple:
     DIRECTORY of part-files (every table at 100 TB): for a directory,
     one part-file's footer speaks for all — a table whose parts
     disagree on the ts encoding is corrupt upstream of this engine.
+    The cache key aggregates part-file stats for directories, so an
+    in-place part-file rewrite re-probes (see :func:`_file_identity`).
     """
     import glob
     import os
 
     path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    st = os.stat(path)
-    key = (path, st.st_size, st.st_mtime_ns)
+    key = _file_identity(path)
     spec = _TS_SPEC_CACHE.get(key)
     if spec is None:
         import pyarrow as pa
@@ -111,11 +176,12 @@ def events_ts_spec(sf_dir: str) -> tuple:
             if not parts:
                 raise FileNotFoundError(f"no parquet part-files under {path}")
             probe = parts[0]
-        t = pq.ParquetFile(probe).schema_arrow.field("ts").type
+        pf = pq.ParquetFile(probe)
+        t = pf.schema_arrow.field("ts").type
         if pa.types.is_timestamp(t):
             spec = ("timestamp", t.unit, t.tz is not None)
         else:
-            spec = ("int64",)
+            spec = ("int64", _int64_ts_unit(pf))
         _TS_SPEC_CACHE[key] = spec
     return spec
 
@@ -141,11 +207,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Confs are set at runtime so externally built sessions (the verify
     driver's) work too.
     """
-    import os
-
     path = f"{sf_dir}/{name}.parquet"
-    st = os.stat(path)
-    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    if name == "events":
+        # The cached plan's NTZ→instant cast resolves at ACTION time
+        # under the then-current session TZ, so the UTC pin must hold
+        # on cache HITS too — set it before the lookup, not only on
+        # the cache-miss build path, or a query that changed the
+        # session TZ between calls would silently shift every instant.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = _file_identity(path)
     cache = _SCAN_CACHE.setdefault(spark, {})
     df = cache.get(key)
     if df is not None:
@@ -153,9 +223,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name == "events":
         spec = events_ts_spec(sf_dir)
-        # the NTZ→instant cast (and any ts rendering) must agree with
-        # the naive-UTC oracle regardless of the host/session TZ
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         if spec[0] == "timestamp" and spec[1] == "ns":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
@@ -166,8 +233,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if isinstance(ts_type, T.TimestampNTZType):
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             elif isinstance(ts_type, T.LongType):
-                # raw int64 with no logical annotation: µs since epoch
-                df = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+                # raw int64: epoch unit classified from footer stats
+                # (never assumed — see _int64_ts_unit)
+                unit = spec[1] if spec[0] == "int64" else "us"
+                to_us = {"s": 10**6, "ms": 10**3, "us": 1}
+                if unit == "ns":
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                else:
+                    df = df.withColumn("ts", F.timestamp_micros(F.col("ts") * F.lit(to_us[unit])))
     else:
         df = spark.read.parquet(path)
     cache[key] = df

@@ -112,7 +112,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_stream_src_dir(sf_dir))
     )
     if spec[0] == "int64":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+        # epoch unit classified from footer stats by events_ts_spec —
+        # never assumed (a ns corpus misread as µs would be 1000× off)
+        unit = spec[1]
+        if unit == "ns":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            to_us = {"s": 10**6, "ms": 10**3, "us": 1}
+            raw = raw.withColumn("ts", F.timestamp_micros(F.col("ts") * F.lit(to_us[unit])))
     return raw
 
 

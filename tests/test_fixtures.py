@@ -21,7 +21,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import TABLES, events_ts_spec
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+    KNOWN_EVENTS_TS_SPECS,
+    TABLES,
+    events_ts_spec,
+)
 
 SF_DIRS = [d for d in glob.glob("/root/testdata/sf*") if os.path.isdir(d)]
 
@@ -103,11 +107,16 @@ def test_events_schema_and_ts_encoding(sf_dir):
         assert t.unit in ("s", "ms", "us", "ns"), f"unhandled ts unit {t.unit}"
     else:
         assert pa.types.is_int64(t), f"unhandled ts physical type {t} — add an ingest branch"
-        assert spec == ("int64",)
-    # today's corpus (re-measured 2026-08-13): micros, not UTC-adjusted.
-    # If this line fails, the corpus regenerated AGAIN — the probe-based
-    # ingest should still work (that's the point); re-measure, update
-    # FIXTURES.md, and move this pin.
+        assert spec[0] == "int64" and spec[1] in ("s", "ms", "us", "ns")
+    # The allowed set names every encoding EVER measured in a corpus
+    # generation (FIXTURES.md); today's is ("timestamp","us",False).
+    # If this fails, the corpus silently regenerated a THIRD time —
+    # probe-based ingest should still adapt (that's the point), but
+    # re-measure, update FIXTURES.md, and extend KNOWN_EVENTS_TS_SPECS.
+    assert spec in KNOWN_EVENTS_TS_SPECS, (
+        f"events.ts encoding {spec} is not in the FIXTURES.md-pinned set "
+        f"{sorted(KNOWN_EVENTS_TS_SPECS)} — corpus regenerated again"
+    )
     assert spec == ("timestamp", "us", False), (
         f"events.ts encoding changed to {spec}; ingest auto-adapts but "
         f"FIXTURES.md needs re-measuring"
@@ -150,6 +159,53 @@ def test_probe_memoization_is_stale_proof(tmp_path):
     pqw.write_table(tbl_ns, p)
     os.utime(p, ns=(os.stat(p).st_mtime_ns + 1, os.stat(p).st_mtime_ns + 1))
     assert events_ts_spec(str(d)) == ("timestamp", "ns", False)
+
+
+def test_int64_ts_unit_classified_from_footer_stats(tmp_path):
+    """An UNANNOTATED int64 ts column must have its epoch unit read
+    off the footer min-statistic, never assumed µs — the one raw-long
+    encoding seen historically was ns, so a silent µs assumption would
+    be 1000× wrong. Out-of-domain values must raise, not guess."""
+    import pyarrow.parquet as pqw
+
+    base_s = 1_717_200_000  # 2024-06-01 epoch-seconds
+    for unit, scale in (("s", 1), ("ms", 10**3), ("us", 10**6), ("ns", 10**9)):
+        d = tmp_path / f"corpus_{unit}"
+        d.mkdir()
+        tbl = pa.table({"ts": pa.array([base_s * scale, base_s * scale + 5], type=pa.int64())})
+        pqw.write_table(tbl, d / "events.parquet")
+        assert events_ts_spec(str(d)) == ("int64", unit)
+
+    d = tmp_path / "corpus_bogus"
+    d.mkdir()
+    tbl = pa.table({"ts": pa.array([42], type=pa.int64())})
+    pqw.write_table(tbl, d / "events.parquet")
+    with pytest.raises(ValueError, match="no epoch unit"):
+        events_ts_spec(str(d))
+
+
+def test_directory_table_inplace_rewrite_reprobes(tmp_path):
+    """100 TB layout hazard: rewriting part-files IN PLACE with
+    unchanged names leaves the directory's own size/mtime unchanged.
+    The cache key must aggregate part-file stats (like corpus_tag), so
+    the rewrite misses the ts-spec cache and re-probes."""
+    import pyarrow.parquet as pqw
+
+    d = tmp_path / "corpus" / "events.parquet"
+    d.mkdir(parents=True)
+    p = d / "part-00000.parquet"
+    tbl_us = pa.table({"ts": pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))})
+    pqw.write_table(tbl_us, p)
+    sf_dir = str(tmp_path / "corpus")
+    dir_stat = os.stat(d)
+    assert events_ts_spec(sf_dir) == ("timestamp", "us", False)
+
+    tbl_ns = pa.table({"ts": pa.array([1], type=pa.timestamp("ns"))})
+    pqw.write_table(tbl_ns, p)
+    os.utime(p, ns=(os.stat(p).st_mtime_ns + 1, os.stat(p).st_mtime_ns + 1))
+    # restore the directory's own stat to simulate an unchanged dir inode
+    os.utime(d, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    assert events_ts_spec(sf_dir) == ("timestamp", "ns", False)
 
 
 def test_probe_handles_directory_tables(tmp_path, spark):
