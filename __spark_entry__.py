@@ -95,9 +95,12 @@ def _verified_past_rounds() -> list[str]:
 # Hand-curated head of the never-verified set: the entries the next
 # driver window should reach first (highest value / recently fixed).
 # Never-verified entries missing from this list still precede all
-# verified ones — they follow in registration order.
+# verified ones — they follow in registration order. Entries below
+# that have since earned a green driver row are filtered out by
+# _ordered_names, so stale listing here is harmless (the list is the
+# PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- round-4 window (first 50): everything repaired by the
+    # --- the round-4 priority head: everything repaired by the
     # events-ingest fix (footer probe, sources/io.py) plus the
     # highest-value never-attested entries.
     # Repaired batch event-time layer (ERR in r3) — 11
@@ -149,14 +152,27 @@ _PRIORITY_WINDOW = [
     # remaining never-verified entries follow in registration order
 ]
 
+# Verified-but-stale rows worth re-earning when the never-verified
+# front leaves spare slots in the driver's 50-query window: the two
+# approx sketches still carry r01 rows (pre-regeneration era — they
+# don't read events, so not tainted, but a fresh row costs nothing).
+# Placed immediately after the never-verified front, before the rest
+# of the verified back (which follows in first-seen order, i.e. the
+# oldest green rows refresh first as slots free up round over round).
+_REFRESH_TAIL = [
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+]
+
 
 def _ordered_names() -> list[str]:
     verified = _verified_past_rounds()
     front = [n for n in _PRIORITY_WINDOW if n in REGISTRY and n not in verified]
     placed = set(front) | set(verified)
     middle = [n for n in REGISTRY if n not in placed]
-    back = [n for n in verified if n in REGISTRY]
-    return front + middle + back
+    refresh = [n for n in _REFRESH_TAIL if n in REGISTRY and n in verified]
+    back = [n for n in verified if n in REGISTRY and n not in refresh]
+    return front + middle + refresh + back
 
 
 def entry(spark: SparkSession) -> DataFrame:

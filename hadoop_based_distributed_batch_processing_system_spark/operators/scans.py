@@ -263,31 +263,71 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")
 
 
-@register("sink_compression_codecs", tags=("S4", "codec"))  # rows-only: file sizes are engine-specific
+CODEC_MATRIX = ("snappy", "gzip", "zstd", "uncompressed")
+
+
+def codec_sink_dir(sf_dir: str, codec: str) -> str:
+    """On-disk location of one codec's sink output (content-tagged so
+    a regenerated corpus never serves stale files). Exposed so the
+    size-ordering invariant test can audit bytes without re-running
+    the writes."""
+    return os.path.join(tempfile.gettempdir(), f"hbdbps_codec_{codec}_{corpus_tag(sf_dir)}")
+
+
+@register(
+    "sink_compression_codecs",
+    # Hash oracle: each codec's RE-READ must reproduce the recomputed
+    # aggregate totals. Totals use COUNT and SUM(l_quantity) — sums of
+    # integral doubles are exact in any summation order, so the values
+    # are bit-identical across engines (unlike l_extendedprice sums).
+    # On-disk byte sizes are writer-version-specific and stay in the
+    # pytest invariant (uncompressed >= every codec), not the oracle.
+    oracle="""
+        WITH g AS (
+          SELECT l_returnflag, l_linestatus, l_shipdate,
+                 CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY 1, 2, 3
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(n) AS BIGINT) AS total_n,
+                 SUM(sum_qty) AS total_qty
+          FROM g
+        )
+        SELECT c.codec, s.n_rows, s.total_n, s.total_qty
+        FROM (VALUES ('gzip'), ('snappy'), ('uncompressed'), ('zstd')) AS c(codec)
+        CROSS JOIN s ORDER BY c.codec
+    """,
+    tags=("S4", "codec"),
+)
 def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec matrix for the parquet sink: the same aggregate written
-    with snappy / gzip / zstd / uncompressed, re-read and verified
-    row-identical; returns per-codec row counts and on-disk bytes.
-    Codec choice is a pure storage/CPU trade (zstd ~ gzip ratio at
-    snappy-class decode speed) — at 100 TB the scan is usually
-    IO-bound, so the codec IS the scan speed. Rows-only: byte sizes
-    are writer-version-specific."""
-    import glob
-
-    tag = corpus_tag(sf_dir)
+    with snappy / gzip / zstd / uncompressed, each RE-READ and
+    summarized — the returned per-codec totals hash-match the oracle
+    recomputing them from the source table, proving every codec's
+    write+read cycle lossless. Codec choice is a pure storage/CPU
+    trade (zstd ~ gzip ratio at snappy-class decode speed) — at
+    100 TB the scan is usually IO-bound, so the codec IS the scan
+    speed. Size ordering is pytest-pinned via :func:`codec_sink_dir`."""
     agg = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus", "l_shipdate")
-        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("revenue"))
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
     )
-    rows = []
-    for codec in ("snappy", "gzip", "zstd", "uncompressed"):
-        out = os.path.join(tempfile.gettempdir(), f"hbdbps_codec_{codec}_{tag}")
+    per_codec = []
+    for codec in CODEC_MATRIX:
+        out = codec_sink_dir(sf_dir, codec)
         agg.write.mode("overwrite").option("compression", codec).parquet(out)
-        n = spark.read.parquet(out).count()
-        nbytes = sum(os.path.getsize(p) for p in glob.glob(os.path.join(out, "*.parquet")))
-        rows.append((codec, n, nbytes))
-    return spark.createDataFrame(rows, "codec string, n_rows long, n_bytes long")
+        back = spark.read.parquet(out).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("total_n"),
+            F.sum("sum_qty").alias("total_qty"),
+        )
+        per_codec.append(back.select(F.lit(codec).alias("codec"), "n_rows", "total_n", "total_qty"))
+    out_df = per_codec[0]
+    for nxt in per_codec[1:]:
+        out_df = out_df.unionByName(nxt)
+    return out_df.orderBy("codec")
 
 
 @register(

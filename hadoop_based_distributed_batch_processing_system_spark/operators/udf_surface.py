@@ -149,33 +149,77 @@ def udf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(explode_tokens, "doc_id long, token string")
 
 
-@register("partitioner_hash", tags=("X5",))  # rows-only: physical placement is not SQL-visible
+@register(
+    "partitioner_hash",
+    # The bucket census IS hash-checkable: md5 is the same function in
+    # every engine, unlike Spark's shuffle murmur3. Physical placement
+    # (each bucket lands in exactly one partition) stays pytest-pinned
+    # via spark_partition_id — it is not SQL-visible by nature.
+    oracle="""
+        SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 1) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("X5",),
+)
 def partitioner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5a — the Partitioner: hash-route rows to 8 partitions by
-    user_id (``repartition`` = MR hash partitioner). Returns the
-    per-partition histogram; the invariant test asserts no user_id
-    straddles two partitions and no row is lost."""
+    """X5a — the Partitioner: hash-route rows by a PORTABLE key
+    (first hex char of md5(user_id) → 16 buckets), the engine-neutral
+    analogue of the MR hash partitioner. ``repartition(8, bucket)``
+    performs the actual physical routing (same-bucket rows always
+    co-located — the invariant test asserts one partition per bucket
+    and no row lost); the returned per-bucket histogram is computed
+    on the routed frame and hash-checked against DuckDB running the
+    identical md5 arithmetic."""
     ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.withColumn("bucket", F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+    routed = bucketed.repartition(8, "bucket")
     return (
-        ev.repartition(8, "user_id")
-        .withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
+        routed.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("bucket")
     )
 
 
-@register("partitioner_range", tags=("X5",))  # rows-only
+@register(
+    "partitioner_range",
+    # Spark's repartitionByRange draws its boundaries from reservoir
+    # sampling — engine-specific, so per-PARTITION counts can never
+    # hash-match another engine. The oracle-checked census therefore
+    # uses the portable exact equal-height split (NTILE over the total
+    # order); the sampled physical partitioner itself is exercised in
+    # the same plan and its span-disjointness is pytest-pinned.
+    oracle="""
+        WITH ranked AS (
+          SELECT ts, CAST(NTILE(8) OVER (ORDER BY ts, event_id) AS BIGINT) AS bucket
+          FROM events
+        )
+        SELECT bucket, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("X5",),
+)
 def partitioner_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5b — range partitioner (``repartitionByRange`` = MR
     TotalOrderPartitioner): contiguous ts ranges per partition.
-    Returns per-partition [min, max] spans; the invariant test
-    asserts the spans are non-overlapping and ordered."""
+    The plan routes through the real sampled range partitioner, then
+    computes the portable equal-height census (NTILE(8) over the
+    total order, deterministic (ts, event_id) tiebreak) that DuckDB
+    can replicate exactly. NTILE's global window is single-partition —
+    acceptable for the 8-row census at check scale; the distributed
+    range sort itself is the repartitionByRange/``sort_global`` path."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
+    routed = ev.repartitionByRange(8, "ts", "event_id")
+    w = Window.orderBy("ts", "event_id")
     return (
-        ev.repartitionByRange(8, "ts")
-        .withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
+        routed.withColumn("bucket", F.ntile(8).over(w).cast("long"))
+        .groupBy("bucket")
         .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("bucket")
     )
 
 

@@ -9,21 +9,51 @@ REG = load_all()
 
 
 def test_partitioner_hash_invariants(spark):
+    import pyspark.sql.functions as F
+
     hist = REG["partitioner_hash"].fn(spark, SF_ORACLE).toPandas()
     ev = load_table(spark, SF_ORACLE, "events")
     assert hist["n_rows"].sum() == ev.count()  # no row lost
-    assert hist["pid"].nunique() <= 8
-    # same key never in two partitions → per-partition distinct users sum to global
+    # same key never in two buckets → per-bucket distinct users sum to global
     assert hist["n_users"].sum() == ev.select("user_id").distinct().count()
+    # PHYSICAL routing invariant (not SQL-visible, so pytest-only):
+    # after repartition(8, bucket), a bucket never straddles partitions
+    placement = (
+        ev.withColumn("bucket", F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+        .repartition(8, "bucket")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("bucket")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+        .toPandas()
+    )
+    assert (placement["n_pids"] == 1).all()
 
 
 def test_partitioner_range_invariants(spark):
-    hist = REG["partitioner_range"].fn(spark, SF_ORACLE).toPandas().sort_values("pid")
+    import pyspark.sql.functions as F
+
+    hist = REG["partitioner_range"].fn(spark, SF_ORACLE).toPandas().sort_values("bucket")
     ev = load_table(spark, SF_ORACLE, "events")
     assert hist["n_rows"].sum() == ev.count()
+    # NTILE equal-height split: bucket sizes differ by at most 1
+    assert hist["n_rows"].max() - hist["n_rows"].min() <= 1
     spans = list(zip(hist["min_ts"], hist["max_ts"]))
     for (_, prev_max), (nxt_min, _) in zip(spans, spans[1:]):
         assert nxt_min >= prev_max  # ranges ordered and non-overlapping
+    # PHYSICAL range partitioner invariant: repartitionByRange spans
+    # are themselves ordered and non-overlapping (sampled boundaries
+    # are engine-specific, hence pytest-only)
+    phys = (
+        ev.repartitionByRange(8, "ts", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+        .toPandas()
+        .sort_values("min_ts")
+    )
+    pspans = list(zip(phys["min_ts"], phys["max_ts"]))
+    for (_, prev_max), (nxt_min, _) in zip(pspans, pspans[1:]):
+        assert nxt_min >= prev_max
 
 
 def test_approx_distinct_within_tolerance(spark):
