@@ -675,6 +675,12 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(k, v)
     try:
         df = _bloom_join_frame(spark, sf_dir)
+        # Materialize THROUGH THE DRIVER to scope the injection confs:
+        # valid ONLY because the output is group-by-o_orderstatus sized
+        # (≤ a handful of rows at any corpus scale). DO NOT copy this
+        # collect+createDataFrame pattern for row-proportional results —
+        # it silently becomes a driver OOM at scale; scope confs with a
+        # dedicated session or SQL SET/RESET instead.
         rows = df.collect()  # optimized (and bloom-injected) under the confs
     finally:
         for k, v in saved.items():

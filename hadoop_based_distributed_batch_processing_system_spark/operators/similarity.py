@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table, parquet_row_count
 
 _DIM = 64
 # ceiling for the O(n^2) ground-truth operator; ANN paths take over past it
@@ -517,11 +517,12 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides once on LSH bucket ids instead of broadcasting."""
     from pyspark.sql.window import Window
 
-    # Guard on the parquet footer row count (metadata-only, no scan):
-    # queries are vec_id % 20 == 0, i.e. ~1/20 of the table, so the
-    # estimate is exact to ±1 per file. The extra job is ~ms; a real
-    # filter-count would cost a full column scan per invocation.
-    n_total = load_table(spark, sf_dir, "embeddings").count()
+    # Guard on the parquet footer row count (metadata-only — no Spark
+    # job, no scan; see io.parquet_row_count): queries are
+    # vec_id % 20 == 0, i.e. ~1/20 of the table, so the estimate is
+    # exact to ±1 per 20 rows. A real filter-count would cost a
+    # column scan per invocation.
+    n_total = parquet_row_count(sf_dir, "embeddings")
     n_queries_est = n_total // 20 + 1
     if n_queries_est > _KNN_BROADCAST_BOUND:
         raise ValueError(
@@ -727,9 +728,9 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (mean pooling) — the primitive
     under nearest-centroid classification, k-means init, and class
-    prototypes. Computed as {_DIM} independent element aggregates
+    prototypes. Computed as 64 (=_DIM) independent element aggregates
     (``avg(embedding[i])``) in ONE grouped pass: all JVM-side, full
-    map-side partial aggregation, shuffle carries #labels × {_DIM}
+    map-side partial aggregation, shuffle carries #labels × 64 (_DIM)
     doubles — at 100 TB the reduce side is microscopic regardless of
     row count (contrast collect_list-then-average, which ships every
     vector). The oracle unnests with ordinality and re-packs with an

@@ -533,7 +533,7 @@ def pack_sequences_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for causal-LM pretraining, concat-and-chunk
     style: within each source stream, documents are concatenated in
     deterministic doc_id order and the token stream is cut every
-    {_PACK_BUDGET} tokens; each doc gets the pack it STARTS in and
+    512 (=_PACK_BUDGET) tokens; each doc gets the pack it STARTS in and
     its offset within that pack (docs may straddle packs — standard
     pretraining behavior; the attention mask handles the seam).
 
@@ -650,7 +650,7 @@ _K_ANON = 25
 )
 def privacy_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release gate over the quasi-identifier (lang,
-    source): a document is released only if at least {_K_ANON} docs
+    source): a document is released only if at least 25 (=_K_ANON) docs
     share its quasi-identifier group — the suppression step privacy
     reviews require before corpus release, downstream of PII
     scrubbing (suppressing small groups kills linkage attacks that

@@ -186,6 +186,27 @@ def events_ts_spec(sf_dir: str) -> tuple:
     return spec
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet footer metadata — no Spark
+    job, no data scan (each footer stores num_rows). Directory tables
+    sum their part-file footers. Used by size guards that must stay
+    cheap on every invocation (e.g. knn_label_vote's broadcast bound):
+    at 100 TB a footer read is O(#files) metadata ops vs a cluster
+    count job."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part-files under {path}")
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-corpus table as a DataFrame.
 
