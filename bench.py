@@ -31,6 +31,10 @@ HEADLINE = [
     "win_rank_limited",     # BASELINE.md window_rank_orders, like-for-like
     "topk",                 # order by + limit
     "window_tumbling",      # events hourly agg
+    "window_sliding",       # overlapping hourly windows, 15-min slide
+    "window_session",       # gaps-and-islands sessionization
+    "timeseries_resample_locf",  # dense hourly grid + LOCF gap-fill
+    "q18_large_orders",     # composite: semi join + HAVING, top-100
     "fn_json",              # events json extract
     "dedup_exact",          # docs md5 dedup
     "text_wordcount",       # tokenize + word frequency (the MR demo)
