@@ -104,7 +104,37 @@ def decode_batch(batches, real_codec: bool = False):
         )
 
 
-@register("mm_decode_stub", tags=("L7", "decode"))  # rows-only: decoder output is engine-external
+# md5 hex pair -> byte value, pure SQL (portable: DuckDB has no
+# hex-to-int cast, so fold the two nibbles by charpos arithmetic).
+_HEXBYTE = (
+    "(16 * (strpos('0123456789abcdef', substr({hx}, {i}, 1)) - 1)"
+    " + strpos('0123456789abcdef', substr({hx}, {j}, 1)) - 1)"
+)
+
+
+@register(
+    "mm_decode_stub",
+    # The fake decoder is a CLOSED-FORM function of md5(payload), so
+    # the whole mapInPandas decode path is hash-checkable: the oracle
+    # re-derives width/height/channels from the same md5 bytes with
+    # nibble arithmetic. This checks the Arrow plumbing end to end —
+    # a real codec swap keeps the plan and loses only the oracle.
+    oracle=f"""
+        WITH h AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 md5(text) AS hx
+          FROM documents
+        )
+        SELECT doc_id, kind,
+               CAST(16 + {_HEXBYTE.format(hx="hx", i=1, j=2)} % 240 AS INTEGER) AS width,
+               CAST(16 + {_HEXBYTE.format(hx="hx", i=3, j=4)} % 240 AS INTEGER) AS height,
+               CAST(1 + {_HEXBYTE.format(hx="hx", i=5, j=6)} % 3 AS INTEGER) AS n_channels
+        FROM h
+    """,
+    tags=("L7", "decode"),
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage over the binary payload via
     ``mapInPandas``: the one place payload bytes cross to Python
@@ -191,7 +221,23 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEAT_DIM = 8
 
 
-@register("mm_feature_extract_stub", tags=("L7", "features"))  # rows-only: extractor is engine-external
+@register(
+    "mm_feature_extract_stub",
+    # Hash oracle: each feature is md5_byte[i]/256.0 — an exact
+    # dyadic fraction, bit-identical as float32 in both engines, so
+    # even the array<float> column hashes equal. The oracle rebuilds
+    # the vector from the same md5 hex with nibble arithmetic.
+    oracle=f"""
+        WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+        SELECT doc_id,
+               [{", ".join(
+                   "CAST(" + _HEXBYTE.format(hx="hx", i=2 * k + 1, j=2 * k + 2) + " / 256.0 AS FLOAT)"
+                   for k in range(_FEAT_DIM)
+               )}] AS features
+        FROM h
+    """,
+    tags=("L7", "features"),
+)
 def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media — the embed-everything
     step of a multimodal training pipeline: payload bytes -> fixed-dim
@@ -202,8 +248,8 @@ def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap in CLIP/wav2vec via the same batch signature; the Spark
     plumbing, schema, and batch shape are the real, tested part).
     Downstream the column feeds the exact sim-search/ANN operators
-    already in similarity.py. Rows-only; pytest pins dimension,
-    determinism, and the [0, 1) value range."""
+    already in similarity.py. Hash-oracled (exact dyadic values);
+    pytest additionally pins dimension, determinism, and range."""
     import hashlib
 
     def feature_batches(batches):

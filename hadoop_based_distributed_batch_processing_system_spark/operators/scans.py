@@ -175,7 +175,21 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("compact_small_files", tags=("S4", "compaction"))  # rows-only: file layout is engine-internal
+@register(
+    "compact_small_files",
+    # Hash oracle: the compacted re-read must reproduce the source
+    # row count + an exact int64 content checksum, AND the file
+    # counts 64→4 are data (computed by listing the sink dirs), so a
+    # layout change breaks the hash too. sum(event_id) is an exact
+    # integer fold — order-independent across engines.
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+               64 AS files_before, 4 AS files_after
+        FROM events
+    """,
+    tags=("S4", "compaction"),
+)
 def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4'' — small-file compaction: the standing maintenance job of
     any 100 TB estate (streaming sinks and partitioned writes breed
@@ -184,8 +198,10 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     then compacts by rewriting through ``coalesce(4)`` — a NARROW
     dependency: files are concatenated partition-wise with no
     shuffle, unlike ``repartition`` which would pay one. Returns
-    before/after file counts + row count; pytest asserts rows
-    survive and the file count actually drops."""
+    row count + exact content checksum from the COMPACTED re-read
+    plus measured before/after file counts — all four hash-checked
+    (the oracle recomputes content from the source and pins the
+    64→4 layout)."""
     tag = corpus_tag(sf_dir)
     frag = os.path.join(tempfile.gettempdir(), f"hbdbps_frag_{tag}")
     compacted = os.path.join(tempfile.gettempdir(), f"hbdbps_compacted_{tag}")
@@ -201,20 +217,35 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(compacted)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.lit(_nfiles(frag)).alias("files_before"),
-        F.lit(_nfiles(compacted)).alias("files_after"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.lit(_nfiles(frag)).cast("int").alias("files_before"),
+        F.lit(_nfiles(compacted)).cast("int").alias("files_after"),
     )
 
 
-@register("sink_partition_pruned", tags=("S4", "pruning"))  # rows-only: sink side effect + plan property
+@register(
+    "sink_partition_pruned",
+    # Hash oracle: the pruned re-read must equal the same aggregate
+    # computed directly on the source table. The pruning itself (a
+    # PartitionFilter, other types' directories never opened) is a
+    # plan property, asserted in tests/test_plans.py.
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY event_type
+    """,
+    tags=("S4", "pruning"),
+)
 def sink_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4' — hive-partitioned sink + pruned re-read: events written
     ``partitionBy(event_type)``, then read back filtered to one type.
     The filter becomes a PartitionFilter (directory pruning — the
     other four types' files are never opened), the 100 TB layout for
     any re-read keyed by a low-cardinality column. Plan-asserted in
-    tests/test_plans.py; rows invariant: pruned count == filtered
-    count on the source table."""
+    tests/test_plans.py; the re-read aggregate hash-matches the same
+    aggregate computed straight from the source table."""
     tag = corpus_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hbdbps_sink_part_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -222,7 +253,7 @@ def sink_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink_parquet(ev, out, partition_by=["event_type"])
     back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
     )
 
 

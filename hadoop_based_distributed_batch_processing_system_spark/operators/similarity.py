@@ -403,7 +403,27 @@ _BLAS_BLOCKS = 8
 _BLAS_TOPK = 100
 
 
-@register("sim_search_topk_blas", tags=("L3", "blas"))  # rows-only: numpy sum order ≠ SQL fold
+@register(
+    "sim_search_topk_blas",
+    # Hash oracle: same exact top-100 pair set as sim_search_topk
+    # (the blocked GEMM is brute force, not approximate). Cosines are
+    # ROUNDed to 6dp in the PROJECTION only — selection happens on
+    # the raw values — so the last-ulp difference between numpy's
+    # pairwise summation and DuckDB's sequential fold can't break the
+    # hash, while a rank-boundary flip would (none exists: pair-set
+    # equality with the exact path is also pytest-pinned).
+    oracle=f"""
+        SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_ORACLE_COS.format(a="CAST(a.embedding AS DOUBLE[])", b="CAST(b.embedding AS DOUBLE[])")} AS cosine
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+          ORDER BY cosine DESC, id_a, id_b
+          LIMIT {_BLAS_TOPK}
+        )
+    """,
+    tags=("L3", "blas"),
+)
 def sim_search_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 — the distributed BRUTE-FORCE design that actually scales:
     block-partitioned all-pairs GEMM.
@@ -414,9 +434,9 @@ def sim_search_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-100 reduces over B² small lists. Work is still O(n²) — it is
     brute force — but data movement is O(n·B) (each vector ships to
     B tasks), per-task memory is (n/B)², and every flop is BLAS, not
-    per-pair expression eval. The same oracle-checked semantics as
-    ``sim_search_topk``; rows-only because numpy's pairwise summation
-    differs from a sequential SQL fold in the last ulp."""
+    per-pair expression eval. Same semantics as ``sim_search_topk``,
+    hash-checked against the brute-force DuckDB oracle (cosines
+    rounded to 6dp in the projection; selection on raw values)."""
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -467,7 +487,11 @@ def sim_search_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = ab.groupBy("blk_lo", "blk_hi").applyInPandas(
         block_kernel, "id_a long, id_b long, cosine double"
     )
-    return local.orderBy(F.desc("cosine"), "id_a", "id_b").limit(_BLAS_TOPK)
+    return (
+        local.orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(_BLAS_TOPK)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 _KNN_K = 10

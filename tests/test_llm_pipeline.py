@@ -101,8 +101,10 @@ def test_ann_lsh_shape_invariants(spark):
 
 def test_blas_topk_matches_exact_topk(spark):
     """The blocked-GEMM brute force must return the identical top-100
-    pair list as the expression-fold version (numpy vs SQL fold may
-    differ in the last ulp of cosine, nothing more)."""
+    pair list as the expression-fold version. Its cosine column is
+    ROUNDed to 6dp for the hash oracle (selection still on raw
+    values), so values may differ from the unrounded exact path by up
+    to half a rounding step — not a computation divergence."""
     import numpy as np
 
     exact = REG["sim_search_topk"].fn(spark, SF_ORACLE).toPandas()
@@ -110,7 +112,7 @@ def test_blas_topk_matches_exact_topk(spark):
     assert list(map(tuple, exact[["id_a", "id_b"]].values.tolist())) == list(
         map(tuple, blas[["id_a", "id_b"]].values.tolist())
     )
-    assert float(np.abs(exact["cosine"].values - blas["cosine"].values).max()) < 1e-9
+    assert float(np.abs(exact["cosine"].values - blas["cosine"].values).max()) <= 5.01e-7
 
 
 def test_decode_stub_deterministic_and_typed(spark):
