@@ -1,0 +1,188 @@
+"""Feature-engineering operators — the tabular/vector prep steps a
+training-data pipeline runs between raw corpus and model input
+(SURVEY.md §2.11 north-star extensions; the reference class has no
+feature layer, so these are mandated by the LLM-pipeline extension
+goal, not reconstructed).
+
+Design rules shared by the module:
+- portable hashing only (md5 nibble arithmetic — identical in every
+  engine), never engine-internal hashes, so every operator here is
+  hash-oracle-checkable;
+- model-state aggregates (per-dimension stats, per-category means)
+  stay bounded by #dimensions or #categories and are broadcast back,
+  never shuffling the corpus a second time.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import register
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+_HASH_DIM = 32  # feature-hashing bucket count
+_TE_SMOOTH = 10.0  # target-encoding smoothing pseudo-count
+_EMB_DIM = 64
+
+# md5 hex nibble -> value, the engine-portable hash primitive
+# (Spark `instr` == DuckDB `strpos`, 1-based; -1 shifts to 0-based).
+_NIBBLE_SPARK = "(instr('0123456789abcdef', substr(md5(token), {pos}, 1)) - 1)"
+_NIBBLE_DUCK = "(strpos('0123456789abcdef', substr(md5(token), {pos}, 1)) - 1)"
+
+
+@register(
+    "feature_hashing",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+        ),
+        tb AS (
+          SELECT doc_id,
+                 CAST((16 * {_NIBBLE_DUCK.format(pos=1)}
+                       + {_NIBBLE_DUCK.format(pos=2)}) % {_HASH_DIM} AS BIGINT) AS bucket
+          FROM tok
+        ),
+        bl AS (SELECT doc_id, list(bucket) AS blist FROM tb GROUP BY doc_id)
+        SELECT doc_id,
+               list_transform(generate_series(0, {_HASH_DIM - 1}),
+                              i -> CAST(len(list_filter(blist, x -> x = i)) AS BIGINT)) AS features
+        FROM bl
+    """,
+    tags=("L16", "features", "hashing-trick"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: each document's tokens are hashed
+    into a fixed 32-bucket count vector — the bounded-vocabulary text
+    representation (no vocab build, no OOV, memory independent of
+    corpus size) that linear models / quick-quality classifiers train
+    on. The bucket hash is portable md5 nibble arithmetic, so the
+    whole vector is engine-exact and hash-oracled.
+
+    Scale: tokenize+bucket is a narrow map; the single shuffle
+    carries (doc_id, tiny-int bucket) pairs; per-doc assembly is a
+    bounded 32-slot fold. At 100 TB the shuffle is the token count ×
+    ~12 bytes — the same cost class as wordcount, with the vector
+    assembly free of any vocabulary-sized state."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    bucket = F.expr(
+        f"CAST((16 * {_NIBBLE_SPARK.format(pos=1)} + {_NIBBLE_SPARK.format(pos=2)}) % {_HASH_DIM} AS BIGINT)"
+    )
+    per_doc = tokens.select("doc_id", bucket.alias("bucket")).groupBy("doc_id").agg(
+        F.collect_list("bucket").alias("blist")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_HASH_DIM - 1}),"
+            " i -> CAST(size(filter(blist, x -> x = CAST(i AS BIGINT))) AS BIGINT))"
+        ).alias("features"),
+    )
+
+
+@register(
+    "target_encoding_loo",
+    oracle=f"""
+        WITH g AS (SELECT AVG(value) AS gmean FROM events),
+        stats AS (
+          SELECT event_id, user_id, event_type, value,
+                 SUM(value) OVER (PARTITION BY event_type) AS s,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_id, user_id, event_type,
+               ROUND((s - value + {_TE_SMOOTH} * g.gmean) / (n - 1 + {_TE_SMOOTH}), 6)
+                 AS te_value
+        FROM stats, g
+    """,
+    tags=("L17", "features", "target-encoding"),
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of a categorical column
+    (event_type, target = value): each row's encoding is the
+    smoothed mean of its category EXCLUDING the row itself —
+    (S - y) / (n - 1) blended toward the global mean with 10
+    pseudo-counts — the standard leakage-safe categorical feature
+    for tabular models. The own-row exclusion is why this is a
+    window op, not a join: per-category totals via one window (a
+    single shuffle on event_type), global mean broadcast as a 1-row
+    cross join (never a partition-all window).
+
+    Scale: the shuffle is the fact table once, keyed by the
+    low-cardinality category — exactly an agg_group shuffle; the
+    global mean is O(1) driver state. Skewed categories behave like
+    any skewed groupBy (AQE split); no per-category state exceeds a
+    running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    gmean = ev.agg(F.avg("value").alias("gmean"))
+    w = Window.partitionBy("event_type")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .withColumn("s", F.sum("value").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .crossJoin(F.broadcast(gmean))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(
+                (F.col("s") - F.col("value") + _TE_SMOOTH * F.col("gmean"))
+                / (F.col("n") - 1 + _TE_SMOOTH),
+                6,
+            ).alias("te_value"),
+        )
+    )
+
+
+@register(
+    "embed_standardize",
+    oracle=f"""
+        WITH s AS (
+          SELECT i, AVG(CAST(embedding AS DOUBLE[])[i]) AS mu,
+                 STDDEV_POP(CAST(embedding AS DOUBLE[])[i]) AS sd
+          FROM embeddings, LATERAL unnest(generate_series(1, {_EMB_DIM})) AS t(i)
+          GROUP BY i
+        ),
+        packed AS (
+          SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds FROM s
+        )
+        SELECT vec_id,
+               list_transform(generate_series(1, {_EMB_DIM}),
+                 i -> ROUND((CAST(embedding AS DOUBLE[])[i] - mus[i]) / sds[i], 6)) AS z
+        FROM embeddings, packed
+    """,
+    tags=("L13'''", "features", "scaler"),
+)
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding column
+    (StandardScaler): the preprocessing step before distance-based
+    anything (k-means, cosine ANN on non-normalized spaces, linear
+    probes). Two-phase: 64 mean/stddev_pop pairs in ONE aggregate
+    pass (128 mergeable moments — map-side partials, 1-row result),
+    broadcast back, then a pure JVM zip_with transform per row.
+
+    Scale: the stats pass shuffles 128 doubles; the transform is a
+    zero-shuffle narrow map. The model state (mu/sigma arrays) is
+    O(dims) driver bytes at any corpus size — the same
+    bounded-model-state discipline as sim_search_ann_ivf's
+    centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    )
+    stats = emb.agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(_EMB_DIM)]).alias("mus"),
+        F.array(*[F.stddev_pop(F.col("v")[i]) for i in range(_EMB_DIM)]).alias("sds"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(1, {_EMB_DIM}),"
+                " i -> ROUND((v[i - 1] - mus[i - 1]) / sds[i - 1], 6))"
+            ).alias("z"),
+        )
+    )

@@ -745,3 +745,52 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
         (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+@register(
+    "text_repetition_score",
+    # Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    # public): highly repetitive documents are low-quality training
+    # text. Token-level fractions; both engines fold the same exact
+    # integer counts, ratios rounded at 6dp.
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_ratio,
+               ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_ratio
+        FROM tf GROUP BY doc_id
+    """,
+    tags=("L6'", "quality", "repetition"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (the Gopher rules' repetition
+    family): per document, the fraction of tokens that are repeats of
+    an earlier token (dup_ratio) and the mass of the single most
+    frequent token (top_token_ratio) — the cheap structural signals
+    that catch boilerplate, keyword stuffing, and degenerate
+    generation loops before any model-based filter.
+
+    Scale: one explode + one (doc_id, token) hash agg + one doc_id
+    re-agg — the wordcount cost class, entirely JVM-side. The
+    (doc, token) intermediate is bounded by total token count;
+    per-doc state is three integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias("dup_ratio"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_token_ratio"),
+    )

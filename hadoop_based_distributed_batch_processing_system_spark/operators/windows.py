@@ -244,3 +244,44 @@ def win_rank_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "rk", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "win_moving_avg_time",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6)
+                 AS avg_1h,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+        FROM events
+    """,
+    tags=("W4'", "time-window"),
+)
+def win_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4' — TIME-based moving aggregate: per user, the trailing
+    1-HOUR average of value at every event — the event-time sibling
+    of W4's numeric range frame, and the feature-engineering staple
+    ("activity in the last hour") that tumbling windows can't express
+    (every row gets its own trailing frame, not a bucketed one).
+    RANGE over epoch seconds, so rows with identical timestamps share
+    a frame in both engines — the frame set is deterministic even
+    under ts ties.
+
+    Scale: one shuffle on user_id + a per-user linear scan with a
+    sliding two-pointer frame — no self-join, no explode; the
+    streaming equivalent bounds state at 1 hour of events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )

@@ -485,3 +485,79 @@ def timeseries_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    # Deterministic tiebreak matters: two touches can share a ts, so
+    # the oracle picks by (ts DESC, event_id DESC) via LATERAL — the
+    # Spark window orders by (ts, side, ord_id) to select the same
+    # row. ASOF JOIN is NOT used: its tie choice is unspecified.
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN t.ts >= p.ts - INTERVAL 7 DAY THEN t.event_type END AS channel,
+               CASE WHEN t.ts >= p.ts - INTERVAL 7 DAY THEN t.ts END AS touch_ts,
+               (t.ts IS NOT NULL AND t.ts >= p.ts - INTERVAL 7 DAY) AS attributed
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+          SELECT ts, event_type FROM events t
+          WHERE t.user_id = p.user_id
+            AND t.event_type IN ('click', 'view')
+            AND t.ts <= p.ts
+          ORDER BY t.ts DESC, t.event_id DESC LIMIT 1
+        ) t ON TRUE
+    """,
+    tags=("E3", "attribution", "asof"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — last-touch conversion attribution: each purchase is
+    credited to the user's most recent click or view at-or-before it,
+    but only within a 7-day attribution window (staler touches →
+    unattributed). The marketing-analytics sibling of the as-of join:
+    same union+running-window construction as join_asof (ONE shuffle
+    on user_id, linear per-user scan — never a per-purchase subquery),
+    with the touch's (ts, type) carried through the window as a
+    struct so channel and recency arrive together.
+
+    Determinism: window order is (ts, side, ord_id) — touches sort
+    before the purchase at equal ts (at-or-before semantics) and
+    equal-ts touches resolve by event_id, mirroring the oracle's
+    LATERAL tiebreak. At scale the 7-day bound is also the streaming
+    state bound: a live attributor keeps 7 days of touches per user."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("struct<ts:timestamp,channel:string>").alias("touch"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("ord_id"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.struct(F.col("ts").alias("ts"), F.col("event_type").alias("channel")).alias("touch"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("ord_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "ord_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bound = F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    raw = (
+        purchases.unionByName(touches)
+        .withColumn("lt", F.last("touch", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    fresh = F.col("lt").isNotNull() & (F.col("lt.ts") >= bound)
+    return raw.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("lt.channel")).alias("channel"),
+        F.when(fresh, F.col("lt.ts")).alias("touch_ts"),
+        fresh.alias("attributed"),
+    )

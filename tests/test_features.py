@@ -1,0 +1,93 @@
+"""Invariant tests for the feature-engineering operators (the hash
+oracle in tests/test_oracle_parity.py is the primary check; these pin
+the semantic properties a hash can't express)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+from tests.conftest import SF_ORACLE
+
+REG = load_all()
+
+
+def test_feature_hashing_mass_conservation(spark):
+    """Every token lands in exactly one bucket: per-doc vector sums
+    equal the doc's token count, and the vector is always 32 long."""
+    feats = REG["feature_hashing"].fn(spark, SF_ORACLE)
+    checked = feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.expr("aggregate(features, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("mass"),
+    )
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens")
+    )
+    joined = checked.join(docs, "doc_id").toPandas()
+    assert (joined["dim"] == 32).all()
+    assert (joined["mass"] == joined["n_tokens"]).all()
+
+
+def test_target_encoding_loo_excludes_own_row(spark):
+    """The encoding must NOT equal the plain category mean (that's the
+    leak); removing the own row shifts every encoding, and encodings
+    within a category differ across rows with different targets."""
+    enc = REG["target_encoding_loo"].fn(spark, SF_ORACLE).toPandas()
+    ev = load_table(spark, SF_ORACLE, "events").select("event_id", "event_type", "value").toPandas()
+    merged = enc.merge(ev, on="event_id", suffixes=("", "_src"))
+    cat_mean = merged.groupby("event_type_src" if "event_type_src" in merged else "event_type")[
+        "value"
+    ].transform("mean")
+    # leakage check: te_value is not simply the category mean
+    assert (np.abs(merged["te_value"] - cat_mean) > 1e-12).any()
+    # rows with distinct targets in the same category get distinct encodings
+    g = merged.groupby("event_type").agg(nv=("value", "nunique"), ne=("te_value", "nunique"))
+    assert (g["ne"] >= g["nv"] - 1).all()  # injective up to smoothing collisions
+
+
+def test_embed_standardize_unit_moments(spark):
+    """After standardization every dimension has mean ~0 and
+    population std ~1 (up to the 6dp output rounding)."""
+    z = REG["embed_standardize"].fn(spark, SF_ORACLE).toPandas()
+    mat = np.stack(z["z"].to_numpy())
+    assert mat.shape[1] == 64
+    assert np.abs(mat.mean(axis=0)).max() < 1e-5
+    assert np.abs(mat.std(axis=0) - 1.0).max() < 1e-5
+
+
+def test_repetition_score_bounds_and_known_case(spark):
+    pdf = REG["text_repetition_score"].fn(spark, SF_ORACLE).toPandas()
+    assert ((pdf["dup_ratio"] >= 0) & (pdf["dup_ratio"] < 1)).all()
+    assert ((pdf["top_token_ratio"] > 0) & (pdf["top_token_ratio"] <= 1)).all()
+    # distinct + dup fractions are consistent: dup = 1 - distinct/total
+    recon = 1.0 - pdf["n_distinct"] / pdf["n_tokens"]
+    assert np.abs(recon - pdf["dup_ratio"]).max() < 1e-6
+
+
+def test_attribution_respects_window_and_channels(spark):
+    att = REG["attribution_last_touch"].fn(spark, SF_ORACLE).toPandas()
+    attributed = att[att["attributed"]]
+    assert set(attributed["channel"].unique()) <= {"click", "view"}
+    # touch is at-or-before the purchase and within 7 days
+    delta = attributed["ts"] - attributed["touch_ts"]
+    assert (delta.dt.total_seconds() >= 0).all()
+    assert (delta.dt.total_seconds() <= 7 * 86400).all()
+    # unattributed rows carry no channel
+    assert att[~att["attributed"]]["channel"].isna().all()
+
+
+def test_moving_avg_time_frame_counts(spark):
+    """n_1h counts only events in the trailing hour — spot-check by
+    recomputing for one user in pandas."""
+    res = REG["win_moving_avg_time"].fn(spark, SF_ORACLE).toPandas()
+    uid = res["user_id"].iloc[0]
+    sub = res[res["user_id"] == uid].sort_values("ts").reset_index(drop=True)
+    ev = load_table(spark, SF_ORACLE, "events").filter(F.col("user_id") == int(uid)).toPandas()
+    ev = ev.sort_values("ts").reset_index(drop=True)
+    for _, row in sub.sample(min(20, len(sub)), random_state=0).iterrows():
+        in_frame = ev[
+            (ev["ts"] <= row["ts"]) & (ev["ts"] >= row["ts"] - np.timedelta64(3600, "s"))
+        ]
+        assert len(in_frame) == row["n_1h"]
+        assert abs(in_frame["value"].mean() - row["avg_1h"]) < 1e-5
