@@ -358,3 +358,47 @@ def test_python_datasource_plans_as_scan(spark):
     plan = plan_of(df)
     assert "PythonDataSource" in plan or "BatchScan" in plan, plan[:500]
     assert df.rdd.getNumPartitions() == 8
+
+
+def test_feature_hashing_is_all_jvm_single_shuffle(spark):
+    """L16: the bucket hash is expression-side (no Python eval nodes)
+    and the only exchange is the doc_id aggregation."""
+    plan = plan_of(REG["feature_hashing"].fn(spark, SF_SMOKE), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_target_encoding_broadcasts_global_mean(spark):
+    """L17: the global mean arrives via broadcast (never a
+    partition-all window); the category stats are one window
+    exchange over event_type."""
+    plan = plan_of(REG["target_encoding_loo"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Window") >= 1
+    # no single-partition window: the only Window sort is per event_type
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_embed_standardize_stats_one_pass_broadcast(spark):
+    """L13''': 128 moments reduce to a 1-row stats frame broadcast
+    back; the transform itself adds no extra shuffle of the corpus."""
+    plan = plan_of(REG["embed_standardize"].fn(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """E3: the as-of construction is one user_id window — no
+    per-purchase subquery join, no nested loop."""
+    plan = plan_of(REG["attribution_last_touch"].fn(spark, SF_SMOKE), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_locf_gap_fill_has_no_grid_join(spark):
+    """T10: the rewrite must not join a dense grid back — one agg
+    exchange + one window exchange, a generator, and NO join node."""
+    plan = plan_of(REG["timeseries_resample_locf"].fn(spark, SF_SMOKE), "simple")
+    assert "Join" not in plan, plan
+    assert "Generate" in plan  # the sequence-explode gap filler
+    assert plan.count("Exchange") <= 2, plan
