@@ -263,6 +263,8 @@ _NESTED_LOOP_ALLOWED = {
     # nested loop's build side is a single row by construction
     "agg_histogram": "broadcasts 1-row global min/max for bin width",
     "sample_class_weights": "broadcasts 1-row global total",
+    "target_encoding_loo": "broadcasts 1-row global target mean",
+    "embed_standardize": "broadcasts 1-row per-dimension stats frame",
     "q22_idle_rich_customers": "TPC-H Q22 scalar avg-acctbal subquery",
     "q11_important_parts": "TPC-H Q11 scalar threshold subquery",
     # dedup_connected_components left the list when its label loop
