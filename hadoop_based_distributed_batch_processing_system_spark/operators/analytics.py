@@ -1222,3 +1222,68 @@ def cache_two_phase_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         return by_flag.unionAll(by_status).localCheckpoint(eager=True)
     finally:
         filtered.unpersist()
+
+
+# Declarative expectation rules: (rule_name, SQL predicate that GOOD
+# rows satisfy). The predicate strings are engine-portable ANSI and
+# are compiled verbatim into both the Spark plan and the oracle.
+_DQ_RULES = (
+    ("quantity_in_domain", "l_quantity BETWEEN 1 AND 50"),
+    ("discount_in_domain", "l_discount BETWEEN 0.0 AND 0.1"),
+    ("tax_in_domain", "l_tax BETWEEN 0.0 AND 0.08"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("returnflag_valid", "l_returnflag IN ('A', 'N', 'R')"),
+    ("status_flag_consistent", "NOT (l_linestatus = 'O' AND l_returnflag IN ('A', 'R'))"),
+)
+
+
+@register(
+    "dq_expectations",
+    oracle="WITH checked AS (SELECT "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE NOT ({pred})) AS BIGINT) AS v{i}"
+        for i, (_, pred) in enumerate(_DQ_RULES)
+    )
+    + ", CAST(COUNT(*) AS BIGINT) AS n_checked FROM lineitem) "
+    + " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS rule_name, n_checked, v{i} AS n_violations,
+               ROUND(1.0 - CAST(v{i} AS DOUBLE) / n_checked, 6) AS pass_rate
+        FROM checked
+        """
+        for i, (name, _) in enumerate(_DQ_RULES)
+    ),
+    tags=("DQ", "expectations"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation checking (the Deequ/Great-Expectations
+    verification shape): a rule set of domain/consistency predicates
+    is evaluated over lineitem in ONE wide aggregate — each rule
+    becomes a conditional count, so the batch is scanned exactly once
+    no matter how many expectations the suite carries — then unpivoted
+    to the per-rule audit report (rule, checked, violations,
+    pass-rate) a pipeline gates its publish step on.
+
+    Scale: identical discipline to dq_profile_lineitem — rules must
+    never multiply scans of the fact table; N rules cost N counters
+    inside one map-side-partial aggregate (a 1-row shuffle). The
+    rule predicates are portable ANSI strings compiled verbatim into
+    both engines, so the report is hash-oracled end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counters = [
+        F.sum(F.when(~F.expr(pred), 1).otherwise(0)).cast("long").alias(f"v{i}")
+        for i, (_, pred) in enumerate(_DQ_RULES)
+    ]
+    checked = li.agg(*counters, F.count(F.lit(1)).cast("long").alias("n_checked"))
+    stack = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(_DQ_RULES))
+    return checked.select(
+        F.expr(f"stack({len(_DQ_RULES)}, {stack}) AS (rule_name, n_violations)"),
+        "n_checked",
+    ).select(
+        "rule_name",
+        "n_checked",
+        "n_violations",
+        F.round(1.0 - F.col("n_violations").cast("double") / F.col("n_checked"), 6).alias(
+            "pass_rate"
+        ),
+    )

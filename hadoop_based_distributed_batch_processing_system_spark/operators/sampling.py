@@ -25,7 +25,7 @@ selection is the canonical MapReduce idiom for it.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
@@ -271,4 +271,49 @@ def sample_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "n",
         F.round(F.col("t").cast("double") / (F.col("k") * F.col("n")), 6).alias("weight"),
+    )
+
+
+_RESERVOIR_K = 16
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle=f"""
+        SELECT event_id, event_type, ROUND(value, 6) AS value
+        FROM (
+          SELECT event_id, event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                 ) AS rn
+          FROM events
+        )
+        WHERE rn <= {_RESERVOIR_K}
+    """,
+    tags=("P5", "sampling", "reservoir"),
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: exactly {k} uniform rows per
+    event_type, selected by ranking each stratum on the md5 of its
+    primary key — the deterministic replacement for per-group
+    reservoir sampling (same rows every run, any partitioning, any
+    engine; classic reservoir RNG state can't promise that). The
+    rate-based sampler above keeps a FRACTION per stratum; this keeps
+    a COUNT — what eval-set builders and per-class debug dumps need.
+
+    Scale: one hash shuffle on the stratum key; the per-group sort
+    ranks by a hash, so no value ordering is materialized and the
+    output is bounded at k × |strata| rows regardless of corpus
+    size. Skewed strata are one AQE skew-split away, exactly like
+    topk_per_group."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
     )

@@ -572,3 +572,115 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("lt.ts")).alias("touch_ts"),
         fresh.alias("attributed"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+          FROM events
+        ),
+        t AS (
+          SELECT event_type AS src_type, next_type AS dst_type,
+                 COUNT(*) AS n_trans
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT src_type, dst_type, n_trans,
+               ROUND(CAST(n_trans AS DOUBLE)
+                     / SUM(n_trans) OVER (PARTITION BY src_type), 6) AS prob
+        FROM t
+    """,
+    tags=("E4", "markov", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — first-order Markov transition matrix over per-user event
+    streams: consecutive event-type pairs (ordered by ts with
+    event_id as the deterministic tiebreak), counted and normalized
+    into row-stochastic transition probabilities. The user-journey
+    summary behind next-action prediction and anomaly screens.
+
+    Scale: ONE shuffle of the fact table keyed by user_id for the
+    lead() window (linear per-user scan), then the transition counts
+    collapse to |event_type|² rows — the normalizing window runs on
+    that tiny matrix, not the corpus. Same cost class as
+    window_session."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"),
+            F.col("next_type").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    return trans.select(
+        "src_type",
+        "dst_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(Window.partitionBy("src_type")),
+            6,
+        ).alias("prob"),
+    )
+
+
+@register(
+    "timeseries_twap",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, value,
+                 epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts) AS w_us
+          FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_intervals,
+               ROUND(SUM(value * w_us) / SUM(w_us), 6) AS twap
+        FROM seq
+        WHERE w_us IS NOT NULL AND w_us > 0
+        GROUP BY user_id
+    """,
+    tags=("T11", "timeseries", "twap"),
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 — time-weighted average value per user (TWAP, the
+    irregular-sampling average TimescaleDB ships as time_weight):
+    each reading holds until the next one, so it is weighted by its
+    holding duration in microseconds — the honest mean for
+    unevenly-spaced telemetry, where the arithmetic mean over-weights
+    bursts. Last reading per user has no successor and zero-length
+    holds are excluded (both engines, identically).
+
+    Scale: one shuffle on user_id for the lead() window, then a
+    user-keyed aggregate — the window and the groupBy share the same
+    hash partitioning, so AQE coalesces them onto one exchange.
+    Weights are exact integer microseconds (unix_micros/epoch_us),
+    never float seconds, so the hash oracle holds at any precision."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("w_us"),
+    )
+    return (
+        seq.filter(F.col("w_us").isNotNull() & (F.col("w_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us"), 6
+            ).alias("twap"),
+        )
+    )
