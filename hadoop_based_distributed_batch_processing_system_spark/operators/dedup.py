@@ -474,3 +474,90 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component"),
         (F.col("u") == F.col("label")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+_CONTAINMENT_DF_CAP = 100  # drop stop-shingles appearing in more docs
+_CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH tok AS ({_ORACLE_SHINGLES}),
+        posting AS (
+          SELECT doc_id, u.s FROM tok, LATERAL unnest(sh) AS u(s)
+        ),
+        dfc AS (SELECT s, COUNT(*) AS df FROM posting GROUP BY s),
+        kept AS (
+          SELECT p.doc_id, p.s
+          FROM posting p JOIN dfc ON p.s = dfc.s
+          WHERE dfc.df <= {_CONTAINMENT_DF_CAP}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_shared,
+               ROUND(CAST(n_shared AS DOUBLE) / na.n, 6) AS cont_a_in_b,
+               ROUND(CAST(n_shared AS DOUBLE) / nb.n, 6) AS cont_b_in_a
+        FROM pairs
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE greatest(CAST(n_shared AS DOUBLE) / na.n,
+                       CAST(n_shared AS DOUBLE) / nb.n) >= {_CONTAINMENT_THRESHOLD}
+    """,
+    tags=("L2''", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection — |A∩B| / |A| over 3-word
+    shingle sets, the asymmetric sibling of Jaccard that catches a
+    SHORT document embedded inside a LONG one (quotes, wrapped
+    reposts, boilerplate-padded copies), which symmetric Jaccard
+    dilutes below threshold. Pairs are generated from an inverted
+    shingle index (posting-list equi-self-join), never doc×doc, with
+    a document-frequency cap of {cap}: shingles appearing in more
+    docs are boilerplate whose posting lists would otherwise square —
+    the cap bounds per-shingle join fan-out, is applied identically
+    to numerator AND denominator (containment over informative
+    shingles), and is compiled into the oracle too, so the report is
+    hash-exact.
+
+    Scale: posting lists shuffle on the shingle key (df-capped
+    fan-out ≤ {cap}²-pairs per shingle); per-doc set sizes are a
+    doc-keyed aggregate; scores join on pair ids. Same equi-join
+    discipline as dedup_minhash_lsh — for corpora where even capped
+    postings are too wide, MinHash the kept shingles first and run
+    this as the verify stage."""
+    sh = _shingles(spark, sf_dir)
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    dfc = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        posting.join(dfc.filter(F.col("df") <= _CONTAINMENT_DF_CAP), "s")
+        .select("doc_id", "s")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    cont_a = F.col("n_shared").cast("double") / F.col("n_a")
+    cont_b = F.col("n_shared").cast("double") / F.col("n_b")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.greatest(cont_a, cont_b) >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(cont_a, 6).alias("cont_a_in_b"),
+            F.round(cont_b, 6).alias("cont_b_in_a"),
+        )
+    )

@@ -186,3 +186,58 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@register(
+    "user_rfm_segments",
+    oracle="""
+        WITH u AS (
+          SELECT user_id,
+                 MAX(ts) AS last_ts,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6)
+                   AS monetary
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
+               ntile(5) OVER (ORDER BY n_events, user_id) AS f_score,
+               ntile(5) OVER (ORDER BY monetary, user_id) AS m_score,
+               n_events, monetary
+        FROM u
+    """,
+    tags=("E5", "features", "rfm"),
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: per-user recency (last event time),
+    frequency (event count) and monetary (purchase value) collapse to
+    1-5 quintile scores — the classic behavioral segmentation grid
+    (5/5/5 = best customers). Quintiles via ntile(5) with user_id as
+    the deterministic tiebreak, so both engines assign identical
+    buckets.
+
+    Scale: the fact table is reduced FIRST by a user-keyed aggregate;
+    the three global ntile windows then run over the user summary —
+    orders of magnitude smaller than events, but still a
+    single-partition sort per metric, which is the honest limit of
+    exact global ntile. When the user table itself is huge, swap each
+    ntile for the bucketed two-phase numbering recipe of
+    rownum_scalable_global (deterministic range buckets + offset
+    prefix-sum) or approx-quantile cutoffs if exact tie handling may
+    be relaxed."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 6
+        ).alias("monetary"),
+    )
+    return u.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("last_ts", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("n_events", "user_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+        "n_events",
+        "monetary",
+    )

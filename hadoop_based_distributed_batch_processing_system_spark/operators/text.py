@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
 
+_LN2 = __import__("math").log(2)
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
 # language-ID score. Deliberately literal so the DuckDB oracle can
 # embed the identical lists; real pipelines would broadcast a larger
@@ -793,4 +795,133 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.round(1.0 - F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias("dup_ratio"),
         F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_token_ratio"),
+    )
+
+
+_BPE_TOP = 64
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+        WITH tok AS (
+          SELECT u.t FROM documents,
+                 LATERAL unnest(string_split(lower(text), ' ')) AS u(t)
+          WHERE len(text) > 0
+        ),
+        pairs AS (
+          SELECT substr(t, i, 2) AS pair
+          FROM tok, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+          WHERE len(t) >= 2
+        )
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT {_BPE_TOP}
+    """,
+    tags=("L18", "tokenizer", "bpe"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: corpus-wide adjacent
+    character-pair frequencies inside lowercased word tokens — the
+    statistic a BPE trainer computes at every merge step (its first
+    iteration exactly; later iterations rerun the same plan over
+    re-segmented symbols). Top-{top} pairs, count-desc with the pair
+    string as deterministic tiebreak.
+
+    Scale: token explode + in-token pair explode are narrow maps
+    (output ~= corpus character count); the single shuffle is the
+    pair groupBy, whose key space is bounded by alphabet² — map-side
+    partial aggregation collapses each task to at most that many
+    rows, so the reduce side is tiny no matter the corpus. The top-k
+    runs TakeOrderedAndProject on the aggregated pair table."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.length("text") > 0).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    pairs = tok.filter(F.length("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+@register(
+    "text_bigram_logprob_score",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+          WHERE len(ts) >= 2
+        ),
+        bgc AS (
+          SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12 FROM bg GROUP BY w1, w2
+        ),
+        ctx AS (
+          SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-SUM(ln(m.c12 / x.c1)) / COUNT(*) / ln(2), 4) AS bits_per_token
+        FROM bg b
+        JOIN bgc m ON b.w1 = m.w1 AND b.w2 = m.w2
+        JOIN ctx x ON b.w1 = x.w1
+        GROUP BY b.doc_id
+    """,
+    tags=("L6''", "quality", "pipeline"),
+)
+def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order statistical quality score: per-document mean
+    negative log2 P(w_i | w_{i-1}) under the corpus's own bigram MLE
+    model — the step from text_unigram_logprob_score toward the
+    KenLM-style n-gram perplexity filters (CCNet) that production
+    corpus pipelines gate on. Word-salad that happens to reuse
+    common words scores high here (improbable TRANSITIONS) where the
+    unigram filter is blind.
+
+    Plan: bigrams come from array indexing over the split tokens (a
+    narrow map — no per-doc window sort needed for adjacency); the
+    model is two aggregates over the bigram stream (pair counts +
+    context counts), pre-joined model-side so the corpus stream is
+    joined ONCE on (w1, w2). The model table is bigram-typed —
+    larger than a unigram vocab but still sublinear in corpus size;
+    it is NOT broadcast by default (unlike the unigram scorer) —
+    the shuffle join on (w1, w2) is the 100 TB-safe default, and
+    both sides of the join carry only hashed-width keys. Rounded to
+    4 dp for cross-engine float-sum stability, like the unigram op."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    model = bgc.join(ctx, "w1").select("w1", "w2", (F.col("c12") / F.col("c1")).alias("p"))
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(F.log("p")) / F.count(F.lit(1)) / F.lit(_LN2), 4
+            ).alias("bits_per_token"),
+        )
     )

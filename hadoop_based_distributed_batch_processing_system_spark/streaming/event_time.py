@@ -684,3 +684,57 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "timeseries_ewma",
+    oracle=f"""
+        WITH s AS (
+          SELECT user_id,
+                 list(value ORDER BY ts, event_id) AS vs
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vs) AS BIGINT) AS n_obs,
+               ROUND(list_reduce(vs, (acc, x) -> {_EWMA_ALPHA} * x
+                                     + {1 - _EWMA_ALPHA} * acc), 6) AS ewma
+        FROM s
+    """,
+    tags=("T12", "timeseries", "ewma"),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — exponentially weighted moving average per user series
+    (α=0.3, seeded with the first observation): the smoothing
+    recurrence s_i = α·x_i + (1-α)·s_{{i-1}} behind monitoring
+    baselines and simple demand forecasts. A fold, not a window —
+    each element's weight depends on every prior element, so it is
+    computed as an ordered per-key reduce: sort_array over
+    (ts, event_id, value) structs, then one JVM `aggregate` lambda.
+    Both engines fold the identical ordered sequence, so the floats
+    agree bit-for-bit before the 6-dp rounding.
+
+    Scale: one shuffle keyed by series; per-series state is the
+    series itself (same memory bound as any per-key sort — fine for
+    telemetry series; year-long tick series chunk by (user, month)
+    with carried seed). The streaming twin is
+    applyInPandasWithState holding one running double per key."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_obs"),
+        F.round(
+            F.expr(
+                f"aggregate(slice(seq, 2, size(seq) - 1), seq[0].value,"
+                f" (acc, s) -> {_EWMA_ALPHA}D * s.value + {1 - _EWMA_ALPHA}D * acc)"
+            ),
+            6,
+        ).alias("ewma"),
+    )
