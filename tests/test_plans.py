@@ -276,6 +276,7 @@ _NESTED_LOOP_ALLOWED = {
     "text_tfidf_topterms": "broadcasts 1-row corpus doc count",
     "watermark_late_drop": "broadcasts 1-row max event time (the watermark)",
     "funnel_conversion": "broadcasts 1-row cohort baseline scalar",
+    "triangle_count": "broadcasts two 1-row scalars (edge count, triangle count) onto the 1-row stats frame",
 }
 
 # Eager-on-call operators (streams, sinks, driver-side collects) are
@@ -404,3 +405,64 @@ def test_locf_gap_fill_has_no_grid_join(spark):
     assert "Join" not in plan, plan
     assert "Generate" in plan  # the sequence-explode gap filler
     assert plan.count("Exchange") <= 2, plan
+
+def test_triangle_count_joins_are_hash_equi(spark):
+    """The wedge enumeration and closing-edge joins must be hash
+    equi-joins on node keys; the only nested-loop nodes allowed are
+    the two 1-row scalar broadcasts assembling the audit row."""
+    plan = plan_of(REG["triangle_count"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_containment_uses_inverted_index_not_cartesian(spark):
+    """dedup_containment pairs come from the posting-list equi-join —
+    never doc×doc."""
+    plan = plan_of(REG["dedup_containment"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pair_counts_partial_agg_and_topk(spark):
+    """The pair groupBy must partial-aggregate map-side (alphabet²
+    keys collapse in the map task) and the top-64 must be a
+    TakeOrderedAndProject heap, not a global sort."""
+    plan = plan_of(REG["bpe_pair_counts"].fn(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_score_is_all_jvm(spark):
+    """The bigram LM scorer must stay whole-JVM (array-index bigrams,
+    no Python) and join the model via equi-joins."""
+    plan = plan_of(REG["text_bigram_logprob_score"].fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_exchange(spark):
+    """The per-series fold needs exactly one shuffle (the user_id
+    groupBy); the ordered reduce itself is a JVM lambda, no Python."""
+    plan = plan_of(REG["timeseries_ewma"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_dq_expectations_single_scan(spark):
+    """N expectation rules must cost ONE scan of the fact table —
+    conditional counters in one wide aggregate, never a scan per
+    rule."""
+    plan = plan_of(REG["dq_expectations"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_markov_reuses_user_partitioning(spark):
+    """events_markov_transitions: the lead() window shuffles on
+    user_id once; the transition-matrix aggregate and its normalizing
+    window run on |event_type|²-sized data (2 more exchanges at most,
+    all tiny)."""
+    plan = plan_of(REG["events_markov_transitions"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") <= 3
+    assert "CartesianProduct" not in plan
