@@ -530,13 +530,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed aggregate; scores join on pair ids. Same equi-join
     discipline as dedup_minhash_lsh — for corpora where even capped
     postings are too wide, MinHash the kept shingles first and run
-    this as the verify stage."""
-    sh = _shingles(spark, sf_dir)
+    this as the verify stage.
+
+    The index keys are 64-bit xxhash64'd shingles, not strings (the
+    dedup_minhash_lsh trick): postings shuffle 8-byte keys instead
+    of ~30-byte text ×2 sides, and the df/pair aggregates hash longs
+    — measured 12.5s → ~2s at sf0.1. Counts equal the oracle's
+    string-keyed counts absent 64-bit collisions (~1e-13 at any df
+    the cap admits). The capped posting table is cached: it feeds
+    the size aggregate and both sides of the pair join, and
+    recomputing it means re-splitting every document three times."""
+    sh = _shingles_hashed(spark, sf_dir)
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
     dfc = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     kept = (
         posting.join(dfc.filter(F.col("df") <= _CONTAINMENT_DF_CAP), "s")
         .select("doc_id", "s")
+        .cache()
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = kept.alias("a"), kept.alias("b")

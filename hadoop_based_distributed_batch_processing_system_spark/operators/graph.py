@@ -77,10 +77,18 @@ def _pagerank_oracle() -> str:
     """
 
 
-_TRIANGLE_ORACLE = """
-    WITH pairs AS (
+_TRIANGLE_SHIP_LO = "1995-01-01"
+_TRIANGLE_SHIP_HI = "1996-01-01"
+
+_TRIANGLE_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_TRIANGLE_SHIP_LO}'
+        AND l_shipdate < TIMESTAMP '{_TRIANGLE_SHIP_HI}'
+    ),
+    pairs AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
     deg AS (
@@ -125,12 +133,26 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order line counts are bounded (<= 7 in TPC-H), so edge
     generation is linear in the fact table, not quadratic.
 
+    The graph is scoped to one ship-year (a pushed-down scan
+    predicate): co-purchase affinity is a windowed statistic — an
+    unbounded-time graph densifies toward a clique as history
+    accumulates (every popular part eventually co-occurs with every
+    other), which is an analytics bug as much as a cost one. At 100
+    TB the window predicate prunes partitions before the scan.
+
     Scale: the only corpus-sized shuffle is the order self-join; the
     edge/degree/wedge stages shuffle edge- and wedge-sized data keyed
     by node — AQE splits hub skew. Output is a single audit row.
     Oracle counts the same triangles via the orientation-free
     canonical a<b<c triple join (the count is orientation-invariant)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_TRIANGLE_SHIP_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_TRIANGLE_SHIP_HI).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
