@@ -53,6 +53,12 @@ HEADLINE = [
     "topk_heavy_hitters_mg",  # one-pass Misra-Gries heavy hitters
     "embed_random_projection",  # JL 64->16 narrow map
     "mm_audio_decode_wav",  # real WAV synth+decode through a binary column
+    "events_markov_transitions",  # per-user lead() window -> transition matrix
+    "timeseries_ewma",      # ordered per-series fold (JVM aggregate lambda)
+    "bpe_pair_counts",      # tokenizer merge statistic, alphabet^2 shuffle
+    "text_bigram_logprob_score",  # 2nd-order LM quality score, (w1,w2) model join
+    "dedup_containment",    # df-capped inverted shingle index, hashed keys
+    "triangle_count",       # degree-oriented wedge counting, 1995 co-purchase graph
 ]
 
 
