@@ -1287,3 +1287,88 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass_rate"
         ),
     )
+
+
+# Deterministic synthetic "new snapshot" of orders, derived from the
+# table itself so both engines build byte-identical inputs: keys
+# divisible by 97 are deleted, keys ≡ 3 (mod 89) get a 10% price
+# change, and keys ≡ 5 (mod 101) are re-inserted as NEW rows under a
+# negated key (guaranteed absent from the old snapshot).
+_DIFF_OLD = "SELECT o_orderkey, o_totalprice FROM orders"
+_DIFF_NEW = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 89 = 3
+                THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT -o_orderkey AS o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 101 = 5
+"""
+
+
+@register(
+    "table_diff_snapshots",
+    oracle=f"""
+        WITH old AS ({_DIFF_OLD}), new AS ({_DIFF_NEW})
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS diff_status,
+               ROUND(o.o_totalprice, 6) AS old_price,
+               ROUND(n.o_totalprice, 6) AS new_price
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice <> n.o_totalprice
+    """,
+    tags=("CDC", "diff"),
+)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit primitive behind CDC validation,
+    reconciliation jobs, and "what changed since yesterday" reports:
+    full-outer-join two table versions on the primary key and
+    classify every key as added / removed / changed (unchanged rows
+    are filtered out, so the output is delta-sized). The comparison
+    here is on the value column directly; for wide tables the same
+    plan compares a single md5 row-fingerprint per side so the
+    shuffle carries (key, hash) only — the shape is identical.
+
+    The "new" snapshot is derived deterministically from orders
+    itself (drops, price changes, key-negated inserts) so both
+    engines diff byte-identical inputs without a second stored table.
+
+    Scale: one co-partitioned full outer join on the key — both
+    sides shuffle once; with bucketed/sorted snapshots (the layout a
+    nightly-snapshot pipeline would choose) the exchange disappears
+    entirely, as join_bucketed_colocated demonstrates. Output is
+    bounded by the churn rate, not the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice")
+    changed_price = F.when(
+        F.col("o_orderkey") % 89 == 3, F.round(F.col("o_totalprice") * 1.1, 2)
+    ).otherwise(F.col("o_totalprice"))
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey", changed_price.alias("o_totalprice"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 5).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return joined.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        status.alias("diff_status"),
+        F.round(F.col("o.o_totalprice"), 6).alias("old_price"),
+        F.round(F.col("n.o_totalprice"), 6).alias("new_price"),
+    )

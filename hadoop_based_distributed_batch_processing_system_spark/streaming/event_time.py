@@ -738,3 +738,141 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+_SESSION_CAP_HOURS = 4
+
+
+@register(
+    "window_session_capped",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gap_sid
+            FROM flagged
+        ),
+        capped AS (
+            SELECT user_id, ts, gap_sid,
+                   CAST((epoch_us(ts)
+                         - epoch_us(MIN(ts) OVER (PARTITION BY user_id, gap_sid)))
+                        // {_SESSION_CAP_HOURS * 3600 * 1_000_000} AS BIGINT) AS cap_part
+            FROM sess
+        )
+        SELECT user_id, gap_sid, cap_part,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM capped
+        GROUP BY user_id, gap_sid, cap_part
+    """,
+    tags=("T3'", "session"),
+)
+def window_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3' — duration-capped sessionization: inactivity-gap sessions
+    (30 min, as window_session) that are additionally SPLIT every 4
+    hours from the gap-session's start — the production convention
+    that stops a polling client or bot from producing one unbounded
+    session (unbounded sessions are an analytics artifact AND an
+    unbounded-state hazard for any streaming sessionizer). Two-level
+    key: gaps-and-islands gives gap_sid, then each row's offset from
+    its gap-session start integer-divides into a 4-hour cap_part.
+
+    Scale: ONE shuffle on user_id — all four windows (lag flag,
+    running sum, per-session min, and the final aggregate's
+    repartition is subsumed by AQE since the grouping keys extend the
+    window keys) share the same user_id hash partitioning. Exact
+    integer-microsecond arithmetic end to end."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "gap_sid",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    cap_us = _SESSION_CAP_HOURS * 3600 * 1_000_000
+    capped = sess.withColumn(
+        "cap_part",
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.min("ts").over(Window.partitionBy("user_id", "gap_sid")))
+            )
+            / F.lit(cap_us)
+        ).cast("long"),
+    )
+    return capped.groupBy("user_id", "gap_sid", "cap_part").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_INCR_SPLIT = "2024-01-25"
+
+
+@register(
+    "rollup_incremental_merge",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("T13", "rollup", "incremental"),
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 — incremental materialized-rollup maintenance: the daily
+    (day, type) rollup is produced by MERGING two independently
+    computed partial-aggregate sets — the "stored" partials for
+    history (events before the 2024-01-25 split) and the "delta"
+    partials for the new batch — instead of rescanning history.
+    COUNT and SUM are mergeable (sum of partials = total), so
+    partials union + re-aggregate exactly equals the full recompute,
+    which is precisely what the oracle computes over all of events:
+    the hash match IS the proof that the incremental path loses
+    nothing. (AVG-style metrics must be stored as (sum, n) partials —
+    same algebra.)
+
+    Scale: this is the continuous-aggregate discipline at 100 TB —
+    each refresh scans ONLY the delta partition (a pushed-down ts
+    predicate), merges against rollup-sized state (days × types
+    rows), and never touches history again. The merge shuffle is
+    rollup-sized, not fact-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_INCR_SPLIT).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
+
+    base = partials(ev.filter(F.col("ts") < split))
+    delta = partials(ev.filter(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.round(F.sum("psum"), 6).alias("sum_value"),
+        )
+    )

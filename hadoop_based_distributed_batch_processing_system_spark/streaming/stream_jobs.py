@@ -618,3 +618,58 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("hbdbps_stream_pyds")
+
+
+@register(
+    "stream_ewma_stateful",
+    oracle=f"""
+        WITH s AS (
+          SELECT user_id,
+                 list(value ORDER BY ts, event_id) AS vs
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vs) AS BIGINT) AS n_obs,
+               ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+        FROM s
+    """,
+    tags=("T12", "stream", "stateful"),
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of timeseries_ewma: the per-series smoothing
+    recurrence as a LIVE stateful operator — state is one (n, ewma)
+    double pair per user, folded forward on every micro-batch via
+    ``applyInPandasWithState`` (this is why EWMA is the monitoring
+    smoother of choice: O(1) state per key, no window buffer). Rows
+    within a batch are sorted by (ts, event_id) before folding so
+    the fold order is the event-time order; the bounded demo stream
+    arrives as one batch, so the final state equals the batch
+    operator bit-for-bit and the job is hash-oracled against the
+    same DuckDB fold. In production the event-time-ordering
+    guarantee comes from the upstream log's per-key ordering (the
+    Kafka/partitioned-log contract), and idle keys expire via
+    GroupStateTimeout."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_ewma(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        parts = [pdf for pdf in pdfs]
+        batch = pd.concat(parts) if len(parts) > 1 else parts[0]
+        batch = batch.sort_values(["ts", "event_id"])
+        for v in batch["value"].to_numpy():
+            v = float(v)
+            s = v if n == 0 else 0.3 * v + 0.7 * s
+            n += 1
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_obs": [n], "ewma": [round(s, 6)]})
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update_ewma,
+        outputStructType="user_id long, n_obs long, ewma double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_ewma", "update")

@@ -466,3 +466,20 @@ def test_markov_reuses_user_partitioning(spark):
     plan = plan_of(REG["events_markov_transitions"].fn(spark, SF_SMOKE), "simple")
     assert plan.count("Exchange") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_capped_session_single_exchange(spark):
+    """T3' contract: gap-flag lag, running-sum, per-session min and
+    the final aggregate all share the user_id hash partitioning —
+    exactly one shuffle."""
+    plan = plan_of(REG["window_session_capped"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_rollup_prunes_delta_scan(spark):
+    """T13 contract: the delta partials scan carries the ts split as
+    a pushed-down parquet predicate (at scale: partition pruning),
+    and the merge re-aggregate is partial-agg'd."""
+    plan = plan_of(REG["rollup_incremental_merge"].fn(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for partials and merge
