@@ -760,3 +760,91 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tolerance"
         ),
     )
+
+
+@register(
+    "join_asof_nearest",
+    # Tiebreaks are the whole contract here: the oracle resolves
+    # equal |Δ| toward the EARLIER view (backward wins) and equal
+    # (|Δ|, ts) toward the smaller event_id; the Spark windows order
+    # ord_id DESC so last() lands on the same row.
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               t.ts AS nearest_view_ts,
+               epoch_us(t.ts) - epoch_us(p.ts) AS delta_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+          SELECT v.ts, v.event_id FROM events v
+          WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), v.ts, v.event_id
+          LIMIT 1
+        ) t ON TRUE
+    """,
+    tags=("J8''", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8'' — NEAREST-match as-of join: each purchase pairs with the
+    view closest in time in EITHER direction (pandas merge_asof
+    direction='nearest'; sensor-fusion alignment uses the same
+    semantic). Backward/forward variants exist as join_asof /
+    join_asof_tolerance; nearest is their combination: one union of
+    sides, one shuffle on user_id, TWO linear window passes over the
+    same partitioning (ascending carry for the latest view at-or-
+    before, descending carry for the first view at-or-after), then a
+    pure row-local arbitration by absolute gap — ties break to the
+    earlier view, then the smaller event_id, mirrored exactly by the
+    oracle's LATERAL ordering.
+
+    Scale: identical cost class to join_asof — the second window
+    pass reuses the user_id hash partitioning (sort only, no second
+    Exchange), and the arbitration adds zero shuffles. Gaps are
+    exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("struct<ts:timestamp,ord:long>").alias("view"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("ord_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("ord")).alias("view"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("ord_id"),
+    )
+    # At equal ts views sort before purchases (inclusive semantics)
+    # and equal-ts views sort ord_id DESC so last() carries the
+    # SMALLEST event_id — the oracle's tiebreak.
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("side"), F.col("ord_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("side"), F.col("ord_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = (
+        purchases.unionByName(views)
+        .withColumn("back", F.last("view", ignorenulls=True).over(wb))
+        .withColumn("fwd", F.last("view", ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+    )
+    d_back = F.unix_micros(F.col("back.ts")) - F.unix_micros("ts")
+    d_fwd = F.unix_micros(F.col("fwd.ts")) - F.unix_micros("ts")
+    pick_back = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (F.abs(d_back) <= F.abs(d_fwd))
+    )
+    nearest = F.when(pick_back, F.col("back")).otherwise(F.col("fwd"))
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest["ts"].alias("nearest_view_ts"),
+        (F.unix_micros(nearest["ts"]) - F.unix_micros("ts")).alias("delta_us"),
+    )
