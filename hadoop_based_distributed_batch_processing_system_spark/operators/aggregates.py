@@ -618,3 +618,62 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.corr("l_extendedprice", "l_quantity").alias("price_qty_corr"),
         F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
     )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+        WITH cuts AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS p05,
+                 quantile_cont(value, 0.95) AS p95
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               ROUND(cuts.p05, 6) AS p05,
+               ROUND(cuts.p95, 6) AS p95,
+               ROUND(AVG(e.value), 6) AS mean_raw,
+               ROUND(AVG(LEAST(GREATEST(e.value, cuts.p05), cuts.p95)), 6)
+                 AS mean_winsorized
+        FROM events e JOIN cuts ON e.event_type = cuts.event_type
+        GROUP BY e.event_type, cuts.p05, cuts.p95
+    """,
+    tags=("A4''", "robust", "winsorize"),
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-at-percentile) robust mean per group — the
+    outlier-resistant aggregate metric pipelines report next to the
+    raw mean (a single fat-finger value cannot move it). Two passes:
+    exact p05/p95 per group (Spark `percentile`, same interpolating
+    definition as DuckDB quantile_cont), broadcast the
+    |groups|-sized cutoff table back, clip and average. Exact
+    percentiles buffer per-group values like agg_exact_median — the
+    sketch-based approx_percentile swaps in above memory bounds, at
+    the cost of the hash oracle.
+
+    Scale: fact table scanned twice (percentile pass + clipped
+    mean); both aggregates are group-keyed hash shuffles, the cutoff
+    join broadcasts. A one-pass variant exists (t-digest style) but
+    is approximate by nature."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(
+                F.avg(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))), 6
+            ).alias("mean_winsorized"),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )

@@ -14,7 +14,7 @@ scalar-subquery shapes.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
@@ -1371,4 +1371,94 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         status.alias("diff_status"),
         F.round(F.col("o.o_totalprice"), 6).alias("old_price"),
         F.round(F.col("n.o_totalprice"), 6).alias("new_price"),
+    )
+
+
+@register(
+    "scd2_point_in_time_join",
+    # Probe ts = o_orderdate + 45 days: between the +30 and +60
+    # version boundaries, so keys divisible by 5 resolve to their v1
+    # price and the rest to v0 — a real discriminating lookup.
+    oracle="""
+        WITH versions AS (
+          SELECT o_orderkey, o_totalprice AS price, o_orderdate AS valid_from
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice * 1.1, o_orderdate + INTERVAL 30 DAY
+          FROM orders WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice * 1.2, o_orderdate + INTERVAL 60 DAY
+          FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        probes AS (
+          SELECT o_orderkey, o_orderdate + INTERVAL 45 DAY AS probe_ts FROM orders
+        )
+        SELECT p.o_orderkey, p.probe_ts, ROUND(v.price, 4) AS price_asof
+        FROM probes p
+        LEFT JOIN LATERAL (
+          SELECT price FROM versions v
+          WHERE v.o_orderkey = p.o_orderkey AND v.valid_from <= p.probe_ts
+          ORDER BY v.valid_from DESC LIMIT 1
+        ) v ON TRUE
+    """,
+    tags=("W2", "scd2", "asof"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against SCD2 history — the read side of
+    scd2_history_build: each probe (key, as-of ts) resolves to the
+    version valid at that instant. NOT a per-probe subquery and NOT
+    a BETWEEN range join: versions and probes union into one stream,
+    one shuffle on the key, and a running last(version) window
+    resolves every probe in a single linear pass — the same
+    construction as join_asof, which is exactly what a PIT lookup is.
+    Versions sort before probes at equal ts (inclusive as-of).
+
+    Scale: training-data pipelines run this shape constantly
+    (point-in-time-correct feature joins against feature-store
+    history — lookahead leakage is the bug this join exists to
+    prevent). Cost = one key-hash shuffle of probes+versions,
+    however wide the history."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    versions = (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("vts"),
+        )
+        .union(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 1.1).alias("price"),
+                (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("vts"),
+            )
+        )
+        .union(
+            o.filter(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 1.2).alias("price"),
+                (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("vts"),
+            )
+        )
+        .select("o_orderkey", "vts", F.struct("price").alias("ver"), F.lit(0).alias("side"))
+    )
+    probes = o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")).alias("vts"),
+        F.lit(None).cast("struct<price:double>").alias("ver"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("o_orderkey")
+        .orderBy("vts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        versions.unionByName(probes)
+        .withColumn("asof", F.last("ver", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "o_orderkey",
+            F.col("vts").alias("probe_ts"),
+            F.round(F.col("asof.price"), 4).alias("price_asof"),
+        )
     )

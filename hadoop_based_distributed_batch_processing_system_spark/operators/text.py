@@ -925,3 +925,109 @@ def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+@register(
+    "corpus_mixing_weights",
+    oracle="""
+        WITH per_lang AS (
+          SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_langs FROM per_lang)
+        SELECT lang, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / tot.total, 6) AS token_share,
+               ROUND(LEAST(1.0, (tot.total / tot.n_langs) / n_tokens), 6)
+                 AS sample_weight
+        FROM per_lang, tot
+    """,
+    tags=("L19", "mixing", "pipeline"),
+)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19 — corpus mixing weights: per-language token counts and the
+    downsampling weight that moves the mix toward a uniform
+    token-per-language target (weights capped at 1 — downsample-only,
+    the convention when upsampling means repeating data). This is the
+    pre-training data-mixture computation (The Pile / Dolma style
+    recipes): the weights feed sample_hash_deterministic as
+    per-stratum keep rates.
+
+    Scale: one token-count aggregate keyed by language (map-side
+    partials make the shuffle |langs|-sized) and a 1-row totals
+    broadcast. Token counting reuses the whitespace tokenizer, JVM
+    size(split())."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias("token_share"),
+        F.round(
+            F.least(F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("n_tokens")), 6
+        ).alias("sample_weight"),
+    )
+
+
+_PAD_MULTIPLE = 64
+
+
+@register(
+    "doc_length_buckets",
+    oracle=f"""
+        WITH lens AS (
+          SELECT n_tok,
+                 CAST(((n_tok + {_PAD_MULTIPLE - 1}) // {_PAD_MULTIPLE})
+                      * {_PAD_MULTIPLE} AS BIGINT) AS padded_len
+          FROM (
+            SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+          )
+        )
+        SELECT padded_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               ROUND(1.0 - CAST(SUM(n_tok) AS DOUBLE)
+                     / (COUNT(*) * padded_len), 6) AS pad_waste
+        FROM lens
+        GROUP BY padded_len
+    """,
+    tags=("L20", "batching", "pipeline"),
+)
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20 — length-bucketed batching audit: documents grouped by
+    their padded sequence length (next multiple of 64 tokens) with
+    the padding-waste fraction per bucket — the statistic that
+    decides bucketed-batching vs packing for training throughput
+    (pad_waste ≈ FLOPs burned on pad tokens if this bucket batches
+    as-is; compare pack_sequences_concat_chunk, which drives waste
+    to zero at the cost of document boundaries). All integer
+    arithmetic (ceil-div via (n+63)//64 both engines), so the
+    report is engine-exact.
+
+    Scale: narrow token count + one bucket-keyed aggregate whose key
+    space is bounded by max_len/64."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    padded = (
+        F.floor((n_tok + (_PAD_MULTIPLE - 1)) / _PAD_MULTIPLE) * _PAD_MULTIPLE
+    ).cast("long")
+    lens = docs.select(n_tok.alias("n_tok"), padded.alias("padded_len"))
+    return lens.groupBy("padded_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.round(
+            1.0
+            - F.sum("n_tok").cast("double")
+            / (F.count(F.lit(1)) * F.first("padded_len")),
+            6,
+        ).alias("pad_waste"),
+    )
