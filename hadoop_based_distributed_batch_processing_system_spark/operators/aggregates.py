@@ -17,7 +17,7 @@ sketch, no second shuffle).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
@@ -676,4 +676,83 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_raw",
             "mean_winsorized",
         )
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+        SELECT lang, source AS mode_source, n
+        FROM (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY COUNT(*) DESC, source) AS rn
+          FROM documents GROUP BY lang, source
+        ) WHERE rn = 1
+    """,
+    tags=("A13", "mode"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent source per lang):
+    count + windowed argmax with the value itself as tiebreak.
+    Spark 4 ships a native `mode()` aggregate but leaves ties
+    engine-internal (whichever value the final merge saw first) — a
+    direct cross-engine hash mismatch; the count+row_number form
+    pins ties explicitly and costs the same two group-keyed hash
+    shuffles, the second over the already-collapsed (group, value)
+    counts. At scale the windowed argmax runs on count-table-sized
+    data, and a max_by(struct(n, value)) variant folds it into one
+    aggregate when the tiebreak can ride inside the struct ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "source")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("mode_source"), "n")
+    )
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+        WITH gaps AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+          FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               ROUND(AVG(gap_us), 6) AS mean_gap_us,
+               ROUND(median(gap_us), 6) AS median_gap_us,
+               ROUND(quantile_cont(gap_us, 0.95), 6) AS p95_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """,
+    tags=("T14", "timeseries", "interarrival"),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 — inter-arrival time distribution per event type (mean /
+    median / p95 gap): the burstiness profile behind rate-limit
+    sizing, anomaly thresholds (events_anomaly_zscore consumes a
+    mean; tail percentiles catch what means hide), and arrival-
+    process modeling. Gaps via lag() in exact integer microseconds;
+    exact interpolating percentiles (same definition both engines).
+
+    Scale: one shuffle keyed by the window partition, then a
+    group-keyed aggregate over gap rows; exact percentiles buffer
+    per-group — the approx_percentile sketch swaps in above memory
+    bounds, as agg_approx_quantile documents."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_us"), 6).alias("mean_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("median_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.95)"), 6).alias("p95_gap_us"),
     )

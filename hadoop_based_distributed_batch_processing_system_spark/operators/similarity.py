@@ -907,3 +907,144 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid",
         )
     )
+
+
+_PCA_ITERS = 8
+
+
+def _pca_oracle() -> str:
+    """Power iteration unrolled as chained CTEs over the 64×64
+    rounded covariance (same device as the kmeans/pagerank oracles).
+    Every dot product and the norm are strict left folds over
+    ascending dimension order, identical to the engine's driver-side
+    Python loops, so the iteration is bit-for-bit given the rounded
+    covariance."""
+    dot = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " k -> cl[k] * v[k]), (a, b) -> a + b)"
+    )
+    parts = [
+        """emb AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        n AS (SELECT COUNT(*) AS n FROM emb),
+        mu AS (
+          SELECT list(m ORDER BY i) AS mu FROM (
+            SELECT i, ROUND(AVG(v[i]), 6) AS m
+            FROM emb, LATERAL unnest(generate_series(1, 64)) AS g(i)
+            GROUP BY i
+          )
+        ),
+        cov AS (
+          SELECT i, j,
+                 ROUND(SUM((e.v[i] - mu.mu[i]) * (e.v[j] - mu.mu[j])) / n.n, 6) AS c
+          FROM emb e, mu, n,
+               LATERAL unnest(generate_series(1, 64)) AS gi(i),
+               LATERAL unnest(generate_series(1, 64)) AS gj(j)
+          GROUP BY i, j, n.n
+        ),
+        crow AS (
+          SELECT i, list(c ORDER BY j) AS cl FROM cov GROUP BY i
+        ),
+        v0 AS (
+          SELECT list_transform(generate_series(1, 64), x -> 0.125) AS v
+        )"""
+    ]
+    prev = "v0"
+    for t in range(_PCA_ITERS):
+        parts.append(
+            f"""w{t} AS (
+          SELECT crow.i, {dot} AS d FROM crow, {prev}
+        ),
+        wl{t} AS (
+          SELECT list(d ORDER BY i) AS w,
+                 sqrt(list_reduce(list_transform(list(d ORDER BY i), x -> x * x),
+                                  (a, b) -> a + b)) AS nrm
+          FROM w{t}
+        ),
+        v{t + 1} AS (
+          SELECT list_transform(w, x -> x / nrm) AS v FROM wl{t}
+        )"""
+        )
+        prev = f"v{t + 1}"
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT g.i AS dim,
+               ROUND(v.v[g.i], 4) AS loading,
+               ROUND(wl.nrm, 4) AS eigenvalue
+        FROM {prev} v, wl{_PCA_ITERS - 1} wl,
+             LATERAL unnest(generate_series(1, 64)) AS g(i)
+    """
+
+
+@register("pca_power_iteration_top1", oracle=_pca_oracle(), tags=("ML2", "pca", "iterative"))
+def pca_power_iteration_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the second iterative-ML flagship beside
+    kmeans_embeddings, and the decomposition behind whitening,
+    anisotropy correction ("all-but-the-top" embedding post-
+    processing), and drift monitoring.
+
+    Split of labor is the 100 TB design point: the CORPUS-sized work
+    is exactly two passes (the 64 mean aggregates, then the 64×64
+    centered co-moment aggregate — one explode to (i, j, x·y) pairs
+    and a single hash aggregate); the ITERATION runs on the
+    64×64 matrix, which is driver-resident model state like the
+    k-means centroids — 8 matrix-vector products on 4 KB of data,
+    never touching the corpus again. Engine-exactness: mean and
+    covariance are rounded to 6 dp (absorbing partial-agg summation
+    order), the start vector 1/8 is exactly dyadic, and every dot
+    product / norm is a strict ascending fold — the oracle unrolls
+    the identical iteration in SQL, so even an eigensolve
+    hash-matches."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    n = emb.count()
+    mu_row = emb.agg(
+        F.array(*[F.round(F.avg(F.col("v")[i]), 6) for i in range(_DIM)]).alias("mus")
+    ).first()
+    mus = [float(x) for x in mu_row["mus"]]
+    mu_lits = ", ".join(f"{x!r}D" for x in mus)
+    centered = emb.select(
+        F.expr(f"zip_with(v, array({mu_lits}), (a, b) -> a - b)").alias("c")
+    )
+    pairs = centered.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(c, (x, i) -> transform(c, (y, j) ->"
+                " struct(i + 1 AS i, j + 1 AS j, x * y AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    cov_rows = (
+        pairs.groupBy("i", "j")
+        .agg(F.round(F.sum("p") / F.lit(float(n)), 6).alias("c"))
+        .collect()
+    )
+    cov = [[0.0] * _DIM for _ in range(_DIM)]
+    for r in cov_rows:
+        cov[r["i"] - 1][r["j"] - 1] = float(r["c"])
+
+    v = [0.125] * _DIM
+    nrm = 0.0
+    for _ in range(_PCA_ITERS):
+        w = [0.0] * _DIM
+        for i in range(_DIM):
+            acc = 0.0
+            for k in range(_DIM):
+                acc = acc + cov[i][k] * v[k]
+            w[i] = acc
+        acc = 0.0
+        for x in w:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        v = [x / nrm for x in w]
+
+    return spark.createDataFrame(
+        [(i + 1, round(v[i], 4), round(nrm, 4)) for i in range(_DIM)],
+        "dim int, loading double, eigenvalue double",
+    )

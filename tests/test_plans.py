@@ -284,7 +284,8 @@ _NESTED_LOOP_ALLOWED = {
 _PLAN_SWEEP_SKIP_PREFIX = ("stream_", "sink_", "compact_")
 _PLAN_SWEEP_SKIP = {
     "counters_job_audit", "join_bloom_filtered", "rownum_scalable_global",
-    "sim_search_ann_ivf", "kmeans_embeddings", "observe_query_metrics", "mr_wordcount",
+    "sim_search_ann_ivf", "kmeans_embeddings", "pca_power_iteration_top1",
+    "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",
     "cache_two_phase_reuse",
