@@ -277,6 +277,7 @@ _NESTED_LOOP_ALLOWED = {
     "watermark_late_drop": "broadcasts 1-row max event time (the watermark)",
     "funnel_conversion": "broadcasts 1-row cohort baseline scalar",
     "triangle_count": "broadcasts two 1-row scalars (edge count, triangle count) onto the 1-row stats frame",
+    "corpus_mixing_weights": "broadcasts the 1-row corpus totals (total tokens, n_langs)",
 }
 
 # Eager-on-call operators (streams, sinks, driver-side collects) are
