@@ -571,3 +571,86 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont_b, 6).alias("cont_b_in_a"),
         )
     )
+
+
+_PREFIX_PROBE = 64  # chars of shared prefix that make a candidate pair
+_PREFIX_DF_CAP = 100
+
+
+@register(
+    "dedup_prefix_truncation",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, text, len(text) AS n
+          FROM documents WHERE len(text) >= {_PREFIX_PROBE}
+        ),
+        sig AS (
+          SELECT doc_id, text, n, md5(substr(text, 1, {_PREFIX_PROBE})) AS h
+          FROM d
+        ),
+        dfc AS (SELECT h, COUNT(*) AS df FROM sig GROUP BY h),
+        kept AS (
+          SELECT s.* FROM sig s JOIN dfc ON s.h = dfc.h
+          WHERE dfc.df <= {_PREFIX_DF_CAP}
+        )
+        SELECT a.doc_id AS id_short, b.doc_id AS id_long,
+               CAST(a.n AS BIGINT) AS len_short, CAST(b.n AS BIGINT) AS len_long
+        FROM kept a JOIN kept b
+          ON a.h = b.h
+         AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+        WHERE substr(b.text, 1, a.n) = a.text
+    """,
+    tags=("L2''''", "truncation"),
+)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection: document A duplicates a PREFIX
+    of document B (crawler re-fetches cut at different byte limits,
+    feed items vs full articles) — invisible to Jaccard once the
+    longer doc's tail dilutes the union, and distinct from
+    containment's unordered-set view because the match here is exact
+    ordered text. Candidates = equi-join on the md5 of the first 64
+    chars (a doc and its truncations MUST agree there), with the
+    same document-frequency cap discipline as dedup_containment
+    against boilerplate openings; each candidate pair then verifies
+    the full prefix equality once. Equal-length pairs (exact full
+    dups) keep the lower doc_id as "short".
+
+    Scale: the signature shuffle carries (doc_id, 16-byte hash);
+    only the df-capped candidate pairs ever move text, and the
+    verify is one substr compare per pair. Same inverted-index
+    shape as every other dedup scale path here — never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = (
+        docs.filter(F.length("text") >= _PREFIX_PROBE)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n"),
+            F.md5(F.substring("text", 1, _PREFIX_PROBE)).alias("h"),
+        )
+    )
+    dfc = sig.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    kept = sig.join(dfc.filter(F.col("df") <= _PREFIX_DF_CAP), "h").cache()
+    a = kept.select(
+        F.col("h"), F.col("doc_id").alias("id_short"), F.col("text").alias("t_a"), F.col("n").alias("n_a")
+    )
+    b = kept.select(
+        F.col("h").alias("hb"), F.col("doc_id").alias("id_long"), F.col("text").alias("t_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("h") == F.col("hb"))
+            & (
+                (F.col("n_a") < F.col("n_b"))
+                | ((F.col("n_a") == F.col("n_b")) & (F.col("id_short") < F.col("id_long")))
+            ),
+        )
+        .filter(F.expr("substring(t_b, 1, n_a) = t_a"))
+        .select(
+            "id_short",
+            "id_long",
+            F.col("n_a").cast("long").alias("len_short"),
+            F.col("n_b").cast("long").alias("len_long"),
+        )
+    )
