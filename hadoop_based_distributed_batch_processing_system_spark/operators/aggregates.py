@@ -756,3 +756,83 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("median_gap_us"),
         F.round(F.expr("percentile(gap_us, 0.95)"), 6).alias("p95_gap_us"),
     )
+
+
+@register(
+    "ab_test_welch_t",
+    oracle="""
+        WITH g AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+                 value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 AVG(value) AS m, VAR_SAMP(value) AS v
+          FROM g GROUP BY grp
+        ),
+        w AS (
+          SELECT a.n AS n_a, b.n AS n_b, a.m AS m_a, b.m AS m_b,
+                 a.v / a.n AS se2_a, b.v / b.n AS se2_b
+          FROM (SELECT * FROM s WHERE grp = 'A') a,
+               (SELECT * FROM s WHERE grp = 'B') b
+        )
+        SELECT n_a, n_b,
+               ROUND(m_a, 6) AS mean_a,
+               ROUND(m_b, 6) AS mean_b,
+               ROUND((m_a - m_b) / sqrt(se2_a + se2_b), 6) AS t_stat,
+               ROUND(power(se2_a + se2_b, 2)
+                     / (power(se2_a, 2) / (n_a - 1) + power(se2_b, 2) / (n_b - 1)),
+                     6) AS df_welch
+        FROM w
+    """,
+    tags=("A15", "abtest", "stats"),
+)
+def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — Welch's unequal-variance t statistic
+    with Welch–Satterthwaite degrees of freedom over purchase values,
+    arms assigned by user_id parity (the deterministic stand-in for
+    an experiment-assignment column). This is the analysis every
+    experimentation platform runs per metric: two mergeable moment
+    sets (n, mean, sample variance) per arm, then pure scalar
+    arithmetic — the fact table is scanned once, shuffled once on
+    the 2-value arm key, and the test statistic assembles from a
+    2-row frame. Rounded at 6 dp so partial-aggregation summation
+    order cannot flip the hash.
+
+    Scale: identical cost to agg_stats_moments; thousands of
+    metrics × arms stay one wide aggregate each."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = (
+        ev.select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"), "value"
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = s.filter(F.col("grp") == "A").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), (F.col("v") / F.col("n")).alias("se2_a")
+    )
+    b = s.filter(F.col("grp") == "B").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), (F.col("v") / F.col("n")).alias("se2_b")
+    )
+    se2 = F.col("se2_a") + F.col("se2_b")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("se2_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("se2_b"), 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

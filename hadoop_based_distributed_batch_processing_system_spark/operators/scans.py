@@ -483,3 +483,75 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     back = spark.read.json(os.path.join(out, "part-*.jsonl"))
     return back.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "scan_json_corrupt_records",
+    # Corruption is deterministic (every event_id % 97 == 0 line is
+    # mangled), so the oracle derives the same report straight from
+    # the source table: good rows aggregate per type, corrupt rows
+    # collapse into one null-sum bucket.
+    oracle="""
+        SELECT event_type AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events WHERE event_id % 97 <> 0
+        GROUP BY event_type
+        UNION ALL
+        SELECT '__corrupt__', CAST(COUNT(*) AS BIGINT), NULL
+        FROM events WHERE event_id % 97 = 0
+    """,
+    tags=("S3''", "json", "quality"),
+)
+def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerant JSONL ingestion — the production
+    reality of log pipelines: a JSONL batch where ~1% of lines are
+    mangled is read under PERMISSIVE mode with a ``_corrupt_record``
+    column, good rows aggregate per type, and broken lines are
+    COUNTED (never silently dropped — the corrupt bucket is the
+    data-quality signal that pages someone). FAILFAST/DROPMALFORMED
+    are the same reader one option away.
+
+    The staged file derives from events distributedly (to_json per
+    row, every 97th key mangled before a text write), so both
+    engines know exactly which lines are bad and the report is
+    hash-oracled including the corrupt bucket.
+
+    Scale: text write + schema-declared JSON scan are both
+    splittable and linear; the aggregate is the usual map-side
+    partial shape. Declaring the schema up front (never inferSchema)
+    is what keeps a 100 TB JSON scan one-pass."""
+    tag = corpus_tag(sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"hbdbps_jsonl_corrupt_{tag}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit("{corrupt!"), F.to_json(F.struct("event_id", "event_type", "value"))),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = (
+        "event_id long, event_type string, value double, _corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "__corrupt__")
+            .otherwise(F.col("event_type"))
+            .alias("bucket"),
+            F.when(F.col("_corrupt_record").isNull(), F.col("value")).alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("v"), 6).alias("sum_value"),
+        )
+    )
