@@ -836,3 +836,68 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+        WITH obs AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+                 event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS o
+          FROM events GROUP BY grp, event_type
+        ),
+        tot AS (SELECT SUM(o) AS n FROM obs),
+        rm AS (SELECT grp, SUM(o) AS r FROM obs GROUP BY grp),
+        cm AS (SELECT event_type, SUM(o) AS c FROM obs GROUP BY event_type)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((SELECT COUNT(*) - 1 FROM rm)
+                    * (SELECT COUNT(*) - 1 FROM cm) AS BIGINT) AS dof,
+               ROUND(SUM(power(obs.o - rm.r * cm.c / tot.n, 2)
+                         / (rm.r * cm.c / tot.n)), 6) AS chi2
+        FROM obs
+        JOIN rm ON obs.grp = rm.grp
+        JOIN cm ON obs.event_type = cm.event_type
+        CROSS JOIN tot
+    """,
+    tags=("A16", "stats", "chi2"),
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between experiment arm
+    (user_id parity) and event_type — the categorical sibling of
+    ab_test_welch_t (sample-ratio-mismatch checks and guardrail
+    metrics are exactly this test). The contingency table is one
+    group-keyed aggregate; expected counts come from its row/column
+    marginals (grouped re-aggregates of the tiny table) and the
+    statistic assembles with two broadcast joins — the fact table is
+    scanned ONCE and everything after is |arms|×|types|-sized.
+
+    Scale: the observed-counts aggregate is the only corpus-touching
+    stage; marginals and the chi² sum are contingency-table-sized at
+    any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+            "event_type",
+        )
+        .groupBy("grp", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    obs = obs.localCheckpoint(eager=True)  # tiny; avoids triple fact scans
+    rm = obs.groupBy("grp").agg(F.sum("o").alias("r"))
+    cm = obs.groupBy("event_type").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    n_r = rm.count()
+    n_c = cm.count()
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rm), "grp")
+        .join(F.broadcast(cm), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof"),
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        )
+    )

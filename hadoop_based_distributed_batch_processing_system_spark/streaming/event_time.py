@@ -876,3 +876,47 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("psum"), 6).alias("sum_value"),
         )
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(hour(ts) AS BIGINT) AS hod,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 AVG(value) AS m
+          FROM events GROUP BY event_type, hod
+        )
+        SELECT event_type, hod, n,
+               ROUND(m, 6) AS mean_value,
+               ROUND(m - AVG(m) OVER (PARTITION BY event_type), 6)
+                 AS dev_from_type_mean
+        FROM hourly
+    """,
+    tags=("T15", "seasonality"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 — hour-of-day seasonality profile per event type: volume
+    and mean value per (type, hour) with each hour's deviation from
+    the type's flat mean-of-hourly-means — the baseline shape that
+    seasonal anomaly detection subtracts before thresholding
+    (events_anomaly_zscore is the un-seasonal version; a spike at
+    3am and the same count at noon mean different things).
+
+    Scale: one group-keyed aggregate collapses the fact table to
+    |types|×24 rows; the deviation window runs on that profile, not
+    the corpus. UTC-pinned hour extraction (load_table's session
+    contract) keeps the bucketing engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("m"))
+    w = Window.partitionBy("event_type")
+    return hourly.select(
+        "event_type",
+        "hod",
+        "n",
+        F.round("m", 6).alias("mean_value"),
+        F.round(F.col("m") - F.avg("m").over(w), 6).alias("dev_from_type_mean"),
+    )

@@ -673,3 +673,64 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, "hbdbps_stream_ewma", "update")
+
+
+@register(
+    "stream_markov_stateful",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+          FROM events
+        )
+        SELECT event_type AS src_type, next_type AS dst_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    tags=("E4", "stream", "stateful"),
+)
+def stream_markov_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_markov_transitions' count stage:
+    per-user state is ONE value — the last event type seen — carried
+    across micro-batches by ``applyInPandasWithState``; each batch
+    sorts its rows in event-time order, seeds from the carried state,
+    and emits this batch's (src, dst) transition pairs. A tiny batch
+    groupBy over the emissions then folds per-user pair counts into
+    the global transition matrix (the emissions are already
+    transition-sized, not event-sized). Over the bounded demo stream
+    the result equals the batch lead()-window operator, so the
+    stateful job is hash-oracled. This state shape (last-value per
+    key) is the canonical bounded-state streaming sessionizer
+    building block — contrast the EWMA twin, whose state is a
+    running scalar."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_transitions(key, pdfs, state: GroupState):
+        (last,) = state.get if state.exists else (None,)
+        parts = [pdf for pdf in pdfs]
+        batch = pd.concat(parts) if len(parts) > 1 else parts[0]
+        batch = batch.sort_values(["ts", "event_id"])
+        srcs, dsts = [], []
+        for t in batch["event_type"]:
+            if last is not None:
+                srcs.append(last)
+                dsts.append(t)
+            last = t
+        state.update((last,))
+        yield pd.DataFrame({"src_type": srcs, "dst_type": dsts})
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    pairs = ev.groupBy("user_id").applyInPandasWithState(
+        update_transitions,
+        outputStructType="src_type string, dst_type string",
+        stateStructType="last string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_to_memory(pairs, "hbdbps_stream_markov", "update")
+    return emitted.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )

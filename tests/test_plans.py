@@ -279,6 +279,7 @@ _NESTED_LOOP_ALLOWED = {
     "triangle_count": "broadcasts two 1-row scalars (edge count, triangle count) onto the 1-row stats frame",
     "corpus_mixing_weights": "broadcasts the 1-row corpus totals (total tokens, n_langs)",
     "ab_test_welch_t": "assembles the test statistic from two 1-row arm-moment frames",
+    "chi_square_independence": "broadcasts the 1-row grand total onto the contingency table",
 }
 
 # Eager-on-call operators (streams, sinks, driver-side collects) are
