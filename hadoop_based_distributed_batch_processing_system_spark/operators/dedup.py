@@ -654,3 +654,106 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("long").alias("len_long"),
         )
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+        WITH tok AS ({_ORACLE_SHINGLES}),
+        posting AS (
+          SELECT doc_id, u.s FROM tok, LATERAL unnest(sh) AS u(s)
+        ),
+        dfc AS (SELECT s, COUNT(*) AS df FROM posting GROUP BY s)
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               ROUND(AVG(CASE WHEN dfc.df = 1 THEN 1.0 ELSE 0.0 END), 6)
+                 AS novelty
+        FROM posting p JOIN dfc ON p.s = dfc.s
+        GROUP BY p.doc_id
+    """,
+    tags=("L21", "novelty", "pipeline"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21 — corpus novelty score: the fraction of a document's
+    3-shingles that appear NOWHERE else in the corpus — the
+    uniqueness/diversity signal corpus curation balances against
+    quality (boilerplate scores ~0, genuinely novel text ~1; dedup
+    removes copies, this measures how much un-copied content a doc
+    contributes). Exactly the inverted-index + document-frequency
+    machinery of dedup_containment, re-aggregated per document.
+
+    Scale: one shingle-keyed shuffle for the df table, one doc-keyed
+    aggregate; at corpus scale hash the shingles (the containment
+    trick) and the df join carries 8-byte keys. No pair join at all
+    — novelty is a per-doc statistic."""
+    sh = _shingles(spark, sf_dir)
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    dfc = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        posting.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+        WITH RECURSIVE
+        tok AS ({_ORACLE_SHINGLES}),
+        pairs AS ({_ORACLE_PAIRS}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e, reach WHERE e.v = reach.u
+        ),
+        comp AS (
+          SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+          FROM reach GROUP BY u
+        )
+        SELECT doc_id, component, n_chars,
+               (rn = 1) AS keep
+        FROM (
+          SELECT c.doc_id, c.component, d.n_chars,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        )
+    """,
+    tags=("L2", "components", "keep-best"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters — the
+    decision step production dedup actually runs: within each
+    connected component of the near-dup graph, KEEP the highest-
+    quality member (longest text here, doc_id as tiebreak) and drop
+    the rest. Min-id canonicals (dedup_connected_components) are the
+    graph primitive; this composes them with a document attribute so
+    the survivor is chosen on merit — the difference between
+    "dedup ran" and "the best copy survived".
+
+    Scale: component labels come from the iterative min-label
+    propagation (join+groupBy per round, localCheckpoint-truncated);
+    the keep decision adds one broadcast-sized join onto the
+    cluster-member rows and a per-component window over dup-cluster-
+    sized groups. Everything outside the clusters never shuffles."""
+    labels = dedup_connected_components(spark, sf_dir).select("doc_id", "component")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "component", "n_chars", (F.col("rn") == 1).alias("keep"))
+    )
