@@ -1462,3 +1462,159 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("asof.price"), 4).alias("price_asof"),
         )
     )
+
+
+_BASKET_MIN_PAIR = 3  # min co-occurrence count for a rule
+_BASKET_TOP = 50
+
+
+@register(
+    "market_basket_rules",
+    oracle=f"""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01'
+        ),
+        n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM li),
+        item AS (SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS c FROM li GROUP BY l_partkey),
+        pair AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(COUNT(*) AS DOUBLE) AS c_ab
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {_BASKET_MIN_PAIR}
+        )
+        SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+               CAST(c_ab AS BIGINT) AS n_both,
+               ROUND(c_ab / n_orders.n, 6) AS support,
+               ROUND(c_ab / ia.c, 6) AS confidence_a_b,
+               ROUND(c_ab * n_orders.n / (ia.c * ib.c), 6) AS lift
+        FROM pair
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+        CROSS JOIN n_orders
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT {_BASKET_TOP}
+    """,
+    tags=("M1", "basket", "rules"),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (frequent size-2 itemsets over
+    1995 orders): pair support, confidence(A→B) and lift, top-50 by
+    lift — the recommendation/affinity primitive. The pair stream is
+    the SAME bounded per-order self-join as triangle_count (per-order
+    line counts ≤ 7, so pair generation is linear in the fact
+    table); a minimum-support HAVING prunes the rule set before the
+    stats joins, which is what keeps rule mining tractable — rules
+    below support are noise AND cost.
+
+    Scale: order self-join shuffles on l_orderkey; item/pair counts
+    are key-hashed aggregates; the item-count joins run on the
+    pruned rule set. Apriori's insight (size-k itemsets need
+    frequent size-k-1) appears here as the support prune."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").cast("double").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c_ab"))
+        .filter(F.col("c_ab") >= _BASKET_MIN_PAIR)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("long").alias("n_both"),
+            F.round(F.col("c_ab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("c_a"), 6).alias("confidence_a_b"),
+            F.round(F.col("c_ab") * F.col("n") / (F.col("c_a") * F.col("c_b")), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+@register(
+    "customer_pareto_share",
+    oracle="""
+        WITH rev AS (
+          SELECT o_custkey, SUM(o_totalprice) AS r
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT o_custkey, r,
+                 SUM(r) OVER (ORDER BY r DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+                 row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
+                 SUM(r) OVER () AS total_r,
+                 COUNT(*) OVER () AS n_cust
+          FROM rev
+        )
+        SELECT CAST(MIN(rn) AS BIGINT) AS n_top_customers,
+               ROUND(CAST(MIN(rn) AS DOUBLE) / MIN(n_cust), 6) AS customer_fraction,
+               ROUND(MIN(cum_r) / MIN(total_r), 6) AS revenue_share
+        FROM ranked WHERE cum_r >= 0.8 * total_r
+    """,
+    tags=("M2", "pareto"),
+)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 readout): the smallest set of
+    top customers whose cumulative revenue crosses 80%, reported as
+    (count, customer fraction, exact share at the crossing) — the
+    concentration metric behind key-account risk and long-tail
+    strategy. Deterministic cumsum order (revenue DESC, custkey).
+
+    Scale note, stated honestly: the cumulative window runs
+    UNPARTITIONED over the per-customer aggregate — fine for
+    customer-table sizes; at planet scale the two-phase recipe of
+    rownum_scalable_global (range-bucket, per-bucket cumsum, offset
+    prefix-sum of bucket totals) computes the identical curve with
+    one extra bucket-totals pass. The fact table itself only ever
+    sees the one groupBy."""
+    rev = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("r")
+    )
+    w_order = Window.orderBy(F.desc("r"), "o_custkey")
+    ranked = rev.select(
+        "o_custkey",
+        "r",
+        F.sum("r").over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_r"),
+        F.row_number().over(w_order).alias("rn"),
+        F.sum("r").over(Window.partitionBy()).alias("total_r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    )
+    return (
+        ranked.filter(F.col("cum_r") >= 0.8 * F.col("total_r"))
+        .agg(
+            F.min("rn").cast("long").alias("n_top_customers"),
+            F.round(F.min("rn").cast("double") / F.min("n_cust"), 6).alias(
+                "customer_fraction"
+            ),
+            F.round(F.min("cum_r") / F.min("total_r"), 6).alias("revenue_share"),
+        )
+    )

@@ -920,3 +920,51 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m", 6).alias("mean_value"),
         F.round(F.col("m") - F.avg("m").over(w), 6).alias("dev_from_type_mean"),
     )
+
+
+_PATH_TOP = 25
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+        WITH seq AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY n_paths DESC, e1, e2, e3
+        LIMIT {_PATH_TOP}
+    """,
+    tags=("E6", "paths"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — top 3-step behavioral paths (the product-analytics "paths"
+    report, and the order-2 context Markov transitions can't see:
+    view→click→purchase vs view→click→error are different stories
+    with identical order-1 edges). Two lead() offsets over one
+    per-user event-time window, then a path-keyed count and
+    deterministic top-k.
+
+    Scale: the SAME single user_id shuffle as events_markov_transitions
+    (both leads share one window spec); path counts collapse to at
+    most |types|³ rows before the TakeOrdered top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(_PATH_TOP)
+    )
