@@ -1618,3 +1618,118 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("cum_r") / F.min("total_r"), 6).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH firsts AS (
+          SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+          FROM orders GROUP BY o_custkey
+        ),
+        sized AS (
+          SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM firsts GROUP BY cohort_month
+        ),
+        rev AS (
+          SELECT f.cohort_month,
+                 CAST(datediff('month', f.cohort_month,
+                               date_trunc('month', o.o_orderdate)) AS BIGINT) AS age_months,
+                 SUM(o.o_totalprice) AS r
+          FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+          GROUP BY 1, 2
+        )
+        SELECT r.cohort_month, r.age_months, s.n_customers,
+               ROUND(SUM(r.r) OVER (PARTITION BY r.cohort_month ORDER BY r.age_months
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / s.n_customers, 6) AS cum_ltv_per_customer
+        FROM rev r JOIN sized s ON r.cohort_month = s.cohort_month
+    """,
+    tags=("E7", "cohort", "ltv"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — cohort lifetime-value curves: customers grouped by
+    first-order month, cumulative revenue per customer tracked by
+    cohort age in months — the LTV grid growth teams read
+    (cohort_retention's revenue-weighted sibling; retention counts
+    who came back, LTV sums what they spent).
+
+    Scale: first-order months are one customer-keyed aggregate; the
+    revenue join shuffles the fact table ONCE on custkey; everything
+    after (cohort×age cells, the cumulative window, the cohort-size
+    join) runs on rollup-sized data. Month arithmetic on truncated
+    dates is exact integers in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    sized = firsts.groupBy("cohort_month").agg(F.count(F.lit(1)).alias("n_customers"))
+    rev = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort_month")
+            )
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sized, "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            "n_customers",
+            F.round(F.sum("r").over(w) / F.col("n_customers"), 6).alias(
+                "cum_ltv_per_customer"
+            ),
+        )
+    )
+
+
+@register(
+    "monthly_growth_rates",
+    oracle="""
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 ROUND(SUM(o_totalprice), 4) AS revenue,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT month, revenue, n_orders,
+               ROUND((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+        FROM m
+    """,
+    tags=("E8", "reporting"),
+)
+def monthly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — the month-over-month growth report: monthly revenue and
+    order counts with MoM percentage change via lag() — the KPI
+    table every reporting layer materializes. The lag window runs
+    unpartitioned ON THE MONTHLY ROLLUP (#months rows — a few dozen
+    at any corpus size), which is the honest counterexample to the
+    "no unpartitioned windows" rule: the input is bounded by the
+    calendar, not the data. Revenue rounded to 4 dp before the
+    ratio so both engines difference identical values."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w)) / F.lag("revenue").over(w), 6
+        ).alias("mom_growth"),
+    )

@@ -1031,3 +1031,113 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_waste"),
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=f"""
+        WITH pred AS (
+          SELECT lang,
+                 CASE
+                   WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_es = 0 THEN 'und'
+                   WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                   WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                   WHEN score_fr >= score_es THEN 'fr'
+                   ELSE 'es'
+                 END AS pred_lang
+          FROM (
+            SELECT doc_id, lang,
+{_LANG_ORACLE_SCORES}
+            FROM documents
+          )
+        )
+        SELECT lang AS true_lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS row_frac
+        FROM pred GROUP BY lang, pred_lang
+    """,
+    tags=("L22", "eval", "confusion"),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a table op: the confusion matrix of
+    the heuristic language identifier against the labeled lang
+    column, with per-true-class row fractions (recall lives on the
+    diagonal) — the QA report any model-assisted curation step
+    publishes next to its predictions. Composes text_lang_id's
+    scorer unchanged.
+
+    Scale: prediction is the same zero-shuffle narrow map as
+    text_lang_id; the matrix is one |langs|²-bounded aggregate and
+    the normalizing window runs on the matrix, not the corpus."""
+    pred = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    m = pred.groupBy(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("true_lang")
+    return m.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("row_frac"),
+    )
+
+
+@register(
+    "eval_auc_rank_sum",
+    # Deterministic tie handling: ranks come from row_number over
+    # (score, doc_id) — document-identical in both engines — rather
+    # than average ranks, so the statistic is exactly reproducible.
+    oracle="""
+        WITH scored AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CAST(n_chars AS DOUBLE) AS score,
+                 doc_id
+          FROM documents
+        ),
+        ranked AS (
+          SELECT y, CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rn
+          FROM scored
+        )
+        SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+               ROUND((SUM(CASE WHEN y = 1 THEN rn ELSE 0 END)
+                      - SUM(y) * (SUM(y) + 1) / 2.0)
+                     / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc
+        FROM ranked
+    """,
+    tags=("L23", "eval", "auc"),
+)
+def eval_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank-sum identity
+    (AUC = (R⁺ - n⁺(n⁺+1)/2) / (n⁺ n⁻)): does doc length separate
+    English documents? — the score-quality evaluation a
+    trained quality classifier gets before it gates a corpus, with
+    no thresholds and no curve materialization. Ranks are
+    deterministic (score, doc_id), so ties resolve identically in
+    both engines.
+
+    Scale note, stated honestly: exact global ranking is the
+    two-phase rownum_scalable_global recipe at corpus scale (the
+    rank-sum only needs per-bucket counts + offsets, so it
+    distributes cleanly); the single-window form here is the
+    eval-set-sized variant. Everything else is one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.col("n_chars").cast("double").alias("score"),
+        "doc_id",
+    )
+    ranked = scored.select(
+        "y", F.row_number().over(Window.orderBy("score", "doc_id")).cast("long").alias("rn")
+    )
+    n_pos = F.sum("y")
+    return ranked.agg(
+        n_pos.cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - n_pos).cast("long").alias("n_neg"),
+        F.round(
+            (F.sum(F.when(F.col("y") == 1, F.col("rn")).otherwise(0)) - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * (F.count(F.lit(1)) - n_pos)),
+            6,
+        ).alias("auc"),
+    )
