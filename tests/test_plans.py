@@ -280,6 +280,7 @@ _NESTED_LOOP_ALLOWED = {
     "corpus_mixing_weights": "broadcasts the 1-row corpus totals (total tokens, n_langs)",
     "ab_test_welch_t": "assembles the test statistic from two 1-row arm-moment frames",
     "chi_square_independence": "broadcasts the 1-row grand total onto the contingency table",
+    "market_basket_rules": "broadcasts the 1-row distinct-order count for support normalization",
 }
 
 # Eager-on-call operators (streams, sinks, driver-side collects) are
