@@ -278,3 +278,78 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_permille"), "node")
         .limit(50)
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '{_TRIANGLE_SHIP_LO}'
+            AND l_shipdate < TIMESTAMP '{_TRIANGLE_SHIP_HI}'
+        ),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+          FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+          GROUP BY node
+        )
+        SELECT d AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (), 6) AS node_frac
+        FROM deg GROUP BY d
+    """,
+    tags=("G3", "graph", "degrees"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — exact degree distribution of the 1995 co-purchase graph
+    (count of nodes at each degree + node fraction): the first thing
+    to read off any production graph — it decides whether the
+    degree-oriented triangle plan, skew salting, or hub-split
+    handling is needed at all (heavy tails mean yes). Shares
+    triangle_count's edge derivation; the fraction window runs over
+    the degree histogram (bounded by max-degree distinct values),
+    not the node set.
+
+    Scale: edge build is the bounded per-order pair join; degrees
+    are one node-keyed aggregate; the histogram is a second, tiny
+    aggregate. Nothing rank-sorts the node set."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_TRIANGLE_SHIP_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_TRIANGLE_SHIP_HI).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(F.count(F.lit(1)).alias("n_nodes"))
+    from pyspark.sql import Window as W
+
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.round(
+            F.col("n_nodes").cast("double") / F.sum("n_nodes").over(W.partitionBy()), 6
+        ).alias("node_frac"),
+    )

@@ -968,3 +968,51 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(_PATH_TOP)
     )
+
+
+@register(
+    "events_autocorrelation_lag1",
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT event_type, n,
+                 lag(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n
+          FROM hourly
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(corr(n, prev_n), 6) AS acf_lag1
+        FROM lagged WHERE prev_n IS NOT NULL
+        GROUP BY event_type
+    """,
+    tags=("T16", "autocorrelation"),
+)
+def events_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 — lag-1 autocorrelation of hourly event volume per type:
+    Pearson correlation between consecutive hours' counts — the
+    memory/burst-persistence statistic that separates white-noise
+    arrivals (≈0) from trending/bursty load (→1), and the first
+    diagnostic before fitting any forecasting model. Note hours
+    with ZERO events are absent from the series (gap semantics as
+    observed; timeseries_resample_locf is the densifier when the
+    closed grid is wanted).
+
+    Scale: the fact table collapses to |types|×|hours| in one
+    aggregate; the lag window and corr run on that rollup. corr is
+    the sample correlation in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "n", F.lag("n").over(w).alias("prev_n")
+    ).filter(F.col("prev_n").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("n", "prev_n"), 6).alias("acf_lag1"),
+    )
