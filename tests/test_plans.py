@@ -4,23 +4,17 @@ into the parquet scan, column pruning, broadcast joins for dims,
 partial aggregation, TakeOrderedAndProject top-k, and NO cartesian
 products in the blocked/LSH operators."""
 
-import contextlib
-import io
-
 import pyspark.sql.functions as F
 
+from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+    physical_plan as plan_of,
+    plan_facts,
+)
 from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
 from tests.conftest import SF_SMOKE
 
 REG = load_all()
-
-
-def plan_of(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
 
 
 def test_filter_pushed_to_parquet_scan(spark):
@@ -310,10 +304,10 @@ def test_no_unapproved_nested_loop_joins(spark):
     for name, spec in REG.items():
         if name.startswith(_PLAN_SWEEP_SKIP_PREFIX) or name in _PLAN_SWEEP_SKIP:
             continue
-        plan = plan_of(spec.fn(spark, SF_SMOKE))
-        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        facts = plan_facts(spec.fn(spark, SF_SMOKE))
+        if facts.has_cartesian:
             flagged.append(name)
-        if "BatchEvalPython" in plan:
+        if facts.has_row_python:
             row_udfs.append(name)
     assert not row_udfs, f"row-at-a-time Python UDF plans (banned): {row_udfs}"
     unapproved = [n for n in flagged if n not in _NESTED_LOOP_ALLOWED]
