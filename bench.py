@@ -59,6 +59,10 @@ HEADLINE = [
     "text_bigram_logprob_score",  # 2nd-order LM quality score, (w1,w2) model join
     "dedup_containment",    # df-capped inverted shingle index, hashed keys
     "triangle_count",       # degree-oriented wedge counting, 1995 co-purchase graph
+    "window_session_capped",  # gap sessions split every 4h, one user_id shuffle
+    "rollup_incremental_merge",  # history partials + pruned delta merge
+    "events_top_paths",     # order-2 paths, two leads on one window spec
+    "cohort_ltv_curve",     # cohort x age cumulative LTV, one custkey shuffle
 ]
 
 
