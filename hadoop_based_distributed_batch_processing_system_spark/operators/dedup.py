@@ -518,7 +518,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     reposts, boilerplate-padded copies), which symmetric Jaccard
     dilutes below threshold. Pairs are generated from an inverted
     shingle index (posting-list equi-self-join), never doc×doc, with
-    a document-frequency cap of {cap}: shingles appearing in more
+    a document-frequency cap of 100: shingles appearing in more
     docs are boilerplate whose posting lists would otherwise square —
     the cap bounds per-shingle join fan-out, is applied identically
     to numerator AND denominator (containment over informative
@@ -526,7 +526,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact.
 
     Scale: posting lists shuffle on the shingle key (df-capped
-    fan-out ≤ {cap}²-pairs per shingle); per-doc set sizes are a
+    fan-out ≤ 100²-pairs per shingle); per-doc set sizes are a
     doc-keyed aggregate; scores join on pair ids. Same equi-join
     discipline as dedup_minhash_lsh — for corpora where even capped
     postings are too wide, MinHash the kept shingles first and run

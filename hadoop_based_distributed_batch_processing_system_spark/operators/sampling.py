@@ -294,7 +294,7 @@ _RESERVOIR_K = 16
     tags=("P5", "sampling", "reservoir"),
 )
 def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size per-stratum sample: exactly {k} uniform rows per
+    """Fixed-size per-stratum sample: exactly 16 uniform rows per
     event_type, selected by ranking each stratum on the md5 of its
     primary key — the deterministic replacement for per-group
     reservoir sampling (same rows every run, any partitioning, any

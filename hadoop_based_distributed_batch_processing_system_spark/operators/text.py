@@ -825,7 +825,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-pair frequencies inside lowercased word tokens — the
     statistic a BPE trainer computes at every merge step (its first
     iteration exactly; later iterations rerun the same plan over
-    re-segmented symbols). Top-{top} pairs, count-desc with the pair
+    re-segmented symbols). Top-64 pairs, count-desc with the pair
     string as deterministic tiebreak.
 
     Scale: token explode + in-token pair explode are narrow maps
