@@ -848,3 +848,187 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest["ts"].alias("nearest_view_ts"),
         (F.unix_micros(nearest["ts"]) - F.unix_micros("ts")).alias("delta_us"),
     )
+
+
+@register(
+    "fuzzy_join_delete1",
+    # Universe = distinct part names plus one deterministic typo per
+    # name (drop the char at (ascii(first) + length) % length) — a
+    # planted near-miss set derived purely from the data, identical
+    # in both engines. The oracle brute-forces levenshtein over the
+    # universe; the engine must find the same pairs via blocking.
+    oracle="""
+        WITH base AS (SELECT DISTINCT p_name AS s FROM part),
+        typo AS (
+          SELECT s,
+                 ((ascii(s) + len(s)) % len(s)) + 1 AS pos
+          FROM base
+        ),
+        universe AS (
+          SELECT s FROM base
+          UNION
+          SELECT substr(s, 1, pos - 1) || substr(s, pos + 1) FROM typo
+        )
+        SELECT a.s AS name_a, b.s AS name_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM universe a JOIN universe b ON a.s < b.s
+        WHERE levenshtein(a.s, b.s) <= 1
+    """,
+    tags=("J12", "fuzzy", "symspell"),
+)
+def fuzzy_join_delete1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 — fuzzy self-join at edit distance ≤ 1 via SymSpell-style
+    deletion blocking: two strings are within one edit iff they share
+    a member of {s} ∪ delete-1(s) (equality, insertion, deletion, or
+    substitution all collide there), so candidates come from an
+    EQUI-join on generated deletion variants — never the all-pairs
+    levenshtein that brute-force fuzzy matching runs. Variant
+    generation is a JVM transform/explode (length+1 variants per
+    string); candidates dedup and verify with one levenshtein call
+    per pair. The entity-resolution primitive for typo'd catalog
+    names, usernames, addresses.
+
+    Scale: the variant index is Σ(len+1) rows of short strings —
+    linear in corpus text; the shuffle is keyed by variant (same
+    inverted-index discipline as dedup_containment); verification
+    touches only candidates. Distance >1 needs delete-2 variants
+    (same shape, bigger constant) or falls back to the LSH family."""
+    base = load_table(spark, sf_dir, "part").select(F.col("p_name").alias("s")).distinct()
+    pos = ((F.ascii("s") + F.length("s")) % F.length("s")) + 1
+    typo = base.select(
+        F.concat(
+            F.expr("substring(s, 1, ((ascii(s) + length(s)) % length(s) + 1) - 1)"),
+            F.expr("substring(s, ((ascii(s) + length(s)) % length(s) + 1) + 1)"),
+        ).alias("s")
+    )
+    universe = base.union(typo).distinct()
+    variants = universe.select(
+        "s",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(s)),"
+                " i -> IF(i = 0, s, concat(substring(s, 1, i - 1), substring(s, i + 1))))"
+            )
+        ).alias("v"),
+    ).distinct()
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("name_a"), F.col("b.s").alias("name_b"))
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") <= 1).select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").cast("long").alias("dist")
+    )
+
+
+# Spatial: deterministic uniform coordinates derived from md5 (6
+# nibbles each axis → exact dyadic rationals, identical everywhere).
+_GRID_R = 0.05
+
+
+def _hex6_spark(salt: str, key: str) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(concat('{salt}', CAST({key} AS STRING))), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(CAST({terms} AS DOUBLE) / {16 ** 6})"
+
+
+def _hex6_duck(salt: str, key: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}' || CAST({key} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(CAST({terms} AS DOUBLE) / {16 ** 6})"
+
+
+@register(
+    "spatial_grid_join",
+    oracle=f"""
+        WITH c AS (
+          SELECT c_custkey,
+                 {_hex6_duck('x|', 'c_custkey')} AS x,
+                 {_hex6_duck('y|', 'c_custkey')} AS y
+          FROM customer
+        ),
+        s AS (
+          SELECT s_suppkey,
+                 {_hex6_duck('x|', 's_suppkey')} AS x,
+                 {_hex6_duck('y|', 's_suppkey')} AS y
+          FROM supplier
+        )
+        SELECT c.c_custkey, s.s_suppkey,
+               ROUND(sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)), 6)
+                 AS dist
+        FROM c, s
+        WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+              <= {_GRID_R} * {_GRID_R}
+    """,
+    tags=("J13", "spatial", "grid"),
+)
+def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 — spatial proximity join (all customer/supplier point
+    pairs within radius 0.05 in the unit square; coordinates are
+    deterministic md5-derived dyadic rationals, so both engines see
+    identical geometry). The scale plan is uniform-grid blocking —
+    the spatial analogue of LSH bucketing: cell size = radius, one
+    side lands in its own cell, the probe side explodes to its 3×3
+    neighborhood, candidates come from an EQUI-join on (cell_x,
+    cell_y), and the exact circle test runs per candidate. Any pair
+    within r must share a neighborhood cell, so blocking is
+    exhaustive; the plan is a hash shuffle on cell keys — never the
+    cross join the oracle runs as ground truth.
+
+    Scale: candidate count is bounded by local point density × 9
+    cells; skewed hot cells are an AQE skew-split. This is the
+    geohash/S2-cell join shape with the curve replaced by exact
+    integer cells."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_hex6_spark("x|", "c_custkey")).alias("x"),
+        F.expr(_hex6_spark("y|", "c_custkey")).alias("y"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(_hex6_spark("x|", "s_suppkey")).alias("x"),
+        F.expr(_hex6_spark("y|", "s_suppkey")).alias("y"),
+    )
+    s_cells = supp.select(
+        "s_suppkey",
+        "x",
+        "y",
+        F.floor(F.col("x") / _GRID_R).alias("cx"),
+        F.floor(F.col("y") / _GRID_R).alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+    c_cells = cust.select(
+        "c_custkey", "x", "y", F.floor(F.col("x") / _GRID_R).alias("bx"),
+        F.floor(F.col("y") / _GRID_R).alias("by"), offsets.alias("o")
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        (F.col("bx") + F.col("o.dx")).alias("cx"),
+        (F.col("by") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return (
+        c_cells.join(
+            s_cells.select(
+                "s_suppkey", F.col("x").alias("sx"), F.col("y").alias("sy"), "cx", "cy"
+            ),
+            ["cx", "cy"],
+        )
+        .filter(d2 <= _GRID_R * _GRID_R)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+        .dropDuplicates(["c_custkey", "s_suppkey"])
+    )
