@@ -1733,3 +1733,110 @@ def monthly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - F.lag("revenue").over(w)) / F.lag("revenue").over(w), 6
         ).alias("mom_growth"),
     )
+
+
+_CURATE_MAX_BITS = 12.0
+
+
+@register(
+    "pipeline_corpus_curation_v2",
+    oracle=f"""
+        WITH dd AS (
+          SELECT doc_id, text, lang
+          FROM (
+            SELECT doc_id, text, lang,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+          ) WHERE rn = 1
+        ),
+        tok AS (
+          SELECT doc_id, lang, u.w
+          FROM dd, LATERAL unnest(string_split(text, ' ')) AS u(w)
+        ),
+        vocab AS (
+          SELECT w, CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM tok) AS p
+          FROM tok GROUP BY w
+        ),
+        scored AS (
+          SELECT t.doc_id, t.lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 -SUM(ln(v.p)) / COUNT(*) / ln(2) AS bits
+          FROM tok t JOIN vocab v ON t.w = v.w
+          GROUP BY t.doc_id, t.lang
+        ),
+        gated AS (SELECT * FROM scored WHERE bits <= {_CURATE_MAX_BITS}),
+        per_lang AS (
+          SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 ROUND(AVG(bits), 4) AS avg_bits
+          FROM gated GROUP BY lang
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_langs FROM per_lang)
+        SELECT lang, n_docs_kept, n_tokens, avg_bits,
+               ROUND(LEAST(1.0, (tot.total / tot.n_langs) / n_tokens), 6)
+                 AS sample_weight,
+               CAST(ROUND(n_tokens
+                    * LEAST(1.0, (tot.total / tot.n_langs) / n_tokens), 0) AS BIGINT)
+                 AS expected_tokens
+        FROM per_lang, tot
+    """,
+    tags=("L1", "L6'", "L19", "composite", "pipeline"),
+)
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation v2, ONE declarative plan chaining three of the
+    engine's pipeline stages end to end: exact dedup (keep lowest
+    doc_id per content hash) → statistical quality gate (per-doc
+    unigram bits/token under the DEDUPED corpus's own LM — the model
+    must be fit after dedup or duplicated boilerplate poisons its
+    probabilities) → uniform-token mixing weights over what survives,
+    reported per language with expected post-sampling token counts.
+    This is the recipe card a pre-training data run executes; v1
+    (pipeline_training_data_prep) is the heuristic-era version.
+
+    Scale: dedup is one md5-keyed window; the LM fit is one token agg
+    + one vocab-keyed join (broadcast-or-shuffle per vocab size, as
+    text_unigram_logprob_score documents); the mixing math runs on a
+    |langs|-row frame with a 1-row totals broadcast. No stage
+    materializes an intermediate — Catalyst fuses the whole recipe."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    dd = docs.withColumn("rn", rn).filter(F.col("rn") == 1).select("doc_id", "text", "lang")
+    tok = dd.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    total_tokens = tok.count()
+    vocab = tok.groupBy("w").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(total_tokens))).alias("p")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(F.log("p")) / F.count(F.lit(1)) / F.lit(float(__import__("math").log(2)))).alias(
+                "bits"
+            ),
+        )
+    )
+    per_lang = (
+        scored.filter(F.col("bits") <= _CURATE_MAX_BITS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("bits"), 4).alias("avg_bits"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    weight = F.least(F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("n_tokens"))
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs_kept",
+        "n_tokens",
+        "avg_bits",
+        F.round(weight, 6).alias("sample_weight"),
+        F.round(F.col("n_tokens") * weight, 0).cast("long").alias("expected_tokens"),
+    )

@@ -275,6 +275,7 @@ _NESTED_LOOP_ALLOWED = {
     "ab_test_welch_t": "assembles the test statistic from two 1-row arm-moment frames",
     "chi_square_independence": "broadcasts the 1-row grand total onto the contingency table",
     "market_basket_rules": "broadcasts the 1-row distinct-order count for support normalization",
+    "pipeline_corpus_curation_v2": "broadcasts the 1-row mixing totals onto the per-language frame",
 }
 
 # Eager-on-call operators (streams, sinks, driver-side collects) are
