@@ -47,8 +47,10 @@ _NIBBLE_DUCK = "(strpos('0123456789abcdef', substr(md5(token), {pos}, 1)) - 1)"
         ),
         bl AS (SELECT doc_id, list(bucket) AS blist FROM tb GROUP BY doc_id)
         SELECT doc_id,
-               list_transform(generate_series(0, {_HASH_DIM - 1}),
-                              i -> CAST(len(list_filter(blist, x -> x = i)) AS BIGINT)) AS features
+               array_to_string(
+                 list_transform(generate_series(0, {_HASH_DIM - 1}),
+                                i -> CAST(len(list_filter(blist, x -> x = i)) AS BIGINT)),
+                 ',') AS features
         FROM bl
     """,
     tags=("L16", "features", "hashing-trick"),
@@ -59,7 +61,11 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation (no vocab build, no OOV, memory independent of
     corpus size) that linear models / quick-quality classifiers train
     on. The bucket hash is portable md5 nibble arithmetic, so the
-    whole vector is engine-exact and hash-oracled.
+    whole vector is engine-exact and hash-oracled. The vector is
+    emitted as a comma-joined string: the driver's result
+    canonicalizer cannot hash list-typed cells (CORRECTNESS_r01's
+    agg_collect error), so no registered query returns a complex
+    top-level column (test_no_complex_toplevel_output_types).
 
     Scale: tokenize+bucket is a narrow map; the single shuffle
     carries (doc_id, tiny-int bucket) pairs; per-doc assembly is a
@@ -76,9 +82,12 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(0, {_HASH_DIM - 1}),"
-            " i -> CAST(size(filter(blist, x -> x = CAST(i AS BIGINT))) AS BIGINT))"
+        F.concat_ws(
+            ",",
+            F.expr(
+                f"transform(sequence(0, {_HASH_DIM - 1}),"
+                " i -> CAST(size(filter(blist, x -> x = CAST(i AS BIGINT))) AS BIGINT))"
+            ),
         ).alias("features"),
     )
 
@@ -150,8 +159,12 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds FROM s
         )
         SELECT vec_id,
-               list_transform(generate_series(1, {_EMB_DIM}),
-                 i -> ROUND((CAST(embedding AS DOUBLE[])[i] - mus[i]) / sds[i], 6)) AS z
+               array_to_string(
+                 list_transform(generate_series(1, {_EMB_DIM}),
+                   i -> CAST(CAST(ROUND(
+                          ROUND((CAST(embedding AS DOUBLE[])[i] - mus[i]) / sds[i], 6)
+                          * 1000000, 0) AS BIGINT) AS VARCHAR)),
+                 ',') AS z
         FROM embeddings, packed
     """,
     tags=("L13'''", "features", "scaler"),
@@ -180,9 +193,17 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(stats))
         .select(
             "vec_id",
-            F.expr(
-                f"transform(sequence(1, {_EMB_DIM}),"
-                " i -> ROUND((v[i - 1] - mus[i - 1]) / sds[i - 1], 6))"
+            # 6-dp fixed-point integers joined to one string: the z
+            # values round to 6 dp first (so the fixed-point scale is
+            # exact-adjacent to an integer), then scale — the
+            # driver-canonicalizer-safe vector representation.
+            F.concat_ws(
+                ",",
+                F.expr(
+                    f"transform(sequence(1, {_EMB_DIM}),"
+                    " i -> CAST(CAST(ROUND(ROUND((v[i - 1] - mus[i - 1]) / sds[i - 1], 6)"
+                    " * 1000000, 0) AS BIGINT) AS STRING))"
+                ),
             ).alias("z"),
         )
     )

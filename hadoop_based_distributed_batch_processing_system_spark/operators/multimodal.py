@@ -224,16 +224,18 @@ _FEAT_DIM = 8
 @register(
     "mm_feature_extract_stub",
     # Hash oracle: each feature is md5_byte[i]/256.0 — an exact
-    # dyadic fraction, bit-identical as float32 in both engines, so
-    # even the array<float> column hashes equal. The oracle rebuilds
-    # the vector from the same md5 hex with nibble arithmetic.
+    # dyadic fraction, bit-identical as float32 in both engines. The
+    # vector is emitted as a comma-joined string of the exact byte
+    # values (x*256 is integral): the driver's canonicalizer cannot
+    # hash list cells (CORRECTNESS_r01's agg_collect error), so no
+    # registered query returns a complex top-level column.
     oracle=f"""
         WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
         SELECT doc_id,
-               [{", ".join(
-                   "CAST(" + _HEXBYTE.format(hx="hx", i=2 * k + 1, j=2 * k + 2) + " / 256.0 AS FLOAT)"
+               array_to_string([{", ".join(
+                   "CAST(CAST(" + _HEXBYTE.format(hx="hx", i=2 * k + 1, j=2 * k + 2) + " AS BIGINT) AS VARCHAR)"
                    for k in range(_FEAT_DIM)
-               )}] AS features
+               )}], ',') AS features
         FROM h
     """,
     tags=("L7", "features"),
@@ -261,8 +263,19 @@ def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     docs = binary_payload(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", "payload").mapInPandas(
+    vecs = docs.select("doc_id", "payload").mapInPandas(
         feature_batches, "doc_id long, features array<float>"
+    )
+    # The Arrow plumbing above carries a real array<float> column (the
+    # part a model swap reuses); the REGISTERED output serializes it to
+    # exact byte values in one string — list cells crash the driver's
+    # result canonicalizer (CORRECTNESS_r01), so complex types never
+    # appear top-level.
+    return vecs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.expr("transform(features, x -> CAST(CAST(x * 256 AS BIGINT) AS STRING))")
+        ).alias("features"),
     )
 
 

@@ -743,7 +743,10 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt AS (
           SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
         )
-        SELECT c.label, c.n, list(ROUND(f.m, 6) ORDER BY f.i) AS centroid
+        SELECT c.label, c.n,
+               array_to_string(
+                 list(CAST(CAST(ROUND(ROUND(f.m, 6) * 1000000, 0) AS BIGINT) AS VARCHAR)
+                      ORDER BY f.i), ',') AS centroid
         FROM flat f JOIN cnt c ON f.label = c.label
         GROUP BY c.label, c.n
     """,
@@ -766,9 +769,14 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("embedding")[i]), 6).alias(f"c{i}") for i in range(_DIM)
     ]
     wide = emb.groupBy("label").agg(*aggs)
-    return wide.select(
-        "label", "n", F.array(*[F.col(f"c{i}") for i in range(_DIM)]).alias("centroid")
-    )
+    # 6-dp fixed-point integers joined to one string — the driver's
+    # canonicalizer cannot hash list cells (CORRECTNESS_r01), so no
+    # registered query emits a complex top-level column.
+    fixed = [
+        F.round(F.col(f"c{i}") * 1_000_000, 0).cast("long").cast("string")
+        for i in range(_DIM)
+    ]
+    return wide.select("label", "n", F.concat_ws(",", F.array(*fixed)).alias("centroid"))
 
 
 _KMEANS_K = 8
@@ -827,7 +835,10 @@ def _kmeans_oracle() -> str:
         WITH {body}
         SELECT c.cluster,
                CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members,
-               c.cent AS centroid
+               array_to_string(
+                 list_transform(c.cent,
+                   x -> CAST(CAST(ROUND(x * 1000000, 0) AS BIGINT) AS VARCHAR)),
+                 ',') AS centroid
         FROM {prev} c
         LEFT JOIN (SELECT cluster, COUNT(*) AS n FROM a{last_assign} GROUP BY cluster) n
           ON n.cluster = c.cluster
@@ -896,8 +907,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = new_cents
 
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    # centroids are 6-dp rounded; serialize as exact fixed-point ints
+    # (driver-canonicalizer-safe — list cells crash its hasher).
     model = spark.createDataFrame(
-        [(j, centroids[j]) for j in range(_KMEANS_K)], "cluster int, centroid array<double>"
+        [
+            (j, ",".join(str(int(round(x * 1_000_000))) for x in centroids[j]))
+            for j in range(_KMEANS_K)
+        ],
+        "cluster int, centroid string",
     )
     return (
         model.join(sizes, "cluster", "left")

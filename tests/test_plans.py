@@ -494,3 +494,28 @@ def test_kmeans_assignment_is_jvm_narrow_map(spark):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_complex_toplevel_output_types(spark):
+    """Driver-canonicalizer contract: the verify driver's result
+    hasher crashes on list/struct/map CELLS (CORRECTNESS_r01's
+    agg_collect: `unhashable type: 'list'`), so NO registered query
+    may output a complex top-level column — vectors serialize to
+    exact fixed-point strings (feature_hashing, embed_standardize,
+    embed_label_centroids, kmeans_embeddings, mm_feature_extract_stub
+    set the pattern). Streaming ops are asserted through their
+    memory-sink outputs in test_streaming; eager ops execute once at
+    smoke scale here, lazy ops cost analysis only."""
+    offenders = {}
+    for name, spec in REG.items():
+        if name.startswith("stream_"):
+            continue
+        schema = spec.fn(spark, SF_SMOKE).schema
+        complex_cols = {
+            f.name: f.dataType.typeName()
+            for f in schema.fields
+            if f.dataType.typeName() in ("array", "struct", "map")
+        }
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, f"complex top-level output columns (driver cannot hash): {offenders}"
