@@ -519,3 +519,20 @@ def test_no_complex_toplevel_output_types(spark):
         if complex_cols:
             offenders[name] = complex_cols
     assert not offenders, f"complex top-level output columns (driver cannot hash): {offenders}"
+
+
+def test_plan_facts_api_extracts_structure(spark):
+    """plans.inspect unit contract: the facts object must agree with
+    the raw plan text on a known query (broadcast star join with
+    pushed filters and partial aggregation)."""
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        assert_scalable,
+    )
+
+    df = REG["join_multiway"].fn(spark, SF_SMOKE)
+    facts = assert_scalable(df)  # must not raise: equi-join star query
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.n_scans >= 5  # 6-table star
+    assert facts.does_partial_aggregation
+    assert facts.pushed_filters and any("r_name" in p for p in facts.pushed_filters)
+    assert not facts.has_cartesian and not facts.has_row_python
