@@ -497,3 +497,68 @@ def topk_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "user_id")
         .limit(_MG_TOPK)
     )
+
+
+@register(
+    "udtf_polymorphic_analyze",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    tags=("X4''", "udtf", "polymorphic"),
+)
+def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4'' — POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the
+    output schema is not declared statically but computed at plan
+    time from the call's constant argument — here a comma-separated
+    key list that becomes one output column per requested JSON key.
+    This is the official extension point for schema-producing table
+    functions (CSV/JSON flatteners, pivot-like spreads) where the
+    shape depends on parameters; the static-returnType variant is
+    udtf_tokenize_lateral. eval() stays a generator; the registered
+    call extracts key 'k' from events.props, and the oracle checks
+    the values against DuckDB's native json_extract.
+
+    Scale: per-row Python is inherent to the UDTF contract (this is
+    the API-surface demo; bulk JSON extraction uses the JVM
+    get_json_object path of fn_json) — but transport stays
+    Arrow-batched and the plan audit stays row-UDF-free."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    try:
+        from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    except ImportError:  # pragma: no cover - API location fallback
+        from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult  # type: ignore
+
+    @udtf
+    class ParseKeys:
+        @staticmethod
+        def analyze(props: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
+            names = [k.strip() for k in str(keys.value).split(",")]
+            return AnalyzeResult(
+                schema=StructType([StructField(n, LongType()) for n in names])
+            )
+
+        def eval(self, props, keys):
+            import json
+
+            try:
+                d = json.loads(props) if props else {}
+            except ValueError:
+                d = {}
+            yield tuple(
+                int(d[k]) if isinstance(d.get(k), (int, float)) else None
+                for k in str(keys).split(",")
+            )
+
+    spark.udtf.register("hbdbps_parse_keys_udtf", ParseKeys)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("hbdbps_events_udtf")
+    return spark.sql(
+        """
+        SELECT e.event_id, t.k
+        FROM hbdbps_events_udtf e,
+             LATERAL hbdbps_parse_keys_udtf(e.props, 'k') t
+        """
+    )

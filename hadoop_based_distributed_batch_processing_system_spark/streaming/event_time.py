@@ -1016,3 +1016,138 @@ def events_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("n", "prev_n"), 6).alias("acf_lag1"),
     )
+
+
+@register(
+    "events_anomaly_seasonal_zscore",
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        baseline AS (
+          SELECT event_type, CAST(hour(h) AS BIGINT) AS hod,
+                 AVG(n) AS mu, STDDEV(n) AS sd
+          FROM hourly GROUP BY 1, 2
+        )
+        SELECT hh.event_type, hh.h AS hour_ts, CAST(hh.n AS BIGINT) AS n,
+               ROUND(b.mu, 6) AS expected,
+               ROUND((hh.n - b.mu) / b.sd, 4) AS z
+        FROM hourly hh
+        JOIN baseline b
+          ON hh.event_type = b.event_type AND CAST(hour(hh.h) AS BIGINT) = b.hod
+        WHERE b.sd > 0 AND abs((hh.n - b.mu) / b.sd) > 3
+    """,
+    tags=("T9'", "anomaly", "seasonal"),
+)
+def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9' — SEASONALLY-adjusted volume anomaly detection: each
+    (type, hour) volume is z-scored against the baseline for its own
+    hour-of-day slot (the profile events_seasonality_profile reads),
+    so a 3 am spike is judged against 3 am history, not the all-day
+    mean — the flat z-score (events_anomaly_zscore) false-alarms on
+    every daily peak and misses overnight anomalies; this is the one
+    that pages correctly. |z| > 3 with a per-slot sample guard.
+
+    Scale: the corpus collapses to |types|×|hours| in one aggregate;
+    the baseline is a second aggregate over that rollup (|types|×24
+    rows, broadcast back). Nothing re-touches the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    baseline = hourly.groupBy(
+        "event_type", F.hour("h").cast("long").alias("hod")
+    ).agg(F.avg("n").alias("mu"), F.stddev("n").alias("sd"))
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.withColumn("hod", F.hour("h").cast("long"))
+        .join(F.broadcast(baseline), ["event_type", "hod"])
+        .filter((F.col("sd") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            F.col("n").cast("long").alias("n"),
+            F.round("mu", 6).alias("expected"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+        WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour, SUM(value) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        wp AS (
+          SELECT user_id, hour, v,
+                 lag(hour) OVER w AS ph, lag(v) OVER w AS pv
+          FROM hourly
+          WINDOW w AS (PARTITION BY user_id ORDER BY hour)
+        ),
+        expanded AS (
+          SELECT user_id,
+                 unnest(list_transform(
+                   generate_series(coalesce(ph + INTERVAL 1 HOUR, hour), hour,
+                                   INTERVAL 1 HOUR),
+                   g -> struct_pack(
+                     h := g,
+                     vf := CAST(ROUND(CAST(CASE WHEN g = hour THEN v
+                                 ELSE pv + (v - pv)
+                                      * (epoch_us(g) - epoch_us(ph))
+                                      / (epoch_us(hour) - epoch_us(ph)) END
+                                 AS DECIMAL(28, 10)), 6) AS DOUBLE),
+                     gap := g <> hour))) AS r
+          FROM wp
+        )
+        SELECT user_id, r.h AS hour, r.vf AS v_filled, r.gap AS was_gap
+        FROM expanded
+    """,
+    tags=("T10'", "resample", "interpolate"),
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10' — dense hourly resampling with LINEAR interpolation: gap
+    hours take the time-weighted blend of their surrounding
+    observations instead of LOCF's step function — the resampler for
+    continuous signals (gauges, prices) where carry-forward bias
+    matters. Identical gap-fill plan shape to timeseries_resample_locf
+    (its docstring explains why generation beats a grid join at
+    scale): one hourly aggregate, one lag() exchange, then a
+    zero-shuffle generator emits each observation plus its preceding
+    gap rows; the interpolation fraction uses exact integer
+    microseconds and the arithmetic order matches the oracle exactly,
+    so the blended doubles are bit-identical across engines BEFORE
+    rounding. The final round goes through DECIMAL(28,10): half-gap
+    blends of short-decimal inputs land EXACTLY on 6-dp midpoints,
+    where Spark (shortest-decimal-string HALF_UP) and DuckDB (binary
+    double) disagree — rounding the identical 10-dp decimal first
+    makes the tie-break identical too (measured: systematic ±1e-6
+    mismatches without it)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("hour")
+    with_prev = hourly.withColumn("prev_hour", F.lag("hour").over(w)).withColumn(
+        "prev_v", F.lag("v").over(w)
+    )
+    rows = F.expr(
+        """
+        transform(
+          sequence(coalesce(prev_hour + INTERVAL 1 HOUR, hour), hour, INTERVAL 1 HOUR),
+          h -> named_struct(
+            'hour', h,
+            'v_filled', CAST(round(CAST(if(h = hour, v,
+                prev_v + (v - prev_v)
+                  * (unix_micros(h) - unix_micros(prev_hour))
+                  / (unix_micros(hour) - unix_micros(prev_hour)))
+                AS DECIMAL(28, 10)), 6) AS DOUBLE),
+            'was_gap', h <> hour))
+        """
+    )
+    return with_prev.select("user_id", F.explode(rows).alias("r")).select(
+        "user_id", "r.hour", "r.v_filled", "r.was_gap"
+    )

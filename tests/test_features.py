@@ -16,10 +16,15 @@ def test_feature_hashing_mass_conservation(spark):
     """Every token lands in exactly one bucket: per-doc vector sums
     equal the doc's token count, and the vector is always 32 long."""
     feats = REG["feature_hashing"].fn(spark, SF_ORACLE)
+    # features is the driver-safe serialized form: comma-joined longs
+    vec = F.expr("transform(split(features, ','), x -> CAST(x AS BIGINT))")
     checked = feats.select(
         "doc_id",
-        F.size("features").alias("dim"),
-        F.expr("aggregate(features, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("mass"),
+        F.size(vec).alias("dim"),
+        F.expr(
+            "aggregate(transform(split(features, ','), x -> CAST(x AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("mass"),
     )
     docs = load_table(spark, SF_ORACLE, "documents").select(
         "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens")
@@ -50,7 +55,10 @@ def test_embed_standardize_unit_moments(spark):
     """After standardization every dimension has mean ~0 and
     population std ~1 (up to the 6dp output rounding)."""
     z = REG["embed_standardize"].fn(spark, SF_ORACLE).toPandas()
-    mat = np.stack(z["z"].to_numpy())
+    # z is serialized 6-dp fixed point; parse back to floats
+    mat = np.stack(
+        z["z"].map(lambda s: [int(t) / 1e6 for t in s.split(",")]).to_numpy()
+    )
     assert mat.shape[1] == 64
     assert np.abs(mat.mean(axis=0)).max() < 1e-5
     assert np.abs(mat.std(axis=0) - 1.0).max() < 1e-5

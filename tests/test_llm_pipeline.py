@@ -220,9 +220,13 @@ def test_mm_feature_extract_shape_and_determinism(spark):
     bit-identical across runs (md5-derived — no RNG)."""
     a = REG["mm_feature_extract_stub"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id")
     b = REG["mm_feature_extract_stub"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id")
-    assert (a["features"].map(len) == 8).all()
-    assert a["features"].map(lambda v: all(0 <= x < 1 for x in v)).all()
-    assert list(map(list, a["features"])) == list(map(list, b["features"]))
+    # features is the driver-safe serialized form: comma-joined exact
+    # byte values (x*256 of the dyadic floats)
+    av = a["features"].map(lambda s: [int(t) / 256.0 for t in s.split(",")])
+    bv = b["features"].map(lambda s: [int(t) / 256.0 for t in s.split(",")])
+    assert (av.map(len) == 8).all()
+    assert av.map(lambda v: all(0 <= x < 1 for x in v)).all()
+    assert list(map(list, av)) == list(map(list, bv))
 
 
 def test_knn_broadcast_guard_raises(spark, monkeypatch):
