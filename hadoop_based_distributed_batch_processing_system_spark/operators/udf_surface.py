@@ -532,7 +532,7 @@ def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ImportError:  # pragma: no cover - API location fallback
         from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult  # type: ignore
 
-    @udtf
+    @udtf(useArrow=True)
     class ParseKeys:
         @staticmethod
         def analyze(props: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
