@@ -1151,3 +1151,61 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     return with_prev.select("user_id", F.explode(rows).alias("r")).select(
         "user_id", "r.hour", "r.v_filled", "r.was_gap"
     )
+
+
+@register(
+    "events_active_users",
+    oracle="""
+        WITH ud AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        dau AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+        ),
+        spread AS (
+          SELECT DISTINCT ud.user_id, ud.day + g.i * INTERVAL 1 DAY AS w_day
+          FROM ud, LATERAL unnest(generate_series(0, 6)) AS g(i)
+        ),
+        wau AS (
+          SELECT w_day AS day, CAST(COUNT(*) AS BIGINT) AS wau
+          FROM spread GROUP BY w_day
+        )
+        SELECT d.day, d.dau, w.wau,
+               ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    tags=("E9", "engagement"),
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — DAU / trailing-7-day WAU / stickiness per day, the
+    engagement dashboard headline. Exact rolling distinct counts via
+    the FORWARD-SPREAD trick: a COUNT(DISTINCT) over a sliding range
+    frame has no partial-aggregatable form, so instead each (user,
+    active-day) fact is emitted into the 7 window END-days it
+    contributes to, deduped, and counted per day — turning the
+    rolling distinct into two plain hash aggregates that map-side
+    combine. (Days whose 7-day window starts before the corpus are
+    reported as observed — the leading ramp-in convention.)
+
+    Scale: the fact table dedups to (user, day) once; the spread is
+    a ×7 narrow generate + distinct (bounded fan-out, the same
+    expansion discipline as window_sliding's Expand); both counts
+    are day-keyed aggregates. At 100 TB the (user, day) dedup is the
+    only corpus-sized shuffle; HLL sketches (agg_hll_mergeable) are
+    the one-pass approximate alternative."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> day + make_interval(0, 0, 0, i))")
+        ).alias("w_day"),
+    ).distinct()
+    wau = spread.groupBy(F.col("w_day").alias("day")).agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
