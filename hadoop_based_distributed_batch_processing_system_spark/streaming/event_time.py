@@ -1209,3 +1209,49 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+_ROLL_MED_N = 10  # rolling frame: current row + 9 preceding
+
+
+@register(
+    "timeseries_rolling_median",
+    oracle=f"""
+        SELECT event_id, user_id, ts,
+               ROUND(median(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_ROLL_MED_N - 1} PRECEDING AND CURRENT ROW), 6)
+                 AS rolling_median
+        FROM events
+    """,
+    tags=("T17", "robust", "rolling"),
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 — rolling median over the trailing 10 observations per
+    user: the robust alternative to a moving average (one spike
+    cannot move it — the despiking filter monitoring pipelines run
+    before alerting). Spark has no median window aggregate, so the
+    frame's values are collected per row (bounded: ≤ 10 elements),
+    sorted, and the interpolating median is read off the sorted
+    array — semantically identical to DuckDB's windowed
+    quantile_cont median.
+
+    Scale: one user_id shuffle for the window; per-row state is the
+    bounded frame (10 doubles), so memory is O(frame), not
+    O(partition). A percentile_approx-over-window variant relaxes to
+    sketches when frames grow unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_MED_N - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    med = F.expr(
+        "CASE WHEN size(frame) % 2 = 1 THEN frame[CAST(size(frame) / 2 AS INT)] "
+        "ELSE (frame[size(frame) div 2 - 1] + frame[size(frame) div 2]) / 2 END"
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", arr.alias("frame"))
+        .select("event_id", "user_id", "ts", F.round(med, 6).alias("rolling_median"))
+    )
