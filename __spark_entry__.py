@@ -149,6 +149,16 @@ _PRIORITY_WINDOW = [
     "sink_python_datasource", "join_asof_tolerance",
     "privacy_k_anonymity_suppress", "decontaminate_against_benchmark",
     "embed_label_centroids",
+    # --- positions ~41-50 (round 5): this session's flagship additions,
+    # chosen so the round-5 scoreboard attests one representative of each
+    # new capability class (iterative ML ×2, graph, containment dedup,
+    # 2nd-order LM scoring, tokenizer stats, event sequencing, curation
+    # composite, plus the two rewritten vector-output feature ops whose
+    # serialization fix should be driver-proven ASAP).
+    "kmeans_embeddings", "pca_power_iteration_top1", "triangle_count",
+    "dedup_containment", "text_bigram_logprob_score", "bpe_pair_counts",
+    "events_markov_transitions", "pipeline_corpus_curation_v2",
+    "feature_hashing", "embed_standardize",
     # remaining never-verified entries follow in registration order
 ]
 
