@@ -1840,3 +1840,62 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 6).alias("sample_weight"),
         F.round(F.col("n_tokens") * weight, 0).cast("long").alias("expected_tokens"),
     )
+
+
+@register(
+    "parts_abc_classification",
+    oracle="""
+        WITH rev AS (
+          SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS r
+          FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+          SELECT l_partkey, r,
+                 SUM(r) OVER (ORDER BY r DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / SUM(r) OVER () AS cum_share
+          FROM rev
+        )
+        SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(SUM(r), 4) AS revenue
+        FROM ranked
+        GROUP BY 1
+    """,
+    tags=("M3", "abc", "inventory"),
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — ABC inventory classification: parts ranked by revenue,
+    classed A (first 80% of cumulative share), B (to 95%), C (tail) —
+    the stock-control segmentation that decides cycle-count frequency
+    and safety stock per class. Deterministic cumsum order (revenue
+    DESC, partkey); boundary parts belong to the class their OWN
+    cumulative share reaches, both engines identically.
+
+    Scale: the fact table reduces to per-part revenue first; the
+    cumulative window runs on the part aggregate with the same
+    honest caveat (and the same two-phase scalable recipe) as
+    customer_pareto_share; the class report is 3 rows."""
+    rev = load_table(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    w_order = Window.orderBy(F.desc("r"), "l_partkey")
+    ranked = rev.select(
+        "l_partkey",
+        "r",
+        (
+            F.sum("r").over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            / F.sum("r").over(Window.partitionBy())
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(abc.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("r"), 4).alias("revenue"),
+    )
