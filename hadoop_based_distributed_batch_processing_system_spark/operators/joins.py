@@ -1032,3 +1032,145 @@ def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["c_custkey", "s_suppkey"])
     )
+
+
+_OVL_BIN_US = 3_600 * 1_000_000  # 1-hour blocking bins
+_INCIDENT_GAP_MIN = 10
+_INCIDENT_PAD_MIN = 5
+
+
+@register(
+    "join_interval_overlap_binned",
+    # Brute-force overlap ground truth over the same two interval
+    # sets; the engine must find exactly these pairs via bin blocking.
+    oracle=f"""
+        WITH sf AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id,
+                 MIN(ts) AS s_start, MAX(ts) AS s_end
+          FROM (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM sf
+          ) GROUP BY user_id, sid
+        ),
+        ef AS (
+          SELECT ts, event_id,
+                 CASE WHEN LAG(ts) OVER v IS NULL
+                           OR ts - LAG(ts) OVER v > INTERVAL {_INCIDENT_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WHERE event_type = 'error'
+          WINDOW v AS (ORDER BY ts, event_id)
+        ),
+        incidents AS (
+          SELECT CAST(MIN(event_id) AS BIGINT) AS incident_id,
+                 MIN(ts) - INTERVAL {_INCIDENT_PAD_MIN} MINUTE AS i_start,
+                 MAX(ts) + INTERVAL {_INCIDENT_PAD_MIN} MINUTE AS i_end
+          FROM (
+            SELECT ts, event_id,
+                   SUM(is_new) OVER (ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+            FROM ef
+          ) GROUP BY iid
+        )
+        SELECT s.user_id, s.s_start, i.incident_id,
+               epoch_us(least(s.s_end, i.i_end))
+                 - epoch_us(greatest(s.s_start, i.i_start)) AS overlap_us
+        FROM sess s JOIN incidents i
+          ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    """,
+    tags=("J14", "interval", "overlap"),
+)
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 — two-sided INTERVAL-OVERLAP join, bin-blocked: which user
+    sessions overlap which error incidents (error events clustered
+    into 10-min-gap islands, padded ±5 min)? Both join sides are
+    intervals — a harder class than the point-in-range band joins
+    (join_theta_range / join_range_binned): the scale plan explodes
+    each interval into the 1-hour bins it covers, equi-joins on the
+    bin, dedups pairs matched in several bins, and verifies the
+    exact overlap predicate per candidate. Two overlapping intervals
+    must share a covered bin, so blocking is exhaustive; fan-out per
+    interval is bounded by duration/bin — the IT-ops "blast radius"
+    query (who was mid-session during the incident?) at equi-join
+    cost.
+
+    Scale: sessions and incidents each build with ONE shuffle (the
+    gaps-and-islands shape of window_session); the candidate join
+    shuffles interval-count × bins-per-interval rows on bin keys,
+    never sessions × incidents. Overlap lengths are exact integer
+    microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn(
+            "is_new",
+            F.when(
+                F.lag("ts").over(ws).isNull()
+                | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(ws)) > 30 * 60 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid", F.sum("is_new").over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    wv = Window.orderBy("ts", "event_id")
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .select("ts", "event_id")
+        .withColumn(
+            "is_new",
+            F.when(
+                F.lag("ts").over(wv).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wv))
+                    > _INCIDENT_GAP_MIN * 60 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "iid", F.sum("is_new").over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        .groupBy("iid")
+        .agg(
+            F.min("event_id").cast("long").alias("incident_id"),
+            (F.min("ts") - F.expr(f"INTERVAL {_INCIDENT_PAD_MIN} MINUTES")).alias("i_start"),
+            (F.max("ts") + F.expr(f"INTERVAL {_INCIDENT_PAD_MIN} MINUTES")).alias("i_end"),
+        )
+    )
+    bins_of = lambda lo, hi: F.expr(
+        f"sequence(unix_micros({lo}) div {_OVL_BIN_US}, unix_micros({hi}) div {_OVL_BIN_US})"
+    )
+    s_bins = sess.select(
+        "user_id", "s_start", "s_end", F.explode(bins_of("s_start", "s_end")).alias("bin")
+    )
+    i_bins = incidents.select(
+        "incident_id", "i_start", "i_end", F.explode(bins_of("i_start", "i_end")).alias("bin")
+    )
+    return (
+        s_bins.join(i_bins, "bin")
+        .filter((F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end")))
+        .select(
+            "user_id",
+            "s_start",
+            "incident_id",
+            (
+                F.unix_micros(F.least("s_end", "i_end"))
+                - F.unix_micros(F.greatest("s_start", "i_start"))
+            ).alias("overlap_us"),
+        )
+        .dropDuplicates(["user_id", "s_start", "incident_id"])
+    )
