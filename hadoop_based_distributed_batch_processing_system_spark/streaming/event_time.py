@@ -1255,3 +1255,100 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "user_id", "ts", arr.alias("frame"))
         .select("event_id", "user_id", "ts", F.round(med, 6).alias("rolling_median"))
     )
+
+
+_FUNNEL_WINDOW_H = 1
+
+
+@register(
+    "funnel_conversion_windowed",
+    oracle=f"""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+          GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_1h,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_1h,
+               ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+               ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+    """,
+    tags=("E1'", "funnel", "windowed"),
+)
+def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1' — conversion funnel with a per-step TIMEOUT: click counts
+    only within 1 hour of the user's first view, purchase within 1
+    hour of that click — the product-analytics convention (a
+    purchase three weeks later is a different journey, and the
+    unbounded funnel silently over-credits; funnel_conversion is the
+    unbounded sibling). Each stage anchors on the PREVIOUS stage's
+    earliest qualifying timestamp, so the chain is three per-user
+    MIN aggregates, each joined forward to gate the next stage's
+    candidate events.
+
+    Scale: three conditional aggregates over the fact table, all
+    keyed by user_id — with AQE the stage joins reuse one hash
+    partitioning; stage tables shrink monotonically (funnel
+    property), so each later join is smaller. The per-step bound is
+    also the streaming state bound, exactly as in
+    attribution_last_touch."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_1h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_1h"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_1h",
+            "n_purchase_1h",
+            F.round(F.col("n_click_1h").cast("double") / F.col("n_view"), 6).alias(
+                "view_to_click"
+            ),
+            F.round(
+                F.col("n_purchase_1h").cast("double") / F.col("n_click_1h"), 6
+            ).alias("click_to_purchase"),
+        )
+    )

@@ -276,6 +276,7 @@ _NESTED_LOOP_ALLOWED = {
     "chi_square_independence": "broadcasts the 1-row grand total onto the contingency table",
     "market_basket_rules": "broadcasts the 1-row distinct-order count for support normalization",
     "pipeline_corpus_curation_v2": "broadcasts the 1-row mixing totals onto the per-language frame",
+    "funnel_conversion_windowed": "assembles the report from three 1-row stage counts",
 }
 
 # Eager-on-call operators (streams, sinks, driver-side collects) are
