@@ -1899,3 +1899,58 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("r"), 4).alias("revenue"),
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+        WITH rev AS (
+          SELECT s.s_nationkey, l.l_suppkey,
+                 SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        shares AS (
+          SELECT s_nationkey, r / SUM(r) OVER (PARTITION BY s_nationkey) AS share
+          FROM rev
+        )
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               ROUND(SUM(share * share) * 10000, 4) AS hhi
+        FROM shares sh JOIN nation n ON sh.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("M4", "concentration", "hhi"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — Herfindahl–Hirschman supplier concentration per nation
+    (sum of squared revenue shares × 10000, the antitrust scale:
+    <1500 competitive, >2500 concentrated): the supply-chain-risk
+    readout for single-supplier exposure. One fact-table join+agg to
+    per-(nation, supplier) revenue; shares via a nation-partitioned
+    window over that supplier-sized rollup; nation dim broadcasts
+    for names.
+
+    Scale: the only corpus-sized work is the lineitem⋈supplier agg
+    (supplier dim broadcasts); everything after runs on
+    |suppliers|-sized data. Share squaring before rounding keeps the
+    float work identical in both engines (same rollup values, same
+    window sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    share = F.col("r") / F.sum("r").over(Window.partitionBy("s_nationkey"))
+    return (
+        rev.select("s_nationkey", share.alias("share"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")) * 10000, 4).alias("hhi"),
+        )
+    )
