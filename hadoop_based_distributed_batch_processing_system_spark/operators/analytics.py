@@ -1954,3 +1954,45 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("share") * F.col("share")) * 10000, 4).alias("hhi"),
         )
     )
+
+
+@register(
+    "customer_gini_coefficient",
+    oracle="""
+        WITH rev AS (
+          SELECT o_custkey, SUM(o_totalprice) AS r FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT r, CAST(row_number() OVER (ORDER BY r, o_custkey) AS BIGINT) AS i
+          FROM rev
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(2.0 * SUM(i * r) / (COUNT(*) * SUM(r))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+    """,
+    tags=("M5", "inequality", "gini"),
+)
+def customer_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — Gini coefficient of customer revenue (0 = perfectly even,
+    1 = one customer is everything): the single-number inequality
+    companion to customer_pareto_share's 80/20 readout, computed by
+    the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-
+    sorted revenues with a deterministic tiebreak. Same scale story
+    as every ranking op here: the window runs on the per-customer
+    AGGREGATE, and the two-phase bucketed numbering recipe
+    (rownum_scalable_global) computes identical ranks when the
+    customer table itself outgrows one sort partition."""
+    rev = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("r")
+    )
+    ranked = rev.select(
+        "r", F.row_number().over(Window.orderBy("r", "o_custkey")).cast("long").alias("i")
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r")) / (n * F.sum("r")) - (n + 1.0) / n, 6
+        ).alias("gini"),
+    )

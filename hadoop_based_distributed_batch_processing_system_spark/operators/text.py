@@ -1141,3 +1141,62 @@ def eval_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "text_flesch_readability",
+    oracle="""
+        SELECT doc_id,
+               n_words, n_sentences, n_syllables,
+               ROUND(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+                 AS flesch_score
+        FROM (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+                   AS n_sentences,
+                 CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                   AS BIGINT) AS n_syllables
+          FROM documents
+          WHERE len(string_split(text, ' ')) > 0
+        )
+    """,
+    tags=("L24", "readability", "quality"),
+)
+def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24 — Flesch reading-ease scoring: 206.835 − 1.015·(words/
+    sentence) − 84.6·(syllables/word), with sentences counted by
+    terminal punctuation and syllables approximated as vowel groups
+    (the standard cheap proxy) — the readability axis of corpus
+    quality filtering, orthogonal to the statistical LM scores
+    (textbook prose and word salad can share a perplexity band but
+    not a readability one). Floors of 1 keep unpunctuated/vowel-less
+    edge docs finite, identically in both engines.
+
+    Scale: three regexp/split counts per document — a zero-shuffle
+    JVM narrow map, the same cost class as text_quality_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.filter(F.size(F.split("text", " ")) > 0).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.greatest(F.expr("regexp_count(text, '[.!?]')"), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        F.greatest(F.expr("regexp_count(lower(text), '[aeiouy]+')"), F.lit(1))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch_score"),
+    )
