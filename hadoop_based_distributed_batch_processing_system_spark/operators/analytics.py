@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import bucketed_rank_cumsum
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
 
@@ -1589,33 +1590,30 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration metric behind key-account risk and long-tail
     strategy. Deterministic cumsum order (revenue DESC, custkey).
 
-    Scale note, stated honestly: the cumulative window runs
-    UNPARTITIONED over the per-customer aggregate — fine for
-    customer-table sizes; at planet scale the two-phase recipe of
-    rownum_scalable_global (range-bucket, per-bucket cumsum, offset
-    prefix-sum of bucket totals) computes the identical curve with
-    one extra bucket-totals pass. The fact table itself only ever
-    sees the one groupBy."""
+    Scale: the fact table reduces to the per-customer aggregate
+    first, and the Lorenz cumsum runs through
+    ``bucketed_rank_cumsum`` (sorts.py) — per-bucket windows plus a
+    bucket-totals prefix sum — NOT an unpartitioned window, so no
+    task ever holds more than one revenue bucket. The global count
+    and revenue total fall out of the same bounded bucket-stats
+    pass (≤ n_buckets rows on the driver)."""
     rev = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("r")
     )
-    w_order = Window.orderBy(F.desc("r"), "o_custkey")
-    ranked = rev.select(
-        "o_custkey",
-        "r",
-        F.sum("r").over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_r"),
-        F.row_number().over(w_order).alias("rn"),
-        F.sum("r").over(Window.partitionBy()).alias("total_r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    numbered, n_cust, total_r = bucketed_rank_cumsum(
+        rev, "r", ["o_custkey"], value_col="r", descending=True
+    )
+    ranked = numbered.select(
+        F.col("__rn").alias("rn"), F.col("__cum").alias("cum_r")
     )
     return (
-        ranked.filter(F.col("cum_r") >= 0.8 * F.col("total_r"))
+        ranked.filter(F.col("cum_r") >= 0.8 * total_r)
         .agg(
             F.min("rn").cast("long").alias("n_top_customers"),
-            F.round(F.min("rn").cast("double") / F.min("n_cust"), 6).alias(
+            F.round(F.min("rn").cast("double") / F.lit(n_cust), 6).alias(
                 "customer_fraction"
             ),
-            F.round(F.min("cum_r") / F.min("total_r"), 6).alias("revenue_share"),
+            F.round(F.min("cum_r") / F.lit(total_r), 6).alias("revenue_share"),
         )
     )
 
@@ -1875,20 +1873,18 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share reaches, both engines identically.
 
     Scale: the fact table reduces to per-part revenue first; the
-    cumulative window runs on the part aggregate with the same
-    honest caveat (and the same two-phase scalable recipe) as
-    customer_pareto_share; the class report is 3 rows."""
+    Lorenz cumsum runs through ``bucketed_rank_cumsum`` (sorts.py)
+    — per-bucket windows + bucket-totals prefix sum, never an
+    unpartitioned window — so the part dimension can outgrow one
+    sort partition freely; the class report is 3 rows."""
     rev = load_table(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
     )
-    w_order = Window.orderBy(F.desc("r"), "l_partkey")
-    ranked = rev.select(
-        "l_partkey",
-        "r",
-        (
-            F.sum("r").over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            / F.sum("r").over(Window.partitionBy())
-        ).alias("cum_share"),
+    numbered, _n, total_r = bucketed_rank_cumsum(
+        rev, "r", ["l_partkey"], value_col="r", descending=True
+    )
+    ranked = numbered.select(
+        "l_partkey", "r", (F.col("__cum") / F.lit(total_r)).alias("cum_share")
     )
     abc = (
         F.when(F.col("cum_share") <= 0.8, "A")
@@ -1978,17 +1974,17 @@ def customer_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 = one customer is everything): the single-number inequality
     companion to customer_pareto_share's 80/20 readout, computed by
     the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-
-    sorted revenues with a deterministic tiebreak. Same scale story
-    as every ranking op here: the window runs on the per-customer
-    AGGREGATE, and the two-phase bucketed numbering recipe
-    (rownum_scalable_global) computes identical ranks when the
-    customer table itself outgrows one sort partition."""
+    sorted revenues with a deterministic tiebreak. Ranks come from
+    ``bucketed_rank_cumsum`` (sorts.py) — the two-phase bucketed
+    numbering, NOT a single-partition global window — so the rank
+    pass runs one bucket per task even when the customer table
+    outgrows one sort partition; ranks are exact integers, so the
+    distributed form is bit-identical to the global window."""
     rev = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("r")
     )
-    ranked = rev.select(
-        "r", F.row_number().over(Window.orderBy("r", "o_custkey")).cast("long").alias("i")
-    )
+    numbered, _n, _tot = bucketed_rank_cumsum(rev, "r", ["o_custkey"])
+    ranked = numbered.select("r", F.col("__rn").alias("i"))
     n = F.count(F.lit(1))
     return ranked.agg(
         n.cast("long").alias("n_customers"),

@@ -288,3 +288,99 @@ def rownum_scalable_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return with_pid.groupBy("pid").applyInPandas(number_bucket, "o_orderkey long, rn long")
+
+
+def bucketed_rank_cumsum(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: list[str],
+    *,
+    value_col: str | None = None,
+    descending: bool = False,
+    n_buckets: int = 32,
+):
+    """Two-phase GLOBAL row-number (+ optional global running sum)
+    without the single-partition window — the library form of the
+    ``rownum_scalable_global`` recipe, shared by every ranking /
+    Lorenz-curve operator (Gini, Pareto share, ABC classes, AUC).
+
+    ``ROW_NUMBER() OVER (ORDER BY x)`` with no PARTITION BY funnels
+    every row through ONE task. Here instead:
+
+    1. one agg for min/max of ``order_col``; rows bucket into
+       ``n_buckets`` equal-width ranges via a PURE function of the
+       value (deterministic across jobs — ``repartitionByRange``
+       re-samples boundaries per action, so it cannot carry offsets
+       between jobs). Equal order values share a bucket, so the
+       bucket id is monotone with the (order_col, tiebreak) order.
+    2. per-bucket COUNT (+ SUM of ``value_col``) — at most
+       ``n_buckets`` rows to the driver; exclusive prefix sums give
+       each bucket its global row-number and running-sum offsets.
+    3. a window PARTITIONED BY bucket ranks/sums locally; offsets
+       are added back via a literal map projection (no join, no
+       extra shuffle). Peak task memory = one bucket, not the table.
+
+    At 100 TB, replace step 1's min/max with sampled quantile
+    boundaries baked in as literals (evens out value skew); the
+    plan shape is unchanged. Caches ``df`` (callers pass an
+    entity-level aggregate, bounded by the entity count) so the
+    stats pass and the final window reuse one materialization.
+
+    Returns ``(out_df, n_total, sum_total)`` where ``out_df`` is
+    ``df`` plus ``__rn`` (1-based global row number) and — when
+    ``value_col`` is given — ``__cum`` (global inclusive running
+    sum in the same order).
+    """
+    df = df.cache()
+    row = df.agg(F.min(order_col), F.max(order_col)).first()
+    lo, hi = row[0], row[1]
+    if lo is None:
+        out = df.withColumn("__rn", F.lit(None).cast("long"))
+        if value_col is not None:
+            out = out.withColumn("__cum", F.lit(None).cast("double"))
+        return out, 0, 0.0
+    span = float(hi) - float(lo)
+    width = (span / n_buckets) if span > 0 else 1.0
+    if descending:
+        raw = (F.lit(float(hi)) - F.col(order_col)) / F.lit(width)
+    else:
+        raw = (F.col(order_col) - F.lit(float(lo))) / F.lit(width)
+    bucketed = df.withColumn(
+        "__bkt", F.least(F.floor(raw), F.lit(n_buckets - 1)).cast("int")
+    )
+
+    aggs = [F.count(F.lit(1)).alias("c")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("s"))
+    stats = bucketed.groupBy("__bkt").agg(*aggs).orderBy("__bkt").collect()
+    rn_pairs: list = []
+    cum_pairs: list = []
+    acc_n = 0
+    acc_s = 0.0
+    for r in stats:
+        rn_pairs += [F.lit(int(r["__bkt"])), F.lit(acc_n)]
+        acc_n += r["c"]
+        if value_col is not None:
+            cum_pairs += [F.lit(int(r["__bkt"])), F.lit(float(acc_s))]
+            acc_s += float(r["s"])
+
+    order_exprs = [F.desc(order_col) if descending else F.asc(order_col)] + [
+        F.asc(c) for c in tiebreak_cols
+    ]
+    w = Window.partitionBy("__bkt").orderBy(*order_exprs)
+    out = bucketed.withColumn(
+        "__rn",
+        (
+            F.row_number().over(w)
+            + F.element_at(F.create_map(*rn_pairs), F.col("__bkt"))
+        ).cast("long"),
+    )
+    if value_col is not None:
+        out = out.withColumn(
+            "__cum",
+            F.sum(value_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + F.element_at(F.create_map(*cum_pairs), F.col("__bkt")),
+        )
+    return out.drop("__bkt"), acc_n, acc_s

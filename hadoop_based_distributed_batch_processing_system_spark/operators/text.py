@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import bucketed_rank_cumsum
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
 
@@ -1117,20 +1118,20 @@ def eval_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (score, doc_id), so ties resolve identically in
     both engines.
 
-    Scale note, stated honestly: exact global ranking is the
-    two-phase rownum_scalable_global recipe at corpus scale (the
-    rank-sum only needs per-bucket counts + offsets, so it
-    distributes cleanly); the single-window form here is the
-    eval-set-sized variant. Everything else is one aggregate."""
+    Scale: exact global ranks come from ``bucketed_rank_cumsum``
+    (sorts.py) — score-range buckets, per-bucket windows, offsets
+    from a bounded bucket-counts pass — never a single-partition
+    window, so the eval set can be the whole corpus. Ranks are
+    exact integers, so the distributed form is bit-identical to
+    the global window; everything after is one aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.col("n_chars").cast("double").alias("score"),
         "doc_id",
     )
-    ranked = scored.select(
-        "y", F.row_number().over(Window.orderBy("score", "doc_id")).cast("long").alias("rn")
-    )
+    numbered, _n, _tot = bucketed_rank_cumsum(scored, "score", ["doc_id"])
+    ranked = numbered.select("y", F.col("__rn").alias("rn"))
     n_pos = F.sum("y")
     return ranked.agg(
         n_pos.cast("long").alias("n_pos"),

@@ -537,3 +537,29 @@ def test_plan_facts_api_extracts_structure(spark):
     assert facts.does_partial_aggregation
     assert facts.pushed_filters and any("r_name" in p for p in facts.pushed_filters)
     assert not facts.has_cartesian and not facts.has_row_python
+
+
+def test_ranking_ops_have_no_single_partition_window(spark):
+    """The four global-ranking ops (Gini, Pareto, ABC, AUC) must rank
+    via the two-phase bucketed numbering (bucketed_rank_cumsum): every
+    Window in their plans is partitioned by the bucket column — no
+    'Window ... SinglePartition' anywhere, which would funnel the
+    whole entity dimension through one task."""
+    import re
+
+    for name in (
+        "customer_gini_coefficient",
+        "customer_pareto_share",
+        "parts_abc_classification",
+        "eval_auc_rank_sum",
+    ):
+        plan = plan_of(REG[name].fn(spark, SF_SMOKE), "simple")
+        assert plan.count("Window") >= 1, (name, plan)
+        # children print BELOW their parent: the first Exchange after
+        # each Window node is the one feeding its sort. The final 1-row
+        # global aggregate legitimately uses SinglePartition; a Window
+        # over one is the trap we removed.
+        for frag in plan.split("Window")[1:]:
+            m = re.search(r"Exchange (\S+)", frag)
+            assert m is not None, (name, frag)
+            assert not m.group(1).startswith("SinglePartition"), (name, frag[:400])
