@@ -100,65 +100,49 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- the round-4 priority head: everything repaired by the
-    # events-ingest fix (footer probe, sources/io.py) plus the
-    # highest-value never-attested entries.
-    # Repaired batch event-time layer (ERR in r3) — 11
-    "window_tumbling", "window_sliding", "window_session",
-    "watermark_late_drop", "stateful_dedup", "dedup_debounce_window",
-    "events_anomaly_zscore", "timeseries_resample_locf",
-    "rollup_hypertable_daily", "funnel_conversion", "cohort_retention",
-    # Repaired true-stream layer (wrong rows / weak passes in r3) — 10
-    "stream_window_tumbling", "stream_window_sliding", "stream_window_session",
-    "stream_stream_join", "stream_append_closed_windows",
-    "stream_foreach_batch_upsert", "stream_stateful_dedup",
-    "stream_stateful_user_totals", "stream_static_join",
-    "stream_file_sink_exactly_once",
-    # Repaired misc events readers (ERR in r3 / never attested) — 9
-    "agg_count_distinct_salted", "fn_variant", "fn_xml",
-    "partitioner_hash", "partitioner_range", "counters_job_audit",
-    "topk_heavy_hitters_mg", "pivot_event_type_daily",
-    "secondary_sort_user_timeline",
-    # Events-tainted stale-green rows (pass r1/r2 on the OLD corpus;
-    # re-earn against today's) — 11
-    "fn_json", "fn_map", "fn_json_struct", "win_lag_lead",
-    "win_first_last_ignore_nulls", "join_asof",
-    "join_dynamic_partition_pruning", "sql_catalog_query",
-    "sql_parameterized", "sink_partition_pruned", "compact_small_files",
-    # LLM scale paths, never driver-attested (rows-only by design) — 5
-    "sim_search_topk_blas", "sim_search_ann_lsh", "sim_search_ann_ivf",
-    "knn_label_vote_ann", "dedup_simhash",
-    # Never-attested sorts — 3 (window position ~47-49)
-    "sort_global", "topk", "topk_per_group",
-    # --- positions 51+ (front of round 5 once the above verify):
-    # setops tail — 8
-    "union_all", "union_distinct", "union_by_name_evolution",
-    "dedup_rows", "dedup_latest_per_key", "intersect_distinct",
-    "except_all", "win_rank_limited",
-    # text tail — 8
-    "text_wordcount", "text_stats", "text_bigram_freq", "text_pii_scrub",
-    "text_lang_id", "text_quality_score", "text_fingerprint",
-    "text_token_count",
-    # multimodal / graph / layout / sketch tail
-    "multimodal_join", "mm_feature_extract_stub", "pagerank_bipartite",
-    "layout_zorder_key", "agg_hll_mergeable", "sink_sorted_runs",
-    "sink_compression_codecs", "sample_stratified_deterministic",
-    "sample_train_val_test", "sample_class_weights", "unpivot_metrics_long",
-    "pack_sequences_concat_chunk", "text_unigram_logprob_score",
-    "scan_python_datasource", "stream_python_datasource",
-    "sink_python_datasource", "join_asof_tolerance",
-    "privacy_k_anonymity_suppress", "decontaminate_against_benchmark",
-    "embed_label_centroids",
-    # --- positions ~41-50 (round 5): this session's flagship additions,
-    # chosen so the round-5 scoreboard attests one representative of each
-    # new capability class (iterative ML ×2, graph, containment dedup,
-    # 2nd-order LM scoring, tokenizer stats, event sequencing, curation
-    # composite, plus the two rewritten vector-output feature ops whose
-    # serialization fix should be driver-proven ASAP).
-    "kmeans_embeddings", "pca_power_iteration_top1", "triangle_count",
-    "dedup_containment", "text_bigram_logprob_score", "bpe_pair_counts",
-    "events_markov_transitions", "pipeline_corpus_curation_v2",
-    "feature_hashing", "embed_standardize",
+    # --- ROUND 6: 56 entries have never been driver-attested (the whole
+    # round-5 second batch + this round's additions); every one of them
+    # is hash-oracled, so the 50-slot window is 50/50 hash-checkable.
+    # Positions 1-50 verify this round; 51-56 (three mm stubs + three
+    # low-risk text aggregations) roll to round 7.
+    # Rewritten this round (two-phase bucketed ranking) — prove ASAP — 4
+    "customer_gini_coefficient", "customer_pareto_share",
+    "parts_abc_classification", "eval_auc_rank_sum",
+    # New this round: 2nd REAL modality (stdlib BMP codec) — 1
+    "mm_decode_real_image",
+    # Stateful streaming twins (applyInPandasWithState) — 2
+    "stream_ewma_stateful", "stream_markov_stateful",
+    # Round-5 joins batch — 4
+    "join_asof_nearest", "fuzzy_join_delete1", "spatial_grid_join",
+    "join_interval_overlap_binned",
+    # Scans / stats aggregates — 6
+    "scan_json_corrupt_records", "agg_winsorized_stats",
+    "agg_mode_deterministic", "events_inter_arrival_stats",
+    "ab_test_welch_t", "chi_square_independence",
+    # Window / UDTF / sampling — 4
+    "win_moving_avg_time", "udtf_polymorphic_analyze",
+    "sample_hash_deterministic", "sample_reservoir_per_group",
+    # Analytics batch — 6 (the 4 ranking ops above belong here too)
+    "dq_expectations", "table_diff_snapshots", "scd2_point_in_time_join",
+    "market_basket_rules", "cohort_ltv_curve", "monthly_growth_rates",
+    "supplier_concentration_hhi",
+    # Dedup / text tail — 7
+    "dedup_prefix_truncation", "text_ngram_novelty",
+    "dedup_cluster_keep_best", "doc_chunk_sliding",
+    "text_repetition_score", "corpus_mixing_weights",
+    # Features / graph — 3
+    "target_encoding_loo", "user_rfm_segments", "graph_degree_distribution",
+    # Event-time batch — 13
+    "attribution_last_touch", "timeseries_twap", "timeseries_ewma",
+    "window_session_capped", "rollup_incremental_merge",
+    "events_seasonality_profile", "events_top_paths",
+    "events_autocorrelation_lag1", "events_anomaly_seasonal_zscore",
+    "timeseries_interpolate_linear", "events_active_users",
+    "timeseries_rolling_median", "funnel_conversion_windowed",
+    # --- positions 51-56: round-7 front (low risk / stub plumbing)
+    "doc_length_buckets", "text_flesch_readability",
+    "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
+    "mm_frame_sample",
     # remaining never-verified entries follow in registration order
 ]
 

@@ -7,14 +7,16 @@ metadata JVM-side; only the decode/feature steps touch the payload,
 as Arrow-batched ``mapInPandas`` — the payload bytes cross to Python
 once, in columnar batches, never row-at-a-time.
 
-The container ships no image/video codecs, so the generic decode step
-is a STUB: a deterministic fake decoder derived from the payload's md5
-(schema, partitioning, UDF signature and batch shape are real and
-tested; swap ``_fake_decode`` for PIL/ffmpeg in production — the
-``real_codec=True`` path raises NotImplementedError by design).
-The AUDIO path is real: ``mm_audio_decode_wav`` below synthesizes
-genuine RIFF/WAVE containers and decodes them with the stdlib codec,
-oracle-checked field by field.
+The container ships no image/video codec LIBRARIES, so the generic
+decode step is a STUB: a deterministic fake decoder derived from the
+payload's md5 (schema, partitioning, UDF signature and batch shape
+are real and tested; swap ``_fake_decode`` for PIL/ffmpeg in
+production — the ``real_codec=True`` path raises NotImplementedError
+by design). TWO modalities are REAL, library-free codecs:
+``mm_audio_decode_wav`` (stdlib ``wave`` RIFF parse) and
+``mm_decode_real_image`` (BMP is uncompressed, so ``struct`` +
+byte-slicing is a complete decoder) — both synthesize genuine
+containers and are oracle-checked field by field.
 """
 
 from __future__ import annotations
@@ -389,4 +391,153 @@ def mm_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav.mapInPandas(
         decode_batches,
         "doc_id long, sample_rate int, n_channels int, n_frames int, duration_ms long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real IMAGE decode path (pure-stdlib BMP — no codec library needed:
+# BMP is an uncompressed struct-packed container, so `struct` + byte
+# slicing IS a complete decoder). Payloads are genuine BITMAPFILEHEADER
+# + BITMAPINFOHEADER + bottom-up padded 24-bit BGR pixel arrays whose
+# dimensions and pixel values are closed-form functions of doc_id, so
+# a header-parse, stride, byte-order, or row-flip bug is a hash
+# mismatch against the DuckDB oracle — the same honesty contract as
+# mm_audio_decode_wav, making image the second REAL modality.
+
+def synth_bmp_bytes(doc_id: int) -> bytes:
+    """A real in-memory 24-bit BMP: bottom-up rows, 4-byte row
+    padding, pixel channels deterministic in (doc_id, x, y)."""
+    import struct
+
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 9
+    stride = (3 * w + 3) // 4 * 4
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+        for x in range(w):
+            b = (doc_id + 2 * x + 3 * y) % 256
+            g = (doc_id * 5 + x + 7 * y) % 256
+            r = (doc_id * 3 + 7 * x + 13 * y) % 256
+            pix += bytes((b, g, r))
+        pix += b"\x00" * (stride - 3 * w)
+    size = 54 + len(pix)
+    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return bytes(file_header + info_header + pix)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
+    """Real decode: parse both BMP headers, walk the padded bottom-up
+    pixel array top-down. Returns (width, height, bpp, file_size,
+    sum_red, sum_green, sum_blue, topleft_red)."""
+    import struct
+
+    magic, file_size, _r1, _r2, px_off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={comp}")
+    stride = (3 * w + 3) // 4 * 4
+    sum_b = sum_g = sum_r = 0
+    topleft_red = -1
+    for y in range(h):  # image row y lives at file row h-1-y (bottom-up)
+        row_off = px_off + (h - 1 - y) * stride
+        row = payload[row_off : row_off + 3 * w]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_r += sum(row[2::3])
+        if y == 0:
+            topleft_red = row[2]
+    return w, h, bpp, file_size, sum_r, sum_g, sum_b, topleft_red
+
+
+@register(
+    "mm_decode_real_image",
+    # Every decoded field is a closed-form function of doc_id (the
+    # synth's formulas), so the oracle re-derives them with a
+    # generate_series pixel grid — dimensions, the header's own
+    # file_size field, per-channel pixel sums, and the TOP-LEFT red
+    # value (which differs from the first STORED pixel: bottom-up rows
+    # make a missing row-flip a hash mismatch, not a silent bug).
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(4 + doc_id % 13 AS INTEGER) AS w,
+                 CAST(3 + doc_id % 9 AS INTEGER) AS h
+          FROM documents
+        ),
+        xs AS (
+          SELECT doc_id, w, h,
+                 unnest(generate_series(0, w - 1)) AS x
+          FROM dims
+        ),
+        px AS (
+          SELECT doc_id, w, h, x,
+                 unnest(generate_series(0, h - 1)) AS y
+          FROM xs
+        )
+        SELECT doc_id,
+               MIN(w) AS width,
+               MIN(h) AS height,
+               CAST(24 AS INTEGER) AS bpp,
+               CAST(54 + ((3 * MIN(w) + 3) // 4) * 4 * MIN(h) AS BIGINT) AS file_size,
+               CAST(SUM((doc_id * 3 + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_red,
+               CAST(SUM((doc_id * 5 + x + 7 * y) % 256) AS BIGINT) AS sum_green,
+               CAST(SUM((doc_id + 2 * x + 3 * y) % 256) AS BIGINT) AS sum_blue,
+               CAST(MIN(doc_id * 3 % 256) AS INTEGER) AS topleft_red
+        FROM px
+        GROUP BY doc_id
+    """,
+    tags=("L7", "image", "decode"),
+)
+def mm_decode_real_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over a binary column — the second real
+    modality beside mm_audio_decode_wav: stage 1 synthesizes a
+    genuine 24-bit BMP container per document (in production this
+    column arrives from ingestion), stage 2 parses the BITMAPFILE/
+    BITMAPINFO headers and the padded bottom-up pixel array back out
+    with nothing but ``struct`` (BMP is uncompressed, so this is a
+    complete decoder, not a fake). A stride, header-offset, channel-
+    order, or row-flip bug breaks the hash oracle.
+
+    Scale: both stages are Arrow-batched ``mapInPandas`` in ONE
+    stage — payload bytes never shuffle; output is tiny metadata.
+    Decode is CPU-bound and embarrassingly parallel: repartition to
+    #cores BEFORE this stage, never after."""
+
+    def synth_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_bmp_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            decoded = [decode_bmp(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "bpp": [d[2] for d in decoded],
+                    "file_size": [d[3] for d in decoded],
+                    "sum_red": [d[4] for d in decoded],
+                    "sum_green": [d[5] for d in decoded],
+                    "sum_blue": [d[6] for d in decoded],
+                    "topleft_red": [d[7] for d in decoded],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bmp = docs.mapInPandas(synth_batches, "doc_id long, payload binary")
+    return bmp.mapInPandas(
+        decode_batches,
+        "doc_id long, width int, height int, bpp int, file_size long, "
+        "sum_red long, sum_green long, sum_blue long, topleft_red int",
     )

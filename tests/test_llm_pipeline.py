@@ -357,3 +357,27 @@ def test_pack_sequences_invariants(spark):
         F.size(F.split("text", " ")).alias("n")
     )
     assert int(pdf["n_tokens"].sum()) == docs.agg(F.sum("n")).collect()[0][0]
+
+
+def test_bmp_decode_roundtrip_and_padding():
+    """The BMP path is a real codec round-trip: synth → struct-packed
+    container → parse. Exercises every stride class (3*w % 4 in
+    {0,1,2,3}), verifies header fields, the bottom-up row flip (the
+    top-left pixel is the LAST stored row), and closed-form channel
+    sums against an independent Python recomputation."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import (
+        decode_bmp,
+        synth_bmp_bytes,
+    )
+
+    for doc_id in [0, 1, 2, 3, 7, 12, 123, 9999]:
+        b1, b2 = synth_bmp_bytes(doc_id), synth_bmp_bytes(doc_id)
+        assert b1 == b2 and b1[:2] == b"BM"
+        w, h, bpp, file_size, sr, sg, sb, tlr = decode_bmp(b1)
+        assert (w, h, bpp) == (4 + doc_id % 13, 3 + doc_id % 9, 24)
+        assert file_size == len(b1) == 54 + ((3 * w + 3) // 4 * 4) * h
+        exp_r = sum((doc_id * 3 + 7 * x + 13 * y) % 256 for x in range(w) for y in range(h))
+        exp_g = sum((doc_id * 5 + x + 7 * y) % 256 for x in range(w) for y in range(h))
+        exp_b = sum((doc_id + 2 * x + 3 * y) % 256 for x in range(w) for y in range(h))
+        assert (sr, sg, sb) == (exp_r, exp_g, exp_b), doc_id
+        assert tlr == doc_id * 3 % 256  # image (0,0) — bottom-up flip proven
