@@ -238,14 +238,18 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets.
 
     Scale: the fact table is reduced FIRST by a user-keyed aggregate;
-    the three global ntile windows then run over the user summary —
-    orders of magnitude smaller than events, but still a
-    single-partition sort per metric, which is the honest limit of
-    exact global ntile. When the user table itself is huge, swap each
-    ntile for the bucketed two-phase numbering recipe of
-    rownum_scalable_global (deterministic range buckets + offset
-    prefix-sum) or approx-quantile cutoffs if exact tie handling may
-    be relaxed."""
+    each quintile then comes from ``bucketed_rank_cumsum`` (sorts.py)
+    — the two-phase bucketed global numbering, never a
+    single-partition ntile window. ntile is a pure function of
+    (global rank, total count): with q = n div 5, r = n mod 5, the
+    first r tiles hold q+1 rows — exactly SQL ntile's fill rule, so
+    the distributed form is bit-identical to the window (ranks are
+    exact integers). Three rank passes + two user-keyed joins, all
+    over the user summary; per-task memory = one rank bucket."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
+        bucketed_rank_cumsum,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -253,12 +257,30 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 6
         ).alias("monetary"),
-    )
-    return u.select(
-        "user_id",
-        F.ntile(5).over(Window.orderBy("last_ts", "user_id")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("n_events", "user_id")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
-        "n_events",
-        "monetary",
-    )
+    ).withColumn("last_ts_us", F.unix_micros("last_ts"))
+
+    def ntile_of(rn, n: int, tiles: int = 5):
+        # SQL ntile's fill rule as a pure function of global rank: with
+        # q = n div tiles and r = n mod tiles, the first r tiles hold
+        # q+1 rows. Ranks are exact longs far below 2^53, so the
+        # correctly-rounded double division can't cross an integer
+        # boundary before floor.
+        q, r = divmod(n, tiles)
+        head = r * (q + 1)
+        if q == 0:
+            return rn.cast("int")
+        return (
+            F.when(rn <= head, F.floor((rn - 1) / F.lit(q + 1)))
+            .otherwise(F.lit(r) + F.floor((rn - head - 1) / F.lit(q)))
+            + 1
+        ).cast("int")
+
+    scored = u
+    for order_col, score_name in (
+        ("last_ts_us", "r_score"),
+        ("n_events", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        ranked, n, _tot = bucketed_rank_cumsum(scored, order_col, ["user_id"])
+        scored = ranked.withColumn(score_name, ntile_of(F.col("__rn"), n)).drop("__rn")
+    return scored.select("user_id", "r_score", "f_score", "m_score", "n_events", "monetary")

@@ -552,6 +552,7 @@ def test_ranking_ops_have_no_single_partition_window(spark):
         "customer_pareto_share",
         "parts_abc_classification",
         "eval_auc_rank_sum",
+        "user_rfm_segments",
     ):
         plan = plan_of(REG[name].fn(spark, SF_SMOKE), "simple")
         assert plan.count("Window") >= 1, (name, plan)
