@@ -63,7 +63,30 @@ HEADLINE = [
     "rollup_incremental_merge",  # history partials + pruned delta merge
     "events_top_paths",     # order-2 paths, two leads on one window spec
     "cohort_ltv_curve",     # cohort x age cumulative LTV, one custkey shuffle
+    "fuzzy_join_delete1",   # SymSpell delete-1 blocking vs all-pairs levenshtein
+    "spatial_grid_join",    # 3x3 grid-cell blocking vs cross-join circle test
+    "scd2_point_in_time_join",  # PIT lookup as one as-of union-window pass
+    "join_interval_overlap_binned",  # two-sided interval overlap via bin blocking
+    "user_rfm_segments",    # 3 quintile scores via two-phase bucketed ranks
+    "eval_auc_rank_sum",    # exact AUC, bucketed global ranks + one aggregate
 ]
+
+# Queries whose collect() would measure Py4J row transport of a
+# users×hours-sized result rather than the plan (BASELINE.md's own
+# caveat on timeseries_resample_locf: ~95% of 6.5 s was serializing
+# the 1.05M-row dense grid). The noop sink forces FULL computation of
+# every output column with zero transport — unlike count(), which
+# lets Catalyst prune unused window/projection work and so measures
+# different plans for different formulations of the same query. The
+# matching baseline row is measured with the noop sink too.
+ACTION = {"timeseries_resample_locf": "noop"}
+
+
+def run_action(df, action: str) -> None:
+    if action == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        getattr(df, action)()
 
 
 def main() -> None:
@@ -87,7 +110,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name].fn
-        fn(spark, sf_dir).collect()  # warm-up (plan + IO cache)
+        action = ACTION.get(name, "collect")
+        run_action(fn(spark, sf_dir), action)  # warm-up (plan + IO cache)
         # Each timed run rebuilds the DataFrame (fresh lineage, so no
         # cross-run shuffle-file reuse — timing one shared DataFrame
         # object would skip whole stages on runs 2-3 and overstate).
@@ -98,7 +122,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            run_action(fn(spark, sf_dir), action)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

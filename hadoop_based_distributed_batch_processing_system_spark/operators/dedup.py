@@ -757,3 +757,93 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "component", "n_chars", (F.col("rn") == 1).alias("keep"))
     )
+
+
+_SPAN_N = 5  # repeated-span gram width (tokens)
+
+
+@register(
+    "dedup_repeated_ngram_spans",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(u.x AS BIGINT) AS pos,
+                 md5(array_to_string(t[u.x + 1 : u.x + {_SPAN_N}], ' ')) AS gh
+          FROM toks, LATERAL unnest(generate_series(0, len(t) - {_SPAN_N})) AS u(x)
+          WHERE len(t) >= {_SPAN_N}
+        ),
+        dup AS (
+          SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        hits AS (
+          SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+          FROM (
+            SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits
+          )
+        )
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               MAX(pos) + {_SPAN_N - 1} AS span_end,
+               CAST(MAX(pos) - MIN(pos) + {_SPAN_N} AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, span_id
+    """,
+    tags=("L2", "spans", "exact-substring"),
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection — the exact-substring
+    dedup shape of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022), re-expressed for Spark: instead of a
+    suffix array, every token {_SPAN_N}-gram is hashed and grams seen
+    in MORE THAN ONE document are mapped back to their positions;
+    runs of consecutive duplicated positions merge into maximal spans
+    (the byte ranges one would cut or downweight before training).
+    Output: one row per (doc, span) with token offsets and covered
+    token count.
+
+    Scale: gram construction is a JVM transform over the token array
+    (zero shuffle); the duplicated-gram filter is one groupBy on an
+    8-byte-equivalent md5 key with map-side partial aggregation; the
+    join back reuses the same key partitioning; span merging is
+    gaps-and-islands PARTITIONED BY doc — no global window anywhere.
+    Gram hashes are uniform, so no skew; the df>1 HAVING bound means
+    boilerplate grams (headers, licenses) fan out in the join — at
+    100 TB, cap postings per gram like dedup_containment's _DF_CAP
+    (dropping ultra-common grams only widens spans conservatively)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    grams = (
+        docs.filter(F.size("t") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {_SPAN_N}),"
+                    f" i -> md5(encode(concat_ws(' ', slice(t, i + 1, {_SPAN_N})), 'utf-8')))"
+                )
+            ).alias("pos", "gh"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "gh")
+    )
+    dup = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") > 1)
+    hits = grams.join(dup.select("gh"), "gh").select("doc_id", "pos")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "is_new",
+        F.when(F.lag("pos").over(wd).isNull() | (F.col("pos") - F.lag("pos").over(wd) > 1), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("is_new").over(wd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return isl.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (_SPAN_N - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + _SPAN_N).cast("long").alias("n_tokens"),
+    ).drop("span_id")

@@ -238,18 +238,18 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets.
 
     Scale: the fact table is reduced FIRST by a user-keyed aggregate;
-    each quintile then comes from ``bucketed_rank_cumsum`` (sorts.py)
-    — the two-phase bucketed global numbering, never a
-    single-partition ntile window. ntile is a pure function of
-    (global rank, total count): with q = n div 5, r = n mod 5, the
-    first r tiles hold q+1 rows — exactly SQL ntile's fill rule, so
-    the distributed form is bit-identical to the window (ranks are
-    exact integers). Three rank passes + two user-keyed joins, all
-    over the user summary; per-task memory = one rank bucket."""
-    from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
-        bucketed_rank_cumsum,
-    )
-
+    each quintile then comes from the two-phase bucketed global
+    numbering (the bucketed_rank_cumsum recipe, sorts.py), never a
+    single-partition ntile window — FUSED across the three metrics so
+    the whole operator runs three driver-bounded jobs, not nine: ONE
+    agg fetches min/max of all metrics, ONE GROUPING SETS pass counts
+    all three bucketings (≤ 3×32 rows to the driver), and the three
+    per-bucket rank windows chain inside the final job. ntile is a
+    pure function of (global rank, total count): with q = n div 5,
+    r = n mod 5, the first r tiles hold q+1 rows — exactly SQL
+    ntile's fill rule, so the distributed form is bit-identical to
+    the window (ranks are exact integers). Per-task memory = one
+    rank bucket."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -258,6 +258,38 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 6
         ).alias("monetary"),
     ).withColumn("last_ts_us", F.unix_micros("last_ts"))
+    u = u.cache()
+
+    metrics = [("last_ts_us", "r_score"), ("n_events", "f_score"), ("monetary", "m_score")]
+    n_buckets = 32
+    bounds = u.agg(
+        *[f(c) for c, _ in metrics for f in (F.min, F.max)]
+    ).first()
+
+    def bucket_expr(col: str, lo, hi):
+        span = float(hi) - float(lo)
+        width = (span / n_buckets) if span > 0 else 1.0
+        raw = (F.col(col) - F.lit(float(lo))) / F.lit(width)
+        return F.least(F.floor(raw), F.lit(n_buckets - 1)).cast("int")
+
+    bcols = [f"__b_{s}" for _, s in metrics]
+    bucketed = u
+    for i, (c, _s) in enumerate(metrics):
+        bucketed = bucketed.withColumn(bcols[i], bucket_expr(c, bounds[2 * i], bounds[2 * i + 1]))
+    # one shuffle counts all three bucketings at once (3 × ≤32 rows back)
+    stats = (
+        bucketed.groupingSets([[b] for b in bcols], *[F.col(b) for b in bcols])
+        .count()
+        .collect()
+    )
+    offsets: list[dict[int, int]] = [{}, {}, {}]
+    for i in range(3):
+        acc = 0
+        per = sorted((r[bcols[i]], r["count"]) for r in stats if r[bcols[i]] is not None)
+        for bkt, c in per:
+            offsets[i][bkt] = acc
+            acc += c
+    n_total = sum(r["count"] for r in stats if r[bcols[0]] is not None)
 
     def ntile_of(rn, n: int, tiles: int = 5):
         # SQL ntile's fill rule as a pure function of global rank: with
@@ -275,12 +307,12 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("int")
 
-    scored = u
-    for order_col, score_name in (
-        ("last_ts_us", "r_score"),
-        ("n_events", "f_score"),
-        ("monetary", "m_score"),
-    ):
-        ranked, n, _tot = bucketed_rank_cumsum(scored, order_col, ["user_id"])
-        scored = ranked.withColumn(score_name, ntile_of(F.col("__rn"), n)).drop("__rn")
+    scored = bucketed
+    for i, (order_col, score_name) in enumerate(metrics):
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets[i].items() for x in kv]
+        )
+        w = Window.partitionBy(bcols[i]).orderBy(F.asc(order_col), F.asc("user_id"))
+        rn = (F.row_number().over(w) + F.element_at(off_map, F.col(bcols[i]))).cast("long")
+        scored = scored.withColumn(score_name, ntile_of(rn, n_total))
     return scored.select("user_id", "r_score", "f_score", "m_score", "n_events", "monetary")
