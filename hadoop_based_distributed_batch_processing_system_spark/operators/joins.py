@@ -1103,11 +1103,18 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (who was mid-session during the incident?) at equi-join
     cost.
 
-    Scale: sessions and incidents each build with ONE shuffle (the
-    gaps-and-islands shape of window_session); the candidate join
-    shuffles interval-count × bins-per-interval rows on bin keys,
-    never sessions × incidents. Overlap lengths are exact integer
+    Scale: sessions build with ONE user-keyed shuffle (the
+    gaps-and-islands shape of window_session); incidents — a GLOBAL
+    island problem with no partitioning key — go through
+    ``global_islands`` (sorts.py): per-time-bucket local islands plus
+    a driver-bounded boundary-chain merge, never a single-partition
+    window over the error stream. The candidate join shuffles
+    interval-count × bins-per-interval rows on bin keys, never
+    sessions × incidents. Overlap lengths are exact integer
     microseconds."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
+        global_islands,
+    )
     ev = load_table(spark, sf_dir, "events")
     ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = (
@@ -1126,31 +1133,19 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sid")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
-    wv = Window.orderBy("ts", "event_id")
-    incidents = (
-        ev.filter(F.col("event_type") == "error")
-        .select("ts", "event_id")
-        .withColumn(
-            "is_new",
-            F.when(
-                F.lag("ts").over(wv).isNull()
-                | (
-                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wv))
-                    > _INCIDENT_GAP_MIN * 60 * 1_000_000
-                ),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "iid", F.sum("is_new").over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        )
-        .groupBy("iid")
-        .agg(
-            F.min("event_id").cast("long").alias("incident_id"),
-            (F.min("ts") - F.expr(f"INTERVAL {_INCIDENT_PAD_MIN} MINUTES")).alias("i_start"),
-            (F.max("ts") + F.expr(f"INTERVAL {_INCIDENT_PAD_MIN} MINUTES")).alias("i_end"),
-        )
+    err = ev.filter(F.col("event_type") == "error").select("ts", "event_id")
+    err_isl, _nb = global_islands(
+        err,
+        "ts",
+        ["event_id"],
+        gap_us=_INCIDENT_GAP_MIN * 60 * 1_000_000,
+        bucket_us=6 * _OVL_BIN_US,  # 6-h buckets: summary rows = range/6h
     )
+    incidents = err_isl.groupBy("__island").agg(
+        F.min("event_id").cast("long").alias("incident_id"),
+        (F.min("ts") - F.expr(f"INTERVAL {_INCIDENT_PAD_MIN} MINUTES")).alias("i_start"),
+        (F.max("ts") + F.expr(f"INTERVAL {_INCIDENT_PAD_MIN} MINUTES")).alias("i_end"),
+    ).drop("__island")
     bins_of = lambda lo, hi: F.expr(
         f"sequence(unix_micros({lo}) div {_OVL_BIN_US}, unix_micros({hi}) div {_OVL_BIN_US})"
     )

@@ -384,3 +384,87 @@ def bucketed_rank_cumsum(
             + F.element_at(F.create_map(*cum_pairs), F.col("__bkt")),
         )
     return out.drop("__bkt"), acc_n, acc_s
+
+
+def global_islands(
+    df: DataFrame,
+    ts_col: str,
+    tiebreak_cols: list[str],
+    *,
+    gap_us: int,
+    bucket_us: int,
+):
+    """GLOBAL gaps-and-islands (sessionize a totally-ordered event
+    stream: new island when the gap to the previous event exceeds
+    ``gap_us``) WITHOUT the single-partition window — the time-domain
+    sibling of ``bucketed_rank_cumsum``.
+
+    ``SUM(is_new) OVER (ORDER BY ts)`` with no PARTITION BY funnels
+    the whole stream through one task. Here instead:
+
+    1. events bucket by ``ts div bucket_us`` (a pure function of the
+       value, deterministic across jobs);
+    2. islands form LOCALLY per bucket (ordinary partitioned window);
+    3. islands can only merge across buckets through each bucket's
+       FIRST and LAST local island, so a per-bucket summary —
+       (first_ts, last_ts, island count), ONE row per non-empty
+       bucket, bounded by time-range/bucket_us and independent of
+       event count — lets the driver chain-merge boundary islands
+       with a linear scan; interior islands keep their (bucket,
+       local_id) key untouched. The merge map (≤ 2 entries per
+       bucket) is applied as a broadcast literal-map projection — no
+       join, no extra shuffle.
+
+    Returns ``(out_df, n_buckets)`` where ``out_df`` is ``df`` plus
+    ``__island`` (a string key; equal keys = same global island —
+    exactly the islands the global window would produce, since
+    bucketing preserves order and boundary merging applies the same
+    gap rule the window applies)."""
+    us = F.unix_micros(F.col(ts_col))
+    d = df.withColumn("__us", us).withColumn(
+        "__bkt", F.expr(f"unix_micros({ts_col}) div {bucket_us}")
+    )
+    w = Window.partitionBy("__bkt").orderBy("__us", *tiebreak_cols)
+    d = d.withColumn(
+        "__new",
+        F.when(
+            F.lag("__us").over(w).isNull()
+            | (F.col("__us") - F.lag("__us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__lid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).drop("__new")
+
+    summary = (
+        d.groupBy("__bkt")
+        .agg(
+            F.min("__us").alias("first_us"),
+            F.max("__us").alias("last_us"),
+            F.max("__lid").alias("n_isl"),
+        )
+        .orderBy("__bkt")
+        .collect()
+    )
+    # Chain-merge boundary islands on the driver: the FIRST island of a
+    # bucket joins the LAST island of the previous non-empty bucket iff
+    # the boundary gap obeys the same rule the window applies.
+    head: dict = {}
+    prev = None
+    for r in summary:
+        k_first = (r["__bkt"], 1)
+        if prev is not None and r["first_us"] - prev["last_us"] <= gap_us:
+            pk = (prev["__bkt"], prev["n_isl"])
+            head[k_first] = head.get(pk, pk)
+        prev = r
+
+    key = F.concat_ws(":", F.col("__bkt"), F.col("__lid"))
+    if head:
+        pairs = []
+        for (b, l), (hb, hl) in head.items():
+            pairs += [F.lit(f"{b}:{l}"), F.lit(f"{hb}:{hl}")]
+        remap = F.create_map(*pairs)
+        key = F.coalesce(F.element_at(remap, key), key)
+    out = d.withColumn("__island", key).drop("__us", "__bkt", "__lid")
+    return out, len(summary)

@@ -410,3 +410,46 @@ def test_png_decode_roundtrip_filters_and_crc():
     b[40] ^= 0xFF
     with pytest.raises(ValueError, match="CRC|PNG"):
         decode_png(bytes(b))
+
+
+def test_global_islands_matches_single_window_reference(spark):
+    """global_islands (bucketed + boundary-chain merge) must produce
+    EXACTLY the islands a global single-partition window would: the
+    crafted stream has islands fully inside a bucket, an island
+    crossing one boundary, and one chaining through several buckets
+    (every bucket-boundary gap small), plus a gap that lands exactly
+    ON a boundary."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
+        global_islands,
+    )
+
+    GAP = 100  # us
+    BKT = 1000  # us
+    # timestamps in us (as timestamps): islands by the GAP rule:
+    # [10,50,120], [400], [950,1040,...,1990 step 90 → chains buckets],
+    # [5000]
+    chain = list(range(950, 2000, 90))
+    us_list = [10, 50, 120, 400] + chain + [5000]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(us_list)], "event_id long, us long"
+    ).select("event_id", F.timestamp_micros(F.col("us")).alias("ts"))
+
+    out, _nb = global_islands(df, "ts", ["event_id"], gap_us=GAP, bucket_us=BKT)
+    got = {
+        tuple(sorted(r["ids"]))
+        for r in out.groupBy("__island").agg(F.collect_list("event_id").alias("ids")).collect()
+    }
+
+    # single-window reference computed in plain python
+    ref, cur = [], []
+    prev = None
+    for i, u in enumerate(us_list):
+        if prev is not None and u - prev > GAP:
+            ref.append(tuple(cur))
+            cur = []
+        cur.append(i)
+        prev = u
+    ref.append(tuple(cur))
+    assert got == set(ref), (got, ref)
