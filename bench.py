@@ -69,6 +69,12 @@ HEADLINE = [
     "join_interval_overlap_binned",  # two-sided interval overlap via bin blocking
     "user_rfm_segments",    # 3 quintile scores via two-phase bucketed ranks
     "eval_auc_rank_sum",    # exact AUC, bucketed global ranks + one aggregate
+    "dq_expectations",      # N expectation rules in ONE scan (vs rule-per-scan)
+    "market_basket_rules",  # pair rules, support-pruned before the stats joins
+    "text_ngram_novelty",   # corpus df per shingle, lambda-bound hashed keys
+    "decontaminate_against_benchmark",  # broadcast hashed-shingle contamination join
+    "graph_degree_distribution",  # bounded per-order pair join + degree histogram
+    "table_diff_snapshots", # full-outer snapshot diff, churn-sized output
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -714,25 +714,20 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     mechanism is an EQUI-JOIN on shingle values — contamination
     detection at 100 TB is a shuffle on shingles, never a
     doc×benchmark product; benchmark shingle sets are typically small
-    enough to broadcast outright (hinted here). Raw string shingles
-    keep the DuckDB oracle exact; a production run hashes shingles
-    first (dedup_minhash_lsh's trick) to shrink the shuffle ~10×."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.filter(F.size(F.split("text", " ")) >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, size(split(text, ' ')) - 2),"
-                        " i -> concat_ws(' ', split(text, ' ')[i - 1],"
-                        " split(text, ' ')[i], split(text, ' ')[i + 1]))"
-                    )
-                )
-            ).alias("sh"),
-        )
+    enough to broadcast outright (hinted here). Shingles go through
+    ``_shingles_hashed`` (dedup.py): each token xxhash64'd ONCE, one
+    3-long combine per shingle, so the join and the broadcast table
+    carry 8-byte keys and nothing re-derives shingles from raw text
+    (the string-keyed plain form measures ~4.3 s at sf0.1). The
+    sf0.01 hash oracle pins the hashed path to the oracle's
+    exact-string ground truth, so a collision would surface as a
+    mismatch."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import (
+        _shingles_hashed,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _shingles_hashed(spark, sf_dir).select("doc_id", F.explode("sh").alias("sh"))
     bench = F.broadcast(
         tok.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0).select("sh").distinct()
     )
