@@ -1196,3 +1196,48 @@ def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch_score"),
     )
+
+
+@register(
+    "eval_calibration_bins",
+    # Score = (n_chars % 1000)/1000 — an exact dyadic-free construction
+    # kept hash-safe by doing the BINNING on integers ((n_chars % 1000)
+    # div 100) and rounding the float averages at 6 dp.
+    oracle="""
+        SELECT CAST((n_chars % 1000) // 100 AS INTEGER) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG((n_chars % 1000) / 1000.0), 6) AS mean_score,
+               ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+                 AS frac_positive
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("L23", "eval", "calibration"),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins — the calibration readout that pairs
+    with eval_auc_rank_sum when a trained quality classifier gates a
+    corpus: scores bucket into 10 equal-width bins; per bin, count,
+    mean predicted score, and observed positive fraction (here the
+    stand-in score is the n_chars fractional part, label = lang='en',
+    same construction as the AUC op). A well-calibrated scorer has
+    mean_score ≈ frac_positive per bin; systematic gaps say the gate
+    threshold doesn't mean what it claims.
+
+    Scale: ONE map-side-partial aggregate over the corpus into ≤10
+    groups — no ranking, no window, no join; the cheapest eval op in
+    the suite. Bin ids are computed in integer arithmetic so the
+    bucketing is bit-identical across engines; only the two averages
+    are floats, rounded at 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    frac = F.col("n_chars") % 1000
+    return (
+        docs.groupBy(F.floor(frac / 100).cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(frac / 1000.0), 6).alias("mean_score"),
+            F.round(F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)), 6).alias(
+                "frac_positive"
+            ),
+        )
+    )
