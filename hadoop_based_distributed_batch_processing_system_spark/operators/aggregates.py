@@ -901,3 +901,94 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
         )
     )
+
+
+_CM_D = 4   # count-min hash rows
+_CM_W = 64  # count-min columns per row
+
+# Portable column hash: first md5 byte of 'cm{i}|word', mod W — the
+# engine-neutral nibble arithmetic used across the fleet.
+_CM_COL_SPARK = (
+    "pmod(16 * (instr('0123456789abcdef', substr(md5(concat('cm', CAST({i} AS STRING), '|', word)), 1, 1)) - 1)"
+    " + instr('0123456789abcdef', substr(md5(concat('cm', CAST({i} AS STRING), '|', word)), 2, 1)) - 1, "
+    + str(_CM_W)
+    + ")"
+)
+_CM_COL_DUCK = (
+    "((16 * (strpos('0123456789abcdef', substr(md5('cm' || CAST({i} AS VARCHAR) || '|' || word), 1, 1)) - 1)"
+    " + strpos('0123456789abcdef', substr(md5('cm' || CAST({i} AS VARCHAR) || '|' || word), 2, 1)) - 1) % "
+    + str(_CM_W)
+    + ")"
+)
+
+
+@register(
+    "agg_countmin_sketch",
+    # The sketch is DETERMINISTIC (md5-derived cells), so unlike HLL
+    # this sketch op is fully hash-oracled: DuckDB rebuilds the same
+    # 4x64 cell table and takes the same per-word minima.
+    oracle="WITH wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word), "
+    "cells AS (SELECT row_id, col_id, SUM(n) AS cell FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {i} AS row_id, {_CM_COL_DUCK.format(i=i)} AS col_id, n FROM wc"
+        for i in range(_CM_D)
+    )
+    + ") GROUP BY row_id, col_id), "
+    "probes AS ("
+    + " UNION ALL ".join(
+        f"SELECT word, n, {i} AS row_id, {_CM_COL_DUCK.format(i=i)} AS col_id FROM wc"
+        for i in range(_CM_D)
+    )
+    + ") "
+    "SELECT p.word, MIN(p.n) AS true_n, CAST(MIN(c.cell) AS BIGINT) AS cm_estimate, "
+    "CAST(MIN(c.cell) - MIN(p.n) AS BIGINT) AS overestimate "
+    "FROM probes p JOIN cells c ON p.row_id = c.row_id AND p.col_id = c.col_id "
+    "GROUP BY p.word",
+    tags=("A4", "sketch", "countmin"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus word stream — the mergeable
+    frequency sketch (Cormode & Muthukrishnan 2005) behind heavy-
+    hitter monitoring at stream scale: 4 hash rows × 64 columns,
+    each word incrementing one cell per row; a point estimate is the
+    MINIMUM of its 4 cells and NEVER underestimates. The sketch here
+    is verified end-to-end: cells and estimates are deterministic
+    functions of the corpus (portable md5 column hashing), so the
+    DuckDB oracle rebuilds the identical sketch — unlike HLL, whose
+    internals are engine-private (agg_hll_mergeable is rows-only).
+
+    Scale: the word stream reduces by ONE map-side-partial groupBy;
+    sketch construction aggregates the vocab-sized count table into
+    exactly D×W = 256 cells (mergeable: cells of two corpus shards
+    ADD — the same property that makes the sketch a streaming/
+    partial-agg citizen); estimates join the bounded probe set
+    against 256 cells. Nothing here scales with corpus size except
+    the first wordcount shuffle. Probing every vocab word (done here
+    to measure the overestimate distribution) is a test-scale act;
+    production probes heavy hitters only."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = None
+    for i in range(_CM_D):
+        r = wc.select(
+            "word",
+            "n",
+            F.lit(i).alias("row_id"),
+            F.expr(_CM_COL_SPARK.format(i=i)).cast("long").alias("col_id"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    cells = rows.groupBy("row_id", "col_id").agg(F.sum("n").alias("cell"))
+    return (
+        rows.join(cells, ["row_id", "col_id"])
+        .groupBy("word")
+        .agg(
+            F.min("n").alias("true_n"),
+            F.min("cell").cast("long").alias("cm_estimate"),
+            (F.min("cell") - F.min("n")).cast("long").alias("overestimate"),
+        )
+    )

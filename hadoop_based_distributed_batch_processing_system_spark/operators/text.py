@@ -1241,3 +1241,53 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+        WITH wc AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          GROUP BY word
+        ),
+        ranked AS (
+          SELECT n, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rnk
+          FROM wc
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
+               ROUND(regr_intercept(ln(n), ln(rnk)), 6) AS zipf_intercept,
+               ROUND(regr_r2(ln(n), ln(rnk)), 6) AS r2
+        FROM ranked
+    """,
+    tags=("L5", "zipf", "eval"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency spectrum: OLS of
+    log(count) on log(rank) — natural text sits near slope −1;
+    strong departures flag synthetic, boilerplate-heavy, or
+    truncated corpora, which is why frequency-spectrum checks sit in
+    corpus QA suites next to length and novelty distributions.
+
+    Scale: vocabulary ranks come from ``bucketed_rank_cumsum``
+    (sorts.py) — the two-phase bucketed numbering, so the vocab
+    (which easily reaches 10⁸ tokens types at web scale) never
+    funnels through a single sort partition; the regression is one
+    commutative aggregate over (ln n, ln rank) pairs. Ranks are
+    exact integers → identical log inputs both engines; the three
+    regression outputs round at 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked, _nw, _tot = bucketed_rank_cumsum(wc, "n", ["word"], descending=True)
+    ln_n, ln_r = F.log(F.col("n").cast("double")), F.log(F.col("__rn").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
+    )

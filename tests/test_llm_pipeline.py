@@ -453,3 +453,45 @@ def test_global_islands_matches_single_window_reference(spark):
         prev = u
     ref.append(tuple(cur))
     assert got == set(ref), (got, ref)
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    """Count-min invariants beyond the hash oracle: estimates are
+    >= true counts everywhere (one-sided error), and the sketch is
+    MERGEABLE — cells built from two corpus halves add up to the
+    full-corpus cells (the property that makes it a partial-agg /
+    streaming citizen)."""
+    import pyspark.sql.functions as F
+
+    out = REG["agg_countmin_sketch"].fn(spark, SF_ORACLE)
+    bad = out.filter(F.col("overestimate") < 0).count()
+    assert bad == 0
+    # at least one word must collide somewhere for the test to bite
+    assert out.count() > 0
+
+    # mergeability: rebuild cells from doc_id halves and compare sums
+    from hadoop_based_distributed_batch_processing_system_spark.operators.aggregates import (
+        _CM_COL_SPARK,
+        _CM_D,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+
+    def cells_of(df):
+        wc = (df.select(F.explode(F.split("text", " ")).alias("word"))
+              .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+        rows = None
+        for i in range(_CM_D):
+            r = wc.select(F.lit(i).alias("row_id"),
+                          F.expr(_CM_COL_SPARK.format(i=i)).cast("long").alias("col_id"), "n")
+            rows = r if rows is None else rows.unionByName(r)
+        return rows.groupBy("row_id", "col_id").agg(F.sum("n").alias("cell"))
+
+    full = {(r["row_id"], r["col_id"]): r["cell"] for r in cells_of(docs).collect()}
+    lo = cells_of(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    hi = cells_of(docs.filter(F.col("doc_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in list(lo) + list(hi):
+        k = (r["row_id"], r["col_id"])
+        merged[k] = merged.get(k, 0) + r["cell"]
+    assert merged == full
