@@ -1065,3 +1065,126 @@ def pca_power_iteration_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, round(v[i], 4), round(nrm, 4)) for i in range(_DIM)],
         "dim int, loading double, eigenvalue double",
     )
+
+
+_PQ_M = 8      # subspaces
+_PQ_DSUB = 8   # dims per subspace (8x8 = 64)
+_PQ_K = 16     # centroids per subspace
+_PQ_SCALE = 64  # power-of-two quantization scale: x*64 is EXACT in IEEE
+
+
+@register(
+    "sim_search_pq",
+    # Fully hash-oracled PQ: vectors quantize to integers first
+    # (floor(x*64) — *64 only shifts the exponent, so both engines see
+    # identical integers), making codes and ADC distances exact
+    # integer arithmetic with deterministic argmin ties (smallest
+    # centroid id). The float-domain PQ variant would be rows-only
+    # like LSH/IVF; the integer construction buys an exact oracle.
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {_PQ_SCALE}) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS c,
+                 qv AS cv, vec_id
+          FROM q ORDER BY vec_id LIMIT {_PQ_K}
+        ),
+        probe AS (SELECT qv AS pv, vec_id AS pid FROM q ORDER BY vec_id LIMIT 1),
+        subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+        vdist AS (
+          SELECT v.vec_id, subs.s, se.c,
+                 list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                   d -> (v.qv[subs.s * {_PQ_DSUB} + d] - se.cv[subs.s * {_PQ_DSUB} + d])
+                      * (v.qv[subs.s * {_PQ_DSUB} + d] - se.cv[subs.s * {_PQ_DSUB} + d]))) AS dist
+          FROM q v, subs, seeds se
+        ),
+        codes AS (
+          SELECT vec_id, s,
+                 CAST(list_position(l, list_min(l)) AS INTEGER) - 1 AS code
+          FROM (SELECT vec_id, s, list(dist ORDER BY c) AS l
+                FROM vdist GROUP BY vec_id, s)
+        ),
+        pdist AS (
+          SELECT subs.s, se.c,
+                 list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                   d -> (p.pv[subs.s * {_PQ_DSUB} + d] - se.cv[subs.s * {_PQ_DSUB} + d])
+                      * (p.pv[subs.s * {_PQ_DSUB} + d] - se.cv[subs.s * {_PQ_DSUB} + d]))) AS dist
+          FROM probe p, subs, seeds se
+        ),
+        adc AS (
+          SELECT codes.vec_id, CAST(SUM(pdist.dist) AS BIGINT) AS adc_dist
+          FROM codes JOIN pdist ON codes.s = pdist.s AND codes.code = pdist.c
+          GROUP BY codes.vec_id
+        )
+        SELECT a.vec_id, a.adc_dist
+        FROM adc a, probe
+        WHERE a.vec_id <> probe.pid
+        ORDER BY a.adc_dist, a.vec_id
+        LIMIT 10
+    """,
+    tags=("L3", "ann", "pq"),
+)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the
+    compressed-domain leg that completes the vector-search stack
+    (exact GEMM → LSH buckets → IVF lists → PQ codes): vectors
+    quantize into {_PQ_M} sub-codes (nearest of {_PQ_K} per-subspace
+    centroids; codebook = the {_PQ_K} lowest-vec_id vectors, the same
+    deterministic stride-seed convention as IVF), and query distance
+    is ADC — a sum of {_PQ_M} table lookups against precomputed
+    probe→centroid subdistances, never a full-vector computation.
+    Integer quantization (floor(x·64), exponent-shift exact) makes
+    codes AND distances exact integer math, so this ANN path is HASH-
+    ORACLED — the LSH/IVF float paths can only be rows-only.
+
+    Scale: the codebook and the probe are bounded collected model
+    state ({_PQ_K}×64 + 64 ints — the IVF precedent); encode+ADC is
+    ONE narrow JVM map over the corpus (the quantized vector is bound
+    as a lambda variable, the let-binding discipline from the shingle
+    fix) followed by TakeOrderedAndProject top-10. At 100 TB: codes
+    are {_PQ_M} bytes/vector — a 32× storage cut — and search never
+    shuffles the corpus; re-ranking survivors with exact distances is
+    the standard second stage (sim_search_topk's kernel)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qexpr = (
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT))"
+    )
+    base = emb.select("vec_id", F.expr(qexpr).alias("qv"))
+    seeds = base.orderBy("vec_id").limit(_PQ_K).collect()
+    cents = [list(r["qv"]) for r in seeds]
+    probe_id, pv = seeds[0]["vec_id"], list(seeds[0]["qv"])
+    pdist = {
+        s * _PQ_K + c: sum(
+            (pv[s * _PQ_DSUB + d] - cents[c][s * _PQ_DSUB + d]) ** 2
+            for d in range(_PQ_DSUB)
+        )
+        for s in range(_PQ_M)
+        for c in range(_PQ_K)
+    }
+    cent_sql = "array(" + ", ".join(
+        "array(" + ", ".join(str(x) for x in cv) + ")" for cv in cents
+    ) + ")"
+    pd_sql = "map(" + ", ".join(f"{k}, {v}" for k, v in sorted(pdist.items())) + ")"
+    dd = (
+        f"transform(sequence(0, {_PQ_K - 1}), c -> "
+        f"aggregate(sequence(0, {_PQ_DSUB - 1}), CAST(0 AS BIGINT), (a3, d) -> "
+        f"a3 + (q[s * {_PQ_DSUB} + d] - {cent_sql}[c][s * {_PQ_DSUB} + d])"
+        f" * (q[s * {_PQ_DSUB} + d] - {cent_sql}[c][s * {_PQ_DSUB} + d])))"
+    )
+    adc = (
+        f"aggregate(array(qv), CAST(0 AS BIGINT), (acc, q) -> "
+        f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS BIGINT), (acc2, s) -> "
+        f"acc2 + element_at({pd_sql}, CAST(s * {_PQ_K} + "
+        f"aggregate(array({dd}), CAST(0 AS BIGINT), (z2, ddl) -> "
+        f"array_position(ddl, array_min(ddl)) - 1) AS INT))))"
+    )
+    return (
+        base.filter(F.col("vec_id") != probe_id)
+        .select("vec_id", F.expr(adc).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

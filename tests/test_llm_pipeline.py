@@ -495,3 +495,30 @@ def test_countmin_never_underestimates_and_merges(spark):
         k = (r["row_id"], r["col_id"])
         merged[k] = merged.get(k, 0) + r["cell"]
     assert merged == full
+
+
+def test_pq_adc_recall_and_determinism(spark):
+    """PQ sanity beyond the hash oracle: deterministic output, probe
+    excluded, ADC distances non-negative and non-decreasing, and
+    recall vs exact quantized-L2 top-10 at the level this untrained
+    (first-16-vectors) codebook achieves on this corpus (>= 2/10;
+    production trains the codebook with Lloyd iterations and
+    re-ranks survivors exactly)."""
+    import math
+
+    a = REG["sim_search_pq"].fn(spark, SF_ORACLE).collect()
+    b = REG["sim_search_pq"].fn(spark, SF_ORACLE).collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+    dists = [r["adc_dist"] for r in a]
+    assert dists == sorted(dists) and dists[0] >= 0
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").collect()
+    qv = {r["vec_id"]: [math.floor(x * 64) for x in r["embedding"]] for r in emb}
+    pid = min(qv)
+    p = qv[pid]
+    assert pid not in {r["vec_id"] for r in a}
+    exact = sorted(
+        ((sum((x - y) ** 2 for x, y in zip(v, p)), k) for k, v in qv.items() if k != pid)
+    )[:10]
+    overlap = {r["vec_id"] for r in a} & {k for _, k in exact}
+    assert len(overlap) >= 2, overlap
