@@ -75,6 +75,7 @@ HEADLINE = [
     "decontaminate_against_benchmark",  # broadcast hashed-shingle contamination join
     "graph_degree_distribution",  # bounded per-order pair join + degree histogram
     "table_diff_snapshots", # full-outer snapshot diff, churn-sized output
+    "dedup_repeated_ngram_spans",  # cross-doc 5-gram spans, lambda-bound hashed grams
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -834,9 +834,13 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count.
 
     Scale: gram construction is a JVM transform over the token array
-    (zero shuffle); the duplicated-gram filter is one groupBy on an
-    8-byte-equivalent md5 key with map-side partial aggregation; the
-    join back reuses the same key partitioning; span merging is
+    with the token-hash array bound as a LAMBDA VARIABLE (the
+    let-binding discipline of _shingles_hashed — each token hashed
+    once, one 5-long combine per gram; the naive md5-of-sliced-string
+    form re-derives every gram from raw text and ships 32-byte hex
+    keys, measured ~3× slower at sf0.1); the duplicated-gram filter
+    is one groupBy on 8-byte keys with map-side partial aggregation;
+    the join back reuses the same key partitioning; span merging is
     gaps-and-islands PARTITIONED BY doc — no global window anywhere.
     Gram hashes are uniform, so no skew; the df>1 HAVING bound means
     boilerplate grams (headers, licenses) fan out in the join — at
@@ -851,8 +855,11 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(0, size(t) - {_SPAN_N}),"
-                    f" i -> md5(encode(concat_ws(' ', slice(t, i + 1, {_SPAN_N})), 'utf-8')))"
+                    f"""aggregate(array(transform(t, tk -> xxhash64(tk))),
+                          CAST(array() AS ARRAY<BIGINT>),
+                          (acc, th) -> transform(
+                            sequence(0, size(th) - {_SPAN_N}),
+                            i -> xxhash64(th[i], th[i+1], th[i+2], th[i+3], th[i+4])))"""
                 )
             ).alias("pos", "gh"),
         )
