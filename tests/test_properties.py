@@ -117,3 +117,122 @@ def test_misra_gries_guarantees(xs, cap):
             assert k in counts, f"guaranteed-frequent key {k} lost (count {c}, n {n}, cap {cap})"
     for k, est in counts.items():
         assert est <= true[k], f"MG over-counted {k}: {est} > {true[k]}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=120,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=16),
+    descending=st.booleans(),
+)
+def test_bucketed_rank_recipe_matches_global_sort(vals, n_buckets, descending):
+    """Pure-python model of bucketed_rank_cumsum's key logic: equal-
+    width value buckets + per-bucket local ranks + bucket-count offset
+    prefix sums must reproduce the exact global (value, key) ranks and
+    running sums for arbitrary inputs, bucket counts, and direction —
+    including all-equal values (zero span) and boundary landings."""
+    import math
+
+    items = list(enumerate(vals))  # key = index (unique tiebreak)
+    lo, hi = min(vals), max(vals)
+    span = float(hi) - float(lo)
+    width = (span / n_buckets) if span > 0 else 1.0
+
+    def bkt(v):
+        raw = (float(hi) - v) / width if descending else (v - float(lo)) / width
+        return min(math.floor(raw), n_buckets - 1)
+
+    order = sorted(items, key=lambda kv: (-kv[1] if descending else kv[1], kv[0]))
+    global_rank = {k: i + 1 for i, (k, _v) in enumerate(order)}
+    global_cum = {}
+    acc = 0.0
+    for k, v in order:
+        acc += v
+        global_cum[k] = acc
+
+    # recipe: per-bucket local order + exclusive prefix offsets
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for k, v in items:
+        buckets[bkt(v)].append((k, v))
+    rn_off, cum_off = {}, {}
+    acc_n, acc_s = 0, 0.0
+    for b in sorted(buckets):
+        rn_off[b], cum_off[b] = acc_n, acc_s
+        acc_n += len(buckets[b])
+        acc_s += sum(v for _k, v in buckets[b])
+    for b, members in buckets.items():
+        members.sort(key=lambda kv: (-kv[1] if descending else kv[1], kv[0]))
+        local_cum = 0.0
+        for i, (k, v) in enumerate(members):
+            local_cum += v
+            assert rn_off[b] + i + 1 == global_rank[k], (b, k)
+            # float sums: recipe groups additions differently from the
+            # sequential global sum; allow per-element rounding slack
+            assert abs((cum_off[b] + local_cum) - global_cum[k]) <= 1e-6 * (
+                1.0 + abs(global_cum[k])
+            )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=80),
+    gap_us=st.integers(min_value=1, max_value=150),
+    bucket_us=st.integers(min_value=1, max_value=300),
+)
+def test_global_islands_recipe_matches_sequential(gaps, gap_us, bucket_us):
+    """Pure-python model of global_islands: per-time-bucket local
+    islands + first/last boundary-chain merge must equal the
+    sequential single-pass islands for arbitrary streams, gap
+    thresholds, and bucket widths — including islands chaining
+    through many buckets, empty buckets, and gaps landing exactly on
+    the threshold (<= merges, > splits)."""
+    ts = []
+    t = 0
+    for g in gaps:
+        t += g
+        ts.append(t)
+
+    # sequential reference
+    ref, cur, prev = [], [], None
+    for x in ts:
+        if prev is not None and x - prev > gap_us:
+            ref.append(tuple(cur))
+            cur = []
+        cur.append(x)
+        prev = x
+    ref.append(tuple(cur))
+
+    # recipe: local islands per bucket
+    from collections import defaultdict
+    by_bkt = defaultdict(list)
+    for x in ts:
+        by_bkt[x // bucket_us].append(x)
+    local = {}  # (bkt, lid) -> [members]
+    summary = []
+    for b in sorted(by_bkt):
+        members = sorted(by_bkt[b])
+        lid, prev_x = 0, None
+        for x in members:
+            if prev_x is None or x - prev_x > gap_us:
+                lid += 1
+                local[(b, lid)] = []
+            local[(b, lid)].append(x)
+            prev_x = x
+        summary.append((b, members[0], members[-1], lid))
+    head = {}
+    prev_row = None
+    for b, first, last, n_isl in summary:
+        if prev_row is not None and first - prev_row[2] <= gap_us:
+            pk = (prev_row[0], prev_row[3])
+            head[(b, 1)] = head.get(pk, pk)
+        prev_row = (b, first, last, n_isl)
+    merged = defaultdict(list)
+    for key, members in local.items():
+        merged[head.get(key, key)].extend(members)
+    got = {tuple(sorted(v)) for v in merged.values()}
+    assert got == {tuple(sorted(i)) for i in ref}
