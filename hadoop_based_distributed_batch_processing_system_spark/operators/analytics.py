@@ -1992,3 +1992,177 @@ def customer_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.sum(F.col("i") * F.col("r")) / (n * F.sum("r")) - (n + 1.0) / n, 6
         ).alias("gini"),
     )
+
+
+@register(
+    "pipeline_corpus_curation_v3",
+    oracle="""
+        WITH dd AS (
+          SELECT doc_id, text, lang, source
+          FROM (
+            SELECT doc_id, text, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+          ) WHERE rn = 1
+        ),
+        sh3 AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2])))) AS sh
+          FROM dd WHERE len(string_split(text, ' ')) >= 3
+        ),
+        bench AS (SELECT DISTINCT sh FROM sh3 WHERE doc_id % 10 = 0),
+        contaminated AS (
+          SELECT DISTINCT t.doc_id FROM sh3 t JOIN bench USING (sh)
+          WHERE t.doc_id % 10 <> 0
+        ),
+        kept AS (
+          SELECT d.* FROM dd d
+          WHERE d.doc_id % 10 <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        grams AS (
+          SELECT k.doc_id, CAST(u.x AS BIGINT) AS pos,
+                 md5(array_to_string(string_split(k.text, ' ')[u.x + 1 : u.x + 5], ' ')) AS gh
+          FROM kept k, LATERAL unnest(generate_series(0, len(string_split(k.text, ' ')) - 5)) AS u(x)
+          WHERE len(string_split(k.text, ' ')) >= 5
+        ),
+        dupg AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
+        hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gh)),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+          FROM (SELECT doc_id, pos,
+                       LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM hits)
+        ),
+        rep AS (
+          SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS repeated_tokens
+          FROM (SELECT doc_id, span_id, MAX(pos) - MIN(pos) + 5 AS n_tok
+                FROM isl GROUP BY doc_id, span_id)
+          GROUP BY doc_id
+        ),
+        raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_raw
+                FROM documents GROUP BY source),
+        per_doc AS (
+          SELECT k.source,
+                 CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens,
+                 COALESCE(r.repeated_tokens, 0) AS repeated
+          FROM kept k LEFT JOIN rep r ON k.doc_id = r.doc_id
+        ),
+        rpt AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(SUM(repeated) AS BIGINT) AS n_repeated_tokens,
+                 CAST(SUM(n_tokens) - SUM(repeated) AS BIGINT) AS effective_tokens
+          FROM per_doc GROUP BY source
+        )
+        SELECT raw.source, raw.n_docs_raw, rpt.n_docs_kept, rpt.n_tokens,
+               rpt.n_repeated_tokens, rpt.effective_tokens,
+               ROUND(CAST(rpt.n_repeated_tokens AS DOUBLE) / rpt.n_tokens, 6)
+                 AS cut_ratio
+        FROM raw JOIN rpt ON raw.source = rpt.source
+    """,
+    tags=("L1", "L15", "L2'''''", "composite", "pipeline"),
+)
+def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation v3 — ONE declarative plan chaining this
+    round's machinery end to end, the way a pre-training data run
+    composes it: exact dedup (keep lowest doc_id per content hash) →
+    benchmark decontamination (drop training docs sharing any
+    3-shingle with the held-out set, and the held-out docs
+    themselves) → cross-document repeated-span accounting over what
+    SURVIVES (spans must be recomputed post-filter: dropped docs'
+    grams must not mark survivors as duplicated) → per-source report
+    of raw/kept doc counts, token counts, repeated-token mass, and
+    the effective token budget after span cutting. v2 covers the
+    LM-quality/mixing half; v3 covers the dedup/contamination half.
+
+    Scale: every stage is the already-audited shape — md5-keyed
+    window, hashed-shingle broadcast join (lambda-bound token
+    hashes, 8-byte keys), df>1 gram groupBy reusing its own key
+    partitioning, per-doc islands, and two source-keyed aggregates.
+    Catalyst fuses the recipe; nothing materializes driver-side."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    dd = (
+        docs.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source")
+    )
+    sh3 = dd.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """array_distinct(
+                     aggregate(array(split(text, ' ')), CAST(array() AS ARRAY<BIGINT>),
+                       (acc, ts) -> aggregate(
+                         array(transform(ts, t -> xxhash64(t))),
+                         CAST(array() AS ARRAY<BIGINT>),
+                         (a2, th) -> transform(sequence(0, size(th) - 3),
+                                               i -> xxhash64(th[i], th[i+1], th[i+2])))))"""
+            )
+        ).alias("sh"),
+    )
+    bench = F.broadcast(sh3.filter(F.col("doc_id") % 10 == 0).select("sh").distinct())
+    contaminated = (
+        sh3.filter(F.col("doc_id") % 10 != 0).join(bench, "sh").select("doc_id").distinct()
+    )
+    kept = dd.filter(F.col("doc_id") % 10 != 0).join(contaminated, "doc_id", "left_anti")
+
+    grams = kept.filter(F.size(F.split("text", " ")) >= 5).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                """aggregate(array(transform(split(text, ' '), tk -> xxhash64(tk))),
+                     CAST(array() AS ARRAY<BIGINT>),
+                     (acc, th) -> transform(sequence(0, size(th) - 5),
+                       i -> xxhash64(th[i], th[i+1], th[i+2], th[i+3], th[i+4])))"""
+            )
+        ).alias("pos", "gh"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gh")
+    dupg = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") > 1)
+    hits = grams.join(dupg.select("gh"), "gh").select("doc_id", "pos")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "is_new",
+        F.when(F.lag("pos").over(wd).isNull() | (F.col("pos") - F.lag("pos").over(wd) > 1), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("is_new").over(wd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    rep = (
+        isl.groupBy("doc_id", "span_id")
+        .agg((F.max("pos") - F.min("pos") + 5).alias("n_tok"))
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("long").alias("repeated"))
+    )
+
+    per_doc = (
+        kept.select("doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .join(rep, "doc_id", "left")
+        .select("source", "n_tokens", F.coalesce("repeated", F.lit(0)).alias("repeated"))
+    )
+    rpt = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("repeated").cast("long").alias("n_repeated_tokens"),
+        (F.sum("n_tokens") - F.sum("repeated")).cast("long").alias("effective_tokens"),
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_raw"))
+    return raw.join(rpt, "source").select(
+        "source",
+        "n_docs_raw",
+        "n_docs_kept",
+        "n_tokens",
+        "n_repeated_tokens",
+        "effective_tokens",
+        F.round(F.col("n_repeated_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+            "cut_ratio"
+        ),
+    )
