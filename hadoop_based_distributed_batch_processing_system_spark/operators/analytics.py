@@ -2016,8 +2016,10 @@ def customer_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bench AS (SELECT DISTINCT sh FROM sh3 WHERE doc_id % 10 = 0),
         contaminated AS (
-          SELECT DISTINCT t.doc_id FROM sh3 t JOIN bench USING (sh)
+          SELECT t.doc_id FROM sh3 t JOIN bench USING (sh)
           WHERE t.doc_id % 10 <> 0
+          GROUP BY t.doc_id
+          HAVING COUNT(DISTINCT t.sh) >= 10
         ),
         kept AS (
           SELECT d.* FROM dd d
@@ -2075,9 +2077,10 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation v3 — ONE declarative plan chaining this
     round's machinery end to end, the way a pre-training data run
     composes it: exact dedup (keep lowest doc_id per content hash) →
-    benchmark decontamination (drop training docs sharing any
-    3-shingle with the held-out set, and the held-out docs
-    themselves) → cross-document repeated-span accounting over what
+    benchmark decontamination (drop training docs sharing >=10
+    distinct 3-shingles with the held-out set — a thresholded overlap
+    score, stricter pipelines use >0 as decontaminate_against_benchmark
+    does — and the held-out docs themselves) → cross-document repeated-span accounting over what
     SURVIVES (spans must be recomputed post-filter: dropped docs'
     grams must not mark survivors as duplicated) → per-source report
     of raw/kept doc counts, token counts, repeated-token mass, and
@@ -2114,7 +2117,12 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = F.broadcast(sh3.filter(F.col("doc_id") % 10 == 0).select("sh").distinct())
     contaminated = (
-        sh3.filter(F.col("doc_id") % 10 != 0).join(bench, "sh").select("doc_id").distinct()
+        sh3.filter(F.col("doc_id") % 10 != 0)
+        .join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("ns"))
+        .filter(F.col("ns") >= 10)
+        .select("doc_id")
     )
     kept = dd.filter(F.col("doc_id") % 10 != 0).join(contaminated, "doc_id", "left_anti")
 
