@@ -142,7 +142,8 @@ _PRIORITY_WINDOW = [
     # --- positions 51+: round-7 front (low risk / stub plumbing)
     "mm_decode_real_png", "dedup_repeated_ngram_spans", "eval_calibration_bins",
     "agg_countmin_sketch", "text_zipf_fit", "sim_search_pq",
-    "pipeline_corpus_curation_v3",
+    "pipeline_corpus_curation_v3", "stream_countmin_stateful",
+    "privacy_l_diversity",
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",

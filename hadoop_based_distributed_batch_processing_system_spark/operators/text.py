@@ -1291,3 +1291,44 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
     )
+
+
+_L_DIVERSE = 3  # distinct sensitive values required per released group
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+                 AS n_sensitive_values,
+               COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= {_L_DIVERSE}
+                 AS l_diverse
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+    tags=("L10''", "privacy", "pipeline"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit — k-anonymity's necessary
+    companion (Machanavajjhala et al. 2007): a quasi-identifier
+    group can be large (k-anonymous) yet still leak if everyone in
+    it shares the same SENSITIVE value, so each (nation, market
+    segment) group must also contain ≥{_L_DIVERSE} distinct
+    sensitive values (account-balance bands here) before release.
+    privacy_k_anonymity_suppress gates on group SIZE; this gates on
+    group ENTROPY floor — both run before any corpus/table release.
+
+    Scale: one groupBy on the quasi-identifier with a COUNT DISTINCT
+    over the banded sensitive attribute — partial-aggregated
+    map-side; band ids are integer floor-division, bit-identical in
+    both engines. Skewed quasi-groups are again harmless (a count
+    and a distinct-count, no per-row state)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(band).alias("n_sensitive_values"),
+        (F.count_distinct(band) >= _L_DIVERSE).alias("l_diverse"),
+    )

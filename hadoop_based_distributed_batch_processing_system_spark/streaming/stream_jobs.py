@@ -82,6 +82,22 @@ def _stream_src_dir(sf_dir: str) -> str:
     return d
 
 
+def _cm_col_spark(i: int) -> str:
+    from hadoop_based_distributed_batch_processing_system_spark.operators.aggregates import (
+        _CM_COL_SPARK,
+    )
+
+    return _CM_COL_SPARK.format(i=i)
+
+
+def _cm_col_duck(i: int) -> str:
+    from hadoop_based_distributed_batch_processing_system_spark.operators.aggregates import (
+        _CM_COL_DUCK,
+    )
+
+    return _CM_COL_DUCK.format(i=i)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet, normalizing ``ts`` to a
     µs TimestampType instant with the same footer-probe branching as
@@ -734,3 +750,76 @@ def stream_markov_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("src_type", "dst_type").agg(
         F.count(F.lit(1)).alias("n_trans")
     )
+
+
+@register(
+    "stream_countmin_stateful",
+    # Oracle: rebuild the identical 4x64 sketch from the batch events
+    # table (portable md5 column hashing — the same construction as
+    # agg_countmin_sketch, keyed on event_type).
+    oracle=(
+        lambda: (
+            "WITH wc AS (SELECT event_type AS word, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY event_type) "
+            "SELECT row_id, col_id, CAST(SUM(n) AS BIGINT) AS cell FROM ("
+            + " UNION ALL ".join(
+                f"SELECT {i} AS row_id, {_cm_col_duck(i)} AS col_id, n FROM wc"
+                for i in range(4)
+            )
+            + ") GROUP BY row_id, col_id"
+        )
+    )(),
+    tags=("A4", "sketch", "stream", "stateful"),
+)
+def stream_countmin_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_countmin_sketch: the 4×64 count-min
+    sketch maintained as LIVE keyed state — one state key per hash
+    ROW, whose state is that row's 64-cell array, incremented by each
+    micro-batch's (col, count) deltas via ``applyInPandasWithState``.
+    This is the canonical streaming deployment of a mergeable sketch:
+    per-batch deltas are themselves partial sketches (cells ADD), so
+    arbitrary batch boundaries produce the identical final cells the
+    batch operator computes — which is exactly what the hash oracle
+    checks. Column ids are assigned JVM-side (portable md5 hashing)
+    before the stateful stage, so Python only folds integer arrays.
+
+    Scale: state is 4 keys × 64 longs — constant, independent of
+    stream volume or key cardinality (the entire point of sketching a
+    stream instead of counting it); the shuffle carries pre-reduced
+    per-batch (row, col) deltas. Queries against the live sketch read
+    256 cells from the state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(F.col("event_type").alias("word"))
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.expr(_cm_col_spark(i)).cast("int").alias("col_id"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("p")
+    ).select("p.row_id", "p.col_id")
+
+    def update_row(key, pdfs, state: GroupState):
+        cells = list(state.get[0]) if state.exists else [0] * 64
+        for pdf in pdfs:
+            for c, n in pdf.groupby("col_id").size().items():
+                cells[int(c)] += int(n)
+        state.update((cells,))
+        out = [(key[0], c, v) for c, v in enumerate(cells) if v > 0]
+        yield pd.DataFrame(out, columns=["row_id", "col_id", "cell"])
+
+    result = pairs.groupBy("row_id").applyInPandasWithState(
+        update_row,
+        outputStructType="row_id int, col_id int, cell long",
+        stateStructType="cells array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_countmin", "update")
