@@ -992,3 +992,126 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell") - F.min("n")).cast("long").alias("overestimate"),
         )
     )
+
+
+_HLLP_M = 64       # portable-HLL register count (2^6)
+_HLLP_ALPHA = 0.709  # standard alpha for m=64
+
+# rho = 1-based position of the first 1-bit in the 48-bit value drawn
+# from md5 hex chars 3..14, computed with STRING arithmetic (regexp
+# leading-zero count + a nibble CASE) — exact in both engines, no
+# float log2 anywhere. Bucket = first md5 byte % 64.
+_HLLP_BUCKET_SPARK = (
+    "pmod(16 * (instr('0123456789abcdef', substr(md5(CAST(k AS STRING)), 1, 1)) - 1)"
+    " + instr('0123456789abcdef', substr(md5(CAST(k AS STRING)), 2, 1)) - 1, 64)"
+)
+_HLLP_BUCKET_DUCK = (
+    "((16 * (strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 1, 1)) - 1)"
+    " + strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 2, 1)) - 1) % 64)"
+)
+_HLLP_RHO_SPARK = """
+    CAST(CASE WHEN vhex = '000000000000' THEN 49
+         ELSE 4 * length(regexp_extract(vhex, '^0*', 0))
+              + CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+                     WHEN nib >= 2 THEN 2 ELSE 3 END + 1
+    END AS INT)
+"""
+_HLLP_RHO_DUCK = """
+    CAST(CASE WHEN vhex = '000000000000' THEN 49
+         ELSE 4 * len(regexp_extract(vhex, '^0*'))
+              + CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+                     WHEN nib >= 2 THEN 2 ELSE 3 END + 1
+    END AS INTEGER)
+"""
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+        WITH keys AS (SELECT o_custkey AS k FROM orders),
+        h AS (
+          SELECT {_HLLP_BUCKET_DUCK} AS bucket,
+                 substr(md5(CAST(k AS VARCHAR)), 3, 12) AS vhex,
+                 strpos('0123456789abcdef',
+                        substr(substr(md5(CAST(k AS VARCHAR)), 3, 12),
+                               len(regexp_extract(substr(md5(CAST(k AS VARCHAR)), 3, 12), '^0*')) + 1, 1)) - 1
+                   AS nib
+          FROM keys
+        ),
+        regs AS (
+          SELECT bucket, MAX({_HLLP_RHO_DUCK}) AS r
+          FROM h GROUP BY bucket
+        ),
+        est AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+                 {_HLLP_ALPHA} * 64.0 * 64.0
+                   / (SUM(POW(2.0, -r)) + (64 - COUNT(*))) AS e_raw
+          FROM regs
+        ),
+        truth AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS true_distinct FROM orders)
+        SELECT CAST(64 AS INTEGER) AS m,
+               est.n_buckets_used,
+               ROUND(CASE WHEN est.e_raw <= 2.5 * 64 AND est.n_buckets_used < 64
+                          THEN 64.0 * ln(64.0 / (64 - est.n_buckets_used))
+                          ELSE est.e_raw END, 6) AS estimate,
+               truth.true_distinct,
+               ROUND(ABS(CASE WHEN est.e_raw <= 2.5 * 64 AND est.n_buckets_used < 64
+                              THEN 64.0 * ln(64.0 / (64 - est.n_buckets_used))
+                              ELSE est.e_raw END - truth.true_distinct)
+                     / truth.true_distinct, 6) AS rel_error
+        FROM est, truth
+    """,
+    tags=("A4", "sketch", "hll"),
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog (Flajolet et al. 2007) over distinct
+    customers: 64 registers, bucket + first-one-bit position (rho)
+    derived from md5 hex with pure STRING arithmetic (regexp
+    leading-zero count + a nibble CASE — no float log2, whose
+    rounding at power-of-two boundaries would diverge between
+    engines), harmonic-mean estimate with the standard small-range
+    linear-counting correction. The engine-internal sketch
+    (agg_approx_distinct / agg_hll_mergeable) is rows-only by
+    necessity; this construction makes the approximate-distinct
+    ALGORITHM itself hash-checkable: registers are exact integers in
+    both engines, so estimate and relative error match to 6 dp.
+
+    Scale: registers are MAX-mergeable (the map-side combine IS the
+    sketch merge — one 64-row aggregate regardless of input size);
+    the true-distinct column is test-scale ground truth, dropped in
+    production. Estimate quality: ±~13% expected at m=64 (1.04/√64),
+    reported directly as rel_error."""
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    h = orders.select(
+        F.expr(_HLLP_BUCKET_SPARK).alias("bucket"),
+        F.expr("substr(md5(CAST(k AS STRING)), 3, 12)").alias("vhex"),
+    ).withColumn(
+        "nib",
+        F.expr(
+            "instr('0123456789abcdef', substr(vhex, length(regexp_extract(vhex, '^0*', 0)) + 1, 1)) - 1"
+        ),
+    )
+    regs = h.groupBy("bucket").agg(F.max(F.expr(_HLLP_RHO_SPARK)).alias("r"))
+    est = regs.agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        (
+            F.lit(_HLLP_ALPHA * 64.0 * 64.0)
+            / (F.sum(F.pow(F.lit(2.0), -F.col("r"))) + (64 - F.count(F.lit(1))))
+        ).alias("e_raw"),
+    )
+    truth = load_table(spark, sf_dir, "orders").agg(
+        F.count_distinct("o_custkey").alias("true_distinct")
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * 64) & (F.col("n_buckets_used") < 64),
+        64.0 * F.log(64.0 / (64 - F.col("n_buckets_used"))),
+    ).otherwise(F.col("e_raw"))
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.lit(64).cast("int").alias("m"),
+        "n_buckets_used",
+        F.round(corrected, 6).alias("estimate"),
+        "true_distinct",
+        F.round(F.abs(corrected - F.col("true_distinct")) / F.col("true_distinct"), 6).alias(
+            "rel_error"
+        ),
+    )
