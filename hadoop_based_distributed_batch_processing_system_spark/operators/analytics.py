@@ -2096,10 +2096,16 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    # dd/kept/grams each feed MULTIPLE consumers below; Spark re-executes
+    # common subplans per consumer (no automatic CTE reuse), so without
+    # caching the md5 dedup window would run 4x and gram hashing 2x —
+    # at scale that is 4 extra full-corpus shuffles. cache() collapses
+    # every reuse into one InMemoryRelation scan.
     dd = (
         docs.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "lang", "source")
+        .cache()
     )
     sh3 = dd.filter(F.size(F.split("text", " ")) >= 3).select(
         "doc_id",
@@ -2124,7 +2130,9 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ns") >= 10)
         .select("doc_id")
     )
-    kept = dd.filter(F.col("doc_id") % 10 != 0).join(contaminated, "doc_id", "left_anti")
+    kept = dd.filter(F.col("doc_id") % 10 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    ).cache()
 
     grams = kept.filter(F.size(F.split("text", " ")) >= 5).select(
         "doc_id",
@@ -2136,7 +2144,7 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                        i -> xxhash64(th[i], th[i+1], th[i+2], th[i+3], th[i+4])))"""
             )
         ).alias("pos", "gh"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gh")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gh").cache()
     dupg = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") > 1)
     hits = grams.join(dupg.select("gh"), "gh").select("doc_id", "pos")
     wd = W.partitionBy("doc_id").orderBy("pos")

@@ -838,7 +838,7 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     let-binding discipline of _shingles_hashed — each token hashed
     once, one 5-long combine per gram; the naive md5-of-sliced-string
     form re-derives every gram from raw text and ships 32-byte hex
-    keys, measured ~3× slower at sf0.1); the duplicated-gram filter
+    keys, measured 2.5× slower at sf0.1); the duplicated-gram filter
     is one groupBy on 8-byte keys with map-side partial aggregation;
     the join back reuses the same key partitioning; span merging is
     gaps-and-islands PARTITIONED BY doc — no global window anywhere.
@@ -864,6 +864,8 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "gh"),
         )
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "gh")
+        .cache()  # feeds both the df>1 filter and the join-back; without
+        # this Spark re-runs gram hashing per consumer (no CTE reuse)
     )
     dup = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") > 1)
     hits = grams.join(dup.select("gh"), "gh").select("doc_id", "pos")
