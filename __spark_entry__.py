@@ -143,7 +143,7 @@ _PRIORITY_WINDOW = [
     "mm_decode_real_png", "dedup_repeated_ngram_spans", "eval_calibration_bins",
     "agg_countmin_sketch", "text_zipf_fit", "sim_search_pq",
     "pipeline_corpus_curation_v3", "stream_countmin_stateful",
-    "privacy_l_diversity", "agg_hll_portable",
+    "privacy_l_diversity", "agg_hll_portable", "events_activity_bursts",
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",

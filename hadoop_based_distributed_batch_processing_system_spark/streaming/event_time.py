@@ -1352,3 +1352,71 @@ def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+_BURST_GAP_S = 300  # system-wide quiet period that ends a burst
+
+
+@register(
+    "events_activity_bursts",
+    oracle=f"""
+        WITH f AS (
+          SELECT ts, event_id, user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL {_BURST_GAP_S} SECOND
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (ORDER BY ts, event_id)
+        ),
+        isl AS (
+          SELECT ts, event_id, user_id,
+                 SUM(is_new) OVER (ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid
+          FROM f
+        )
+        SELECT CAST(MIN(event_id) AS BIGINT) AS burst_id,
+               MIN(ts) AS burst_start,
+               MAX(ts) AS burst_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+        FROM isl GROUP BY bid
+    """,
+    tags=("T3''", "bursts", "islands"),
+)
+def events_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEM-WIDE activity bursts — sessionization with NO
+    partitioning key (a {_BURST_GAP_S}-second quiet period across the
+    whole event stream ends a burst): the incident/traffic-spike
+    segmentation an ops dashboard draws, and the canonical
+    global-islands problem. Runs through ``global_islands``
+    (sorts.py): per-time-bucket local islands + a driver-bounded
+    boundary-chain merge — the oracle computes the identical islands
+    with the single-partition window the engine refuses to run.
+    Per burst: first event id (the stable key), bounds, event and
+    distinct-user counts, exact integer-microsecond duration.
+
+    Scale: the only full-stream work is one bucket-keyed window;
+    driver state is one row per non-empty time bucket regardless of
+    event volume. The per-burst aggregate shuffles on island keys —
+    burst-sized groups, AQE-splittable if one burst dominates."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
+        global_islands,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_id", "user_id")
+    isl, _nb = global_islands(
+        ev,
+        "ts",
+        ["event_id"],
+        gap_us=_BURST_GAP_S * 1_000_000,
+        bucket_us=6 * 3600 * 1_000_000,
+    )
+    return isl.groupBy("__island").agg(
+        F.min("event_id").cast("long").alias("burst_id"),
+        F.min("ts").alias("burst_start"),
+        F.max("ts").alias("burst_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    ).drop("__island")
