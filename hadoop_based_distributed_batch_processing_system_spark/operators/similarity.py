@@ -1188,3 +1188,124 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+_LOGREG_ITERS = 3
+_LOGREG_LR = 1.0
+_LOGREG_DIM = 64
+
+
+def _logreg_oracle() -> str:
+    """Batch-gradient logistic regression unrolled as chained CTEs
+    (the kmeans/PCA oracle device). The decision function is a strict
+    left fold over ascending dimensions (Spark `aggregate` ==
+    DuckDB `list_reduce` bit-for-bit); per-dimension gradient MEANS
+    are rounded to 6 dp and the weight update re-rounded to 6 dp, so
+    the model is identical across engines after every step — which
+    is what lets exp()-bearing float iteration carry a hash oracle.
+    Train accuracy compares z >= 0, an EXACT predicate (no sigmoid
+    rounding in the readout)."""
+    zfold = (
+        "list_reduce(list_transform(generate_series(1, {d}),"
+        " k -> {w}[k] * e.v[k]), (a, b) -> a + b)"
+    ).format(d=_LOGREG_DIM, w="{w}")
+    parts = [
+        f"""emb AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS v,
+                 CAST(label % 2 AS DOUBLE) AS y
+          FROM embeddings
+        ),
+        w0 AS (SELECT list_transform(generate_series(1, {_LOGREG_DIM}), x -> 0.0) AS w)"""
+    ]
+    prev = "w0"
+    for t in range(_LOGREG_ITERS):
+        z = zfold.format(w="w.w")
+        parts.append(
+            f"""g{t} AS (
+          SELECT gi.i,
+                 ROUND(AVG((1.0 / (1.0 + exp(-({z}))) - e.y) * e.v[gi.i]), 6) AS g
+          FROM emb e, {prev} w,
+               LATERAL unnest(generate_series(1, {_LOGREG_DIM})) AS gi(i)
+          GROUP BY gi.i
+        ),
+        w{t + 1} AS (
+          SELECT list(ROUND(w.w[g.i] - {_LOGREG_LR} * g.g, 6) ORDER BY g.i) AS w
+          FROM g{t} g, {prev} w GROUP BY w.w
+        )"""
+        )
+        prev = f"w{t + 1}"
+    zf = zfold.format(w="w.w")
+    parts.append(
+        f"""acc AS (
+          SELECT ROUND(AVG(CASE WHEN ({zf} >= 0) = (e.y = 1.0)
+                                THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy
+          FROM emb e, {prev} w
+        )"""
+    )
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT CAST(gi.i AS INTEGER) AS dim,
+               w.w[gi.i] AS weight,
+               acc.train_accuracy
+        FROM {prev} w, acc,
+             LATERAL unnest(generate_series(1, {_LOGREG_DIM})) AS gi(i)
+    """
+
+
+@register("logreg_embeddings", oracle=_logreg_oracle(), tags=("ML3", "logreg", "iterative"))
+def logreg_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING over the embedding
+    corpus (batch gradient descent, 3 fixed steps, lr=1, zero init;
+    binary target label%2) — the trainer behind every learned
+    quality/safety classifier that later gates a corpus (the
+    inference side is eval_auc_rank_sum / eval_calibration_bins'
+    subject). Third iterative-ML flagship beside k-means and PCA,
+    same exactness discipline: the decision value is a strict left
+    fold against the 6-dp-rounded broadcast-literal weight vector,
+    per-dimension gradient means round at 6 dp, updates re-round at
+    6 dp — so even with exp() in the loop both engines hold the
+    identical model after every step, and train accuracy reads off
+    the EXACT z >= 0 predicate. Output: 64 (dim, weight) rows plus
+    the constant train_accuracy column.
+
+    Scale shape per step: ONE narrow map computes sigma(w.x) per row
+    (no shuffle — w is literal), one posexplode hash-aggregate
+    reduces to 64 gradient rows; only the 64-double model touches
+    the driver between steps. This is mini-batch-able and
+    dimension-scalable (the aggregate is keyed by dim); at 100 TB
+    swap full-batch GD for sampled mini-batches with the same
+    plan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    )
+
+    def zcol(w: list[float]):
+        lits = ", ".join(f"{x!r}D" for x in w)
+        return F.expr(
+            f"aggregate(zip_with(v, array({lits}), (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+        )
+
+    w = [0.0] * _LOGREG_DIM
+    for _ in range(_LOGREG_ITERS):
+        s = 1.0 / (1.0 + F.exp(-zcol(w)))
+        grads = (
+            emb.withColumn("e", s - F.col("y"))
+            .select("e", F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.round(F.avg(F.col("e") * F.col("x")), 6).alias("g"))
+            .collect()
+        )
+        gmap = {r["pos"]: r["g"] for r in grads}
+        w = [round(w[d] - _LOGREG_LR * gmap[d], 6) for d in range(_LOGREG_DIM)]
+
+    acc = emb.agg(
+        F.round(
+            F.avg(F.when((zcol(w) >= 0) == (F.col("y") == 1.0), 1.0).otherwise(0.0)), 6
+        ).alias("train_accuracy")
+    )
+    model = spark.createDataFrame(
+        [(d + 1, w[d]) for d in range(_LOGREG_DIM)], "dim int, weight double"
+    )
+    return model.crossJoin(F.broadcast(acc))
