@@ -1332,3 +1332,62 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(band).alias("n_sensitive_values"),
         (F.count_distinct(band) >= _L_DIVERSE).alias("l_diverse"),
     )
+
+
+@register(
+    "eval_spearman_rank_corr",
+    # row_number ranks with a deterministic doc_id tiebreak (NOT
+    # tie-averaged fractional ranks — documented pseudo-Spearman, the
+    # form whose ranks are exact integers in both engines).
+    oracle="""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(n_chars AS DOUBLE) AS a,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS b
+          FROM documents
+        ),
+        ranked AS (
+          SELECT CAST(row_number() OVER (ORDER BY a, doc_id) AS BIGINT) AS ra,
+                 CAST(row_number() OVER (ORDER BY b, doc_id) AS BIGINT) AS rb
+          FROM m
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(1.0 - 6.0 * SUM((ra - rb) * (ra - rb))
+                     / (COUNT(*) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1)), 6)
+                 AS spearman_rho
+        FROM ranked
+    """,
+    tags=("L23", "eval", "correlation"),
+)
+def eval_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two per-document metrics
+    (char count vs token count here — in a real pipeline: two
+    quality scorers being compared for agreement before one replaces
+    the other). Ranks are deterministic row_number with a doc_id
+    tiebreak (exact integers both engines; tie-averaged fractional
+    ranks would be the textbook variant), so Σd² is exact integer
+    arithmetic and only the final ratio is float, rounded at 6 dp.
+
+    Scale: BOTH rankings run through ``bucketed_rank_cumsum``
+    (sorts.py) — chained, so the second rank pass rides the frame the
+    first produced; no single-partition window, one aggregate at the
+    end. The same shape compares any two corpus-wide scores at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("a"),
+        F.size(F.split("text", " ")).cast("double").alias("b"),
+    )
+    r1, _n, _t = bucketed_rank_cumsum(m, "a", ["doc_id"])
+    r1 = r1.withColumnRenamed("__rn", "ra")
+    r2, _n2, _t2 = bucketed_rank_cumsum(r1, "b", ["doc_id"])
+    ranked = r2.withColumnRenamed("__rn", "rb")
+    n = F.count(F.lit(1))
+    d2 = F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+    return ranked.agg(
+        n.cast("long").alias("n_docs"),
+        F.round(1.0 - 6.0 * d2 / (n * (n.cast("double") * n - 1)), 6).alias(
+            "spearman_rho"
+        ),
+    )

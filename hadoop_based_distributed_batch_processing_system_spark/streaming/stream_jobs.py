@@ -823,3 +823,92 @@ def stream_countmin_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, "hbdbps_stream_countmin", "update")
+
+
+@register(
+    "stream_hll_stateful",
+    # Oracle: the portable-HLL register table rebuilt from the batch
+    # events (same string-arithmetic rho as agg_hll_portable, keyed
+    # on user_id) — registers are exact integers, so the stream's
+    # MAX-merged state hash-matches.
+    oracle="""
+        WITH keys AS (SELECT user_id AS k FROM events),
+        h AS (
+          SELECT ((16 * (strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 1, 1)) - 1)
+                   + strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), 2, 1)) - 1) % 64)
+                   AS bucket,
+                 substr(md5(CAST(k AS VARCHAR)), 3, 12) AS vhex,
+                 strpos('0123456789abcdef',
+                        substr(substr(md5(CAST(k AS VARCHAR)), 3, 12),
+                               len(regexp_extract(substr(md5(CAST(k AS VARCHAR)), 3, 12), '^0*')) + 1, 1)) - 1
+                   AS nib
+          FROM keys
+        )
+        SELECT bucket,
+               MAX(CAST(CASE WHEN vhex = '000000000000' THEN 49
+                    ELSE 4 * len(regexp_extract(vhex, '^0*'))
+                         + CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+                                WHEN nib >= 2 THEN 2 ELSE 3 END + 1
+               END AS INTEGER)) AS r
+        FROM h GROUP BY bucket
+    """,
+    tags=("A4", "sketch", "hll", "stream", "stateful"),
+)
+def stream_hll_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_hll_portable: live approximate-distinct
+    users — 64 HLL registers as keyed state (key = bucket, state =
+    that bucket's max rho), MAX-merged by ``applyInPandasWithState``
+    on every micro-batch. MAX is idempotent and commutative, so ANY
+    batch boundary, replay, or at-least-once duplication produces the
+    identical registers the batch sketch computes — the strongest
+    possible streaming-sketch property, and the hash oracle checks
+    it. Bucket and rho are assigned JVM-side with the same portable
+    string arithmetic as the batch op; the estimate readout is the
+    same harmonic-mean formula over these 64 rows.
+
+    Scale: state is 64 ints TOTAL regardless of stream volume or
+    user cardinality; the shuffle carries per-batch (bucket, rho)
+    rows pre-reduced map-side by the groupBy."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(F.col("user_id").alias("k"))
+    rho = ev.select(
+        F.expr(
+            "pmod(16 * (instr('0123456789abcdef', substr(md5(CAST(k AS STRING)), 1, 1)) - 1)"
+            " + instr('0123456789abcdef', substr(md5(CAST(k AS STRING)), 2, 1)) - 1, 64)"
+        ).alias("bucket"),
+        F.expr("substr(md5(CAST(k AS STRING)), 3, 12)").alias("vhex"),
+    ).withColumn(
+        "nib",
+        F.expr(
+            "instr('0123456789abcdef', substr(vhex, length(regexp_extract(vhex, '^0*', 0)) + 1, 1)) - 1"
+        ),
+    ).select(
+        "bucket",
+        F.expr(
+            """CAST(CASE WHEN vhex = '000000000000' THEN 49
+                 ELSE 4 * length(regexp_extract(vhex, '^0*', 0))
+                      + CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+                             WHEN nib >= 2 THEN 2 ELSE 3 END + 1
+            END AS INT)"""
+        ).alias("rho"),
+    )
+
+    def update_register(key, pdfs, state: GroupState):
+        r = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            m = int(pdf["rho"].max())
+            if m > r:
+                r = m
+        state.update((r,))
+        yield pd.DataFrame({"bucket": [key[0]], "r": [r]})
+
+    result = rho.groupBy("bucket").applyInPandasWithState(
+        update_register,
+        outputStructType="bucket int, r int",
+        stateStructType="r int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_hll", "update")
