@@ -2182,3 +2182,85 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cut_ratio"
         ),
     )
+
+
+@register(
+    "monthly_seasonal_decomposition",
+    oracle="""
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 CAST(month(o_orderdate) AS INTEGER) AS moy,
+                 ROUND(SUM(o_totalprice), 4) AS revenue
+          FROM orders GROUP BY 1, 2
+        ),
+        tr AS (
+          SELECT month, moy, revenue,
+                 CASE WHEN COUNT(*) OVER w = 13
+                      THEN ROUND((SUM(revenue) OVER w
+                                  - 0.5 * (FIRST_VALUE(revenue) OVER w
+                                           + LAST_VALUE(revenue) OVER w)) / 12.0, 4)
+                 END AS trend
+          FROM m
+          WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        ),
+        si AS (
+          SELECT moy, ROUND(AVG(revenue - trend), 4) AS seasonal
+          FROM tr WHERE trend IS NOT NULL GROUP BY moy
+        )
+        SELECT tr.month, tr.revenue, tr.trend, si.seasonal,
+               ROUND(tr.revenue - tr.trend - si.seasonal, 4) AS residual
+        FROM tr JOIN si ON tr.moy = si.moy
+    """,
+    tags=("E8'", "timeseries", "decomposition"),
+)
+def monthly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue
+    (the moving-average method of every intro forecasting text):
+    trend = 13-month CENTERED moving average with half-weighted
+    endpoints (the standard even-period 2x12 MA), seasonal index =
+    mean detrended value per month-of-year, residual = the rest —
+    the decomposition a demand-planning team reads before fitting
+    anything fancier. Edge months (no full 13-month window) carry a
+    NULL trend and are excluded from the seasonal fit, exactly as
+    the textbook method prescribes.
+
+    Scale: the fact table reduces to the monthly rollup FIRST; the
+    centered-MA window runs unpartitioned ON THE ROLLUP — bounded by
+    the calendar (monthly_growth_rates' documented counterexample to
+    the no-unpartitioned-window rule), not by data volume. All
+    columns rounded to 4 dp before differencing, so both engines
+    decompose identical values."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(-6, 6)
+    tr = m.select(
+        "month",
+        "moy",
+        "revenue",
+        F.when(
+            F.count(F.lit(1)).over(w) == 13,
+            F.round(
+                (
+                    F.sum("revenue").over(w)
+                    - 0.5 * (F.first("revenue").over(w) + F.last("revenue").over(w))
+                )
+                / 12.0,
+                4,
+            ),
+        ).alias("trend"),
+    )
+    si = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("moy")
+        .agg(F.round(F.avg(F.col("revenue") - F.col("trend")), 4).alias("seasonal"))
+    )
+    return tr.join(si, "moy").select(
+        "month",
+        "revenue",
+        "trend",
+        "seasonal",
+        F.round(F.col("revenue") - F.col("trend") - F.col("seasonal"), 4).alias("residual"),
+    )

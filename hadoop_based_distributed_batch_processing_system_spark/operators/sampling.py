@@ -317,3 +317,82 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RESERVOIR_K)
         .select("event_id", "event_type", F.round("value", 6).alias("value"))
     )
+
+
+# 16-bit hash fraction from the first 4 md5 nibbles — engine-portable
+_H16_SPARK = (
+    "(4096 * (instr('0123456789abcdef', substr(md5(concat('bal|', CAST(vec_id AS STRING))), 1, 1)) - 1)"
+    " + 256 * (instr('0123456789abcdef', substr(md5(concat('bal|', CAST(vec_id AS STRING))), 2, 1)) - 1)"
+    " + 16 * (instr('0123456789abcdef', substr(md5(concat('bal|', CAST(vec_id AS STRING))), 3, 1)) - 1)"
+    " + (instr('0123456789abcdef', substr(md5(concat('bal|', CAST(vec_id AS STRING))), 4, 1)) - 1))"
+)
+_H16_DUCK = (
+    "(4096 * (strpos('0123456789abcdef', substr(md5('bal|' || CAST(vec_id AS VARCHAR)), 1, 1)) - 1)"
+    " + 256 * (strpos('0123456789abcdef', substr(md5('bal|' || CAST(vec_id AS VARCHAR)), 2, 1)) - 1)"
+    " + 16 * (strpos('0123456789abcdef', substr(md5('bal|' || CAST(vec_id AS VARCHAR)), 3, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5('bal|' || CAST(vec_id AS VARCHAR)), 4, 1)) - 1))"
+)
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle=f"""
+        WITH counts AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+        ),
+        mn AS (SELECT MIN(n) AS n_min FROM counts),
+        kept AS (
+          SELECT e.label
+          FROM embeddings e
+          JOIN counts c ON e.label = c.label, mn
+          WHERE {_H16_DUCK}
+                < CAST(floor(65536.0 * mn.n_min / c.n) AS BIGINT)
+        ),
+        after AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_after FROM kept GROUP BY label)
+        SELECT c.label, c.n AS n_before, COALESCE(a.n_after, 0) AS n_after,
+               mn.n_min AS target_n,
+               ROUND(CAST(COALESCE(a.n_after, 0) AS DOUBLE) / c.n, 6) AS achieved_ratio
+        FROM counts c LEFT JOIN after a ON c.label = a.label, mn
+    """,
+    tags=("L8", "balance", "downsample"),
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced DOWNSAMPLING — the action that pairs with
+    sample_class_weights' reweighting alternative: majority classes
+    are thinned toward the minority-class size by a DETERMINISTIC
+    per-class hash threshold (keep when the example's 16-bit md5
+    fraction < floor(65536·n_min/n_c)), so the sample is reproducible
+    row-by-row across runs and engines — no RNG, no sort, no
+    per-class limit() (whose row choice is partition-order-dependent
+    and unstable at scale). Report: per class, before/after counts,
+    the minority target, and the achieved keep ratio.
+
+    Scale: counts are one tiny aggregate; the filter is a narrow map
+    against a broadcast classes-sized threshold table; nothing
+    shuffles the corpus. Expected |n_after - n_min| is the binomial
+    fluctuation of a 16-bit threshold (~√n), the standard price of
+    stateless deterministic sampling."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("n_min"))
+    thr = F.floor(65536.0 * F.col("n_min") / F.col("n")).cast("long")
+    kept = (
+        emb.join(F.broadcast(counts), "label")
+        .crossJoin(F.broadcast(mn))
+        .filter(F.expr(_H16_SPARK) < thr)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        counts.join(kept, "label", "left")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "label",
+            F.col("n").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.col("n_min").alias("target_n"),
+            F.round(F.coalesce("n_after", F.lit(0)).cast("double") / F.col("n"), 6).alias(
+                "achieved_ratio"
+            ),
+        )
+    )

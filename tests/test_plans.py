@@ -269,6 +269,7 @@ _NESTED_LOOP_ALLOWED = {
     "multimodal_join": "broadcasts the single probe vector",
     "agg_hll_portable": "1-row estimate frame x 1-row true-distinct frame",
     "logreg_embeddings": "64-row model x 1-row train-accuracy scalar",
+    "sample_balanced_downsample": "broadcasts the 1-row minority-count scalar",
     "text_tfidf_topterms": "broadcasts 1-row corpus doc count",
     "watermark_late_drop": "broadcasts 1-row max event time (the watermark)",
     "funnel_conversion": "broadcasts 1-row cohort baseline scalar",
