@@ -912,3 +912,98 @@ def stream_hll_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, "hbdbps_stream_hll", "update")
+
+
+_BLOOM_BITS = 1024
+_BLOOM_K = 3
+_BLOOM_WORD = 32  # 32-bit words: masks stay positive in signed BIGINT
+
+
+def _bloom_bit_spark(j: int) -> str:
+    h = (
+        f"(4096 * (instr('0123456789abcdef', substr(md5(concat('bf{j}|', CAST(k AS STRING))), 1, 1)) - 1)"
+        f" + 256 * (instr('0123456789abcdef', substr(md5(concat('bf{j}|', CAST(k AS STRING))), 2, 1)) - 1)"
+        f" + 16 * (instr('0123456789abcdef', substr(md5(concat('bf{j}|', CAST(k AS STRING))), 3, 1)) - 1)"
+        f" + (instr('0123456789abcdef', substr(md5(concat('bf{j}|', CAST(k AS STRING))), 4, 1)) - 1))"
+    )
+    return f"pmod({h}, {_BLOOM_BITS})"
+
+
+def _bloom_bit_duck(j: int) -> str:
+    h = (
+        f"(4096 * (strpos('0123456789abcdef', substr(md5('bf{j}|' || CAST(k AS VARCHAR)), 1, 1)) - 1)"
+        f" + 256 * (strpos('0123456789abcdef', substr(md5('bf{j}|' || CAST(k AS VARCHAR)), 2, 1)) - 1)"
+        f" + 16 * (strpos('0123456789abcdef', substr(md5('bf{j}|' || CAST(k AS VARCHAR)), 3, 1)) - 1)"
+        f" + (strpos('0123456789abcdef', substr(md5('bf{j}|' || CAST(k AS VARCHAR)), 4, 1)) - 1))"
+    )
+    return f"(({h}) % {_BLOOM_BITS})"
+
+
+@register(
+    "stream_bloom_stateful",
+    # Oracle: the word-mask table rebuilt from the batch events with
+    # the same portable bit positions; OR over 1<<bitpos per 32-bit
+    # word (masks positive, no sign-bit hazards).
+    oracle=(
+        "WITH bits AS ("
+        + " UNION ".join(
+            f"SELECT DISTINCT {_bloom_bit_duck(j)} AS bit FROM (SELECT user_id AS k FROM events)"
+            for j in range(_BLOOM_K)
+        )
+        + ") "
+        f"SELECT CAST(bit // {_BLOOM_WORD} AS INTEGER) AS word_idx, "
+        f"CAST(SUM(DISTINCT CAST(1 AS BIGINT) << (bit % {_BLOOM_WORD})) AS BIGINT) AS mask, "
+        "CAST(COUNT(DISTINCT bit) AS BIGINT) AS n_bits_set "
+        f"FROM bits GROUP BY bit // {_BLOOM_WORD}"
+    ),
+    tags=("A4", "sketch", "bloom", "stream", "stateful"),
+)
+def stream_bloom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom filter — the third classic sketch as live
+    state (count-min counts, HLL estimates cardinality, Bloom
+    answers membership): a {_BLOOM_BITS}-bit filter over seen
+    user_ids, {_BLOOM_K} portable md5 bit positions per key, stored
+    as {_BLOOM_BITS // _BLOOM_WORD} OR-merged 32-bit word masks
+    (key = word index) via ``applyInPandasWithState``. OR is
+    idempotent and commutative, so replay, duplication, and batch
+    boundaries all land on the identical bitset the batch
+    construction yields — hash-verified, like the HLL twin. The live
+    filter answers "definitely new user?" for downstream routing
+    (cache warm-up, first-touch attribution) with zero false
+    negatives.
+
+    Scale: state is {_BLOOM_BITS} bits TOTAL; per-batch (word, mask)
+    deltas pre-reduce map-side (bit_or partial agg), so the stateful
+    stage sees at most {_BLOOM_BITS // _BLOOM_WORD} rows per batch
+    regardless of volume."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(F.col("user_id").alias("k"))
+    bits = ev.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_bit_spark(j)).cast("int").alias("b") for j in range(_BLOOM_K)])
+        ).alias("bit")
+    ).select(
+        (F.col("bit") / _BLOOM_WORD).cast("int").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), bit % {_BLOOM_WORD})").alias("m"),
+    )
+
+    def update_word(key, pdfs, state: GroupState):
+        mask = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            for m in pdf["m"]:
+                mask |= int(m)
+        state.update((mask,))
+        yield pd.DataFrame(
+            {"word_idx": [key[0]], "mask": [mask], "n_bits_set": [bin(mask).count("1")]}
+        )
+
+    result = bits.groupBy("word_idx").applyInPandasWithState(
+        update_word,
+        outputStructType="word_idx int, mask long, n_bits_set long",
+        stateStructType="mask long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_bloom", "update")
