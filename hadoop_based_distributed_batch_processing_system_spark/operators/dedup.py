@@ -879,3 +879,86 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + (_SPAN_N - 1)).alias("span_end"),
         (F.max("pos") - F.min("pos") + _SPAN_N).cast("long").alias("n_tokens"),
     ).drop("span_id")
+
+
+_WINNOW_W = 4  # winnowing window (in grams)
+
+
+@register(
+    "text_winnowing_fingerprints",
+    # Gram hashes are PORTABLE 48-bit md5 prefixes (Spark conv() ==
+    # DuckDB fold over hex nibbles), so the selected fingerprint
+    # VALUES — not just their counts — hash-match across engines.
+    oracle=f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 2),
+                     i -> md5(concat_ws(' ', string_split(text, ' ')[i],
+                                             string_split(text, ' ')[i + 1],
+                                             string_split(text, ' ')[i + 2]))),
+                   h -> list_reduce(
+                          list_transform(generate_series(1, 12),
+                            p -> CAST(strpos('0123456789abcdef', substr(h, p, 1)) - 1 AS BIGINT)),
+                          (a, b) -> a * 16 + b)) AS gh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {_WINNOW_W + 2}
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(len(gh) - {_WINNOW_W - 1} AS BIGINT) AS n_windows,
+                 list_distinct(list_transform(
+                   generate_series(0, len(gh) - {_WINNOW_W}),
+                   j -> list_min(gh[j + 1 : j + {_WINNOW_W}]))) AS fps
+          FROM g
+        )
+        SELECT doc_id, n_windows,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               CAST(list_min(fps) AS BIGINT) AS fp_min,
+               ROUND(CAST(len(fps) AS DOUBLE) / n_windows, 6) AS density
+        FROM fp
+    """,
+    tags=("L2", "winnowing", "fingerprints"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS copy-detection selector): slide a {_WINNOW_W}-gram
+    window over the document's 3-gram hash stream and keep each
+    window's MINIMUM hash. The guarantee: any shared substring of
+    ≥ {_WINNOW_W + 2} tokens between two documents shares a selected
+    fingerprint, while only ~2/(w+1) of grams are kept — position-
+    robust copy detection at a fraction of full-gram storage (the
+    fingerprints feed the same inverted-index join as
+    dedup_containment). Output per doc: window count, distinct
+    fingerprints, the minimum fingerprint, selection density
+    (expected ≈ 2/(w+1)).
+
+    Scale: the whole selection is ONE narrow JVM expression (token
+    array and gram-hash array bound as lambda variables — the
+    let-binding discipline); no shuffle until the per-doc aggregate
+    projection, which is the row itself. Portable 48-bit md5-prefix
+    gram hashes keep the selected VALUES engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    fps_expr = f"""
+        aggregate(array(split(text, ' ')), CAST(array() AS ARRAY<BIGINT>),
+          (acc, ts) -> aggregate(
+            array(transform(sequence(1, size(ts) - 2),
+                  i -> CAST(conv(substr(md5(concat_ws(' ', ts[i-1], ts[i], ts[i+1])), 1, 12), 16, 10) AS BIGINT))),
+            CAST(array() AS ARRAY<BIGINT>),
+            (a2, gh) -> transform(sequence(0, size(gh) - {_WINNOW_W}),
+                                  j -> array_min(slice(gh, j + 1, {_WINNOW_W})))))
+    """
+    base = docs.filter(F.size(toks) >= _WINNOW_W + 2).select(
+        "doc_id",
+        F.array_distinct(F.expr(fps_expr)).alias("fps"),
+        (F.size(toks) - 2 - (_WINNOW_W - 1)).cast("long").alias("n_windows"),
+    )
+    return base.select(
+        "doc_id",
+        "n_windows",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").cast("long").alias("fp_min"),
+        F.round(F.size("fps").cast("double") / F.col("n_windows"), 6).alias("density"),
+    )
