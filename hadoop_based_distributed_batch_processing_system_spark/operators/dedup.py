@@ -962,3 +962,114 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").cast("long").alias("fp_min"),
         F.round(F.size("fps").cast("double") / F.col("n_windows"), 6).alias("density"),
     )
+
+
+_WINNOW_PAIR_MIN = 3   # shared fingerprints to call a candidate pair
+_WINNOW_DF_CAP = 100   # drop boilerplate fingerprints above this df
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 2),
+                     i -> md5(concat_ws(' ', string_split(text, ' ')[i],
+                                             string_split(text, ' ')[i + 1],
+                                             string_split(text, ' ')[i + 2]))),
+                   h -> list_reduce(
+                          list_transform(generate_series(1, 12),
+                            p -> CAST(strpos('0123456789abcdef', substr(h, p, 1)) - 1 AS BIGINT)),
+                          (a, b) -> a * 16 + b))) AS gh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {_WINNOW_W + 2}
+        ),
+        fp AS (
+          SELECT doc_id, u.f
+          FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(0, len(gh) - {_WINNOW_W}),
+                     j -> list_min(gh[j + 1 : j + {_WINNOW_W}]))) AS fps
+            FROM (
+              SELECT doc_id,
+                     list_transform(
+                       list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 2),
+                         i -> md5(concat_ws(' ', string_split(text, ' ')[i],
+                                                 string_split(text, ' ')[i + 1],
+                                                 string_split(text, ' ')[i + 2]))),
+                       h -> list_reduce(
+                              list_transform(generate_series(1, 12),
+                                p -> CAST(strpos('0123456789abcdef', substr(h, p, 1)) - 1 AS BIGINT)),
+                              (a, b) -> a * 16 + b)) AS gh
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= {_WINNOW_W + 2}
+            )
+          ), LATERAL unnest(fps) AS u(f)
+        ),
+        kept AS (
+          SELECT f FROM fp GROUP BY f
+          HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_WINNOW_DF_CAP}
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+          FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+          JOIN kept k ON a.f = k.f
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {_WINNOW_PAIR_MIN}
+        )
+        SELECT id_a, id_b, n_shared_fp FROM pairs
+    """,
+    tags=("L2", "winnowing", "pairs"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup candidate pairs — the MOSS pipeline's
+    second half: the selected fingerprints (text_winnowing_fingerprints)
+    feed a df-capped inverted index; documents sharing ≥{_WINNOW_PAIR_MIN}
+    fingerprints become candidate pairs. The winnowing guarantee makes
+    this sensitive to LOCALIZED copying (any ≥{_WINNOW_W + 2}-token
+    shared run leaves a shared fingerprint) that whole-document
+    Jaccard/MinHash dilutes away — the complementary detector beside
+    dedup_minhash_lsh (global similarity) and dedup_containment
+    (subset relations). Fingerprints seen in >{_WINNOW_DF_CAP} docs
+    are boilerplate and dropped, exactly dedup_containment's cap
+    discipline.
+
+    Scale: candidates come from an EQUI-join on 8-byte fingerprint
+    keys — the posting list shuffle is ~2/(w+1) the size of a
+    full-gram index, which is the entire point of winnowing; the
+    df cap bounds per-key fan-out, so no key explodes the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    fps_expr = f"""
+        aggregate(array(split(text, ' ')), CAST(array() AS ARRAY<BIGINT>),
+          (acc, ts) -> aggregate(
+            array(transform(sequence(1, size(ts) - 2),
+                  i -> CAST(conv(substr(md5(concat_ws(' ', ts[i-1], ts[i], ts[i+1])), 1, 12), 16, 10) AS BIGINT))),
+            CAST(array() AS ARRAY<BIGINT>),
+            (a2, gh) -> transform(sequence(0, size(gh) - {_WINNOW_W}),
+                                  j -> array_min(slice(gh, j + 1, {_WINNOW_W})))))
+    """
+    fp = (
+        docs.filter(F.size(toks) >= _WINNOW_W + 2)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(fps_expr))).alias("f"))
+        .cache()  # feeds the df filter and both join sides
+    )
+    kept = (
+        fp.groupBy("f")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP))
+        .select("f")
+    )
+    a = fp.join(kept, "f").alias("a")
+    b = fp.join(kept, "f").alias("b")
+    return (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= _WINNOW_PAIR_MIN)
+    )
