@@ -147,7 +147,8 @@ _PRIORITY_WINDOW = [
     "logreg_embeddings", "eval_spearman_rank_corr", "stream_hll_stateful",
     "sample_balanced_downsample", "monthly_seasonal_decomposition",
     "stream_bloom_stateful", "text_winnowing_fingerprints",
-    "dedup_winnowing_pairs",
+    "dedup_winnowing_pairs", "events_hourly_percentile_bands",
+    "entity_resolution_names",
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",

@@ -858,7 +858,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in both engines. The oracle brute-forces levenshtein over the
     # universe; the engine must find the same pairs via blocking.
     oracle="""
-        WITH base AS (SELECT DISTINCT p_name AS s FROM part),
+        WITH RECURSIVE base AS (SELECT DISTINCT p_name AS s FROM part),
         typo AS (
           SELECT s,
                  ((ascii(s) + len(s)) % len(s)) + 1 AS pos
@@ -1168,4 +1168,110 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
         .dropDuplicates(["user_id", "s_start", "incident_id"])
+    )
+
+
+_ER_MAX_ITERS = 8
+
+
+@register(
+    "entity_resolution_names",
+    # Ground truth: brute-force lev<=1 pairs over the same planted
+    # universe, components via a recursive CTE, canonical = the
+    # lexicographic minimum name of each component (string min —
+    # deterministic in both engines).
+    oracle="""
+        WITH RECURSIVE base AS (SELECT DISTINCT p_name AS s FROM part),
+        typo AS (
+          SELECT s, ((ascii(s) + len(s)) % len(s)) + 1 AS pos FROM base
+        ),
+        universe AS (
+          -- explicit DISTINCT: under WITH RECURSIVE DuckDB stops
+          -- deduplicating this UNION (observed 128 rows vs 124)
+          SELECT DISTINCT s FROM (
+            SELECT s FROM base
+            UNION ALL
+            SELECT substr(s, 1, pos - 1) || substr(s, pos + 1) FROM typo
+          )
+        ),
+        pairs AS (
+          SELECT a.s AS u, b.s AS v
+          FROM universe a JOIN universe b ON a.s < b.s
+          WHERE levenshtein(a.s, b.s) <= 1
+        ),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e, reach WHERE e.v = reach.u
+        ) ,
+        comp AS (SELECT u AS s, MIN(r) AS canonical FROM reach GROUP BY u)
+        SELECT un.s AS name,
+               COALESCE(c.canonical, un.s) AS canonical,
+               un.s = COALESCE(c.canonical, un.s) AS is_canonical
+        FROM universe un LEFT JOIN comp c ON un.s = c.s
+    """,
+    tags=("J12", "entity-resolution", "composite"),
+)
+def entity_resolution_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the composite the fuzzy join
+    exists for: SymSpell deletion-blocked edit-distance-1 matching
+    (fuzzy_join_delete1's planted typo universe) builds the match
+    graph, iterative min-label propagation collapses it into
+    entities, and each name resolves to its component's lexicographic
+    minimum as the canonical form (names without a match resolve to
+    themselves). This is the customer/product-master dedup pipeline:
+    match → cluster → survivorship.
+
+    Scale: matching is the deletion-variant EQUI-join (never
+    all-pairs levenshtein — the oracle runs that as ground truth);
+    clustering is the same alternating join+groupBy rounds as
+    dedup_connected_components, localCheckpoint-truncated, bounded
+    by cluster diameter (typo clusters are shallow); the
+    survivorship join is universe-sized."""
+    pairs = fuzzy_join_delete1(spark, sf_dir).select(
+        F.col("name_a").alias("u"), F.col("name_b").alias("v")
+    )
+    base = load_table(spark, sf_dir, "part").select(F.col("p_name").alias("s")).distinct()
+    typo = base.select(
+        F.concat(
+            F.expr("substring(s, 1, ((ascii(s) + length(s)) % length(s) + 1) - 1)"),
+            F.expr("substring(s, ((ascii(s) + length(s)) % length(s) + 1) + 1)"),
+        ).alias("s")
+    )
+    universe = base.union(typo).distinct()
+
+    edges = pairs.union(pairs.select(F.col("v"), F.col("u"))).toDF("u", "v")
+    edges = edges.repartition(16, "v").cache()
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("label")).cache()
+    for _ in range(_ER_MAX_ITERS):
+        neighbor = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .select(F.col("e.u").alias("u"), F.col("l.label").alias("label"))
+        )
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return (
+        universe.join(labels, universe.s == labels.u, "left")
+        .select(
+            F.col("s").alias("name"),
+            F.coalesce(F.col("label"), F.col("s")).alias("canonical"),
+            (F.col("s") == F.coalesce(F.col("label"), F.col("s"))).alias("is_canonical"),
+        )
     )

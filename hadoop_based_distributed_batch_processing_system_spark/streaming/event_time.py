@@ -1420,3 +1420,35 @@ def events_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     ).drop("__island")
+
+
+@register(
+    "events_hourly_percentile_bands",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99,
+               ROUND(MAX(value), 6) AS p100
+        FROM events GROUP BY 1
+    """,
+    tags=("T1", "percentiles", "slo"),
+)
+def events_hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly latency/value percentile bands (p50/p95/p99/max) — the
+    SLO dashboard query. EXACT interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, hash-identical at
+    6 dp), computed per hour group so each task holds one hour's
+    values — the honest exact-percentile bound (text_stats' same
+    note). At 100 TB with fat hours, swap to ``percentile_approx``
+    (mergeable t-digest, rows-only check) or pre-bucket values the
+    way agg_histogram does; the per-group shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("p100"),
+    )
