@@ -858,7 +858,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in both engines. The oracle brute-forces levenshtein over the
     # universe; the engine must find the same pairs via blocking.
     oracle="""
-        WITH RECURSIVE base AS (SELECT DISTINCT p_name AS s FROM part),
+        WITH base AS (SELECT DISTINCT p_name AS s FROM part),
         typo AS (
           SELECT s,
                  ((ascii(s) + len(s)) % len(s)) + 1 AS pos
