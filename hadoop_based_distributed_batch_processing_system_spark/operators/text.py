@@ -1391,3 +1391,222 @@ def eval_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_rho"
         ),
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("fast", "table", "query")  # fixed probe query
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM docs),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+        ),
+        tf AS (
+          SELECT d.doc_id, u.w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM docs d, LATERAL unnest(d.t) AS u(w)
+          WHERE u.w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+          GROUP BY d.doc_id, u.w
+        ),
+        df AS (
+          SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * tf.tf * ({_BM25_K1} + 1)
+                     / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)))
+                   AS score
+          FROM tf
+          JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats s
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, ROUND(score, 6) AS bm25
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    tags=("L12'", "bm25", "retrieval"),
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson-Spärck Jones) for a fixed
+    probe query — the lexical-retrieval scorer that still anchors
+    hybrid search next to the embedding stack (sim_search_*):
+    saturating tf (k1), length normalization (b), and the +1 IDF
+    variant that never goes negative. Top-10 with a doc_id tiebreak.
+
+    Scale: term postings come from ONE explode+filter aggregate
+    (only query terms survive the filter, so the shuffle is
+    query-sized × docs-containing-term, not corpus-sized); df and
+    the (N, avgdl) stats are broadcast scalars; top-k is
+    TakeOrderedAndProject. The same plan serves any query by
+    swapping the literal term list — a served system precomputes the
+    postings once (text_inverted_index) and probes them instead."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    dl = docs.select("doc_id", F.size("t").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+_RAKE_TOP = 20
+_RAKE_STOPWORDS = _LANG_WORDS["en"]  # delimiters, shared with lang-id
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, u.w AS w, CAST(u.i AS BIGINT) AS pos,
+                 u.w IN ({", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)}) AS is_stop
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+               LATERAL (SELECT unnest(t) AS w,
+                               generate_subscripts(t, 1) AS i) u
+        ),
+        isl AS (
+          SELECT doc_id, w, pos,
+                 SUM(CASE WHEN is_stop OR prev IS NULL OR pos - prev > 1
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+          FROM (
+            SELECT doc_id, w, pos, is_stop,
+                   LAG(CASE WHEN is_stop THEN NULL ELSE pos END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok
+          ) WHERE NOT is_stop
+        ),
+        phrases AS (
+          SELECT doc_id, pid,
+                 string_agg(w, ' ' ORDER BY pos) AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS plen
+          FROM isl GROUP BY doc_id, pid
+        ),
+        words AS (
+          SELECT u.w, p.plen FROM phrases p, LATERAL unnest(string_split(p.phrase, ' ')) AS u(w)
+        ),
+        wstat AS (
+          SELECT w, CAST(COUNT(*) AS DOUBLE) AS freq,
+                 CAST(SUM(plen) AS DOUBLE) AS degree
+          FROM words GROUP BY w
+        ),
+        pscore AS (
+          SELECT p.phrase,
+                 CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                 ROUND(MIN(sc.s), 6) AS rake_score
+          FROM phrases p
+          JOIN LATERAL (
+            SELECT SUM(ws.degree / ws.freq) AS s
+            FROM unnest(string_split(p.phrase, ' ')) AS u(w)
+            JOIN wstat ws ON ws.w = u.w
+          ) sc ON TRUE
+          GROUP BY p.phrase
+        )
+        SELECT phrase, n_occurrences, rake_score
+        FROM pscore
+        ORDER BY rake_score DESC, phrase
+        LIMIT {_RAKE_TOP}
+    """,
+    tags=("L12''", "rake", "keywords"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs; each word scores
+    degree/frequency (degree = summed length of phrases containing
+    it); a phrase scores the sum of its words — top-{_RAKE_TOP}
+    corpus keywords with occurrence counts. The unsupervised keyword
+    baseline corpus exploration starts from (and the classic
+    showcase for phrase segmentation as per-doc gaps-and-islands).
+
+    Scale: tokenization+stopword flags are a narrow map; phrase
+    segmentation is islands PARTITIONED BY doc (one doc-keyed
+    window); word stats and phrase scores are two hash aggregates
+    with a vocabulary-sized join; top-k is TakeOrderedAndProject.
+    The stopword list rides in the plan (a real one broadcasts)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    tok = docs.withColumn("is_stop", F.col("w").isin(*_RAKE_STOPWORDS))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        tok.withColumn(
+            "prev",
+            F.lag(F.when(~F.col("is_stop"), F.col("pos"))).over(wd),
+        )
+        .filter(~F.col("is_stop"))
+        .withColumn(
+            "new_p",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "pid",
+            F.sum("new_p").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    phrases = (
+        isl.groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "w"))).getField("w")).alias(
+                "phrase"
+            ),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .cache()  # feeds word stats AND phrase scoring
+    )
+    words = phrases.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
+    wstat = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum("plen").cast("double").alias("degree"),
+    )
+    pw = phrases.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    pscore_per_occurrence = (
+        pw.join(F.broadcast(wstat), "w")
+        .groupBy("phrase")
+        .agg(F.sum(F.col("degree") / F.col("freq")).alias("s_total"))
+    )
+    # s_total summed over ALL occurrences of the phrase; per-phrase
+    # score = per-occurrence word-score sum, so divide by occurrences
+    occ = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        pscore_per_occurrence.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("s_total") / F.col("n_occurrences"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOP)
+    )

@@ -270,6 +270,7 @@ _NESTED_LOOP_ALLOWED = {
     "agg_hll_portable": "1-row estimate frame x 1-row true-distinct frame",
     "logreg_embeddings": "64-row model x 1-row train-accuracy scalar",
     "sample_balanced_downsample": "broadcasts the 1-row minority-count scalar",
+    "doc_bm25_topk": "broadcasts the 1-row (N, avgdl) corpus stats scalar",
     "text_tfidf_topterms": "broadcasts 1-row corpus doc count",
     "watermark_late_drop": "broadcasts 1-row max event time (the watermark)",
     "funnel_conversion": "broadcasts 1-row cohort baseline scalar",
