@@ -1452,3 +1452,91 @@ def events_hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.round(F.max("value"), 6).alias("p100"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    # Hourly means and the (mu, h) thresholds are rounded to 6 dp
+    # BEFORE the recursion, so both engines fold identical numbers:
+    # Spark's array-accumulator aggregate and DuckDB's recursive CTE
+    # run the same strict left-to-right recurrence.
+    oracle="""
+        WITH RECURSIVE hourly AS (
+          SELECT date_trunc('hour', ts) AS hour, ROUND(AVG(value), 6) AS x
+          FROM events GROUP BY 1
+        ),
+        series AS (
+          SELECT hour, x,
+                 CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS idx
+          FROM hourly
+        ),
+        params AS (
+          SELECT ROUND(AVG(x), 6) AS mu,
+                 ROUND(2 * stddev_samp(x), 6) AS h
+          FROM series
+        ),
+        cusum AS (
+          SELECT CAST(0 AS BIGINT) AS idx, CAST(0 AS DOUBLE) AS s
+          UNION ALL
+          SELECT c.idx + 1,
+                 greatest(0, c.s + se.x - p.mu)
+          FROM cusum c
+          JOIN series se ON se.idx = c.idx + 1
+          CROSS JOIN params p
+        )
+        SELECT se.hour, se.x,
+               ROUND(c.s, 6) AS cusum,
+               c.s > p.h AS flagged
+        FROM cusum c JOIN series se ON se.idx = c.idx
+        CROSS JOIN params p
+    """,
+    tags=("T9''", "cusum", "changepoint"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point monitor over hourly means (Page
+    1954): S_t = max(0, S_{t-1} + (x_t - mu)), flagged when S_t
+    exceeds h = 2 sigma — the drift detector that catches slow level
+    shifts z-score anomaly checks miss (events_anomaly_zscore's
+    complement; a small persistent bias accumulates in S while never
+    tripping a per-point z test). The recurrence is inherently
+    sequential, so it runs ONCE over the calendar-bounded hourly
+    rollup: Spark folds the sorted series with an array-accumulator
+    aggregate expression, DuckDB's oracle runs the identical
+    recurrence as a recursive CTE — both over 6-dp-rounded inputs,
+    so the folds are bit-identical.
+
+    Scale: the fact table reduces to the hourly rollup first (the
+    only corpus-sized shuffle); the fold's input is bounded by the
+    calendar like monthly_growth_rates. For unbounded streams the
+    same recurrence runs as keyed state (stream_ewma_stateful's
+    applyInPandasWithState shape, one (s,) double per series)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.round(F.avg("value"), 6).alias("x")
+    )
+    params = hourly.agg(
+        F.round(F.avg("x"), 6).alias("mu"),
+        F.round(2 * F.stddev_samp("x"), 6).alias("h"),
+    )
+    packed = hourly.agg(
+        F.array_sort(F.collect_list(F.struct("hour", "x"))).alias("sx")
+    ).crossJoin(F.broadcast(params))
+    folded = packed.select(
+        F.expr(
+            """
+            aggregate(sx, CAST(array() AS ARRAY<DOUBLE>),
+              (acc, e) -> concat(acc, array(greatest(0D,
+                coalesce(try_element_at(acc, -1), 0D) + e.x - mu))))
+            """
+        ).alias("ss"),
+        "sx",
+        "h",
+    )
+    return folded.select(
+        F.posexplode(F.arrays_zip("sx", "ss")).alias("i", "z"), F.col("h")
+    ).select(
+        F.col("z.sx.hour").alias("hour"),
+        F.col("z.sx.x").alias("x"),
+        F.round(F.col("z.ss"), 6).alias("cusum"),
+        (F.col("z.ss") > F.col("h")).alias("flagged"),
+    )
