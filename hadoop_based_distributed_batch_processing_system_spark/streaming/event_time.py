@@ -1472,14 +1472,15 @@ def events_hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         params AS (
           SELECT ROUND(AVG(x), 6) AS mu,
-                 ROUND(2 * stddev_samp(x), 6) AS h
+                 ROUND(0.5 * stddev_samp(x), 6) AS k,
+                 ROUND(4 * stddev_samp(x), 6) AS h
           FROM series
         ),
         cusum AS (
           SELECT CAST(0 AS BIGINT) AS idx, CAST(0 AS DOUBLE) AS s
           UNION ALL
           SELECT c.idx + 1,
-                 greatest(0, c.s + se.x - p.mu)
+                 greatest(0, c.s + se.x - p.mu - p.k)
           FROM cusum c
           JOIN series se ON se.idx = c.idx + 1
           CROSS JOIN params p
@@ -1516,7 +1517,8 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     params = hourly.agg(
         F.round(F.avg("x"), 6).alias("mu"),
-        F.round(2 * F.stddev_samp("x"), 6).alias("h"),
+        F.round(0.5 * F.stddev_samp("x"), 6).alias("k"),
+        F.round(4 * F.stddev_samp("x"), 6).alias("h"),
     )
     packed = hourly.agg(
         F.array_sort(F.collect_list(F.struct("hour", "x"))).alias("sx")
@@ -1526,7 +1528,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
             aggregate(sx, CAST(array() AS ARRAY<DOUBLE>),
               (acc, e) -> concat(acc, array(greatest(0D,
-                coalesce(try_element_at(acc, -1), 0D) + e.x - mu))))
+                coalesce(try_element_at(acc, -1), 0D) + e.x - mu - k))))
             """
         ).alias("ss"),
         "sx",
