@@ -271,6 +271,7 @@ _NESTED_LOOP_ALLOWED = {
     "logreg_embeddings": "64-row model x 1-row train-accuracy scalar",
     "sample_balanced_downsample": "broadcasts the 1-row minority-count scalar",
     "doc_bm25_topk": "broadcasts the 1-row (N, avgdl) corpus stats scalar",
+    "events_cusum_changepoint": "broadcasts the 1-row (mu, k, h) params scalar",
     "text_tfidf_topterms": "broadcasts 1-row corpus doc count",
     "watermark_late_drop": "broadcasts 1-row max event time (the watermark)",
     "funnel_conversion": "broadcasts 1-row cohort baseline scalar",
