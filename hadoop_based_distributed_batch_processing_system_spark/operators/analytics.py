@@ -2264,3 +2264,171 @@ def monthly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         "seasonal",
         F.round(F.col("revenue") - F.col("trend") - F.col("seasonal"), 4).alias("residual"),
     )
+
+
+@register(
+    "parts_xyz_classification",
+    oracle="""
+        WITH monthly AS (
+          SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+                 SUM(l_quantity) AS q
+          FROM lineitem GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT l_partkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_months,
+                 ROUND(AVG(q), 6) AS mean_q,
+                 ROUND(COALESCE(stddev_samp(q), 0), 6) AS sd_q
+          FROM monthly GROUP BY l_partkey
+        ),
+        classed AS (
+          SELECT l_partkey, n_months, mean_q, sd_q,
+                 ROUND(sd_q / mean_q, 6) AS cv,
+                 CASE WHEN sd_q / mean_q < 0.5 THEN 'X'
+                      WHEN sd_q / mean_q < 1.0 THEN 'Y'
+                      ELSE 'Z' END AS xyz_class
+          FROM stats
+        )
+        SELECT xyz_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(AVG(cv), 6) AS avg_cv,
+               ROUND(AVG(mean_q), 6) AS avg_monthly_qty
+        FROM classed GROUP BY xyz_class
+    """,
+    tags=("M3'", "xyz", "inventory"),
+)
+def parts_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — ABC's canonical
+    companion (parts_abc_classification ranks by VALUE, XYZ ranks by
+    PREDICTABILITY): coefficient of variation of monthly demand per
+    part, classed X (CV<0.5, steady — forecast and automate), Y
+    (<1.0, seasonal-ish), Z (erratic — safety stock or make-to-order).
+    The ABC×XYZ grid is the planning matrix stock policies hang off.
+
+    Scale: the fact table reduces to (part, month) demand in ONE
+    shuffle; per-part stats and the 3-row class report are
+    part-dimension aggregates. CV thresholds compare the same
+    6-dp-rounded ratio in both engines; single-month parts get
+    sd=0 → X (COALESCE both sides)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(F.sum("l_quantity").alias("q"))
+    stats = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.avg("q"), 6).alias("mean_q"),
+        F.round(F.coalesce(F.stddev_samp("q"), F.lit(0.0)), 6).alias("sd_q"),
+    )
+    cv = F.col("sd_q") / F.col("mean_q")
+    classed = stats.select(
+        "mean_q",
+        F.round(cv, 6).alias("cv"),
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias("xyz_class"),
+    )
+    return classed.groupBy("xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("cv"), 6).alias("avg_cv"),
+        F.round(F.avg("mean_q"), 6).alias("avg_monthly_qty"),
+    )
+
+
+@register(
+    "scd2_history_compaction",
+    # Four synthetic versions per key at +0/30/60/90 days whose price
+    # level floor((key+k)/2) % 2 REPEATS for adjacent k on most keys —
+    # genuine no-op updates, so compaction has real work to do. Prices
+    # quantize by floor (ROUND ties at the half-cent split engines:
+    # Spark HALF_UP vs DuckDB half-even — 19/37500 rows diverged).
+    oracle="""
+        WITH versions AS (
+          SELECT o_orderkey,
+                 o_orderdate + k.k * INTERVAL 30 DAY AS valid_from,
+                 floor(o_totalprice * (10 + ((k.k + o_orderkey) // 2 % 2))) / 10
+                   AS price
+          FROM orders, LATERAL unnest(generate_series(0, 3)) AS k(k)
+        ),
+        runs AS (
+          SELECT o_orderkey, valid_from, price,
+                 SUM(CASE WHEN prev_price IS NULL OR prev_price <> price
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY o_orderkey ORDER BY valid_from
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          FROM (
+            SELECT o_orderkey, valid_from, price,
+                   LAG(price) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+                     AS prev_price
+            FROM versions
+          )
+        ),
+        compacted AS (
+          SELECT o_orderkey, run_id, MIN(price) AS price,
+                 MIN(valid_from) AS valid_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_merged
+          FROM runs GROUP BY o_orderkey, run_id
+        )
+        SELECT o_orderkey, price, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+                 AS valid_to,
+               n_merged
+        FROM compacted
+    """,
+    tags=("W2''", "scd2", "compaction"),
+)
+def scd2_history_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version-chain compaction — the CDC hygiene job that keeps
+    history tables honest: upstream feeds emit NO-OP updates (same
+    value, new timestamp), bloating the chain and breaking
+    change-count metrics; compaction merges each run of consecutive
+    equal-valued versions into one validity interval (gaps-and-
+    islands PARTITIONED BY key, break on value change), then
+    re-derives valid_to by lead(). Output carries n_merged so the
+    audit can report how much of the feed was no-ops. Composes with
+    scd2_history_build (which builds from events) and
+    scd2_point_in_time_join (which reads the result).
+
+    Scale: one key-partitioned window pass over the version table +
+    one per-run aggregate on the same key partitioning — never a
+    global window; prices quantize by floor (unambiguous in IEEE,
+    unlike ROUND's half-cent ties) so equality is engine-exact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    versions = o.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        "o_totalprice",
+        "o_orderdate",
+    ).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("make_interval(0, 0, 0, k * 30)")).alias("valid_from"),
+        (
+            F.floor(
+                F.col("o_totalprice")
+                * (10 + (F.floor((F.col("k") + F.col("o_orderkey")) / 2) % 2))
+            )
+            / 10
+        ).alias("price"),
+    )
+    wk = Window.partitionBy("o_orderkey").orderBy("valid_from")
+    runs = versions.withColumn("prev_price", F.lag("price").over(wk)).withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev_price").isNull() | (F.col("prev_price") != F.col("price")), 1
+            ).otherwise(0)
+        ).over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    compacted = runs.groupBy("o_orderkey", "run_id").agg(
+        F.min("price").alias("price"),
+        F.min("valid_from").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+    return compacted.select(
+        "o_orderkey",
+        "price",
+        "valid_from",
+        F.lead("valid_from").over(Window.partitionBy("o_orderkey").orderBy("valid_from")).alias(
+            "valid_to"
+        ),
+        "n_merged",
+    )
