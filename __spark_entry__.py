@@ -150,7 +150,8 @@ _PRIORITY_WINDOW = [
     "dedup_winnowing_pairs", "events_hourly_percentile_bands",
     "entity_resolution_names", "doc_bm25_topk", "text_rake_keywords",
     "events_cusum_changepoint", "parts_xyz_classification",
-    "scd2_history_compaction",
+    "scd2_history_compaction", "funnel_step_latency",
+    "orders_duplicate_payment_detector",
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",

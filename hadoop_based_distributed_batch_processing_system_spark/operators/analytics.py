@@ -2432,3 +2432,80 @@ def scd2_history_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_merged",
     )
+
+
+_DUP_PAY_DAYS = 30
+_DUP_PAY_BIN_S = _DUP_PAY_DAYS * 86400
+
+
+@register(
+    "orders_duplicate_payment_detector",
+    # Ground truth: brute-force self-join on (custkey, amount) with the
+    # date-window predicate; the engine must find exactly these pairs
+    # via time-bin blocking.
+    oracle=f"""
+        SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+               a.o_totalprice AS amount,
+               CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+                 AS days_apart
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_totalprice = b.o_totalprice
+         AND a.o_orderkey < b.o_orderkey
+         AND abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= {_DUP_PAY_DAYS}
+    """,
+    tags=("M6", "fraud", "duplicates"),
+)
+def orders_duplicate_payment_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the AP/fraud audit staple: two
+    orders by the SAME customer for the SAME amount within
+    {_DUP_PAY_DAYS} days are double-charge suspects. The temporal
+    window makes this a band join; the scale plan blocks on
+    (custkey, amount, 30-day time bin) with the probe side exploded
+    to bins {{b-1, b, b+1}} (join_range_binned's recipe — any pair
+    within the window shares an adjacent bin), then verifies the
+    exact date predicate per candidate — never the full per-customer
+    self-join whose fan-out is unbounded for busy accounts.
+
+    Scale: the shuffle carries (custkey, amount, bin) keys —
+    candidates are bounded by per-(cust, amount, bin) multiplicity;
+    the brute per-customer join the oracle runs as ground truth
+    degrades quadratically on exactly the hub accounts a fraud
+    system cares most about."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    binned = o.withColumn(
+        "bin",
+        F.expr(f"datediff(o_orderdate, TIMESTAMP '1970-01-01') div {_DUP_PAY_DAYS}"),
+    )
+    probe = binned.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.explode(F.expr("array(bin - 1, bin, bin + 1)")).alias("bin"),
+    )
+    a, b = probe.alias("a"), binned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            F.abs(F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))) <= _DUP_PAY_DAYS
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.o_totalprice").alias("amount"),
+            F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate")).cast("long").alias(
+                "days_apart"
+            ),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )

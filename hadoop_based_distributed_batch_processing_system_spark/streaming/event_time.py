@@ -1542,3 +1542,87 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.ss"), 6).alias("cusum"),
         (F.col("z.ss") > F.col("h")).alias("flagged"),
     )
+
+
+@register(
+    "funnel_step_latency",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        ),
+        deltas AS (
+          SELECT 'view->click' AS step,
+                 epoch_us(c.t_click) - epoch_us(v.t_view) AS d_us
+          FROM v JOIN c ON v.user_id = c.user_id
+          UNION ALL
+          SELECT 'click->purchase',
+                 epoch_us(p.t_purchase) - epoch_us(c.t_click)
+          FROM c JOIN p ON c.user_id = p.user_id
+        )
+        SELECT step,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(quantile_cont(CAST(d_us AS DOUBLE), 0.5) / 60e6, 6) AS p50_min,
+               ROUND(quantile_cont(CAST(d_us AS DOUBLE), 0.9) / 60e6, 6) AS p90_min,
+               ROUND(AVG(CAST(d_us AS DOUBLE)) / 60e6, 6) AS mean_min
+        FROM deltas GROUP BY step
+    """,
+    tags=("E1''", "funnel", "latency"),
+)
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-transition latency — the timing half of funnel
+    analysis (funnel_conversion counts WHO converts; this measures
+    HOW LONG each step takes): per ordered step pair
+    (view→click→purchase, strictly-after first-touch semantics
+    matching funnel_conversion exactly), the median / p90 / mean
+    transition time in minutes — the numbers that locate WHERE the
+    funnel leaks (a slow step precedes an abandoned one).
+
+    Scale: three user-keyed min-aggregates + two user-keyed joins
+    (the funnel_conversion shape) produce one delta row per
+    converting user per step; the exact percentile groups by step —
+    2 groups, each holding converting-user-count values, with the
+    usual percentile_approx swap documented for extreme scale.
+    Integer-microsecond deltas cast to double identically in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d1 = v.join(c, "user_id").select(
+        F.lit("view->click").alias("step"),
+        (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("d_us"),
+    )
+    d2 = c.join(p, "user_id").select(
+        F.lit("click->purchase").alias("step"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("d_us"),
+    )
+    deltas = d1.unionByName(d2)
+    return deltas.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.expr("percentile(CAST(d_us AS DOUBLE), 0.5)") / 60e6, 6).alias("p50_min"),
+        F.round(F.expr("percentile(CAST(d_us AS DOUBLE), 0.9)") / 60e6, 6).alias("p90_min"),
+        F.round(F.avg(F.col("d_us").cast("double")) / 60e6, 6).alias("mean_min"),
+    )
