@@ -2445,12 +2445,12 @@ _DUP_PAY_BIN_S = _DUP_PAY_DAYS * 86400
     # via time-bin blocking.
     oracle=f"""
         SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
-               a.o_totalprice AS amount,
+               CAST(floor(a.o_totalprice / 5000) * 5000 AS BIGINT) AS amount_band,
                CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
                  AS days_apart
         FROM orders a JOIN orders b
           ON a.o_custkey = b.o_custkey
-         AND a.o_totalprice = b.o_totalprice
+         AND floor(a.o_totalprice / 5000) = floor(b.o_totalprice / 5000)
          AND a.o_orderkey < b.o_orderkey
          AND abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= {_DUP_PAY_DAYS}
     """,
@@ -2458,8 +2458,10 @@ _DUP_PAY_BIN_S = _DUP_PAY_DAYS * 86400
 )
 def orders_duplicate_payment_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-payment detection — the AP/fraud audit staple: two
-    orders by the SAME customer for the SAME amount within
-    {_DUP_PAY_DAYS} days are double-charge suspects. The temporal
+    orders by the SAME customer in the SAME $5000 amount band within
+    {_DUP_PAY_DAYS} days are double-charge suspects (band matching,
+    not exact equality — real double-charges drift by fees/FX, and
+    this corpus's synthetic prices are near-unique doubles). The temporal
     window makes this a band join; the scale plan blocks on
     (custkey, amount, 30-day time bin) with the probe side exploded
     to bins {{b-1, b, b+1}} (join_range_binned's recipe — any pair
@@ -2478,11 +2480,11 @@ def orders_duplicate_payment_detector(spark: SparkSession, sf_dir: str) -> DataF
     binned = o.withColumn(
         "bin",
         F.expr(f"datediff(o_orderdate, TIMESTAMP '1970-01-01') div {_DUP_PAY_DAYS}"),
-    )
+    ).withColumn("band", F.floor(F.col("o_totalprice") / 5000))
     probe = binned.select(
         "o_custkey",
         "o_orderkey",
-        "o_totalprice",
+        "band",
         "o_orderdate",
         F.explode(F.expr("array(bin - 1, bin, bin + 1)")).alias("bin"),
     )
@@ -2491,7 +2493,7 @@ def orders_duplicate_payment_detector(spark: SparkSession, sf_dir: str) -> DataF
         a.join(
             b,
             (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bin") == F.col("b.bin"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
@@ -2502,7 +2504,7 @@ def orders_duplicate_payment_detector(spark: SparkSession, sf_dir: str) -> DataF
             F.col("a.o_custkey").alias("o_custkey"),
             F.col("a.o_orderkey").alias("key_a"),
             F.col("b.o_orderkey").alias("key_b"),
-            F.col("a.o_totalprice").alias("amount"),
+            (F.col("a.band") * 5000).alias("amount_band"),
             F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate")).cast("long").alias(
                 "days_apart"
             ),
