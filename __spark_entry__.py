@@ -151,7 +151,8 @@ _PRIORITY_WINDOW = [
     "entity_resolution_names", "doc_bm25_topk", "text_rake_keywords",
     "events_cusum_changepoint", "parts_xyz_classification",
     "scd2_history_compaction", "funnel_step_latency",
-    "orders_duplicate_payment_detector",
+    "orders_duplicate_payment_detector", "text_js_divergence_sources",
+    "corpus_health_report",
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",

@@ -1610,3 +1610,198 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+        WITH tok AS (
+          SELECT source, u.w AS w
+          FROM (SELECT source, string_split(text, ' ') AS t FROM documents) d,
+               LATERAL unnest(t) AS u(w)
+        ),
+        src_tot AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY source),
+        all_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+        p AS (
+          SELECT t.source, t.w, CAST(COUNT(*) AS DOUBLE) / st.n AS p
+          FROM tok t JOIN src_tot st ON t.source = st.source
+          GROUP BY t.source, t.w, st.n
+        ),
+        q AS (
+          SELECT w, CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM all_tot) AS q
+          FROM tok GROUP BY w
+        ),
+        terms AS (
+          SELECT p.source,
+                 0.5 * p.p * ln(p.p / ((p.p + q.q) / 2))
+                 + 0.5 * q.q * ln(q.q / ((p.p + q.q) / 2)) AS term,
+                 q.q AS qw
+          FROM p JOIN q ON p.w = q.w
+        ),
+        missing AS (
+          -- corpus words ABSENT from a source contribute 0.5*q*ln(2)
+          SELECT st.source,
+                 0.5 * ln(2) * (1 - SUM(CASE WHEN p.w IS NOT NULL THEN q.q ELSE 0 END))
+                   AS miss_term
+          FROM src_tot st
+          CROSS JOIN q
+          LEFT JOIN p ON p.source = st.source AND p.w = q.w
+          GROUP BY st.source
+        )
+        SELECT t.source,
+               CAST(st.n AS BIGINT) AS n_tokens,
+               ROUND((SUM(t.term) + ANY_VALUE(m.miss_term)) / ln(2), 6) AS jsd_bits
+        FROM terms t
+        JOIN src_tot st ON t.source = st.source
+        JOIN missing m ON t.source = m.source
+        GROUP BY t.source, st.n
+    """,
+    tags=("L19'", "divergence", "drift"),
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram
+    distribution against the whole corpus (in bits, 0 = identical,
+    1 = disjoint) — the domain-drift meter a mixture-weighting run
+    (corpus_mixing_weights) reads first: sources that diverge hard
+    deserve their own mixture bucket; sources near 0 are
+    interchangeable. JSD is symmetric and bounded, unlike raw KL
+    (which is infinite wherever a source lacks a corpus word —
+    handled here by the closed-form 0.5·q·ln2 mass of
+    source-missing words).
+
+    Scale: token counts reduce map-side; the per-(source, word)
+    table joins the vocab-sized corpus distribution (broadcast);
+    everything after is source-keyed aggregation. Probabilities are
+    exact rationals of identical integer counts, logs rounded at
+    6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n_all = tok.count()
+    p = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .join(F.broadcast(src_tot), "source")
+        .select("source", "w", (F.col("c") / F.col("n")).alias("p"))
+    )
+    q = tok.groupBy("w").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(n_all))).alias("q")
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    terms = p.join(F.broadcast(q), "w").select(
+        "source",
+        (0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(F.col("q") / m)).alias(
+            "term"
+        ),
+        "q",
+    )
+    present_q = terms.groupBy("source").agg(
+        F.sum("term").alias("sum_term"), F.sum("q").alias("q_present")
+    )
+    import math
+
+    return (
+        present_q.join(F.broadcast(src_tot), "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(
+                (
+                    F.col("sum_term")
+                    + 0.5 * math.log(2) * (1 - F.col("q_present"))
+                )
+                / math.log(2),
+                6,
+            ).alias("jsd_bits"),
+        )
+    )
+
+
+@register(
+    "corpus_health_report",
+    oracle=f"""
+        WITH base AS (
+          SELECT doc_id, text, lang,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS uniq_ratio
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2])))) AS s
+          FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+        contaminated AS (
+          SELECT DISTINCT t.doc_id FROM sh t JOIN bench USING (s)
+          WHERE t.doc_id % {_DECON_BENCH_MOD} <> 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs,
+               ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+                 AS exact_dup_rate,
+               CAST((SELECT COUNT(*) FROM contaminated) AS BIGINT) AS contaminated_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               ROUND(AVG(least(1.0, n_tokens / 50.0) * 0.5 + uniq_ratio * 0.5), 6)
+                 AS mean_quality,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM base
+    """,
+    tags=("L1", "report", "composite"),
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health scorecard — the summary a data team
+    posts after every ingest: doc and token counts, exact-duplicate
+    mass (content-hash), benchmark-contamination count (shared
+    3-shingles with the held-out slice, decontaminate_against_
+    benchmark's rule), language count, and the mean heuristic
+    quality score (text_quality_score's formula). Every column is a
+    one-number readout of a full operator elsewhere in the engine —
+    the report exists so the detailed runs only happen when a
+    number here moves.
+
+    Scale: one pass for the doc-level stats (md5 + token counts in
+    the same aggregate), one hashed-shingle broadcast join for the
+    contamination count — the same plans as the underlying
+    operators, fused into two jobs."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import (
+        _shingles_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("uniq_ratio"),
+    )
+    sh = _shingles_hashed(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0).select("s").distinct()
+    )
+    n_contaminated = (
+        sh.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+        .join(bench, "s")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    quality = F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * 0.5 + F.col("uniq_ratio") * 0.5
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).cast("long").alias("exact_dup_docs"),
+        F.round(1.0 - F.count_distinct("h").cast("double") / F.count(F.lit(1)), 6).alias(
+            "exact_dup_rate"
+        ),
+        F.lit(n_contaminated).cast("long").alias("contaminated_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg(quality), 6).alias("mean_quality"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
