@@ -152,7 +152,8 @@ _PRIORITY_WINDOW = [
     "events_cusum_changepoint", "parts_xyz_classification",
     "scd2_history_compaction", "funnel_step_latency",
     "orders_duplicate_payment_detector", "text_js_divergence_sources",
-    "corpus_health_report",
+    "corpus_health_report", "dedup_cross_source_matrix",
+    "graph_link_prediction_jaccard",
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",

@@ -1073,3 +1073,49 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= _WINNOW_PAIR_MIN)
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+        WITH tok AS ({_ORACLE_SHINGLES}),
+        pairs AS ({_ORACLE_PAIRS}),
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT LEAST(sa.source, sb.source) AS source_a,
+               GREATEST(sa.source, sb.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM pairs p
+        JOIN src sa ON p.id_a = sa.doc_id
+        JOIN src sb ON p.id_b = sb.doc_id
+        GROUP BY 1, 2
+    """,
+    tags=("L2", "forensics", "matrix"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — corpus forensics on the
+    near-dup graph: which source pairs share near-duplicate content
+    (Jaccard ≥ {_JACCARD_THRESHOLD} pairs, the LSH family's verified
+    output), with source pairs canonicalized (least, greatest) so
+    A→B and B→A land in one cell. Off-diagonal mass means
+    cross-source syndication/mirroring (fix at the crawler);
+    diagonal mass means within-source churn (fix at dedup). This is
+    the report that decides WHERE dedup effort goes.
+
+    Scale: the pair stream comes from the banded LSH path at scale
+    (here the guarded exact generator, so the oracle is exact); the
+    source decoration is two broadcast-joinable id→source lookups;
+    the matrix is |sources|² at most. Nothing beyond the pair
+    generator touches corpus-sized data."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )

@@ -353,3 +353,110 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nodes").cast("double") / F.sum("n_nodes").over(W.partitionBy()), 6
         ).alias("node_frac"),
     )
+
+
+_LP_MIN_COMMON = 2
+_LP_TOP = 20
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '{_TRIANGLE_SHIP_LO}'
+            AND l_shipdate < TIMESTAMP '{_TRIANGLE_SHIP_HI}'
+        ),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+        wedges AS (
+          SELECT e1.u AS a, e2.v AS c, CAST(COUNT(*) AS BIGINT) AS common
+          FROM edges e1 JOIN edges e2 ON e1.v = e2.u AND e1.u < e2.v
+          GROUP BY e1.u, e2.v
+          HAVING COUNT(*) >= {_LP_MIN_COMMON}
+        ),
+        cand AS (
+          SELECT w.a, w.c, w.common
+          FROM wedges w
+          WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = w.a AND p.v = w.c)
+        )
+        SELECT cand.a AS part_a, cand.c AS part_b, cand.common AS n_common,
+               ROUND(CAST(cand.common AS DOUBLE)
+                     / (da.d + dc.d - cand.common), 6) AS jaccard
+        FROM cand
+        JOIN deg da ON da.node = cand.a
+        JOIN deg dc ON dc.node = cand.c
+        ORDER BY jaccard DESC, part_a, part_b
+        LIMIT {_LP_TOP}
+    """,
+    tags=("G4", "link-prediction"),
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor Jaccard (Liben-Nowell & Kleinberg
+    2003): for NON-adjacent part pairs sharing ≥{_LP_MIN_COMMON}
+    co-purchase neighbors, score |N(a)∩N(b)| / |N(a)∪N(b)| and rank
+    the top-{_LP_TOP} — "parts that should be bundled but never were",
+    the recommendation candidate generator on the co-purchase graph.
+    Common neighbors come from the wedge equi-join (a 2-path through
+    b IS a common neighbor); the union size is deg(a)+deg(b)-common
+    — no neighbor-set materialization, no set ops.
+
+    Scale: the wedge join is Σdeg² — the same fan-out triangle_count
+    bounds with degree orientation; at power-law scale cap the
+    per-node neighbor list (top-k by weight) or sketch neighbor sets
+    with MinHash (dedup_minhash_lsh's machinery applied to
+    adjacency). Existing-edge exclusion is an anti join on the edge
+    key; the top-k is TakeOrderedAndProject."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_TRIANGLE_SHIP_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_TRIANGLE_SHIP_HI).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .cache()  # feeds edges, the anti join, and degrees
+    )
+    edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = (
+        e1.join(e2, (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") < F.col("e2.v")))
+        .groupBy(F.col("e1.u").alias("a"), F.col("e2.v").alias("c"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= _LP_MIN_COMMON)
+    )
+    cand = wedges.join(
+        pairs, (wedges.a == pairs.u) & (wedges.c == pairs.v), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.col("common").alias("n_common"),
+            F.round(
+                F.col("common").cast("double") / (F.col("da") + F.col("dc") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(_LP_TOP)
+    )
