@@ -250,6 +250,7 @@ _NESTED_LOOP_ALLOWED = {
     # intentional cartesian / guarded brute-force ground truth
     "join_cross": "J5: the cartesian operator itself",
     "dedup_ngram_jaccard": "guarded brute-force ground truth (raises >100k docs)",
+    "dedup_cross_source_matrix": "decorates dedup_ngram_jaccard's guarded pair stream",
     "dedup_embedding_cosine": "guarded brute-force ground truth",
     "sim_search_topk": "guarded brute-force ground truth (raises >100k vectors)",
     "knn_label_vote": "exact classifier; broadcast side guarded at 1M vectors",
