@@ -76,6 +76,8 @@ HEADLINE = [
     "graph_degree_distribution",  # bounded per-order pair join + degree histogram
     "table_diff_snapshots", # full-outer snapshot diff, churn-sized output
     "dedup_repeated_ngram_spans",  # cross-doc 5-gram spans, lambda-bound hashed grams
+    "pipeline_corpus_curation_v3",  # dedup -> decontaminate -> span accounting, one plan
+    "text_winnowing_fingerprints",  # MOSS winnowing selection, lambda-bound grams
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
