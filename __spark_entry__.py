@@ -153,7 +153,7 @@ _PRIORITY_WINDOW = [
     "scd2_history_compaction", "funnel_step_latency",
     "orders_duplicate_payment_detector", "text_js_divergence_sources",
     "corpus_health_report", "dedup_cross_source_matrix",
-    "graph_link_prediction_jaccard",
+    "graph_link_prediction_jaccard", "sim_search_hybrid_rrf",
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",

@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table, parquet_row_count
@@ -1309,3 +1309,140 @@ def logreg_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d + 1, w[d]) for d in range(_LOGREG_DIM)], "dim int, weight double"
     )
     return model.crossJoin(F.broadcast(acc))
+
+
+_RRF_K = 60   # standard RRF damping constant
+_RRF_POOL = 50  # per-ranker candidate pool
+_RRF_TERMS = ("fast", "table", "query")  # lexical probe (doc_bm25_topk's)
+
+
+@register(
+    "sim_search_hybrid_rrf",
+    oracle=f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM docs),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT d.doc_id, u.w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM docs d, LATERAL unnest(d.t) AS u(w)
+          WHERE u.w IN ({", ".join(f"'{t}'" for t in _RRF_TERMS)})
+          GROUP BY d.doc_id, u.w
+        ),
+        df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        bm25 AS (
+          SELECT tf.doc_id,
+                 SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+          FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+          GROUP BY tf.doc_id
+        ),
+        lex AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+          FROM bm25 ORDER BY score DESC, doc_id LIMIT {_RRF_POOL}
+        ),
+        q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+        ),
+        cos AS (
+          SELECT e.vec_id AS doc_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS score
+          FROM embeddings e, q
+        ),
+        sem AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+          FROM cos ORDER BY score DESC, doc_id LIMIT {_RRF_POOL}
+        ),
+        fused AS (
+          SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                 ROUND(COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+                       + COALESCE(1.0 / ({_RRF_K} + s.r), 0), 6) AS rrf_score,
+                 l.r AS lex_rank, s.r AS sem_rank
+          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id, rrf_score, lex_rank, sem_rank
+        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    tags=("L3'", "hybrid", "rrf"),
+)
+def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search by reciprocal-rank fusion (Cormack et al. 2009
+    — the de-facto standard fuser in every hybrid-retrieval stack):
+    a lexical ranker (doc_bm25_topk's scorer) and a semantic ranker
+    (cosine to the probe embedding) each retrieve a top-{_RRF_POOL}
+    pool; fusion scores 1/({_RRF_K}+rank) summed across the lists —
+    rank-based, so the two systems' incomparable score scales never
+    meet. This op is the capstone that JOINS the engine's text stack
+    to its vector stack on doc_id = vec_id.
+
+    Scale: each ranker is its own already-audited plan (query-sized
+    posting aggregate; broadcast-probe cosine map) ending in
+    TakeOrderedAndProject; fusion touches 2×{_RRF_POOL} rows. Ranks
+    are exact integers (deterministic doc_id tiebreaks), so the
+    fused scores are exact dyadic-free rationals both engines round
+    identically."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    dl = docs.select("doc_id", F.size("t").cast("double").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    lex = (
+        bm25.orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_POOL)
+        .select("doc_id", F.row_number().over(
+            Window.orderBy(F.desc("score"), "doc_id")).cast("long").alias("lr"))
+    )
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        with_norm(load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(1))
+        .select(F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    )
+    cos_expr = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) / (norm * qnorm)"
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos_expr.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_POOL)
+        .select("doc_id", F.row_number().over(
+            Window.orderBy(F.desc("score"), "doc_id")).cast("long").alias("sr"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sr")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("lr").alias("lex_rank"),
+        F.col("sr").alias("sem_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)

@@ -273,6 +273,7 @@ _NESTED_LOOP_ALLOWED = {
     "sample_balanced_downsample": "broadcasts the 1-row minority-count scalar",
     "doc_bm25_topk": "broadcasts the 1-row (N, avgdl) corpus stats scalar",
     "events_cusum_changepoint": "broadcasts the 1-row (mu, k, h) params scalar",
+    "sim_search_hybrid_rrf": "broadcasts the 1-row probe vector and corpus-stats scalars",
     "text_tfidf_topterms": "broadcasts 1-row corpus doc count",
     "watermark_late_drop": "broadcasts 1-row max event time (the watermark)",
     "funnel_conversion": "broadcasts 1-row cohort baseline scalar",
