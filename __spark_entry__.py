@@ -154,6 +154,7 @@ _PRIORITY_WINDOW = [
     "orders_duplicate_payment_detector", "text_js_divergence_sources",
     "corpus_health_report", "dedup_cross_source_matrix",
     "graph_link_prediction_jaccard", "sim_search_hybrid_rrf",
+    "events_error_budget_burn", "orders_gmv_daily_7dma",
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",

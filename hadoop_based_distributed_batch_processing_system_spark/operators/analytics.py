@@ -2511,3 +2511,47 @@ def orders_duplicate_payment_detector(spark: SparkSession, sf_dir: str) -> DataF
         )
         .dropDuplicates(["key_a", "key_b"])
     )
+
+
+@register(
+    "orders_gmv_daily_7dma",
+    oracle="""
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS day,
+                 ROUND(SUM(o_totalprice), 4) AS gmv,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT day, gmv, n_orders,
+               ROUND(AVG(gmv) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS gmv_7dma,
+               CAST(COUNT(*) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS window_days
+        FROM daily
+    """,
+    tags=("E8''", "reporting", "movingavg"),
+)
+def orders_gmv_daily_7dma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily GMV with the trailing 7-day moving average — the
+    revenue-dashboard headline that smooths day-of-week cycles
+    (monthly_growth_rates' daily sibling; window_days exposes the
+    ramp-in so the first 6 days read honestly). Rounded before
+    averaging so both engines smooth identical values.
+
+    Scale: the fact table reduces to the daily rollup first; the
+    trailing window runs unpartitioned ON THE ROLLUP — bounded by
+    the calendar (the documented exception class), not by data."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("gmv"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "gmv",
+        "n_orders",
+        F.round(F.avg("gmv").over(w), 4).alias("gmv_7dma"),
+        F.count(F.lit(1)).over(w).alias("window_days"),
+    )

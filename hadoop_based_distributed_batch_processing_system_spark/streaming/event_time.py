@@ -1626,3 +1626,53 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(CAST(d_us AS DOUBLE), 0.9)") / 60e6, 6).alias("p90_min"),
         F.round(F.avg(F.col("d_us").cast("double")) / 60e6, 6).alias("mean_min"),
     )
+
+
+_SLO_TARGET = 0.999  # 99.9% non-error events
+
+
+@register(
+    "events_error_budget_burn",
+    oracle=f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                   AS n_err
+          FROM events GROUP BY 1
+        )
+        SELECT hour, n, n_err,
+               ROUND(CAST(n_err AS DOUBLE) / n, 6) AS err_rate,
+               ROUND((CAST(n_err AS DOUBLE) / n) / {1 - _SLO_TARGET}, 6)
+                 AS burn_rate,
+               (CAST(n_err AS DOUBLE) / n) / {1 - _SLO_TARGET} > 1.0 AS burning
+        FROM hourly
+    """,
+    tags=("T1''", "slo", "errors"),
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn rate per hour: with a {_SLO_TARGET:.1%}
+    SLO the allowance is {1 - _SLO_TARGET:.1%} errors; burn rate =
+    observed error rate / allowance (burn > 1 consumes budget faster
+    than the SLO window replenishes it — the Google-SRE multiwindow
+    alert's core quantity). Pairs with events_hourly_percentile_bands
+    (latency SLIs) for the full SLO dashboard.
+
+    Scale: ONE map-side-partial conditional aggregate per hour —
+    the cheapest shape in the engine; rates are exact rationals of
+    identical integer counts, rounded at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_err"),
+    )
+    rate = F.col("n_err").cast("double") / F.col("n")
+    burn = rate / (1 - _SLO_TARGET)
+    return hourly.select(
+        "hour",
+        "n",
+        "n_err",
+        F.round(rate, 6).alias("err_rate"),
+        F.round(burn, 6).alias("burn_rate"),
+        (burn > 1.0).alias("burning"),
+    )
