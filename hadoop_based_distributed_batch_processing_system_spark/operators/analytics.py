@@ -1715,7 +1715,10 @@ def monthly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned ON THE MONTHLY ROLLUP (#months rows — a few dozen
     at any corpus size), which is the honest counterexample to the
     "no unpartitioned windows" rule: the input is bounded by the
-    calendar, not the data. Revenue rounded to 4 dp before the
+    calendar, not the data — the exception class is centralized
+    (rule, cap, allowlist) in ``operators/windows.py``
+    ``UNPARTITIONED_WINDOW_ALLOWED``, which the fleet plan audit
+    enforces. Revenue rounded to 4 dp before the
     ratio so both engines difference identical values."""
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
@@ -2226,8 +2229,8 @@ def monthly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale: the fact table reduces to the monthly rollup FIRST; the
     centered-MA window runs unpartitioned ON THE ROLLUP — bounded by
-    the calendar (monthly_growth_rates' documented counterexample to
-    the no-unpartitioned-window rule), not by data volume. All
+    the calendar (allowlisted in ``operators/windows.py``
+    ``UNPARTITIONED_WINDOW_ALLOWED``), not by data volume. All
     columns rounded to 4 dp before differencing, so both engines
     decompose identical values."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2541,7 +2544,8 @@ def orders_gmv_daily_7dma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact table reduces to the daily rollup first; the
     trailing window runs unpartitioned ON THE ROLLUP — bounded by
-    the calendar (the documented exception class), not by data."""
+    the calendar (allowlisted in ``operators/windows.py``
+    ``UNPARTITIONED_WINDOW_ALLOWED``), not by data."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 4).alias("gmv"),

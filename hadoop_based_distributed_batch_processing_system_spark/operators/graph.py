@@ -318,7 +318,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: edge build is the bounded per-order pair join; degrees
     are one node-keyed aggregate; the histogram is a second, tiny
-    aggregate. Nothing rank-sorts the node set."""
+    aggregate. Nothing rank-sorts the node set; the unpartitioned
+    fraction window sees only the histogram and is allowlisted in
+    ``operators/windows.py`` ``UNPARTITIONED_WINDOW_ALLOWED``."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(

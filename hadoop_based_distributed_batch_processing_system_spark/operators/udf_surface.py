@@ -207,16 +207,37 @@ def partitioner_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plan routes through the real sampled range partitioner, then
     computes the portable equal-height census (NTILE(8) over the
     total order, deterministic (ts, event_id) tiebreak) that DuckDB
-    can replicate exactly. NTILE's global window is single-partition —
-    acceptable for the 8-row census at check scale; the distributed
-    range sort itself is the repartitionByRange/``sort_global`` path."""
-    from pyspark.sql.window import Window
+    can replicate exactly.
+
+    NTILE here is DERIVED from ``bucketed_rank_cumsum``'s two-phase
+    global row number — NO single-partition window anywhere in the
+    plan (the round-6 lesson: a bare ``NTILE(k) OVER (ORDER BY ts)``
+    funnels the whole events table through one task; this input grows
+    with the corpus, so unlike the calendar-bounded rollup windows it
+    MUST use the bucketed recipe). With n total rows, k tiles,
+    q = n div k, r = n mod k, NTILE's exact assignment for global row
+    number rn is: the first r tiles take q+1 rows, the rest take q —
+    a closed-form projection of (rn, n), bit-identical to the window
+    function in both engines."""
+    from .sorts import bucketed_rank_cumsum
 
     ev = load_table(spark, sf_dir, "events")
     routed = ev.repartitionByRange(8, "ts", "event_id")
-    w = Window.orderBy("ts", "event_id")
+    with_us = routed.withColumn("__ts_us", F.unix_micros(F.col("ts")))
+    ranked, n_total, _ = bucketed_rank_cumsum(with_us, "__ts_us", ["event_id"])
+    k = 8
+    q, r = divmod(int(n_total), k)
+    head = r * (q + 1)  # rows covered by the first r (fat) tiles
+    rn = F.col("__rn")
+    if q == 0:  # fewer rows than tiles: rn IS the tile
+        bucket = rn
+    else:
+        bucket = (
+            F.when(rn <= head, ((rn - 1) / (q + 1)).cast("long") + 1)
+            .otherwise(F.lit(r) + ((rn - 1 - head) / q).cast("long") + 1)
+        )
     return (
-        routed.withColumn("bucket", F.ntile(8).over(w).cast("long"))
+        ranked.withColumn("bucket", bucket.cast("long"))
         .groupBy("bucket")
         .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n_rows"))
         .orderBy("bucket")

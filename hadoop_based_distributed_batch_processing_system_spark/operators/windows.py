@@ -8,6 +8,24 @@ Scale notes: every window here partitions by a key (customer /
 user) — one shuffle, per-partition sort, streaming frame evaluation.
 An un-partitioned window (``Window.orderBy`` alone) serializes the
 whole dataset through one task and is banned by engine convention.
+
+THE UNPARTITIONED-WINDOW RULE (single source of truth — the fleet
+plan audit in ``tests/test_plans.py`` enforces it from the allowlist
+below):
+
+    No operator may plan a Window fed by a SinglePartition exchange
+    unless the window's INPUT is an already-reduced rollup whose row
+    count is bounded by a calendar/domain cardinality — never by the
+    corpus. The cap: ~10^4 rows (centuries of months, years of days,
+    the distinct-degree support of a graph). Anything keyed by an
+    entity (customer, user, document, order) or by fine-grained time
+    that grows with the corpus MUST use the two-phase bucketed
+    recipes in ``operators/sorts.py`` (``bucketed_rank_cumsum``,
+    ``global_islands``) instead — ``partitioner_range`` (round 7)
+    and the four ranking ops (round 6) are the worked conversions.
+
+Allowlisted operators and the bound that justifies each; the audit
+asserts this list is exact (no unlisted offender, no rotted entry):
 """
 
 from __future__ import annotations
@@ -17,6 +35,28 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+# See module docstring: window input must be a calendar/domain-bounded
+# rollup (≲10^4 rows), never corpus-sized.
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "monthly_growth_rates": (
+        "input = one row per (month), LAG over the monthly revenue rollup; "
+        "bound = months in the order horizon (~10^2 per decade)"
+    ),
+    "monthly_seasonal_decomposition": (
+        "input = one row per month, centered-MA window over the monthly "
+        "rollup; bound = months (~10^2)"
+    ),
+    "orders_gmv_daily_7dma": (
+        "input = one row per day, 7-row moving average over the daily GMV "
+        "rollup; bound = days in the horizon (~10^3 per few years)"
+    ),
+    "graph_degree_distribution": (
+        "input = one row per DISTINCT degree value, cumulative share over "
+        "the degree histogram; bound = max degree support (≤ sqrt(edges) "
+        "distinct values in practice, ~10^3)"
+    ),
+}
 
 
 @register(

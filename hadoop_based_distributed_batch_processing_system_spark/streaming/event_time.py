@@ -1398,8 +1398,16 @@ def events_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only full-stream work is one bucket-keyed window;
     driver state is one row per non-empty time bucket regardless of
-    event volume. The per-burst aggregate shuffles on island keys —
-    burst-sized groups, AQE-splittable if one burst dominates."""
+    event volume — at the 6-hour bucket width that is ~1.5k rows per
+    year, ~15k per decade, inside the ~10^4–10^5-row bound the
+    calendar-exception rule in ``operators/windows.py`` documents
+    (and unlike the allowlisted ops, the boundary merge here is a
+    driver linear scan, not a window — the plan audit sees no
+    SinglePartition window at all). Escape hatch past the bound:
+    raise ``bucket_us`` (driver rows shrink linearly) — merge
+    correctness is bucket-size-independent. The per-burst aggregate
+    shuffles on island keys — burst-sized groups, AQE-splittable if
+    one burst dominates."""
     from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
         global_islands,
     )
@@ -1508,9 +1516,14 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact table reduces to the hourly rollup first (the
     only corpus-sized shuffle); the fold's input is bounded by the
-    calendar like monthly_growth_rates. For unbounded streams the
-    same recurrence runs as keyed state (stream_ewma_stateful's
-    applyInPandasWithState shape, one (s,) double per series)."""
+    calendar, NOT the corpus — ~8.8k hours/year, ~10^5 per decade,
+    within the ~10^4–10^5-row cap of the calendar-bounded exception
+    class centralized in ``operators/windows.py`` (the single
+    collect_list row here is ≈1.6 MB/decade of doubles). Escape
+    hatch past the cap: the same recurrence as keyed streaming state
+    (stream_ewma_stateful's applyInPandasWithState shape, one (s,)
+    double per series) or per-epoch segmented folds stitched like
+    ``global_islands`` stitches bucket boundaries."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.round(F.avg("value"), 6).alias("x")

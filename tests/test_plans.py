@@ -546,30 +546,43 @@ def test_plan_facts_api_extracts_structure(spark):
     assert not facts.has_cartesian and not facts.has_row_python
 
 
-def test_ranking_ops_have_no_single_partition_window(spark):
-    """The four global-ranking ops (Gini, Pareto, ABC, AUC) must rank
-    via the two-phase bucketed numbering (bucketed_rank_cumsum): every
-    Window in their plans is partitioned by the bucket column — no
-    'Window ... SinglePartition' anywhere, which would funnel the
-    whole entity dimension through one task."""
+def test_no_unapproved_single_partition_windows(spark):
+    """FLEET-WIDE unpartitioned-window audit (the generalization of
+    round 6's hand-picked ranking check): no operator may plan a
+    Window fed by a SinglePartition exchange unless it is on the
+    calendar-bounded allowlist centralized in ``operators/windows.py``
+    (the single source of truth for the rule, the cap, and each
+    entry's justification). Corpus-sized global ordering must go
+    through the two-phase bucketed recipes (``bucketed_rank_cumsum``,
+    ``global_islands``) — ``partitioner_range`` and the four ranking
+    ops are the worked conversions and are implicitly asserted clean
+    here. Anti-rot: allowlisted entries that stop planning the
+    single-partition window must be pruned."""
     import re
 
-    for name in (
-        "customer_gini_coefficient",
-        "customer_pareto_share",
-        "parts_abc_classification",
-        "eval_auc_rank_sum",
-        "user_rfm_segments",
-        "join_interval_overlap_binned",  # global islands, bucketed
-    ):
-        plan = plan_of(REG[name].fn(spark, SF_SMOKE), "simple")
-        assert plan.count("Window") >= 1, (name, plan)
+    from hadoop_based_distributed_batch_processing_system_spark.operators.windows import (
+        UNPARTITIONED_WINDOW_ALLOWED,
+    )
+
+    def has_single_partition_window(plan: str) -> bool:
         # children print BELOW their parent: the first Exchange after
-        # each Window node is the one feeding its sort. The final 1-row
+        # each Window node is the one feeding its sort. A final 1-row
         # global aggregate legitimately uses SinglePartition; a Window
-        # over one is the trap we removed.
+        # over one is the trap.
         for frag in plan.split("Window")[1:]:
             m = re.search(r"Exchange (\S+)", frag)
-            if m is None:
-                continue  # window reuses the previous node's partitioning
-            assert not m.group(1).startswith("SinglePartition"), (name, frag[:400])
+            if m is not None and m.group(1).startswith("SinglePartition"):
+                return True
+        return False
+
+    offenders = []
+    for name, spec in REG.items():
+        if name.startswith(_PLAN_SWEEP_SKIP_PREFIX) or name in _PLAN_SWEEP_SKIP:
+            continue
+        plan = plan_of(spec.fn(spark, SF_SMOKE), "simple")
+        if has_single_partition_window(plan):
+            offenders.append(name)
+    unapproved = [n for n in offenders if n not in UNPARTITIONED_WINDOW_ALLOWED]
+    assert not unapproved, f"new single-partition-window plans: {unapproved}"
+    gone = [n for n in UNPARTITIONED_WINDOW_ALLOWED if n in REG and n not in offenders]
+    assert not gone, f"allowlist entries no longer single-partition (prune them): {gone}"
