@@ -158,6 +158,8 @@ _PRIORITY_WINDOW = [
     "doc_length_buckets", "text_flesch_readability",
     "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
     "mm_frame_sample",
+    # --- round-7 additions (hash-oracled, verify this round)
+    "mm_decode_real_gif",
     # remaining never-verified entries follow in registration order
 ]
 

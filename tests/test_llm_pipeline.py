@@ -412,6 +412,60 @@ def test_png_decode_roundtrip_filters_and_crc():
         decode_png(bytes(b))
 
 
+def test_gif_lzw_roundtrip_including_width_growth_and_reset():
+    """The GIF LZW pair must round-trip arbitrary index streams,
+    including streams long enough to force every code-width bump up
+    to 12 bits and the 4096-entry table reset, plus the KwKwK case
+    (a code that references the entry being defined)."""
+    import random
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rng = random.Random(7)
+    for n, alpha, mcs in [(1, 4, 2), (10, 4, 2), (60, 16, 4), (5000, 4, 2), (60000, 8, 3)]:
+        seq = [rng.randrange(alpha) for _ in range(n)]
+        assert list(_lzw_decode_gif(_lzw_encode_gif(seq, mcs), mcs)) == seq, (n, alpha)
+    # highly repetitive stream drives the KwKwK path immediately
+    seq = [0, 1] * 50
+    assert list(_lzw_decode_gif(_lzw_encode_gif(seq, 2), 2)) == seq
+    # 200k symbols over a 2-symbol alphabet crosses 4096 codes (reset)
+    seq = [rng.randrange(2) for _ in range(200_000)]
+    assert list(_lzw_decode_gif(_lzw_encode_gif(seq, 2), 2)) == seq
+
+
+def test_gif_container_decode_matches_closed_form():
+    """decode_gif_frames on synth_gif_bytes must recover dimensions,
+    frame count, accumulated presentation timestamps, and palette-
+    mapped channel sums exactly — and reject a truncated container."""
+    import pytest
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import (
+        decode_gif_frames,
+        synth_gif_bytes,
+    )
+
+    for doc_id in [0, 1, 2, 3, 4, 7, 12, 123, 9999]:
+        b = synth_gif_bytes(doc_id)
+        assert b[:6] == b"GIF89a" and b[-1] == 0x3B
+        w, h, nf, frames = decode_gif_frames(b)
+        assert (w, h, nf) == (3 + doc_id % 8, 2 + doc_id % 5, 2 + doc_id % 5)
+        nc = 1 << (2 + doc_id % 3)
+        delay = 4 + doc_id % 7
+        assert len(frames) == nf
+        for fid, pts, sr, sg, sb in frames:
+            assert pts == fid * delay * 10
+            idx = [(doc_id + 2 * x + 3 * y + 5 * fid) % nc for y in range(h) for x in range(w)]
+            assert sr == sum((doc_id * 3 + i * 11) % 256 for i in idx), (doc_id, fid)
+            assert sg == sum((doc_id * 5 + i * 17) % 256 for i in idx), (doc_id, fid)
+            assert sb == sum((doc_id + i * 23) % 256 for i in idx), (doc_id, fid)
+
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif_frames(b"NOTAGIF" + bytes(40))
+
+
 def test_global_islands_matches_single_window_reference(spark):
     """global_islands (bucketed + boundary-chain merge) must produce
     EXACTLY the islands a global single-partition window would: the
