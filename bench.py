@@ -78,6 +78,14 @@ HEADLINE = [
     "dedup_repeated_ngram_spans",  # cross-doc 5-gram spans, lambda-bound hashed grams
     "pipeline_corpus_curation_v3",  # dedup -> decontaminate -> span accounting, one plan
     "text_winnowing_fingerprints",  # MOSS winnowing selection, lambda-bound grams
+    "entity_resolution_names",  # delete-1 match graph -> checkpointed label prop -> survivorship
+    "sim_search_pq",        # product-quantization ADC, literal codebook narrow map
+    "sim_search_hybrid_rrf",  # BM25 + cosine pools fused by reciprocal-rank
+    "events_activity_bursts",  # global islands via bucketed boundary merge
+    "logreg_embeddings",    # 3-step batch GD, literal-model fold + dim aggregate
+    "dedup_winnowing_pairs",  # winnowing fingerprints -> df-capped posting join
+    "corpus_health_report", # one-row scorecard, stats fused into two jobs
+    "mm_decode_real_gif",   # multi-frame GIF synth + LZW decode + frame sampling
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -437,6 +437,14 @@ def global_islands(
         F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     ).drop("__new")
 
+    # Two consumers read the bucketed-window result (the summary
+    # aggregate below and the caller's output plan) — cache it so the
+    # window computes once, the same multi-consumer discipline the
+    # curation pipelines follow (MEMORY_AND_DISK default: spills, never
+    # recomputes; at cluster scale this is one materialized shuffle's
+    # worth of state, strictly cheaper than a second full window pass).
+    d = d.cache()
+
     summary = (
         d.groupBy("__bkt")
         .agg(
