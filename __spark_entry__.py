@@ -160,6 +160,8 @@ _PRIORITY_WINDOW = [
     "mm_frame_sample",
     # --- round-7 additions (hash-oracled, verify this round)
     "mm_decode_real_gif",
+    "attribution_position_based", "timeseries_holt_forecast",
+    "eval_ndcg_at_k", "text_naive_bayes_lang", "sketch_kmv_distinct",
     # remaining never-verified entries follow in registration order
 ]
 

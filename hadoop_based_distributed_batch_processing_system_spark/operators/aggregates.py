@@ -1115,3 +1115,167 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     )
+
+
+_KMV_K = 16  # small enough that the estimator branch (not just exact
+           # mode) engages even at the sf0.01 driver scale (~25 docs/source)
+_KMV_U = 1 << 48  # hash universe: 48 bits from md5 hex chars 1..12
+
+# DuckDB has no conv(hex, 16, 10): build the 48-bit value as an explicit
+# 12-nibble positional sum (generated, not hand-typed). Spark uses
+# conv() — test_llm_pipeline pins that both produce identical values.
+_KMV_V_DUCK = " + ".join(
+    f"CAST({16 ** (11 - i)} AS BIGINT) * "
+    f"(strpos('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1)"
+    for i in range(12)
+)
+_KMV_V_SPARK = "CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)"
+
+
+@register(
+    "sketch_kmv_distinct",
+    # Everything is exact integer arithmetic on md5-derived 48-bit
+    # values: k-th order statistics, floor divisions of positive
+    # BIGINTs, saturating subtraction — bit-identical across engines.
+    oracle=f"""
+        WITH hv AS (
+          SELECT DISTINCT source, {_KMV_V_DUCK} AS v FROM documents
+        ),
+        ranked AS (
+          SELECT source, v,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS nd
+          FROM hv
+        ),
+        kept AS (SELECT * FROM ranked WHERE rn <= {_KMV_K}),
+        est AS (
+          SELECT source,
+                 CAST(CASE WHEN MAX(nd) < {_KMV_K} THEN MAX(nd)
+                      ELSE ({_KMV_K - 1} * {_KMV_U}) // MAX(CASE WHEN rn = {_KMV_K} THEN v END)
+                      END AS BIGINT) AS est
+          FROM kept GROUP BY source
+        ),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b
+          FROM srcs a JOIN srcs b ON a.source < b.source
+        ),
+        members AS (
+          SELECT p.source_a, p.source_b, kv.v
+          FROM pairs p JOIN kept kv ON kv.source = p.source_a OR kv.source = p.source_b
+          GROUP BY 1, 2, 3
+        ),
+        uranked AS (
+          SELECT source_a, source_b, v,
+                 ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY source_a, source_b) AS nd
+          FROM members
+        ),
+        uest AS (
+          SELECT source_a, source_b,
+                 CAST(CASE WHEN MAX(nd) < {_KMV_K} THEN MAX(nd)
+                      ELSE ({_KMV_K - 1} * {_KMV_U}) // MAX(CASE WHEN rn = {_KMV_K} THEN v END)
+                      END AS BIGINT) AS est_union
+          FROM uranked WHERE rn <= {_KMV_K} GROUP BY 1, 2
+        )
+        SELECT u.source_a, u.source_b,
+               ea.est AS est_a, eb.est AS est_b, u.est_union,
+               greatest(CAST(0 AS BIGINT), ea.est + eb.est - u.est_union) AS est_intersect
+        FROM uest u
+        JOIN est ea ON ea.source = u.source_a
+        JOIN est eb ON eb.source = u.source_b
+    """,
+    tags=("A4", "sketch", "kmv", "theta", "cross-source"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — KMV (k-minimum-values / theta) distinct sketches with SET
+    OPERATIONS: per-source distinct-document estimates plus pairwise
+    union and intersection estimates — the sketch family member HLL
+    cannot provide (HLL unions but never intersects; KMV's kept
+    sample supports both), and the cheap first answer to "how much
+    does source A overlap source B?" before running the exact
+    `dedup_cross_source_matrix`. Estimator: with v_k the k-th
+    smallest 48-bit hash, D ≈ (k-1)·U/v_k (Beyer et al. 2007,
+    unbiased); below k values the sketch IS the exact set. The union
+    sketch is the k smallest of the two kept sets' union (valid
+    because the k smallest of A ∪ B is a subset of kept_A ∪ kept_B);
+    intersection via inclusion-exclusion, clamped at 0.
+
+    Fully hash-oracled (unlike the engine-internal approx_distinct):
+    hashes are md5-derived integers, estimates are floor divisions
+    of positive BIGINTs — deterministic in both engines.
+
+    Scale: one distinct-shuffle on (source, v), then per-source
+    k-min via the canonical rank-filter (map-side partial
+    aggregation removes duplicate hashes early; a production
+    implementation would fold a bounded k-min heap per partition —
+    the rank window is the declarative equivalent). Everything
+    after `kept` is sketch-sized: ≤ k rows per source, pair
+    expansion via an EXPLODED equi-join on source (never an OR-join)
+    against a broadcast pair list — |sources|²·k rows total,
+    independent of corpus size."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = docs.select("source", F.expr(_KMV_V_SPARK).alias("v")).distinct()
+    by_src = Window.partitionBy("source")
+    ranked = hv.select(
+        "source",
+        "v",
+        F.row_number().over(by_src.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(by_src).alias("nd"),
+    )
+    kept = ranked.filter(F.col("rn") <= _KMV_K)
+
+    def _estimate(grouped):
+        nd_max = F.max("nd")
+        vk = F.max(F.when(F.col("rn") == _KMV_K, F.col("v")))
+        return grouped.agg(
+            F.when(nd_max < _KMV_K, nd_max)
+            .otherwise(F.expr(f"{(_KMV_K - 1) * _KMV_U} div max(CASE WHEN rn = {_KMV_K} THEN v END)"))
+            .cast("long")
+            .alias("est"),
+            vk.alias("_vk"),
+        ).drop("_vk")
+
+    est = _estimate(kept.groupBy("source"))
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+    )
+    members = (
+        pairs.select(
+            "source_a", "source_b",
+            F.explode(F.array("source_a", "source_b")).alias("source"),
+        )
+        .join(broadcast(kept.select("source", "v")), "source")
+        .select("source_a", "source_b", "v")
+        .distinct()
+    )
+    by_pair = Window.partitionBy("source_a", "source_b")
+    uranked = members.select(
+        "source_a",
+        "source_b",
+        "v",
+        F.row_number().over(by_pair.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(by_pair).alias("nd"),
+    )
+    uest = _estimate(uranked.filter(F.col("rn") <= _KMV_K).groupBy("source_a", "source_b")).withColumnRenamed(
+        "est", "est_union"
+    )
+    out = (
+        uest.join(est.withColumnRenamed("source", "source_a").withColumnRenamed("est", "est_a"), "source_a")
+        .join(est.withColumnRenamed("source", "source_b").withColumnRenamed("est", "est_b"), "source_b")
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(F.lit(0).cast("long"), F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersect"
+        ),
+    )

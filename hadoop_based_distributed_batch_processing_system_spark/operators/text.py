@@ -1805,3 +1805,226 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(quality), 6).alias("mean_quality"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+_NDCG_K = 10
+
+
+@register(
+    "eval_ndcg_at_k",
+    # Counts and ranks are exact integers in both engines; the only
+    # floats are the final ≤10-term DCG sums, rounded at 6 dp (the
+    # text_unigram_logprob_score tolerance argument).
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len(list_filter(string_split(text, ' '), w -> w = 'table' OR w = 'scan'))
+                   AS score,
+                 least(3, len(list_filter(string_split(text, ' '), w -> w = 'query')))
+                   AS rel
+          FROM documents
+        ),
+        ranked AS (
+          SELECT lang, rel,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS r_sys,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rel DESC, doc_id) AS r_ideal
+          FROM scored
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(CASE WHEN r_sys <= {_NDCG_K}
+                              THEN (pow(2, rel) - 1) / log2(r_sys + 1) ELSE 0 END), 6) AS dcg,
+               ROUND(SUM(CASE WHEN r_ideal <= {_NDCG_K}
+                              THEN (pow(2, rel) - 1) / log2(r_ideal + 1) ELSE 0 END), 6) AS idcg,
+               ROUND(SUM(CASE WHEN r_sys <= {_NDCG_K}
+                              THEN (pow(2, rel) - 1) / log2(r_sys + 1) ELSE 0 END)
+                     / SUM(CASE WHEN r_ideal <= {_NDCG_K}
+                                THEN (pow(2, rel) - 1) / log2(r_ideal + 1) ELSE 0 END), 6)
+                 AS ndcg_at_k
+        FROM ranked
+        GROUP BY lang
+    """,
+    tags=("L23", "eval", "ndcg", "retrieval"),
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23 — NDCG@{_NDCG_K} per query group: the graded-relevance
+    ranking metric that completes the eval family (AUC = binary
+    global, Spearman = correlation, calibration = probability;
+    NDCG = position-discounted retrieval quality — what you grade a
+    BM25/ANN ranker with). Each ``lang`` acts as one query: the
+    "system" ranks docs by a lexical score (occurrences of
+    'table'/'scan'), ground truth is a 0-3 graded relevance
+    (capped occurrences of 'query'); NDCG@k = DCG of the system
+    order / DCG of the ideal order over the top {_NDCG_K}.
+
+    Scale: both rankings are per-GROUP row_number windows (the
+    canonical top-k-per-group shape — each query's candidate list
+    shuffles once on the group key; a production eval over millions
+    of queries partitions identically). Token counts stay in one
+    JVM higher-order filter — the text is scanned once, never
+    exploded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(toks, lambda w: (w == "table") | (w == "scan"))).alias("score"),
+        F.least(F.lit(3), F.size(F.filter(toks, lambda w: w == "query"))).alias("rel"),
+    )
+    by = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "rel",
+        F.row_number().over(by.orderBy(F.desc("score"), "doc_id")).alias("r_sys"),
+        F.row_number().over(by.orderBy(F.desc("rel"), "doc_id")).alias("r_ideal"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    dcg = F.sum(F.when(F.col("r_sys") <= _NDCG_K, gain / F.log2(F.col("r_sys") + 1)).otherwise(0.0))
+    idcg = F.sum(
+        F.when(F.col("r_ideal") <= _NDCG_K, gain / F.log2(F.col("r_ideal") + 1)).otherwise(0.0)
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.round(dcg / idcg, 6).alias("ndcg_at_k"),
+    )
+
+
+_NB_TEST_MOD = 5  # doc_id % 5 == 0 → test split (20%)
+
+
+@register(
+    "text_naive_bayes_lang",
+    # All counts are exact integers; ln() appears only with integer
+    # arguments (c+1, T_l+V, class/doc counts) and enters ≤ few-hundred
+    # term sums rounded at 4 dp before the argmax, so both engines pick
+    # the same class (ties break on lang ASC via the rank order).
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, lang, u.w
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(w)
+        ),
+        train AS (SELECT * FROM tok WHERE doc_id % {_NB_TEST_MOD} != 0),
+        c AS (
+          SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM train GROUP BY lang, w
+        ),
+        totals AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS t_l,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_l
+          FROM train GROUP BY lang
+        ),
+        consts AS (
+          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_train
+          FROM train
+        ),
+        test AS (
+          SELECT doc_id, lang AS true_lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok WHERE doc_id % {_NB_TEST_MOD} = 0
+          GROUP BY doc_id, lang, w
+        ),
+        doclen AS (
+          SELECT doc_id, true_lang, SUM(cnt) AS n_tok FROM test GROUP BY doc_id, true_lang
+        ),
+        seen AS (
+          SELECT t.doc_id, c.lang, SUM(t.cnt * ln(c.c + 1)) AS seen_part
+          FROM test t JOIN c ON t.w = c.w
+          GROUP BY t.doc_id, c.lang
+        ),
+        scoredall AS (
+          SELECT d.doc_id, d.true_lang, tl.lang,
+                 ROUND(ln(CAST(tl.n_docs_l AS DOUBLE) / k.n_train)
+                       - d.n_tok * ln(CAST(tl.t_l + k.v AS DOUBLE))
+                       + COALESCE(s.seen_part, 0), 4) AS score
+          FROM doclen d
+          CROSS JOIN totals tl
+          CROSS JOIN consts k
+          LEFT JOIN seen s ON s.doc_id = d.doc_id AND s.lang = tl.lang
+        ),
+        best AS (
+          SELECT doc_id, true_lang, lang AS pred_lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+          FROM scoredall
+        )
+        SELECT doc_id, true_lang, pred_lang, score,
+               pred_lang = true_lang AS correct
+        FROM best WHERE rk = 1
+    """,
+    tags=("ML4", "naive-bayes", "classify", "text"),
+)
+def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML4 — multinomial Naive Bayes language classifier, trained and
+    evaluated distributed: add-one-smoothed per-(lang, word) token
+    model on the 80% train split (doc_id % {_NB_TEST_MOD} != 0),
+    per-document class scores and argmax prediction on the 20% test
+    split. The third trainer beside k-means and logistic regression,
+    and the generative text classifier a curation pipeline uses for
+    cheap source/language routing.
+
+    The unseen-word decomposition keeps the plan sparse: score_l =
+    ln(prior_l) - n_tok * ln(T_l + V) + Σ_seen cnt_w * ln(c_wl + 1),
+    so only (word, lang) pairs that EXIST in the model produce join
+    rows — no dense doc×vocab grid is ever materialized. Scale: the
+    model (vocab × langs, Heaps-law-bounded like the unigram LM
+    vocab) BROADCASTS onto the test token stream; the dense
+    doc×class grid is |test docs| × |langs| via a broadcast
+    nested-loop on the tiny per-class totals (5 rows); the argmax is
+    a per-doc window over ≤|langs| rows. Drop the broadcast hints
+    and the identical plan shuffle-joins if the model outgrows
+    them."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    train = tok.filter(F.col("doc_id") % _NB_TEST_MOD != 0)
+    c = train.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = train.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("t_l"),
+        F.count_distinct("doc_id").alias("n_docs_l"),
+    )
+    consts = train.agg(
+        F.count_distinct("w").alias("v"),
+        F.count_distinct("doc_id").alias("n_train"),
+    )
+    test = (
+        tok.filter(F.col("doc_id") % _NB_TEST_MOD == 0)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    doclen = test.groupBy("doc_id", "true_lang").agg(F.sum("cnt").alias("n_tok"))
+    seen = (
+        test.join(broadcast(c), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.log(F.col("c") + 1)).alias("seen_part"))
+    )
+    scoredall = (
+        doclen.crossJoin(broadcast(totals))
+        .crossJoin(broadcast(consts))
+        .join(seen, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.round(
+                F.log(F.col("n_docs_l").cast("double") / F.col("n_train"))
+                - F.col("n_tok") * F.log((F.col("t_l") + F.col("v")).cast("double"))
+                + F.coalesce(F.col("seen_part"), F.lit(0.0)),
+                4,
+            ).alias("score"),
+        )
+    )
+    best = scoredall.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "doc_id",
+        "true_lang",
+        F.col("lang").alias("pred_lang"),
+        "score",
+        (F.col("lang") == F.col("true_lang")).alias("correct"),
+    )

@@ -1689,3 +1689,262 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(burn, 6).alias("burn_rate"),
         (burn > 1.0).alias("burning"),
     )
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "attribution_position_based",
+    # Weights are exact integer micro-credits (floor division), so the
+    # per-(channel, role) sums are integers — no float summation-order
+    # hazard. Position ties resolve by (ts, event_id) in both engines.
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+                 CASE WHEN event_type IN ('click', 'view') THEN event_type END AS channel
+          FROM events WHERE event_type IN ('purchase', 'click', 'view')
+        ),
+        nxt AS (
+          SELECT *,
+                 FIRST_VALUE(CASE WHEN side = 1 THEN ts END IGNORE NULLS) OVER w AS p_ts,
+                 FIRST_VALUE(CASE WHEN side = 1 THEN event_id END IGNORE NULLS) OVER w AS p_eid
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        tt AS (
+          SELECT channel, ts, event_id, p_eid FROM nxt
+          WHERE side = 0 AND p_ts IS NOT NULL
+            AND ts >= p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+        ),
+        pos AS (
+          SELECT channel, p_eid,
+                 COUNT(*) OVER (PARTITION BY p_eid) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY p_eid ORDER BY ts, event_id) AS rn
+          FROM tt
+        ),
+        credited AS (
+          SELECT channel, p_eid,
+                 CASE WHEN n = 1 THEN 'only'
+                      WHEN rn = 1 THEN 'first'
+                      WHEN rn = n THEN 'last'
+                      ELSE 'middle' END AS role,
+                 CASE WHEN n = 1 THEN 1000000
+                      WHEN n = 2 THEN 500000
+                      WHEN rn = 1 OR rn = n THEN 400000
+                      ELSE CAST((200000 - ((200000 % (n - 2)) + (n - 2)) % (n - 2)) / (n - 2) AS BIGINT)
+                      END AS credit
+          FROM pos
+        )
+        SELECT channel, role,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit) AS BIGINT) AS credit_micros,
+               CAST(COUNT(DISTINCT p_eid) AS BIGINT) AS n_conversions
+        FROM credited
+        GROUP BY channel, role
+    """,
+    tags=("E3'", "attribution", "multi-touch"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3' — position-based (U-shaped) multi-touch attribution: every
+    click/view credits the user's NEXT purchase at-or-after it within
+    a {_ATTR_WINDOW_DAYS}-day window; credit splits 40% to the first
+    touch, 40% to the last, and the remaining 20% evenly across the
+    middle (1 touch → 100%, 2 → 50/50). Complements the single-touch
+    `attribution_last_touch` with the path-aware model marketing
+    teams actually budget against; output is the per-(channel, role)
+    credit ledger.
+
+    Determinism: credits are integer MICRO-credits with floor
+    division (200000 div (n-2) via the positive-modulo identity, so
+    Spark's `div` and any truncation convention agree) — sums are
+    exact integers in both engines. Touch→conversion assignment uses
+    the same union+forward-window construction as the as-of family:
+    one shuffle on user_id, `first(..., ignorenulls)` over the
+    forward frame — never a per-touch subquery. The per-conversion
+    position window partitions by purchase id (conversion-sized
+    groups). Scale: two partitioned windows + one small aggregate;
+    the {_ATTR_WINDOW_DAYS}-day bound is the streaming state bound,
+    exactly as for last-touch."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("purchase", "click", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("side"),
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")).alias("channel"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_struct = F.when(
+        F.col("side") == 1, F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid"))
+    )
+    nxt = base.withColumn("p", F.first(p_struct, ignorenulls=True).over(fwd))
+    tt = nxt.filter(
+        (F.col("side") == 0)
+        & F.col("p").isNotNull()
+        & (F.col("ts") >= F.col("p.ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"))
+    ).select("channel", "ts", "event_id", F.col("p.eid").alias("p_eid"))
+    per_conv = Window.partitionBy("p_eid")
+    pos = tt.select(
+        "channel",
+        "p_eid",
+        F.count(F.lit(1)).over(per_conv).alias("n"),
+        F.row_number().over(per_conv.orderBy("ts", "event_id")).alias("rn"),
+    )
+    n, rn = F.col("n"), F.col("rn")
+    role = (
+        F.when(n == 1, "only")
+        .when(rn == 1, "first")
+        .when(rn == n, "last")
+        .otherwise("middle")
+    )
+    credit = (
+        F.when(n == 1, F.lit(1000000))
+        .when(n == 2, F.lit(500000))
+        .when((rn == 1) | (rn == n), F.lit(400000))
+        .otherwise(F.expr("200000 div (n - 2)"))
+    ).cast("long")
+    return (
+        pos.select("channel", "p_eid", role.alias("role"), credit.alias("credit"))
+        .groupBy("channel", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").alias("credit_micros"),
+            F.count_distinct("p_eid").alias("n_conversions"),
+        )
+    )
+
+
+_HOLT_H = 3  # forecast horizon (months)
+
+
+def _fd10_duck(n: str) -> str:
+    """DuckDB exact floor-divide-by-10 for possibly-negative BIGINTs:
+    positive-modulo identity, so no engine's truncation convention
+    matters (the numerator is made exactly divisible first)."""
+    return f"((({n}) - (((({n}) % 10) + 10) % 10)) // 10)"
+
+
+def _fd10_spark(n: str) -> str:
+    """Spark twin of :func:`_fd10_duck` (pmod + integer div)."""
+    return f"((({n}) - pmod(({n}), 10)) div 10)"
+
+
+# Holt's linear recurrence in integer cents, alpha=0.2, beta=0.3:
+#   l_t = floor((2*x_t + 8*(l + b)) / 10)
+#   b_t = floor((3*(l_t - l) + 7*b) / 10)
+_HOLT_L_DUCK = _fd10_duck("2 * m.cents + 8 * (h.l + h.b)")
+_HOLT_B_DUCK = _fd10_duck(f"3 * ({_HOLT_L_DUCK} - h.l) + 7 * h.b")
+_HOLT_L_SPARK = _fd10_spark("2 * e.cents + 8 * (element_at(acc, -1).l + element_at(acc, -1).b)")
+_HOLT_B_SPARK = _fd10_spark(f"3 * ({_HOLT_L_SPARK} - element_at(acc, -1).l) + 7 * element_at(acc, -1).b")
+
+
+@register(
+    "timeseries_holt_forecast",
+    oracle=f"""
+        WITH RECURSIVE m AS (
+          SELECT month, cents,
+                 CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS idx
+          FROM (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+          )
+        ),
+        holt AS (
+          SELECT idx, cents, CAST(cents AS BIGINT) AS l,
+                 CAST(0 AS BIGINT) AS b, CAST(NULL AS BIGINT) AS f
+          FROM m WHERE idx = 1
+          UNION ALL
+          SELECT h.idx + 1, m.cents,
+                 {_HOLT_L_DUCK},
+                 {_HOLT_B_DUCK},
+                 h.l + h.b
+          FROM holt h JOIN m ON m.idx = h.idx + 1
+        )
+        SELECT m.month, CAST(m.cents AS BIGINT) AS actual_cents,
+               h.f AS fitted_cents, 'fit' AS kind
+        FROM holt h JOIN m ON m.idx = h.idx
+        UNION ALL
+        SELECT last.month + g.h * INTERVAL 1 MONTH,
+               CAST(NULL AS BIGINT),
+               last.l + g.h * last.b,
+               'forecast'
+        FROM (
+          SELECT h.l, h.b, m.month FROM holt h
+          JOIN m ON m.idx = h.idx
+          WHERE h.idx = (SELECT MAX(idx) FROM m)
+        ) last
+        CROSS JOIN (SELECT unnest(generate_series(1, {_HOLT_H})) AS h) g
+    """,
+    tags=("T18", "timeseries", "forecast", "holt"),
+)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 — Holt's linear-trend exponential smoothing over the
+    monthly revenue series (alpha=0.2, beta=0.3, init l_1=x_1,
+    b_1=0), emitting the one-step-ahead fit per observed month plus
+    a {_HOLT_H}-month forecast — the trend-aware successor to the
+    plain EWMA (`timeseries_ewma`) and the baseline forecaster a
+    reporting stack ships first.
+
+    Determinism: the series is EXACT INTEGER CENTS — monthly revenue
+    sums as DECIMAL(18,2) (decimal addition is exact and
+    order-insensitive, unlike double) — and the recurrence uses the
+    floor-divide-by-10 positive-modulo identity, so Spark's fold and
+    DuckDB's recursive CTE produce bit-identical BIGINT states; no
+    float enters the pipeline at all. Like the CUSUM monitor above,
+    the recurrence is inherently sequential, so it folds ONCE over
+    the calendar-bounded monthly rollup (~10^2 rows/decade — the
+    exception class in ``operators/windows.py``; the corpus-sized
+    work is the one groupBy(month) shuffle). Escape hatch past the
+    bound: keyed streaming state (stream_ewma_stateful's shape with
+    (l, b) per series)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").alias("cents")
+    )
+    packed = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("month", "cents"))).alias("sx")
+    ).select(
+        "sx",
+        F.expr(
+            f"""
+            aggregate(sx, CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT>>),
+              (acc, e) -> concat(acc, array(
+                CASE WHEN size(acc) = 0
+                  THEN named_struct('l', e.cents, 'b', CAST(0 AS BIGINT))
+                  ELSE named_struct('l', {_HOLT_L_SPARK}, 'b', {_HOLT_B_SPARK})
+                END)))
+            """
+        ).alias("st"),
+    )
+    fits = packed.select(
+        F.posexplode(F.arrays_zip("sx", "st")).alias("i", "z"), F.col("st")
+    ).select(
+        F.col("z.sx.month").alias("month"),
+        F.col("z.sx.cents").alias("actual_cents"),
+        F.when(
+            F.col("i") > 0,
+            F.element_at("st", F.col("i")).getField("l")
+            + F.element_at("st", F.col("i")).getField("b"),
+        ).alias("fitted_cents"),
+        F.lit("fit").alias("kind"),
+    )
+    forecasts = packed.select(
+        F.element_at("sx", -1).getField("month").alias("last_month"),
+        F.element_at("st", -1).getField("l").alias("l"),
+        F.element_at("st", -1).getField("b").alias("b"),
+        F.explode(F.sequence(F.lit(1), F.lit(_HOLT_H))).alias("h"),
+    ).select(
+        F.add_months("last_month", F.col("h")).cast("timestamp").alias("month"),
+        F.lit(None).cast("long").alias("actual_cents"),
+        (F.col("l") + F.col("h") * F.col("b")).alias("fitted_cents"),
+        F.lit("forecast").alias("kind"),
+    )
+    return fits.unionByName(forecasts)

@@ -284,6 +284,16 @@ _NESTED_LOOP_ALLOWED = {
     "market_basket_rules": "broadcasts the 1-row distinct-order count for support normalization",
     "pipeline_corpus_curation_v2": "broadcasts the 1-row mixing totals onto the per-language frame",
     "funnel_conversion_windowed": "assembles the report from three 1-row stage counts",
+    "text_naive_bayes_lang": (
+        "broadcasts the |langs|-row class-totals and 1-row (V, N) frames onto "
+        "the per-doc grid — the dense doc x class scoring NB requires; bounded "
+        "by the class count, never the corpus"
+    ),
+    "sketch_kmv_distinct": (
+        "source-pair list via a < self-join of the distinct-sources frame "
+        "(|sources|^2 rows, sketch metadata, corpus-independent); the "
+        "corpus-sized work upstream is all equi-joins"
+    ),
 }
 
 # Eager-on-call operators (streams, sinks, driver-side collects) are
