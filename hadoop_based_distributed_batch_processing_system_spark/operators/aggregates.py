@@ -1143,14 +1143,13 @@ _KMV_V_SPARK = "CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)"
         ),
         ranked AS (
           SELECT source, v,
-                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
-                 COUNT(*) OVER (PARTITION BY source) AS nd
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn
           FROM hv
         ),
         kept AS (SELECT * FROM ranked WHERE rn <= {_KMV_K}),
         est AS (
           SELECT source,
-                 CAST(CASE WHEN MAX(nd) < {_KMV_K} THEN MAX(nd)
+                 CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
                       ELSE ({_KMV_K - 1} * {_KMV_U}) // MAX(CASE WHEN rn = {_KMV_K} THEN v END)
                       END AS BIGINT) AS est
           FROM kept GROUP BY source
@@ -1167,13 +1166,12 @@ _KMV_V_SPARK = "CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)"
         ),
         uranked AS (
           SELECT source_a, source_b, v,
-                 ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY v) AS rn,
-                 COUNT(*) OVER (PARTITION BY source_a, source_b) AS nd
+                 ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY v) AS rn
           FROM members
         ),
         uest AS (
           SELECT source_a, source_b,
-                 CAST(CASE WHEN MAX(nd) < {_KMV_K} THEN MAX(nd)
+                 CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
                       ELSE ({_KMV_K - 1} * {_KMV_U}) // MAX(CASE WHEN rn = {_KMV_K} THEN v END)
                       END AS BIGINT) AS est_union
           FROM uranked WHERE rn <= {_KMV_K} GROUP BY 1, 2
@@ -1206,10 +1204,11 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     of positive BIGINTs — deterministic in both engines.
 
     Scale: one distinct-shuffle on (source, v), then per-source
-    k-min via the canonical rank-filter (map-side partial
-    aggregation removes duplicate hashes early; a production
-    implementation would fold a bounded k-min heap per partition —
-    the rank window is the declarative equivalent). Everything
+    k-min via the canonical rank-filter — and because the window
+    carries ONLY row_number (no count-over-partition beside it),
+    Catalyst plans WindowGroupLimit: a map-side partial top-k per
+    source BEFORE the shuffle, i.e. the bounded k-min heap a
+    hand-written sketch keeps, derived by the optimizer. Everything
     after `kept` is sketch-sized: ≤ k rows per source, pair
     expansion via an EXPLODED equi-join on source (never an OR-join)
     against a broadcast pair list — |sources|²·k rows total,
@@ -1219,24 +1218,24 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hv = docs.select("source", F.expr(_KMV_V_SPARK).alias("v")).distinct()
     by_src = Window.partitionBy("source")
+    # rank-only window (no count-over-partition beside it): Catalyst
+    # plans WindowGroupLimit, a map-side partial top-k per source
+    # BEFORE the shuffle — the bounded k-min heap a hand-written
+    # sketch would keep. Exact mode needs no full count: fewer than k
+    # kept rows means the kept set IS the whole set.
     ranked = hv.select(
-        "source",
-        "v",
-        F.row_number().over(by_src.orderBy("v")).alias("rn"),
-        F.count(F.lit(1)).over(by_src).alias("nd"),
+        "source", "v", F.row_number().over(by_src.orderBy("v")).alias("rn")
     )
     kept = ranked.filter(F.col("rn") <= _KMV_K)
 
     def _estimate(grouped):
-        nd_max = F.max("nd")
-        vk = F.max(F.when(F.col("rn") == _KMV_K, F.col("v")))
+        n_kept = F.count(F.lit(1))
         return grouped.agg(
-            F.when(nd_max < _KMV_K, nd_max)
+            F.when(n_kept < _KMV_K, n_kept)
             .otherwise(F.expr(f"{(_KMV_K - 1) * _KMV_U} div max(CASE WHEN rn = {_KMV_K} THEN v END)"))
             .cast("long")
             .alias("est"),
-            vk.alias("_vk"),
-        ).drop("_vk")
+        )
 
     est = _estimate(kept.groupBy("source"))
     srcs = docs.select("source").distinct()
@@ -1260,7 +1259,6 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_b",
         "v",
         F.row_number().over(by_pair.orderBy("v")).alias("rn"),
-        F.count(F.lit(1)).over(by_pair).alias("nd"),
     )
     uest = _estimate(uranked.filter(F.col("rn") <= _KMV_K).groupBy("source_a", "source_b")).withColumnRenamed(
         "est", "est_union"
