@@ -1992,6 +1992,7 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.filter(F.col("doc_id") % _NB_TEST_MOD == 0)
         .groupBy("doc_id", F.col("lang").alias("true_lang"), "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()  # two consumers (doc lengths + model join) — one explode+shuffle, not two
     )
     doclen = test.groupBy("doc_id", "true_lang").agg(F.sum("cnt").alias("n_tok"))
     seen = (
