@@ -86,6 +86,8 @@ HEADLINE = [
     "dedup_winnowing_pairs",  # winnowing fingerprints -> df-capped posting join
     "corpus_health_report", # one-row scorecard, stats fused into two jobs
     "mm_decode_real_gif",   # multi-frame GIF synth + LZW decode + frame sampling
+    "text_naive_bayes_lang",  # NB train+classify, sparse unseen-word decomposition
+    "sketch_kmv_distinct",  # KMV theta sketches, WindowGroupLimit partial top-k
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
