@@ -162,6 +162,7 @@ _PRIORITY_WINDOW = [
     "mm_decode_real_gif",
     "attribution_position_based", "timeseries_holt_forecast",
     "eval_ndcg_at_k", "text_naive_bayes_lang", "sketch_kmv_distinct",
+    "graph_bfs_hops", "agg_quantile_sketch_kmv", "stream_kmv_stateful",
     # remaining never-verified entries follow in registration order
 ]
 

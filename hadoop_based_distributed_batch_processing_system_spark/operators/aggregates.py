@@ -1277,3 +1277,89 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersect"
         ),
     )
+
+
+_QKMV_K = 64
+# quantiles as exact rationals; sample index = ceil(num*n/den) via
+# integer (a + b - 1) div b — no float q*n (0.9*10 = 9.000...002 would
+# ceil differently per engine)
+_QKMV_QS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+
+@register(
+    "agg_quantile_sketch_kmv",
+    oracle=f"""
+        WITH hv AS (
+          SELECT l_returnflag AS flag, l_extendedprice AS val,
+                 md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS h
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT flag, val FROM (
+            SELECT flag, val, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS rn
+            FROM hv
+          ) WHERE rn <= {_QKMV_K}
+        ),
+        ordered AS (
+          SELECT flag, val,
+                 ROW_NUMBER() OVER (PARTITION BY flag ORDER BY val, flag) AS vr,
+                 COUNT(*) OVER (PARTITION BY flag) AS n
+          FROM kept
+        )
+        SELECT flag, CAST(MAX(n) AS BIGINT) AS n_sample,
+               {", ".join(
+                   f"MAX(CASE WHEN vr = (({num} * n + {den} - 1) // {den}) THEN val END) AS est_{name}"
+                   for name, num, den in _QKMV_QS
+               )}
+        FROM ordered GROUP BY flag
+    """,
+    tags=("A4''", "sketch", "quantile", "kmv"),
+)
+def agg_quantile_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4'' — MERGEABLE deterministic quantile sketch: per group keep
+    the {_QKMV_K} rows whose md5 row-key hash is smallest (a uniform
+    sample chosen by hash order, so two sketches merge by union +
+    re-rank exactly like `sketch_kmv_distinct`), then read quantile
+    estimates as type-1 order statistics of the sample. The
+    hash-oracled member of the quantile family: `agg_approx_quantile`
+    (engine-internal KLL) stays rows-only by nature, this one is
+    deterministic end-to-end — hash order fixes the sample, sample
+    indices are exact integer ceilings (never float q*n, whose
+    last-ulp error flips ceil() between engines), and estimates are
+    SELECTED input values, never interpolated.
+
+    Scale: the hash-rank window carries only row_number, so Catalyst
+    plans WindowGroupLimit — each partition forwards at most k rows
+    per group to the shuffle (the mergeable-sketch property, derived
+    by the optimizer). The value-rank stage runs on ≤ k rows per
+    group. Error: rank error O(1/sqrt(k)) like any uniform-sample
+    quantile; raise k for tighter bands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("val"),
+        F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))).alias("h"),
+    )
+    kept = (
+        hv.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("flag").orderBy("h"))
+        )
+        .filter(F.col("rn") <= _QKMV_K)
+        .select("flag", "val")
+    )
+    by_flag = Window.partitionBy("flag")
+    ordered = kept.select(
+        "flag",
+        "val",
+        F.row_number().over(by_flag.orderBy("val", "flag")).alias("vr"),
+        F.count(F.lit(1)).over(by_flag).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_sample")] + [
+        F.max(
+            F.when(
+                F.col("vr") == F.expr(f"({num} * n + {den - 1}) div {den}"), F.col("val")
+            )
+        ).alias(f"est_{name}")
+        for name, num, den in _QKMV_QS
+    ]
+    return ordered.groupBy("flag").agg(*aggs)

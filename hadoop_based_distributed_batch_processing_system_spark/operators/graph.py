@@ -462,3 +462,104 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(_LP_TOP)
     )
+
+
+_BFS_HOPS = 3
+_BFS_SEED_NATION = 0
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS relaxations (exact min-hop for distance <= k)."""
+    prev = "h0"
+    steps = []
+    for k in range(1, _BFS_HOPS + 1):
+        steps.append(
+            f"""h{k} AS (
+          SELECT node, MIN(hops) AS hops FROM (
+            SELECT node, hops FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, p.hops + 1 AS hops
+            FROM edges e JOIN {prev} p ON e.src = p.node
+          ) GROUP BY node
+        )"""
+        )
+        prev = f"h{k}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+          SELECT cnode AS src, snode AS dst FROM pairs
+          UNION ALL
+          SELECT snode, cnode FROM pairs
+        ),
+        h0 AS (
+          SELECT DISTINCT s_suppkey * 2 + 1 AS node, 0 AS hops
+          FROM supplier WHERE s_nationkey = {_BFS_SEED_NATION}
+        ),
+        {chain}
+        SELECT node, CAST(hops AS INT) AS hops,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type
+        FROM {prev}
+    """
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    tags=("G5", "graph", "bfs", "traversal"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — multi-source BFS over the customer–supplier transaction
+    graph: exact minimum hop distance (≤ {_BFS_HOPS}) from the
+    nation-{_BFS_SEED_NATION} suppliers to every reachable node — the
+    blast-radius / influence-propagation traversal that completes the
+    graph family (components = connectivity, pagerank = importance,
+    triangles = cohesion, BFS = REACH). Supply-chain reading: which
+    customers and suppliers are 1, 2, 3 transaction-hops away from a
+    compromised supplier cohort.
+
+    This is the Pregel iteration shape expressed relationally: each
+    round relaxes the frontier through ONE edges⋈labels equi-join +
+    a map-side-combining MIN aggregate, exactly the
+    `dedup_connected_components` loop with min-hop in place of
+    min-label. {_BFS_HOPS} unrolled rounds give the exact ≤-k-hop
+    distances (BFS relaxation is monotone); the oracle unrolls the
+    identical CTE chain — pure integer arithmetic end-to-end, no
+    floats anywhere. Scale: labels are vertex-sized, edges shuffle
+    on src each round (pre-partition edges once by src to make every
+    round's join co-located; AQE splits hub skew); a deeper-horizon
+    variant checkpoints the label frame per round like the
+    components loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).unionAll(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    labels = (
+        supplier.filter(F.col("s_nationkey") == _BFS_SEED_NATION)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
+    for _ in range(_BFS_HOPS):
+        relaxed = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        labels = labels.unionAll(relaxed).groupBy("node").agg(F.min("hops").alias("hops"))
+    return labels.select(
+        "node",
+        F.col("hops").cast("int").alias("hops"),
+        F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier").alias("node_type"),
+    )

@@ -1007,3 +1007,90 @@ def stream_bloom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, "hbdbps_stream_bloom", "update")
+
+
+_SKMV_K = 16
+_SKMV_U = 1 << 48
+# 48-bit value from md5 hex 1..12 — DuckDB nibble-sum generated like the
+# batch sketch's; Spark uses conv()
+_SKMV_V_DUCK = " + ".join(
+    f"CAST({16 ** (11 - i)} AS BIGINT) * "
+    f"(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR)), {i + 1}, 1)) - 1)"
+    for i in range(12)
+)
+
+
+@register(
+    "stream_kmv_stateful",
+    # Oracle: the batch KMV estimate per event_type over the same
+    # events — the k-min set is pure integer state, min-merge is
+    # idempotent and commutative, so any micro-batch boundary or
+    # replay yields the identical kept set and estimate.
+    oracle=f"""
+        WITH hv AS (
+          SELECT DISTINCT event_type, {_SKMV_V_DUCK} AS v
+          FROM (SELECT event_type, user_id AS k FROM events)
+        ),
+        ranked AS (
+          SELECT event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+          FROM hv
+        ),
+        kept AS (SELECT * FROM ranked WHERE rn <= {_SKMV_K})
+        SELECT event_type,
+               CAST(COUNT(*) AS INT) AS n_kept,
+               CAST(CASE WHEN COUNT(*) < {_SKMV_K} THEN COUNT(*)
+                    ELSE ({_SKMV_K - 1} * {_SKMV_U}) // MAX(CASE WHEN rn = {_SKMV_K} THEN v END)
+                    END AS BIGINT) AS est_distinct_users
+        FROM kept GROUP BY event_type
+    """,
+    tags=("A4", "sketch", "kmv", "stream", "stateful"),
+)
+def stream_kmv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sketch_kmv_distinct: live distinct-user
+    estimates per event type with the k-minimum-values set as keyed
+    state ({_SKMV_K} BIGINTs per key, constant regardless of stream
+    volume). Each micro-batch pre-reduces map-side to its per-key
+    k smallest hashes, then the state merge keeps the k smallest of
+    old ∪ new — a MIN-set merge, idempotent and commutative, so
+    at-least-once replay or any batch boundary produces the identical
+    kept set the batch sketch computes (the property the hash oracle
+    checks). Unlike the HLL twin this state supports SET OPS
+    downstream: two keys' kept sets union/intersect exactly as in
+    the batch op.
+
+    Scale: state is k longs per event type; the per-batch shuffle
+    carries at most k rows per (key, partition) thanks to the
+    map-side group-limit reduction."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("v"),
+    )
+
+    def update_kmv(key, pdfs, state: GroupState):
+        vals = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            vals.update(int(x) for x in pdf["v"])
+            if len(vals) > _SKMV_K:
+                vals = set(sorted(vals)[:_SKMV_K])
+        kept = sorted(vals)[:_SKMV_K]
+        state.update((kept,))
+        n = len(kept)
+        est = n if n < _SKMV_K else (_SKMV_K - 1) * _SKMV_U // kept[_SKMV_K - 1]
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_kept": [n], "est_distinct_users": [est]}
+        )
+
+    result = ev.groupBy("event_type").applyInPandasWithState(
+        update_kmv,
+        outputStructType="event_type string, n_kept int, est_distinct_users long",
+        stateStructType="vals array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_kmv", "update")

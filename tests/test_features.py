@@ -191,3 +191,43 @@ def test_kmv_estimates_near_truth(spark):
     for _, r in out.iterrows():
         true_union = len(sets[r["source_a"]] | sets[r["source_b"]])
         assert 0.35 * true_union <= r["est_union"] <= 3.0 * true_union
+
+
+def test_bfs_hops_frontier_property(spark):
+    """BFS correctness the hash can't express: hop-0 rows are exactly
+    the seed suppliers, and every hop-h node (h >= 1) touches at least
+    one hop-(h-1) node through an edge."""
+    out = REG["graph_bfs_hops"].fn(spark, SF_ORACLE).toPandas()
+    assert out["hops"].between(0, 3).all()
+    seeds = set(out[out["hops"] == 0]["node"])
+    sup = load_table(spark, SF_ORACLE, "supplier").filter(F.col("s_nationkey") == 0).toPandas()
+    assert seeds == set(sup["s_suppkey"] * 2 + 1)
+    orders = load_table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_custkey").toPandas()
+    li = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_suppkey").toPandas()
+    pairs = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    import collections
+
+    adj = collections.defaultdict(set)
+    for c, s in zip(pairs["o_custkey"] * 2, pairs["l_suppkey"] * 2 + 1):
+        adj[c].add(s)
+        adj[s].add(c)
+    hop_of = dict(zip(out["node"], out["hops"]))
+    for node, h in hop_of.items():
+        if h > 0:
+            assert any(hop_of.get(nb, 99) == h - 1 for nb in adj[node]), (node, h)
+
+
+def test_quantile_sketch_order_and_membership(spark):
+    """Sketch estimates are real input values, ordered, and inside
+    each group's [min, max]."""
+    out = REG["agg_quantile_sketch_kmv"].fn(spark, SF_ORACLE).toPandas()
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("val")
+    ).toPandas()
+    for _, r in out.iterrows():
+        vals = set(li[li["flag"] == r["flag"]]["val"])
+        ests = [r["est_p25"], r["est_p50"], r["est_p75"], r["est_p90"]]
+        assert ests == sorted(ests)
+        for e in ests:
+            assert e in vals
+        assert r["n_sample"] <= 64
