@@ -308,6 +308,19 @@ _PLAN_SWEEP_SKIP = {
     "cache_two_phase_reuse",
 }
 
+# Building an operator's DataFrame is the expensive part of a fleet
+# sweep (several ops run bounded driver-stat jobs inside fn()). Three
+# sweep tests share this per-op memo so each op builds ONCE per
+# session: (schema, simple plan string, PlanFacts).
+_FLEET_CACHE: dict[str, tuple] = {}
+
+
+def _fleet_entry(spark, name, spec):
+    if name not in _FLEET_CACHE:
+        df = spec.fn(spark, SF_SMOKE)
+        _FLEET_CACHE[name] = (df.schema, plan_of(df, "simple"), plan_facts(df))
+    return _FLEET_CACHE[name]
+
 
 def test_no_unapproved_nested_loop_joins(spark):
     """Fleet-wide scale audit, one plan sweep, two properties:
@@ -323,7 +336,7 @@ def test_no_unapproved_nested_loop_joins(spark):
     for name, spec in REG.items():
         if name.startswith(_PLAN_SWEEP_SKIP_PREFIX) or name in _PLAN_SWEEP_SKIP:
             continue
-        facts = plan_facts(spec.fn(spark, SF_SMOKE))
+        _, _, facts = _fleet_entry(spark, name, spec)
         if facts.has_cartesian:
             flagged.append(name)
         if facts.has_row_python:
@@ -528,7 +541,7 @@ def test_no_complex_toplevel_output_types(spark):
     for name, spec in REG.items():
         if name.startswith("stream_"):
             continue
-        schema = spec.fn(spark, SF_SMOKE).schema
+        schema, _, _ = _fleet_entry(spark, name, spec)
         complex_cols = {
             f.name: f.dataType.typeName()
             for f in schema.fields
@@ -589,7 +602,7 @@ def test_no_unapproved_single_partition_windows(spark):
     for name, spec in REG.items():
         if name.startswith(_PLAN_SWEEP_SKIP_PREFIX) or name in _PLAN_SWEEP_SKIP:
             continue
-        plan = plan_of(spec.fn(spark, SF_SMOKE), "simple")
+        _, plan, _ = _fleet_entry(spark, name, spec)
         if has_single_partition_window(plan):
             offenders.append(name)
     unapproved = [n for n in offenders if n not in UNPARTITIONED_WINDOW_ALLOWED]
