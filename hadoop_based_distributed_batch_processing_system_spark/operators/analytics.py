@@ -253,24 +253,30 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus stats. The reference class runs this as 3-4 chained jobs
     with materialized intermediates; declared as a single DataFrame
     chain, Catalyst pushes the lang/length filters into the scan and
-    the dedup window rides the same hash shuffle as the final
-    aggregation's partial combine. Counts removed duplicates as a
-    quality metric alongside kept-doc token totals."""
-    from pyspark.sql.window import Window
-
+    the dedup is ONE min_by aggregation on the content hash — a
+    declarative aggregate, so identical texts collapse MAP-SIDE in
+    the partial-combine before the shuffle (the window+rank form
+    would sort every copy through the exchange first; the oracle
+    keeps that form — the kept row per hash, lowest doc_id, is
+    identical). Counts removed duplicates as a quality metric
+    alongside kept-doc token totals."""
     docs = load_table(spark, sf_dir, "documents")
     filtered = (
         docs.withColumn("n_tokens", F.size(F.split("text", " ")))
         .filter(F.col("lang").isin("en", "de", "fr") & (F.col("n_tokens") >= 5))
     )
-    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    wc = Window.partitionBy(F.md5("text"))
-    deduped = filtered.withColumn("rn", F.row_number().over(wd)).withColumn(
-        "n_copies", F.count(F.lit(1)).over(wc)
+    deduped = (
+        filtered.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min_by(
+                F.struct("lang", "n_tokens", "n_chars"), F.col("doc_id")
+            ).alias("keep"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep.lang", "keep.n_tokens", "keep.n_chars", "n_copies")
     )
     return (
-        deduped.filter(F.col("rn") == 1)
-        .groupBy("lang")
+        deduped.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs_kept"),
             F.sum(F.col("n_copies") - 1).alias("n_dups_removed"),
