@@ -236,3 +236,97 @@ def test_global_islands_recipe_matches_sequential(gaps, gap_us, bucket_us):
         merged[head.get(key, key)].extend(members)
     got = {tuple(sorted(v)) for v in merged.values()}
     assert got == {tuple(sorted(i)) for i in ref}
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    xs=st.lists(
+        st.integers(min_value=-10**12, max_value=10**12), min_size=1, max_size=30
+    )
+)
+def test_holt_integer_recurrence_matches_reference(xs):
+    """The Holt fold's floor-div-by-10 identity (used verbatim in both
+    engines) must equal a plain Python floor-division reference on any
+    integer series, including negative levels/trends."""
+    from hadoop_based_distributed_batch_processing_system_spark.streaming.event_time import (
+        _fd10_duck,
+    )
+
+    # reference fold
+    l, b = xs[0], 0
+    ref = [(l, b)]
+    for x in xs[1:]:
+        f = l + b
+        l_new = (2 * x + 8 * f) // 10
+        b_new = (3 * (l_new - l) + 7 * b) // 10
+        l, b = l_new, b_new
+        ref.append((l, b))
+    # DuckDB evaluation of the shipped expression, step by step
+    con = duckdb.connect()
+    try:
+        l, b = xs[0], 0
+        for i, x in enumerate(xs[1:], start=1):
+            # bare literals parse as INT32 in DuckDB; the real oracle's
+            # operands are BIGINT columns, so cast the substitutions
+            bl = lambda v: f"CAST({v} AS BIGINT)"
+            l_expr = _fd10_duck(f"2 * {bl(x)} + 8 * ({bl(l)} + {bl(b)})")
+            l_new = con.execute(f"SELECT CAST({l_expr} AS BIGINT)").fetchone()[0]
+            b_expr = _fd10_duck(f"3 * ({bl(l_new)} - {bl(l)}) + 7 * {bl(b)}")
+            b_new = con.execute(f"SELECT CAST({b_expr} AS BIGINT)").fetchone()[0]
+            l, b = l_new, b_new
+            assert (l, b) == ref[i], (i, (l, b), ref[i])
+    finally:
+        con.close()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=10**6), max_size=60),
+    b=st.sets(st.integers(min_value=0, max_value=10**6), max_size=60),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_kmv_union_of_kept_sets_is_kept_set_of_union(a, b, k):
+    """The union-sketch validity claim in sketch_kmv_distinct: the k
+    smallest of kept_k(A) ∪ kept_k(B) equal the k smallest of A ∪ B —
+    so merging sketches loses nothing."""
+    kept = lambda s: sorted(s)[:k]
+    assert sorted(set(kept(a)) | set(kept(b)))[:k] == kept(a | b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(s=st.text(min_size=0, max_size=40))
+def test_kmv_nibble_sum_equals_hex_prefix_value(s):
+    """The generated 12-nibble positional sum (DuckDB side) must equal
+    int(md5(text)[:12], 16) — the value Spark's conv() produces."""
+    import hashlib
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.aggregates import (
+        _KMV_V_DUCK,
+    )
+
+    con = duckdb.connect()
+    try:
+        got = con.execute(
+            f"SELECT {_KMV_V_DUCK} FROM (SELECT ? AS text)", [s]
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert got == int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(min_value=1, max_value=500))
+def test_position_attribution_weights_account_exactly(n):
+    """The 40/20/40 integer micro-credit schedule: per-conversion total
+    is exactly 1e6 for n<=2 and 8e5 + (n-2)*floor(2e5/(n-2)) for n>=3
+    (floor loss < n-2 micros), with first/last fixed at 4e5."""
+    if n == 1:
+        weights = [1_000_000]
+    elif n == 2:
+        weights = [500_000, 500_000]
+    else:
+        mid = 200_000 // (n - 2)
+        weights = [400_000] + [mid] * (n - 2) + [400_000]
+    total = sum(weights)
+    assert total <= 1_000_000
+    assert 1_000_000 - total < max(n - 2, 1)
