@@ -1923,7 +1923,7 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END)))
             """
         ).alias("st"),
-    )
+    ).cache()  # 1-row frame, two consumers (fit rows + forecast rows) — one orders scan, not two
     fits = packed.select(
         F.posexplode(F.arrays_zip("sx", "st")).alias("i", "z"), F.col("st")
     ).select(
