@@ -100,11 +100,14 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 6: 56 entries have never been driver-attested (the whole
-    # round-5 second batch + this round's additions); every one of them
-    # is hash-oracled, so the 50-slot window is 50/50 hash-checkable.
-    # Positions 1-50 verify this round; 51-56 (three mm stubs + three
-    # low-risk text aggregations) roll to round 7.
+    # --- ROUND 7 state: the 50-slot window holds EXACTLY the 50
+    # never-attested entries (42 carried from round 6 + 8 round-7
+    # additions at the end of this list), every one hash-oracled and
+    # dry-run green at sf0.01 (~97 s total). After the round-7 driver
+    # run, zero never-attested entries remain and the window reverts
+    # to pure refresh duty: _REFRESH_TAIL first, then the oldest
+    # greens in first-seen order. Round-8 additions should register
+    # EARLY in the round and count window slots before exceeding ~50.
     # Rewritten this round (two-phase bucketed ranking) — prove ASAP — 4
     "customer_gini_coefficient", "customer_pareto_share",
     "parts_abc_classification", "eval_auc_rank_sum",
