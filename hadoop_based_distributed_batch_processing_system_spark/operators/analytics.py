@@ -309,7 +309,7 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(*) FILTER (WHERE src = 'cdc') AS BIGINT) AS n_from_cdc,
-               ROUND(SUM(o_totalprice), 4) AS total_price
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_price
         FROM merged WHERE rn = 1
     """,
     tags=("J2", "cdc", "composite"),
@@ -344,7 +344,7 @@ def upsert_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("src") == "cdc", 1)).alias("n_from_cdc"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).alias("total_price"),
     )
 
 
@@ -854,7 +854,7 @@ def sql_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS total
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
         FROM orders
         WHERE o_orderstatus = 'F' AND o_totalprice >= 100000.0
         GROUP BY o_orderpriority
@@ -874,7 +874,7 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS total
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
         FROM orders
         WHERE o_orderstatus = :status AND o_totalprice >= :min_price
         GROUP BY o_orderpriority
@@ -1703,7 +1703,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH m AS (
           SELECT date_trunc('month', o_orderdate) AS month,
-                 ROUND(SUM(o_totalprice), 4) AS revenue,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
                  CAST(COUNT(*) AS BIGINT) AS n_orders
           FROM orders GROUP BY 1
         )
@@ -1728,7 +1728,7 @@ def monthly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio so both engines difference identical values."""
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     w = Window.orderBy("month")
@@ -2199,15 +2199,15 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (
           SELECT date_trunc('month', o_orderdate) AS month,
                  CAST(month(o_orderdate) AS INTEGER) AS moy,
-                 ROUND(SUM(o_totalprice), 4) AS revenue
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
           FROM orders GROUP BY 1, 2
         ),
         tr AS (
-          SELECT month, moy, revenue,
+          SELECT month, moy, CAST(cents AS DOUBLE) / 100.0 AS revenue,
                  CASE WHEN COUNT(*) OVER w = 13
-                      THEN ROUND((SUM(revenue) OVER w
-                                  - 0.5 * (FIRST_VALUE(revenue) OVER w
-                                           + LAST_VALUE(revenue) OVER w)) / 12.0, 4)
+                      THEN ROUND(CAST(2 * SUM(cents) OVER w
+                                      - FIRST_VALUE(cents) OVER w
+                                      - LAST_VALUE(cents) OVER w AS DOUBLE) / 2400.0, 4)
                  END AS trend
           FROM m
           WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
@@ -2236,27 +2236,41 @@ def monthly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the fact table reduces to the monthly rollup FIRST; the
     centered-MA window runs unpartitioned ON THE ROLLUP — bounded by
     the calendar (allowlisted in ``operators/windows.py``
-    ``UNPARTITIONED_WINDOW_ALLOWED``), not by data volume. All
-    columns rounded to 4 dp before differencing, so both engines
-    decompose identical values."""
+    ``UNPARTITIONED_WINDOW_ALLOWED``), not by data volume.
+
+    Determinism (the sf0.1 lesson): monthly revenue sums as EXACT
+    integer cents (decimal addition is order-insensitive; a double
+    SUM drifted ~1e-4 at sf0.1 — right at the 4-dp boundary), and
+    the 2x12 centered MA stays integer until ONE final division:
+    trend = (2*S13 - first - last) / 2400 cents — a sliding-window
+    DOUBLE sum would re-diverge because Spark slides incrementally
+    (add/subtract) while DuckDB re-sums, a different rounding path;
+    integer window sums are exact under any accumulation order. The
+    seasonal/residual stages difference identical doubles (≤8-term
+    averages, safely inside 4 dp)."""
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month"),
         F.month("o_orderdate").alias("moy"),
-    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
     w = Window.orderBy("month").rowsBetween(-6, 6)
     tr = m.select(
         "month",
         "moy",
-        "revenue",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
         F.when(
             F.count(F.lit(1)).over(w) == 13,
             F.round(
                 (
-                    F.sum("revenue").over(w)
-                    - 0.5 * (F.first("revenue").over(w) + F.last("revenue").over(w))
-                )
-                / 12.0,
+                    2 * F.sum("cents").over(w)
+                    - F.first("cents").over(w)
+                    - F.last("cents").over(w)
+                ).cast("double")
+                / 2400.0,
                 4,
             ),
         ).alias("trend"),
@@ -2527,7 +2541,7 @@ def orders_duplicate_payment_detector(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
         WITH daily AS (
           SELECT date_trunc('day', o_orderdate) AS day,
-                 ROUND(SUM(o_totalprice), 4) AS gmv,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS gmv,
                  CAST(COUNT(*) AS BIGINT) AS n_orders
           FROM orders GROUP BY 1
         )
@@ -2554,7 +2568,7 @@ def orders_gmv_daily_7dma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``UNPARTITIONED_WINDOW_ALLOWED``), not by data."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 4).alias("gmv"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).alias("gmv"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
