@@ -1119,3 +1119,134 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+# --- portable SimHash: the hash-oracled twin of dedup_simhash ---
+# 48-bit signature (12 md5 hex chars per token), 4 chunks of 12 bits.
+# Pigeonhole still holds: hamming <= 3 differing bits can touch at
+# most 3 of the 4 chunks, so every qualifying pair agrees on >= 1
+# whole chunk and the equi-join on (chunk_idx, chunk_val) is
+# exhaustive for the radius.
+_SIMHASH_P_BITS = 48
+_SIMHASH_P_CHUNK_BITS = 12
+# per-token 48-bit value from the first 12 md5 hex nibbles: Spark has
+# conv(hex, 16, 10); DuckDB builds the same value as an explicit
+# positional nibble sum (the sketch_kmv_distinct idiom).
+_SIMHASH_P_V_DUCK = " + ".join(
+    f"CAST({16 ** (11 - i)} AS BIGINT) * "
+    f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1)"
+    for i in range(12)
+)
+_SIMHASH_P_V_SPARK = "CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT)"
+
+_SIMHASH_P_SUMS_DUCK = ", ".join(
+    f"SUM((v >> {j}) & 1) AS b{j}" for j in range(_SIMHASH_P_BITS)
+)
+_SIMHASH_P_SIG_DUCK = " + ".join(
+    f"(CASE WHEN 2 * b{j} > n THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(_SIMHASH_P_BITS)
+)
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, {_SIMHASH_P_V_DUCK} AS v
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        ),
+        cnt AS (
+          SELECT doc_id, COUNT(*) AS n, {_SIMHASH_P_SUMS_DUCK}
+          FROM tok GROUP BY doc_id
+        ),
+        sigs AS (SELECT doc_id, CAST({_SIMHASH_P_SIG_DUCK} AS BIGINT) AS sig FROM cnt),
+        chunks AS (
+          SELECT doc_id, sig, g.c AS chunk_idx,
+                 (sig >> ({_SIMHASH_P_CHUNK_BITS} * g.c)) & {(1 << _SIMHASH_P_CHUNK_BITS) - 1} AS chunk_val
+          FROM sigs, (SELECT unnest(generate_series(0, {_SIMHASH_CHUNKS - 1})) AS c) g
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM chunks a JOIN chunks b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+               AND a.doc_id < b.doc_id
+        )
+        WHERE hamming <= {_SIMHASH_MAX_HAMMING}
+    """,
+    tags=("L2", "simhash", "portable"),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE SimHash near-dup — the hash-oracled twin of
+    ``dedup_simhash``: identical plan shape (per-bit majority vote →
+    pigeonhole chunk blocking → verified Hamming radius), but the
+    per-token bit planes come from md5 hex instead of engine-private
+    xxhash64, so signatures, candidate sets, and Hamming distances
+    are bit-identical in Spark and DuckDB and the operator carries a
+    full value-hash oracle (the same portabilization that turned HLL
+    and count-min from rows-only into hash-checked:
+    agg_hll_portable / agg_countmin_sketch).
+
+    48-bit signature (12 md5 nibbles per token via ``conv``), 4
+    chunks of 12 bits: a pair within Hamming distance 3 can touch at
+    most 3 chunks, so matching on >= 1 whole chunk via an EQUI-join
+    on (chunk_idx, chunk_val) is exhaustive for the radius — a
+    linear hash shuffle, never all-pairs, the same plan at 5k docs
+    and 5B.
+
+    Scale: token explode -> ONE map-side-combining groupBy with 48
+    flat SUM columns (whole-stage codegen; the nested-HOF form
+    measures ~6x slower — see simhash_signatures' note); chunk
+    explode is x4; candidate volume is bounded by bucket collision
+    counts exactly as in the xxhash64 variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("t"),
+    ).select("doc_id", F.expr(_SIMHASH_P_V_SPARK).alias("v"))
+    cnt = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"shiftright(v, {j}) & 1")).alias(f"b{j}")
+            for j in range(_SIMHASH_P_BITS)
+        ],
+    )
+    sig_expr = " + ".join(
+        f"IF(2 * b{j} > n, {1 << j}L, 0L)" for j in range(_SIMHASH_P_BITS)
+    )
+    sigs = cnt.select("doc_id", F.expr(sig_expr).alias("sig"))
+    mask = (1 << _SIMHASH_P_CHUNK_BITS) - 1
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.expr(
+                            f"shiftrightunsigned(sig, {_SIMHASH_P_CHUNK_BITS * c}) & {mask}"
+                        ).alias("chunk_val"),
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk"),
+    ).select("doc_id", "sig", "chunk.chunk_idx", "chunk.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("CAST(bit_count(a.sig ^ b.sig) AS INT)").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+    )
