@@ -1334,6 +1334,104 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T_CLOSE = 0.35  # max total-variation distance for release
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+        WITH base AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+          FROM customer
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM base),
+        gdist AS (SELECT band, COUNT(*) AS c_s FROM base GROUP BY band),
+        grp AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_g
+          FROM base GROUP BY 1, 2
+        ),
+        gb AS (
+          SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS c_gs
+          FROM base GROUP BY 1, 2, 3
+        ),
+        j AS (
+          SELECT gb.c_nationkey, gb.c_mktsegment, gb.c_gs, gd.c_s,
+                 g.n_g, t.n
+          FROM gb
+          JOIN grp g ON g.c_nationkey = gb.c_nationkey
+                    AND g.c_mktsegment = gb.c_mktsegment
+          JOIN gdist gd ON gd.band = gb.band
+          CROSS JOIN tot t
+        ),
+        agg AS (
+          SELECT c_nationkey, c_mktsegment,
+                 MAX(n_g) AS n_g, MAX(n) AS n,
+                 SUM(ABS(c_gs * n - c_s * n_g))
+                   + (MAX(n) - SUM(c_s)) * MAX(n_g) AS numer
+          FROM j GROUP BY 1, 2
+        )
+        SELECT c_nationkey, c_mktsegment,
+               CAST(n_g AS BIGINT) AS group_size,
+               ROUND(numer / (2.0 * n_g * n), 6) AS tvd,
+               numer / (2.0 * n_g * n) <= {_T_CLOSE} AS t_close
+        FROM agg
+    """,
+    tags=("L10'''", "privacy", "pipeline"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-gate ladder
+    (Li, Li & Venkatasubramanian 2007): a group can be k-anonymous
+    AND l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    differs sharply from the corpus-wide one (e.g. a group whose
+    balances are "diverse" but all high). Each quasi-identifier
+    group's band distribution must sit within total-variation
+    distance t={_T_CLOSE} of the global distribution. TVD =
+    ½·Σ|p_g(s) − p(s)|, computed here with an EXACT integer
+    numerator — Σ|c_gs·N − c_s·n_g| over BIGINT counts, one double
+    division at the end — so the 6-dp rounding sees the identical
+    quotient in both engines (float p_g − p per term would
+    accumulate engine-specific error). Bands a group lacks enter
+    via the closed-form missing-mass term (N − Σ_present c_s)·n_g
+    — the text_js_divergence_sources device — so no group×band grid
+    is ever materialized.
+
+    Scale: two map-side-combining groupBys (quasi-group × band, and
+    band), then EQUI-joins only — the per-group band counts join the
+    group sizes on the quasi-identifier and the broadcast band
+    totals on band; the single cross join is the 1-row grand total.
+    Same skew story as the k-anonymity gate: heavy groups are just
+    counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    gdist = base.groupBy("band").agg(F.count(F.lit(1)).alias("c_s"))
+    grp = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    gb = base.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("c_gs")
+    )
+    j = (
+        gb.join(grp, ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(gdist), "band")
+        .crossJoin(F.broadcast(tot))
+    )
+    numer = F.sum(
+        F.abs(F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g"))
+    ) + (F.max("n") - F.sum("c_s")) * F.max("n_g")
+    denom = 2.0 * F.max("n_g") * F.max("n")
+    return j.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_g").cast("long").alias("group_size"),
+        F.round(numer / denom, 6).alias("tvd"),
+        (numer / denom <= _T_CLOSE).alias("t_close"),
+    )
+
+
 @register(
     "eval_spearman_rank_corr",
     # row_number ranks with a deterministic doc_id tiebreak (NOT

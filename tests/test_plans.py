@@ -289,6 +289,10 @@ _NESTED_LOOP_ALLOWED = {
         "the per-doc grid — the dense doc x class scoring NB requires; bounded "
         "by the class count, never the corpus"
     ),
+    "privacy_t_closeness": (
+        "broadcasts the 1-row grand total onto the per-(group, band) "
+        "counts; all distribution joins are equi-joins"
+    ),
     "sketch_kmv_distinct": (
         "source-pair list via a < self-join of the distinct-sources frame "
         "(|sources|^2 rows, sketch metadata, corpus-independent); the "
