@@ -563,3 +563,139 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hops").cast("int").alias("hops"),
         F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier").alias("node_type"),
     )
+
+
+_KCORE_K = 48
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds (deg → removals → alive/edges filter),
+    the same fixed-round chained-CTE device as the pagerank/BFS
+    oracles — aggregation inside a recursive member is not portable
+    SQL, and a FIXED round count keeps engine and oracle identical
+    even before the fixpoint. Every CTE is MATERIALIZED: DuckDB
+    inlines plain CTEs per reference, and with edges{{r}} referencing
+    the previous level ~3× the inlined tree grows 3^rounds — at 6
+    rounds that is thousands of lineitem re-scans (measured: fd
+    exhaustion before any result). Materialization makes the chain
+    linear, which is also what the Spark side's per-round
+    localCheckpoint does."""
+    steps = []
+    prev_alive, prev_edges = "nodes", "edges0"
+    rms = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""deg{r} AS MATERIALIZED (
+          SELECT src AS node, COUNT(*) AS d FROM {prev_edges} GROUP BY src
+        ),
+        rm{r} AS MATERIALIZED (
+          SELECT a.node FROM {prev_alive} a
+          LEFT JOIN deg{r} d ON d.node = a.node
+          WHERE COALESCE(d.d, 0) < {_KCORE_K}
+        ),
+        alive{r} AS MATERIALIZED (
+          SELECT a.node FROM {prev_alive} a
+          WHERE NOT EXISTS (SELECT 1 FROM rm{r} x WHERE x.node = a.node)
+        ),
+        edges{r} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM {prev_edges} e
+          WHERE NOT EXISTS (SELECT 1 FROM rm{r} x WHERE x.node = e.src)
+            AND NOT EXISTS (SELECT 1 FROM rm{r} x WHERE x.node = e.dst)
+        )"""
+        )
+        rms.append(f"SELECT node, {r} AS peel_round FROM rm{r}")
+        prev_alive, prev_edges = f"alive{r}", f"edges{r}"
+    chain = ",\n        ".join(steps)
+    labeled = "\n          UNION ALL ".join(
+        rms + [f"SELECT node, 0 AS peel_round FROM {prev_alive}"]
+    )
+    return f"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges0 AS MATERIALIZED (
+          SELECT cnode AS src, snode AS dst FROM pairs
+          UNION ALL
+          SELECT snode, cnode FROM pairs
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges0),
+        {chain}
+        SELECT node,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+               CAST(peel_round AS INT) AS peel_round,
+               peel_round = 0 AS in_core
+        FROM ({labeled})
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("G6", "graph", "kcore", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — k-core peeling (Seidman 1983 / the distributed peel of
+    Montresor et al.): iteratively delete every vertex whose CURRENT
+    degree is < k={_KCORE_K}; what survives is the k-core, and the
+    round at which a vertex falls out (its peel layer, the "onion"
+    decomposition) grades how deeply it is embedded — the graph
+    family's density rung (components = connectivity, pagerank =
+    importance, triangles = cohesion, BFS = reach, k-core =
+    EMBEDDEDNESS). Supply-chain reading: which customers/suppliers
+    sit in the densely-cross-trading core vs drop out once their
+    thin counterparties are pruned.
+
+    Deterministic contract: EXACTLY {_KCORE_ROUNDS} peel rounds (a
+    fixed-round peel is identical in both engines whether or not the
+    fixpoint has been reached; at the test scales it converges in
+    ≤4 rounds — the property test asserts the last round removes
+    nothing). Peeling is simultaneous per round (all deg<k vertices
+    leave together), the parallel-peel semantics every distributed
+    k-core uses.
+
+    Scale per round: ONE map-side-combining degree aggregate + two
+    anti equi-joins filtering edges on the (vertex-sized, usually
+    broadcastable) removal set; labels accumulate vertex-sized.
+    Each round's edge frame is localCheckpoint-truncated — the
+    entity_resolution/components discipline that keeps round R's
+    plan from re-running rounds 1..R-1."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).unionAll(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    ).localCheckpoint()
+    alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    peeled = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+        removed = (
+            alive.join(deg, "node", "left")
+            .filter(F.coalesce(F.col("d"), F.lit(0)) < _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        labeled = removed.withColumn("peel_round", F.lit(r))
+        peeled = labeled if peeled is None else peeled.unionAll(labeled)
+        alive = alive.join(removed, "node", "left_anti").localCheckpoint()
+        edges = (
+            edges.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .localCheckpoint()
+        )
+    out = peeled.unionAll(alive.withColumn("peel_round", F.lit(0)))
+    return out.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier").alias("node_type"),
+        F.col("peel_round").cast("int").alias("peel_round"),
+        (F.col("peel_round") == 0).alias("in_core"),
+    )

@@ -217,6 +217,43 @@ def test_bfs_hops_frontier_property(spark):
             assert any(hop_of.get(nb, 99) == h - 1 for nb in adj[node]), (node, h)
 
 
+def test_kcore_peel_fixpoint_and_validity(spark):
+    """k-core correctness the hash can't express: the fixed-round
+    peel has CONVERGED at oracle scale (the last unrolled round
+    removes nothing — every peel_round label sits strictly below the
+    round budget), every graph node appears exactly once, and a
+    sequential reference peel produces the identical layer labels."""
+    import collections
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    out = REG["graph_kcore_peel"].fn(spark, SF_ORACLE).toPandas()
+    assert out["peel_round"].max() < _KCORE_ROUNDS, "peel did not converge in budget"
+    orders = load_table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_custkey").toPandas()
+    li = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_suppkey").toPandas()
+    pairs = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    adj = collections.defaultdict(set)
+    for c, s in set(zip(pairs["o_custkey"] * 2, pairs["l_suppkey"] * 2 + 1)):
+        adj[c].add(s)
+        adj[s].add(c)
+    assert sorted(out["node"]) == sorted(adj)  # each node labeled once
+    # sequential simultaneous-peel reference
+    alive = set(adj)
+    expect = {}
+    for r in range(1, _KCORE_ROUNDS + 1):
+        bad = {v for v in alive if sum(1 for u in adj[v] if u in alive) < _KCORE_K}
+        for v in bad:
+            expect[v] = r
+        alive -= bad
+    for v in alive:
+        expect[v] = 0
+    got = dict(zip(out["node"], out["peel_round"]))
+    assert got == expect
+
+
 def test_quantile_sketch_order_and_membership(spark):
     """Sketch estimates are real input values, ordered, and inside
     each group's [min, max]."""
