@@ -2127,3 +2127,139 @@ def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("lang") == F.col("true_lang")).alias("correct"),
     )
+
+
+_BPE_MERGES = 10
+# word -> '|a||b||c|' (each symbol wrapped in its own sentinels):
+# greedy left-to-right non-overlapping pair merge is then ONE string
+# replace('|a||b|' -> '|ab|') — replace() consumes matches left to
+# right in both engines, which IS the BPE merge-application order
+# ('|a||a||a|' -> '|aa||a|', verified both sides). Tokens are [a-z]+
+# so '|' never collides with symbol text.
+
+
+def _bpe_train_oracle() -> str:
+    """The merge loop unrolled as chained MATERIALIZED CTEs (the
+    k-means/pagerank/k-core device): each rank's pair stats, argmax,
+    and merge application are plain relational steps over the
+    vocab-sized word table."""
+    steps = []
+    bests = []
+    prev = "seg0"
+    for r in range(1, _BPE_MERGES + 1):
+        steps.append(
+            f"""sym{r} AS (
+          SELECT cnt, string_split(substr(seg, 2, len(seg) - 2), '||') AS s
+          FROM {prev}
+        ),
+        pairs{r} AS MATERIALIZED (
+          SELECT s[i] AS a, s[i + 1] AS b, SUM(cnt) AS n
+          FROM sym{r}, LATERAL unnest(generate_series(1, len(s) - 1)) AS g(i)
+          GROUP BY 1, 2
+        ),
+        best{r} AS MATERIALIZED (
+          SELECT a, b, n FROM pairs{r} ORDER BY n DESC, a, b LIMIT 1
+        ),
+        seg{r} AS MATERIALIZED (
+          SELECT w, cnt,
+                 replace(seg, '|' || x.a || '||' || x.b || '|',
+                              '|' || x.a || x.b || '|') AS seg
+          FROM {prev}, best{r} x
+        )"""
+        )
+        bests.append(
+            f"SELECT {r} AS merge_rank, a AS sym_left, b AS sym_right, "
+            f"a || b AS merged, CAST(n AS BIGINT) AS n FROM best{r}"
+        )
+        prev = f"seg{r}"
+    chain = ",\n        ".join(steps)
+    union = "\n          UNION ALL ".join(bests)
+    return f"""
+        WITH tok AS MATERIALIZED (
+          SELECT t AS w, COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+          WHERE regexp_matches(t, '^[a-z]+$')
+          GROUP BY t
+        ),
+        seg0 AS MATERIALIZED (
+          SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg FROM tok
+        ),
+        {chain}
+        SELECT CAST(merge_rank AS INT) AS merge_rank, sym_left, sym_right, merged, n
+        FROM ({union})
+    """
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    tags=("L18'", "tokenizer", "bpe", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING (Sennrich et al. 2016) — the full merge loop, not
+    just one step's statistic (`bpe_pair_counts` is iteration 1's
+    count table): {_BPE_MERGES} ranked merges learned from the corpus,
+    each iteration = count adjacent symbol pairs (weighted by word
+    frequency) → argmax (count desc, pair lexicographic tiebreak) →
+    greedy left-to-right merge application. The learned table IS a
+    tokenizer model (apply merges in rank order to segment new text).
+    Fourth iterative-ML flagship beside k-means / logreg / PCA, and
+    like them fully hash-oracled: counts are exact integers, the
+    argmax tiebreak is total, and merge application is a
+    deterministic string replace in both engines.
+
+    The textbook trainer trick decides the scale story: pair stats
+    live on the WORD-FREQUENCY table, not the corpus — the corpus is
+    scanned ONCE (one map-side-combining wordcount shuffle, the
+    mr_wordcount shape) and every iteration after that touches only
+    the Heaps-law-bounded vocab (cached here; at 100 TB it is a few
+    GB against which 10 iterations of narrow maps + an
+    alphabet²-bounded pair aggregate are trivial). Per iteration the
+    only driver state is the 1-row argmax (the k-means
+    bounded-model-state discipline). Segmentations ride as sentinel
+    strings ('|a||b|'); one replace() applies a merge greedily left
+    to right, exactly the fold a sequential trainer runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("seg", F.regexp_replace("w", "(.)", r"|$1|"))
+        .cache()  # vocab-sized; unpersisted after the training loop
+    )
+    # IF-guard: fully-merged single-symbol words have no pair, and
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than being empty.
+    pair_expr = """
+        aggregate(
+          array(split(substring(seg, 2, length(seg) - 2), '\\\\|\\\\|')),
+          CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>),
+          (acc, s) -> IF(size(s) < 2, acc,
+            transform(
+              sequence(1, size(s) - 1),
+              i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))))
+    """
+    merges = []
+    try:
+        cur = vocab.select("cnt", "seg")
+        for r in range(1, _BPE_MERGES + 1):
+            best = (
+                cur.select("cnt", F.explode(F.expr(pair_expr)).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1)
+                .collect()[0]
+            )
+            merges.append((r, best["a"], best["b"], best["a"] + best["b"], int(best["n"])))
+            cur = cur.withColumn(
+                "seg",
+                F.expr(
+                    "replace(seg, '|{a}||{b}|', '|{a}{b}|')".format(a=best["a"], b=best["b"])
+                ),
+            )
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_left string, sym_right string, merged string, n long"
+    )

@@ -576,3 +576,43 @@ def test_pq_adc_recall_and_determinism(spark):
     )[:10]
     overlap = {r["vec_id"] for r in a} & {k for _, k in exact}
     assert len(overlap) >= 2, overlap
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """The distributed merge loop reproduces a straightforward
+    sequential BPE trainer (greedy left-to-right merge application,
+    count-desc + lexicographic argmax) exactly, rank by rank."""
+    from collections import Counter
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.text import _BPE_MERGES
+
+    out = (
+        REG["bpe_train_merges"].fn(spark, SF_ORACLE).toPandas().sort_values("merge_rank")
+    )
+    toks = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .count()
+        .toPandas()
+    )
+    vocab = {w: (list(w), int(c)) for w, c in zip(toks["w"], toks["count"])}
+    expect = []
+    for r in range(1, _BPE_MERGES + 1):
+        pc = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((r, a, b, a + b, n))
+        for w, (syms, c) in vocab.items():
+            merged = []
+            for s in syms:
+                if merged and merged[-1] == a and s == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(s)
+            vocab[w] = (merged, c)
+    got = [tuple(x) for x in out[["merge_rank", "sym_left", "sym_right", "merged", "n"]].itertuples(index=False)]
+    assert got == expect

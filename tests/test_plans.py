@@ -306,6 +306,8 @@ _PLAN_SWEEP_SKIP_PREFIX = ("stream_", "sink_", "compact_")
 _PLAN_SWEEP_SKIP = {
     "counters_job_audit", "join_bloom_filtered", "rownum_scalable_global",
     "sim_search_ann_ivf", "kmeans_embeddings", "pca_power_iteration_top1",
+    "bpe_train_merges",  # 10 driver-side argmax jobs (iterative trainer)
+    "graph_kcore_peel",  # per-round localCheckpoints execute on build
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",
