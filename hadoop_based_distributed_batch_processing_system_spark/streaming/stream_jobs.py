@@ -1094,3 +1094,97 @@ def stream_kmv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, "hbdbps_stream_kmv", "update")
+
+
+_SQKMV_K = 64
+
+
+@register(
+    "stream_quantile_kmv_stateful",
+    # Oracle: the batch hash-sample quantile sketch over the same
+    # events — the kept set is the k rows with smallest md5(event_id),
+    # a min-set by hash, so replay / any batch boundary reproduces it;
+    # quantile reads are type-1 order statistics at exact integer
+    # ceiling indices (never float q*n).
+    oracle=f"""
+        WITH hv AS (
+          SELECT event_type, value AS val,
+                 md5(CAST(event_id AS VARCHAR)) AS h
+          FROM events
+        ),
+        kept AS (
+          SELECT event_type, val FROM (
+            SELECT event_type, val,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hv
+          ) WHERE rn <= {_SQKMV_K}
+        ),
+        ordered AS (
+          SELECT event_type, val,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY val) AS vr,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM kept
+        )
+        SELECT event_type, CAST(MAX(n) AS INT) AS n_sample,
+               MAX(CASE WHEN vr = ((n + 1) // 2) THEN val END) AS est_p50,
+               MAX(CASE WHEN vr = ((9 * n + 9) // 10) THEN val END) AS est_p90
+        FROM ordered GROUP BY event_type
+    """,
+    tags=("A4''", "sketch", "quantile", "kmv", "stream", "stateful"),
+)
+def stream_quantile_kmv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_quantile_sketch_kmv — live per-event-type
+    value quantiles with the hash-minimum sample as keyed state
+    ({_SQKMV_K} (hash, value) pairs per key, constant regardless of
+    stream volume). The state is a MIN-set keyed by md5(event_id):
+    merging a micro-batch keeps the k pairs with smallest hash of
+    old ∪ new, deduplicated BY HASH — idempotent and commutative, so
+    at-least-once replay or any batch boundary yields the identical
+    sample the batch operator computes (what the hash oracle checks).
+    Completes the live-sketch family: count-min = counts, HLL/KMV =
+    cardinality, Bloom = membership, this = DISTRIBUTION.
+
+    Quantile reads are type-1 order statistics of the sample at
+    exact integer ceiling indices ((n+1) div 2, (9n+9) div 10) —
+    float q*n would ceil differently per engine at representation
+    boundaries. Rank error is O(1/sqrt(k)) as for any uniform
+    sample; raise k for tighter bands."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_type",
+        F.col("value").alias("val"),
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    )
+
+    def update_quantile(key, pdfs, state: GroupState):
+        kept: dict[str, float] = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in pdfs:
+            for h, v in zip(pdf["h"], pdf["val"]):
+                kept[str(h)] = float(v)
+            if len(kept) > _SQKMV_K:
+                kept = dict(sorted(kept.items())[:_SQKMV_K])
+        items = sorted(kept.items())[:_SQKMV_K]
+        state.update(([h for h, _ in items], [v for _, v in items]))
+        vals = sorted(v for _, v in items)
+        n = len(vals)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_sample": [n],
+                "est_p50": [vals[(n + 1) // 2 - 1]],
+                "est_p90": [vals[(9 * n + 9) // 10 - 1]],
+            }
+        )
+
+    result = ev.groupBy("event_type").applyInPandasWithState(
+        update_quantile,
+        outputStructType="event_type string, n_sample int, est_p50 double, est_p90 double",
+        stateStructType="hs array<string>, vals array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_qkmv", "update")
