@@ -38,6 +38,40 @@ from hadoop_based_distributed_batch_processing_system_spark.sources.io import lo
 
 # See module docstring: window input must be a calendar/domain-bounded
 # rollup (≲10^4 rows), never corpus-sized.
+# THE WINDOW-GROUP-LIMIT RULE (enforced by the fleet plan audit in
+# tests/test_plans.py from the list below): a rank/row_number window
+# used only as a top-k filter must stand ALONE on its window spec —
+# Catalyst then plans WindowGroupLimit, a map-side partial top-k that
+# forwards at most k rows per (group, input partition) to the shuffle
+# (the bounded heap a hand-written sketch keeps, derived by the
+# optimizer). Adding ANY second window function on the same spec
+# (count/sum-over-partition is the classic) silently disables the
+# rewrite and every row crosses the shuffle again; before this audit,
+# only a bench regression would notice. Operators whose scale
+# contract DEPENDS on the rewrite (k-min sketches, per-group top-k):
+# the audit asserts each still plans WindowGroupLimit, and that the
+# list stays exact (an unlisted op gaining the node must be added so
+# the dependency is documented).
+WINDOW_GROUP_LIMIT_EXPECTED = {
+    "agg_mode_deterministic",       # rank-1 filter over (key, value) counts
+    "sketch_kmv_distinct",          # k-min hash per source = the sketch heap
+    "agg_quantile_sketch_kmv",      # k-min row-hash sample per group
+    "win_rank",                     # rank <= 3 filter per customer
+    "win_rank_limited",             # the W1 canonical top-k rank filter
+    "topk_per_group",               # row_number <= k per group
+    "dedup_latest_per_key",         # row_number = 1 latest-version filter
+    "sample_reservoir_per_group",   # k smallest md5 = deterministic reservoir
+    "pipeline_corpus_curation_v2",  # exact-dedup keeper = rank-1 per hash
+    "pipeline_corpus_curation_v3",  # same keeper stage inside the v3 fuse
+    "sim_search_ann_lsh",           # per-bucket candidate cap before GEMM
+    "knn_label_vote",               # top-k neighbors per query row
+    "knn_label_vote_ann",           # same vote over the ANN candidate set
+    "text_tfidf_topterms",          # top-terms-per-doc rank filter
+    "text_naive_bayes_lang",        # argmax class = rank-1 per doc
+}
+
+# See module docstring: window input must be a calendar/domain-bounded
+# rollup (≲10^4 rows), never corpus-sized.
 UNPARTITIONED_WINDOW_ALLOWED = {
     "monthly_growth_rates": (
         "input = one row per (month), LAG over the monthly revenue rollup; "

@@ -64,6 +64,7 @@ class PlanFacts:
     n_scans: int = 0
     has_take_ordered: bool = False
     n_hash_aggregates: int = 0
+    n_window_group_limits: int = 0
 
     @property
     def has_cartesian(self) -> bool:
@@ -109,6 +110,7 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     facts.n_hash_aggregates = simple.count("HashAggregate") + simple.count(
         "ObjectHashAggregate"
     ) + simple.count("SortAggregate")
+    facts.n_window_group_limits = simple.count("WindowGroupLimit")
     facts.pushed_filters = [
         m.strip() for m in re.findall(r"PushedFilters: \[([^\]]*)\]", formatted) if m.strip()
     ]
@@ -160,6 +162,7 @@ def _main(argv: list[str]) -> int:
                 "has_row_python": facts.has_row_python,
                 "n_scans": facts.n_scans,
                 "n_hash_aggregates": facts.n_hash_aggregates,
+                "n_window_group_limits": facts.n_window_group_limits,
                 "has_take_ordered": facts.has_take_ordered,
                 "pushed_filters": facts.pushed_filters,
                 "read_schemas": facts.read_schemas,

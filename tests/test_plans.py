@@ -597,8 +597,11 @@ def test_no_unapproved_single_partition_windows(spark):
         # children print BELOW their parent: the first Exchange after
         # each Window node is the one feeding its sort. A final 1-row
         # global aggregate legitimately uses SinglePartition; a Window
-        # over one is the trap.
-        for frag in plan.split("Window")[1:]:
+        # over one is the trap. The split must NOT break at
+        # WindowGroupLimit nodes (a partial top-k, not a window sort),
+        # or a fragment's first Exchange can belong to a different
+        # operator subtree and mis-attribute offenders.
+        for frag in re.split(r"\bWindow\b(?!GroupLimit)", plan)[1:]:
             m = re.search(r"Exchange (\S+)", frag)
             if m is not None and m.group(1).startswith("SinglePartition"):
                 return True
@@ -615,3 +618,61 @@ def test_no_unapproved_single_partition_windows(spark):
     assert not unapproved, f"new single-partition-window plans: {unapproved}"
     gone = [n for n in UNPARTITIONED_WINDOW_ALLOWED if n in REG and n not in offenders]
     assert not gone, f"allowlist entries no longer single-partition (prune them): {gone}"
+
+
+def test_window_group_limit_discipline(spark):
+    """FLEET-WIDE WindowGroupLimit audit — the third plan discipline
+    (after no-cartesian and no-single-partition-window), previously
+    docstring-only: every operator whose scale contract depends on
+    the map-side partial top-k (rank window standing ALONE on its
+    spec) must still plan a WindowGroupLimit node, or its k-min
+    sketch / per-group top-k silently degrades to a full shuffle.
+    Anti-rot both ways: a listed op losing the node is a regression;
+    an unlisted op gaining it must be added so the dependency is
+    documented (the list lives in operators/windows.py beside the
+    unpartitioned-window rule)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.windows import (
+        WINDOW_GROUP_LIMIT_EXPECTED,
+    )
+
+    have = set()
+    for name, spec in REG.items():
+        if name.startswith(_PLAN_SWEEP_SKIP_PREFIX) or name in _PLAN_SWEEP_SKIP:
+            continue
+        _, plan, _ = _fleet_entry(spark, name, spec)
+        if "WindowGroupLimit" in plan:
+            have.add(name)
+    lost = sorted(WINDOW_GROUP_LIMIT_EXPECTED - have)
+    assert not lost, (
+        f"operators that LOST WindowGroupLimit (a second window function "
+        f"on the rank spec disables the partial top-k): {lost}"
+    )
+    gained = sorted(have - WINDOW_GROUP_LIMIT_EXPECTED)
+    assert not gained, (
+        f"operators newly planning WindowGroupLimit — add them to "
+        f"WINDOW_GROUP_LIMIT_EXPECTED in operators/windows.py: {gained}"
+    )
+
+
+def test_window_group_limit_mechanism(spark):
+    """The optimizer behavior the audit relies on, pinned directly: a
+    rank window ALONE on its spec plans WindowGroupLimit; the same
+    rank with a count-over-partition beside it does NOT (every row
+    crosses the shuffle). If Spark ever changes either direction,
+    this fails before the fleet audit starts lying."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import plan_facts
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    spec = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    alone = li.withColumn("rn", F.row_number().over(spec)).filter(F.col("rn") <= 5)
+    assert plan_facts(alone).n_window_group_limits >= 1
+    beside = (
+        li.withColumn("rn", F.row_number().over(spec))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")))
+        .filter(F.col("rn") <= 5)
+    )
+    assert plan_facts(beside).n_window_group_limits == 0
