@@ -438,12 +438,15 @@ def global_islands(
     ).drop("__new")
 
     # Two consumers read the bucketed-window result (the summary
-    # aggregate below and the caller's output plan) — cache it so the
-    # window computes once, the same multi-consumer discipline the
-    # curation pipelines follow (MEMORY_AND_DISK default: spills, never
-    # recomputes; at cluster scale this is one materialized shuffle's
-    # worth of state, strictly cheaper than a second full window pass).
-    d = d.cache()
+    # aggregate below and the caller's output plan) — materialize it
+    # once via localCheckpoint rather than cache(): this is shared
+    # library code with no unpersist hook, and a cache() here would
+    # pin corpus-sized partitions in executor storage for the session
+    # lifetime (plan sweeps and bench loops build many operators per
+    # session). Checkpoint blocks are reference-GC'd by the
+    # ContextCleaner once the caller's frame is dropped, so ownership
+    # needs no API change; the window still computes exactly once.
+    d = d.localCheckpoint(eager=True)
 
     summary = (
         d.groupBy("__bkt")

@@ -232,9 +232,12 @@ def partitioner_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q == 0:  # fewer rows than tiles: rn IS the tile
         bucket = rn
     else:
+        # integer `div`, not double division + cast: keeps the whole
+        # tile assignment in BIGINT math like the Holt/credit recipes
+        # (a double quotient loses integer precision past 2^53 rows)
         bucket = (
-            F.when(rn <= head, ((rn - 1) / (q + 1)).cast("long") + 1)
-            .otherwise(F.lit(r) + ((rn - 1 - head) / q).cast("long") + 1)
+            F.when(rn <= head, F.expr(f"(__rn - 1) div {q + 1}") + 1)
+            .otherwise(F.lit(r) + F.expr(f"(__rn - 1 - {head}) div {q}") + 1)
         )
     return (
         ranked.withColumn("bucket", bucket.cast("long"))
