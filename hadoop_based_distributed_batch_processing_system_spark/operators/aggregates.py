@@ -1363,3 +1363,8 @@ def agg_quantile_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, num, den in _QKMV_QS
     ]
     return ordered.groupBy("flag").agg(*aggs)
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

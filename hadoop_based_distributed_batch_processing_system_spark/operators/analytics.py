@@ -2579,3 +2579,8 @@ def orders_gmv_daily_7dma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gmv").over(w), 4).alias("gmv_7dma"),
         F.count(F.lit(1)).over(w).alias("window_days"),
     )
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

@@ -1250,3 +1250,8 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
     )
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

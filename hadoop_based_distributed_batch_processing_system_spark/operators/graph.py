@@ -699,3 +699,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peel_round").cast("int").alias("peel_round"),
         (F.col("peel_round") == 0).alias("in_core"),
     )
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

@@ -1446,3 +1446,8 @@ def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sr").alias("sem_rank"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

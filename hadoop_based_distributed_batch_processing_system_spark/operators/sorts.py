@@ -386,6 +386,45 @@ def bucketed_rank_cumsum(
     return out.drop("__bkt"), acc_n, acc_s
 
 
+def _islands_bucketed_window(
+    df: DataFrame,
+    ts_col: str,
+    tiebreak_cols: list[str],
+    *,
+    gap_us: int,
+    bucket_us: int,
+) -> DataFrame:
+    """Steps 1–2 of ``global_islands`` (bucket by ts, form islands
+    locally with a PARTITIONED window), split out so the plan audit
+    can see it: ``global_islands`` localCheckpoints this frame at
+    build time, which TRUNCATES LINEAGE — consumer operators' plans
+    show only a scan of checkpoint blocks below that point, so the
+    fleet sweeps (single-partition-window / cartesian /
+    WindowGroupLimit) are blind to everything in here. A dedicated
+    test (tests/test_plans.py::test_global_islands_prechckpt_plan)
+    audits THIS pre-checkpoint frame directly instead."""
+    us = F.unix_micros(F.col(ts_col))
+    d = df.withColumn("__us", us).withColumn(
+        "__bkt", F.expr(f"unix_micros({ts_col}) div {bucket_us}")
+    )
+    w = Window.partitionBy("__bkt").orderBy("__us", *tiebreak_cols)
+    return (
+        d.withColumn(
+            "__new",
+            F.when(
+                F.lag("__us").over(w).isNull()
+                | (F.col("__us") - F.lag("__us").over(w) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__lid",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .drop("__new")
+    )
+
+
 def global_islands(
     df: DataFrame,
     ts_col: str,
@@ -420,22 +459,7 @@ def global_islands(
     exactly the islands the global window would produce, since
     bucketing preserves order and boundary merging applies the same
     gap rule the window applies)."""
-    us = F.unix_micros(F.col(ts_col))
-    d = df.withColumn("__us", us).withColumn(
-        "__bkt", F.expr(f"unix_micros({ts_col}) div {bucket_us}")
-    )
-    w = Window.partitionBy("__bkt").orderBy("__us", *tiebreak_cols)
-    d = d.withColumn(
-        "__new",
-        F.when(
-            F.lag("__us").over(w).isNull()
-            | (F.col("__us") - F.lag("__us").over(w) > gap_us),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "__lid",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    ).drop("__new")
+    d = _islands_bucketed_window(df, ts_col, tiebreak_cols, gap_us=gap_us, bucket_us=bucket_us)
 
     # Two consumers read the bucketed-window result (the summary
     # aggregate below and the caller's output plan) — materialize it
@@ -446,6 +470,15 @@ def global_islands(
     # session). Checkpoint blocks are reference-GC'd by the
     # ContextCleaner once the caller's frame is dropped, so ownership
     # needs no API change; the window still computes exactly once.
+    # KNOWN TRADE-OFFS of checkpointing here (ADVICE r08): (a) the
+    # truncated lineage hides everything above from the fleet plan
+    # sweeps when they audit CONSUMERS of this helper — the
+    # pre-checkpoint frame is audited directly instead
+    # (tests/test_plans.py::test_global_islands_prechckpt_plan on
+    # _islands_bucketed_window); (b) unlike cache(), checkpointed
+    # blocks are not recomputable on executor loss — acceptable for
+    # these interactive/bench jobs, revisit if reused inside a
+    # long-running fault-sensitive pipeline.
     d = d.localCheckpoint(eager=True)
 
     summary = (

@@ -2243,14 +2243,25 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         cur = vocab.select("cnt", "seg")
         for r in range(1, _BPE_MERGES + 1):
-            best = (
+            rows = (
                 cur.select("cnt", F.explode(F.expr(pair_expr)).alias("p"))
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("cnt").alias("n"))
                 .orderBy(F.desc("n"), "a", "b")
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not rows:
+                # Pair exhaustion (every vocab word collapsed to one
+                # symbol before _BPE_MERGES rounds — degenerate corpus).
+                # Break rather than IndexError: the oracle's chain
+                # CONVERGES on the same answer, because an empty
+                # best{r} makes seg{r} = prev × ∅ = empty, so every
+                # later pairs/best CTE is empty too and the UNION
+                # returns exactly the merges learned before
+                # exhaustion — the same ranks this loop kept.
+                break
+            best = rows[0]
             merges.append((r, best["a"], best["b"], best["a"] + best["b"], int(best["n"])))
             cur = cur.withColumn(
                 "seg",
@@ -2263,3 +2274,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, sym_left string, sym_right string, merged string, n long"
     )
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

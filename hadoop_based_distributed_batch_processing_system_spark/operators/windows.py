@@ -36,8 +36,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
 
-# See module docstring: window input must be a calendar/domain-bounded
-# rollup (≲10^4 rows), never corpus-sized.
 # THE WINDOW-GROUP-LIMIT RULE (enforced by the fleet plan audit in
 # tests/test_plans.py from the list below): a rank/row_number window
 # used only as a top-k filter must stand ALONE on its window spec —

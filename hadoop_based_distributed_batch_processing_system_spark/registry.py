@@ -54,6 +54,36 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def interpolate_docstrings(module_globals: dict) -> None:
+    """Replace ``{_CONST}``-style placeholders in the module's operator
+    docstrings with the constants' values (ADVICE r08: plain docstrings
+    otherwise show readers of ``help()`` the literal braces). Call once
+    at the bottom of an operator module:
+    ``interpolate_docstrings(globals())``. Placeholders are evaluated
+    against the module globals (so ``{_BITS // _WORD}`` works); any
+    expression that does not evaluate is left verbatim, which keeps
+    intentional brace text (e.g. format templates in helpers) intact.
+    """
+    import re
+    import types
+
+    def _sub(doc: str) -> str:
+        def repl(m: re.Match) -> str:
+            expr, _, spec = m.group(1).partition(":")
+            try:
+                val = eval(expr, module_globals)  # noqa: S307
+                return format(val, spec) if spec else str(val)
+            except Exception:
+                return m.group(0)
+
+        return re.sub(r"\{([^{}]+)\}", repl, doc)
+
+    for obj in list(module_globals.values()):
+        if isinstance(obj, types.FunctionType) and obj.__doc__ and "{" in obj.__doc__:
+            if obj.__globals__ is module_globals:
+                obj.__doc__ = _sub(obj.__doc__)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run, then return
     the registry. Import errors in optional modules must not hide the

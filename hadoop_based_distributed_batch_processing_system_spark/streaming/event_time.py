@@ -1948,3 +1948,8 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("forecast").alias("kind"),
     )
     return fits.unionByName(forecasts)
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

@@ -676,3 +676,32 @@ def test_window_group_limit_mechanism(spark):
         .filter(F.col("rn") <= 5)
     )
     assert plan_facts(beside).n_window_group_limits == 0
+
+
+def test_global_islands_prechckpt_plan(spark):
+    """ADVICE r08: ``global_islands`` localCheckpoints its bucketed
+    window at build time, truncating lineage — consumer operators'
+    plans (e.g. ``events_activity_bursts``) show only a scan of
+    checkpoint RDD blocks below that point, so the three fleet sweeps
+    can NEVER see the recipe's own window again. Audit the
+    PRE-checkpoint frame directly instead: the island window must be
+    partitioned by the time bucket (no SinglePartition exchange
+    feeding any Window), with no cartesian and no row-Python — i.e. a
+    regression inside the recipe is caught here, not silently exempt."""
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
+        _islands_bucketed_window,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("ts", "event_id", "user_id")
+    pre = _islands_bucketed_window(
+        ev, "ts", ["event_id"], gap_us=900 * 1_000_000, bucket_us=6 * 3600 * 1_000_000
+    )
+    plan = plan_of(pre)
+    assert "Window" in plan  # the frame under audit really holds the window
+    for frag in re.split(r"\bWindow\b(?!GroupLimit)", plan)[1:]:
+        m = re.search(r"Exchange (\S+)", frag)
+        assert m is None or not m.group(1).startswith("SinglePartition"), plan
+    facts = plan_facts(pre)
+    assert not facts.has_cartesian and not facts.has_row_python
