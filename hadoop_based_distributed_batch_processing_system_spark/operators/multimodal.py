@@ -7,17 +7,21 @@ metadata JVM-side; only the decode/feature steps touch the payload,
 as Arrow-batched ``mapInPandas`` — the payload bytes cross to Python
 once, in columnar batches, never row-at-a-time.
 
-The container ships no image/video codec LIBRARIES, so the generic
-decode step is a STUB: a deterministic fake decoder derived from the
-payload's md5 (schema, partitioning, UDF signature and batch shape
-are real and tested; swap ``_fake_decode`` for PIL/ffmpeg in
-production — the ``real_codec=True`` path raises NotImplementedError
-by design). THREE real, library-free codecs ship anyway:
+FOUR real, library-free codecs ship (no PIL/ffmpeg in the
+container, and none needed for these formats):
 ``mm_audio_decode_wav`` (stdlib ``wave`` RIFF parse),
 ``mm_decode_real_image`` (BMP is uncompressed, so ``struct`` +
-byte-slicing is a complete decoder), and ``mm_decode_real_png``
-(zlib inflate + CRC verification + all five scanline filters) — each
+byte-slicing is a complete decoder), ``mm_decode_real_png``
+(zlib inflate + CRC verification + all five scanline filters), and
+``mm_decode_real_gif`` (variable-width LZW + frame sampling) — each
 synthesizes genuine containers and is oracle-checked field by field.
+``mm_decode_dispatch`` is the production decode STAGE over a mixed
+corpus: sniff each payload's magic bytes, route to the right codec,
+emit one unified metadata schema (it replaced the round-2 fake
+``mm_decode_stub``/``mm_frame_sample`` plumbing in round 9 — every
+modality now decodes for real; only FEATURE extraction keeps a
+deterministic stand-in, ``mm_feature_extract_stub``, because a real
+embedding model genuinely isn't in the container).
 """
 
 from __future__ import annotations
@@ -77,108 +81,12 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for a real media decoder: pretend
-    dimensions derived from the content hash. Replace with
-    PIL.Image.open / soundfile / pyav in production."""
-    h = hashlib.md5(payload).digest()
-    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 3
-
-
-def decode_batch(batches, real_codec: bool = False):
-    """The mapInPandas decode kernel: iterator of Arrow batches in,
-    iterator of decoded-metadata batches out — constant memory per
-    task regardless of partition size."""
-    if real_codec:
-        raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg, which this container does not ship; "
-            "the deterministic fake below exercises the identical Spark plumbing"
-        )
-    for pdf in batches:
-        decoded = [_fake_decode(p) for p in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "kind": pdf["kind"],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "n_channels": [d[2] for d in decoded],
-            }
-        )
-
-
 # md5 hex pair -> byte value, pure SQL (portable: DuckDB has no
 # hex-to-int cast, so fold the two nibbles by charpos arithmetic).
 _HEXBYTE = (
     "(16 * (strpos('0123456789abcdef', substr({hx}, {i}, 1)) - 1)"
     " + strpos('0123456789abcdef', substr({hx}, {j}, 1)) - 1)"
 )
-
-
-@register(
-    "mm_decode_stub",
-    # The fake decoder is a CLOSED-FORM function of md5(payload), so
-    # the whole mapInPandas decode path is hash-checkable: the oracle
-    # re-derives width/height/channels from the same md5 bytes with
-    # nibble arithmetic. This checks the Arrow plumbing end to end —
-    # a real codec swap keeps the plan and loses only the oracle.
-    oracle=f"""
-        WITH h AS (
-          SELECT doc_id,
-                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                 md5(text) AS hx
-          FROM documents
-        )
-        SELECT doc_id, kind,
-               CAST(16 + {_HEXBYTE.format(hx="hx", i=1, j=2)} % 240 AS INTEGER) AS width,
-               CAST(16 + {_HEXBYTE.format(hx="hx", i=3, j=4)} % 240 AS INTEGER) AS height,
-               CAST(1 + {_HEXBYTE.format(hx="hx", i=5, j=6)} % 3 AS INTEGER) AS n_channels
-        FROM h
-    """,
-    tags=("L7", "decode"),
-)
-def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract stage over the binary payload via
-    ``mapInPandas``: the one place payload bytes cross to Python
-    (Arrow batches). Partitioning note: decode is CPU-bound and
-    embarrassingly parallel — at scale, repartition to #cores before
-    this stage and NEVER after it (output is tiny metadata)."""
-    mm = binary_payload(load_table(spark, sf_dir, "documents"))
-    return mm.select("doc_id", "kind", "payload").mapInPandas(
-        decode_batch, "doc_id long, kind string, width int, height int, n_channels int"
-    )
-
-
-@register(
-    "mm_frame_sample",
-    oracle="""
-        SELECT doc_id, frame_id, frame_id * 40 AS pts_ms FROM (
-          SELECT doc_id, unnest(generate_series(0, CAST(n_chars % 7 AS INTEGER))) AS frame_id
-          FROM documents
-        )
-        WHERE frame_id % 2 = 0
-    """,
-    tags=("L7", "frames"),
-)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling, SELECTION-side: each payload notionally has
-    n_chars%7+1 frames at 25 fps; emit every 2nd frame with its
-    presentation timestamp. The frame index expansion is a JVM-side
-    ``sequence``+``explode`` (a generator, not a UDF) — this is the
-    metadata-only planner that picks frames WITHOUT touching payload
-    bytes. The decode side is real: ``mm_decode_real_gif`` applies
-    the same every-2nd-frame sampling to genuinely LZW-decoded
-    animation frames."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), (F.col("n_chars") % 7).cast("int"))).alias("frame_id"),
-        )
-        .filter(F.col("frame_id") % 2 == 0)
-        .select("doc_id", F.col("frame_id").cast("long").alias("frame_id"), (F.col("frame_id") * 40).cast("long").alias("pts_ms"))
-    )
 
 
 @register(
@@ -778,7 +686,7 @@ def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codec, still pure stdlib (`struct` + hand-rolled variable-width LZW —
 # GIF's compression is fully specified in the public GIF89a spec, no
 # library needed). This replaces the notional frame math of
-# mm_frame_sample with real frames: each payload is a real animation
+# Frame sampling with real frames: each payload is a real animation
 # (global color table, NETSCAPE loop extension, per-frame Graphic
 # Control Extensions carrying presentation delays, LZW-compressed
 # index streams), and the decode stage walks the container, inflates
@@ -1052,7 +960,7 @@ def mm_decode_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     with CLEAR/EOI and code-width growth), stage 2 walks the block
     stream, LZW-decodes EVERY frame, maps pixels through the palette,
     and emits every 2nd frame with its accumulated presentation
-    timestamp — mm_frame_sample's selection semantics on genuinely
+    timestamp — every-2nd-frame selection semantics on genuinely
     decoded frames. A bit-packing, code-width, KwKwK, palette, or
     delay-accumulation bug is a hash mismatch.
 
@@ -1099,4 +1007,111 @@ def mm_decode_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         "doc_id long, frame_id long, width int, height int, n_frames int, "
         "pts_ms long, sum_red long, sum_green long, sum_blue long",
+    )
+
+
+@register(
+    "mm_decode_dispatch",
+    # Every unified-metadata field is a closed-form function of doc_id
+    # (each synth's own formulas), so the whole sniff-and-route decode
+    # is hash-checkable: the oracle re-derives width/height/channels/
+    # frames/duration per kind with integer arithmetic. A routing bug
+    # (wrong codec for a payload), a header-parse bug in ANY of the
+    # three codecs, or a unit slip (centiseconds vs ms, PCM frames vs
+    # duration) is a hash mismatch.
+    oracle="""
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN CAST(4 + doc_id % 13 AS INTEGER)
+                    WHEN 1 THEN CAST(NULL AS INTEGER)
+                    ELSE CAST(3 + doc_id % 8 AS INTEGER) END AS width,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN CAST(3 + doc_id % 9 AS INTEGER)
+                    WHEN 1 THEN CAST(NULL AS INTEGER)
+                    ELSE CAST(2 + doc_id % 5 AS INTEGER) END AS height,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
+                    ELSE CAST(3 AS INTEGER) END AS n_channels,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN CAST(1 AS INTEGER)
+                    WHEN 1 THEN CAST(400 + (doc_id % 7) * 100 AS INTEGER)
+                    ELSE CAST(2 + doc_id % 5 AS INTEGER) END AS n_frames,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN CAST(0 AS BIGINT)
+                    WHEN 1 THEN CAST((400 + (doc_id % 7) * 100) * 1000
+                                     // (CASE CAST(doc_id % 4 AS INTEGER)
+                                         WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                         WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT)
+                    ELSE CAST((2 + doc_id % 5) * (4 + doc_id % 7) * 10 AS BIGINT) END
+                 AS duration_ms
+        FROM documents
+    """,
+    tags=("L7", "decode", "dispatch"),
+)
+def mm_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production DECODE STAGE over a mixed-modality corpus —
+    round 9's replacement for the retired fake-decode plumbing
+    (``mm_decode_stub``/``mm_frame_sample``, rounds 2–7): stage 1
+    synthesizes a genuine container per document routed by its kind
+    column (image → 24-bit BMP, audio → 16-bit PCM WAV, video →
+    multi-frame GIF89a; in production this binary column arrives
+    from ingestion), stage 2 SNIFFS each payload's magic bytes —
+    never trusting the metadata column — routes it to the matching
+    real codec (``decode_bmp`` / ``decode_wav`` /
+    ``decode_gif_frames``), and emits ONE unified metadata schema:
+    width/height (NULL for audio), channel count, frame count (PCM
+    frames for audio, animation frames for video, 1 for stills) and
+    presentation duration in ms. An unknown magic raises — a quality
+    quarantine would route those rows aside in production.
+
+    Scale: both stages are Arrow-batched ``mapInPandas``; payload
+    bytes cross to Python once and never shuffle (decode output is
+    tiny metadata). Decode is CPU-bound and embarrassingly parallel:
+    repartition to #cores BEFORE this stage, never after. The mixed
+    corpus means per-batch work varies by modality mix — Arrow batch
+    granularity (~10k rows) keeps any skew far below task size."""
+
+    def synth_batches(batches):
+        synths = {0: synth_bmp_bytes, 1: synth_wav_bytes, 2: synth_gif_bytes}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synths[int(d) % 3](int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "kind": [], "width": [], "height": [],
+                "n_channels": [], "n_frames": [], "duration_ms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:2] == b"BM":
+                    w, h, _bpp, _fs, _r, _g, _b, _tl = decode_bmp(p)
+                    row = ("image", w, h, 3, 1, 0)
+                elif p[:4] == b"RIFF":
+                    sr, n_ch, n_fr, dur_ms, _rms = decode_wav(p)
+                    row = ("audio", None, None, n_ch, n_fr, dur_ms)
+                elif p[:6] == b"GIF89a":
+                    w, h, nf, frames = decode_gif_frames(p)
+                    step = frames[1][1] - frames[0][1] if nf >= 2 else 0
+                    row = ("video", w, h, 3, nf, frames[-1][1] + step)
+                else:
+                    raise ValueError(f"unknown payload magic: {p[:6]!r}")
+                out["doc_id"].append(int(doc_id))
+                for k, v in zip(("kind", "width", "height", "n_channels", "n_frames", "duration_ms"), row):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mixed = docs.mapInPandas(synth_batches, "doc_id long, payload binary")
+    return mixed.mapInPandas(
+        decode_batches,
+        "doc_id long, kind string, width int, height int, n_channels int, "
+        "n_frames int, duration_ms long",
     )

@@ -2138,11 +2138,16 @@ _BPE_MERGES = 10
 # so '|' never collides with symbol text.
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_learn_chain() -> tuple[str, str]:
     """The merge loop unrolled as chained MATERIALIZED CTEs (the
     k-means/pagerank/k-core device): each rank's pair stats, argmax,
     and merge application are plain relational steps over the
-    vocab-sized word table."""
+    vocab-sized word table. Shared by the trainer's oracle (which
+    reads the per-rank ``best{r}`` CTEs) and the tokenizer's oracle
+    (which re-applies the same bests to new text). Returns
+    ``(with_chain, bests_union)``: the full WITH body from the corpus
+    wordcount through ``seg{_BPE_MERGES}``, and the UNION ALL of the
+    ranked merge rows."""
     steps = []
     bests = []
     prev = "seg0"
@@ -2173,9 +2178,7 @@ def _bpe_train_oracle() -> str:
         )
         prev = f"seg{r}"
     chain = ",\n        ".join(steps)
-    union = "\n          UNION ALL ".join(bests)
-    return f"""
-        WITH tok AS MATERIALIZED (
+    with_chain = f"""tok AS MATERIALIZED (
           SELECT t AS w, COUNT(*) AS cnt
           FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
           WHERE regexp_matches(t, '^[a-z]+$')
@@ -2184,7 +2187,15 @@ def _bpe_train_oracle() -> str:
         seg0 AS MATERIALIZED (
           SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg FROM tok
         ),
-        {chain}
+        {chain}"""
+    union = "\n          UNION ALL ".join(bests)
+    return with_chain, union
+
+
+def _bpe_train_oracle() -> str:
+    with_chain, union = _bpe_learn_chain()
+    return f"""
+        WITH {with_chain}
         SELECT CAST(merge_rank AS INT) AS merge_rank, sym_left, sym_right, merged, n
         FROM ({union})
     """
@@ -2219,6 +2230,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-model-state discipline). Segmentations ride as sentinel
     strings ('|a||b|'); one replace() applies a merge greedily left
     to right, exactly the fold a sequential trainer runs."""
+    merges = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_left string, sym_right string, merged string, n long"
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The distributed merge loop shared by the trainer
+    (``bpe_train_merges``) and the tokenizer (``bpe_apply_segment``):
+    returns the ranked merge list
+    ``[(rank, sym_left, sym_right, merged, n), ...]`` — the model.
+    Driver state is one argmax row per round; all pair statistics
+    stay on the cached vocab table."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
@@ -2271,8 +2295,115 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         vocab.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank int, sym_left string, sym_right string, merged string, n long"
+    return merges
+
+
+def _bpe_apply_oracle() -> str:
+    """Re-learn the merge table with the shared chain, then fold the
+    ranked merges over the inference slice's distinct words with the
+    SAME chained replace the trainer's seg{r} steps use — the oracle
+    IS the sequential tokenizer."""
+    with_chain, _union = _bpe_learn_chain()
+    apply_steps = []
+    prev = "aseg0"
+    for r in range(1, _BPE_MERGES + 1):
+        apply_steps.append(
+            f"""aseg{r} AS MATERIALIZED (
+          SELECT w, replace(seg, '|' || x.a || '||' || x.b || '|',
+                                 '|' || x.a || x.b || '|') AS seg
+          FROM {prev}, best{r} x
+        )"""
+        )
+        prev = f"aseg{r}"
+    apply_chain = ",\n        ".join(apply_steps)
+    return f"""
+        WITH {with_chain},
+        heldw AS MATERIALIZED (
+          SELECT doc_id, t AS w
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                FROM documents WHERE doc_id % 10 = 7)
+          WHERE regexp_matches(t, '^[a-z]+$')
+        ),
+        aseg0 AS MATERIALIZED (
+          SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg
+          FROM (SELECT DISTINCT w FROM heldw)
+        ),
+        {apply_chain},
+        wordtok AS MATERIALIZED (
+          SELECT w, len(string_split(substr(seg, 2, len(seg) - 2), '||')) AS n_sym
+          FROM {prev}
+        )
+        SELECT h.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(t.n_sym) AS BIGINT) AS n_tokens,
+               CAST((1000000 * SUM(t.n_sym)) // COUNT(*) AS BIGINT) AS tokens_per_word_ppm
+        FROM heldw h JOIN wordtok t ON h.w = t.w
+        GROUP BY h.doc_id
+    """
+
+
+@register(
+    "bpe_apply_segment",
+    oracle=_bpe_apply_oracle(),
+    tags=("L18''", "tokenizer", "bpe", "inference"),
+)
+def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZATION (the trainer's inference half — round-8
+    verdict item 1): learn the ranked merge table with the shared
+    ``_bpe_learn`` loop, then SEGMENT a fresh slice of documents
+    (doc_id % 10 = 7, the arriving-batch stand-in) by folding the
+    merges over each word in RANK ORDER, greedy left-to-right — the
+    exact fold a sequential BPE tokenizer runs, and the completion
+    of trainer → tokenizer the way ``logreg_embeddings`` completed
+    train → eval. Output per document: word count, BPE token count,
+    and tokens-per-word in exact ppm (integer division — no float
+    rounding ties between engines).
+
+    Scale story (the same trick as training, applied at inference):
+    segmentation is computed per DISTINCT WORD of the slice — the
+    Heaps-law-bounded vocab — as {_BPE_MERGES} chained narrow
+    ``replace()`` maps (no shuffle, no Python), then joined back to
+    the (doc_id, word) occurrences on the word key: one equi-join
+    whose build side is vocab-sized (broadcastable at moderate
+    vocabs; AQE picks broadcast vs shuffle by measured size), one
+    doc_id aggregate. Payload-free driver state: the 10-row merge
+    model from training. Hash-oracled end to end because every
+    quantity is an exact integer."""
+    merges = _bpe_learn(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 7)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+
+    seg = (
+        words.select("w")
+        .distinct()
+        .withColumn("seg", F.regexp_replace("w", "(.)", r"|$1|"))
+    )
+    for _rank, a, b, _merged, _n in merges:
+        seg = seg.withColumn(
+            "seg", F.expr("replace(seg, '|{a}||{b}|', '|{a}{b}|')".format(a=a, b=b))
+        )
+    wordtok = seg.select(
+        "w",
+        F.size(F.split(F.expr("substring(seg, 2, length(seg) - 2)"), r"\|\|")).alias("n_sym"),
+    )
+    return (
+        words.join(wordtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("CAST((1000000 * n_tokens) DIV n_words AS BIGINT)").alias(
+                "tokens_per_word_ppm"
+            ),
+        )
     )
 
 

@@ -7,7 +7,6 @@ import pytest
 import pyspark.sql.functions as F
 
 from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import simhash_signatures
-from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import decode_batch
 from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import pair_cosine, with_norm
 from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
@@ -115,20 +114,38 @@ def test_blas_topk_matches_exact_topk(spark):
     assert float(np.abs(exact["cosine"].values - blas["cosine"].values).max()) <= 5.01e-7
 
 
-def test_decode_stub_deterministic_and_typed(spark):
-    one = REG["mm_decode_stub"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id").reset_index(drop=True)
-    two = REG["mm_decode_stub"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id").reset_index(drop=True)
+def test_decode_dispatch_routes_all_modalities(spark):
+    """The sniff-and-route decode stage (round 9's replacement for the
+    retired fake-decode stubs): every document decodes through a REAL
+    codec picked by payload magic, deterministically, with per-kind
+    invariants that mirror each synth's value ranges."""
+    one = REG["mm_decode_dispatch"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id").reset_index(drop=True)
+    two = REG["mm_decode_dispatch"].fn(spark, SF_ORACLE).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert one.equals(two)
     assert len(one) == load_table(spark, SF_ORACLE, "documents").count()
-    assert one["width"].between(16, 255).all()
-    assert one["height"].between(16, 255).all()
-    assert one["n_channels"].between(1, 3).all()
-    assert set(one["kind"]) <= {"image", "audio", "video"}
+    assert set(one["kind"]) == {"image", "audio", "video"}
+    img = one[one["kind"] == "image"]
+    assert img["width"].between(4, 16).all() and img["height"].between(3, 11).all()
+    assert (img["n_channels"] == 3).all() and (img["n_frames"] == 1).all()
+    assert (img["duration_ms"] == 0).all()
+    aud = one[one["kind"] == "audio"]
+    assert aud["width"].isna().all() and aud["height"].isna().all()
+    assert aud["n_channels"].between(1, 2).all()
+    assert aud["n_frames"].between(400, 1000).all() and (aud["duration_ms"] > 0).all()
+    vid = one[one["kind"] == "video"]
+    assert vid["n_frames"].between(2, 6).all() and (vid["duration_ms"] > 0).all()
 
 
-def test_decode_real_codec_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        list(decode_batch(iter([]), real_codec=True))
+def test_decode_dispatch_rejects_unknown_magic():
+    from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import (
+        decode_bmp,
+        decode_gif_frames,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + bytes(60))  # header-sized but wrong magic
+    with pytest.raises(ValueError):
+        decode_gif_frames(b"GIF87a" + bytes(20))  # pre-89a not synthed
 
 
 def test_ann_ivf_recall_against_brute_force(spark):
