@@ -62,14 +62,20 @@ def _verified_past_rounds() -> list[str]:
     query that has since gained an oracle was never hash-checked, so
     it re-enters the front for a hash-verified row. ERROR rows never
     count, nor do events-tainted rows from before round 4 (stale
-    corpus). First-seen order preserved."""
+    corpus). Ordered by NEWEST passing round ascending (first-seen
+    order as tiebreak): the verified back of the window then drains
+    the STALEST attestations first, round over round, with no
+    hand-curated refresh lists — round 9's change; the previous
+    first-seen order kept refreshing the same early-green cohort
+    while 40 queries sat on round-2 rows (VERDICT r08)."""
     import glob
     import json
     import os
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    verified: list[str] = []
+    newest: dict[str, int] = {}
+    first_seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -78,7 +84,7 @@ def _verified_past_rounds() -> list[str]:
         except (OSError, ValueError):
             continue
         for name, rec in rows.items():
-            if not isinstance(rec, dict) or name in verified:
+            if not isinstance(rec, dict):
                 continue
             if name in _EVENTS_TAINTED and rnd < _EVENTS_TAINTED_BEFORE_ROUND:
                 continue
@@ -89,8 +95,9 @@ def _verified_past_rounds() -> list[str]:
                 and (name not in REGISTRY or REGISTRY[name].oracle is None)
             )
             if hash_pass or rows_only_ok:
-                verified.append(name)
-    return verified
+                newest[name] = max(newest.get(name, 0), rnd)
+                first_seen.setdefault(name, len(first_seen))
+    return sorted(newest, key=lambda n: (newest[n], first_seen[n]))
 
 # Hand-curated head of the never-verified set: the entries the next
 # driver window should reach first (highest value / recently fixed).
@@ -100,85 +107,36 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 7 state: the 50-slot window holds EXACTLY the 50
-    # never-attested entries (42 carried from round 6 + 8 round-7
-    # additions at the end of this list), every one hash-oracled and
-    # dry-run green at sf0.01 (~97 s total). After the round-7 driver
-    # run, zero never-attested entries remain and the window reverts
-    # to pure refresh duty: _REFRESH_TAIL first, then the oldest
-    # greens in first-seen order. Round-8 additions should register
-    # EARLY in the round and count window slots before exceeding ~50.
-    # Rewritten this round (two-phase bucketed ranking) — prove ASAP — 4
-    "customer_gini_coefficient", "customer_pareto_share",
-    "parts_abc_classification", "eval_auc_rank_sum",
-    # New this round: 2nd REAL modality (stdlib BMP codec) — 1
-    "mm_decode_real_image",
-    # Stateful streaming twins (applyInPandasWithState) — 2
-    "stream_ewma_stateful", "stream_markov_stateful",
-    # Round-5 joins batch — 4
-    "join_asof_nearest", "fuzzy_join_delete1", "spatial_grid_join",
-    "join_interval_overlap_binned",
-    # Scans / stats aggregates — 6
-    "scan_json_corrupt_records", "agg_winsorized_stats",
-    "agg_mode_deterministic", "events_inter_arrival_stats",
-    "ab_test_welch_t", "chi_square_independence",
-    # Window / UDTF / sampling — 4
-    "win_moving_avg_time", "udtf_polymorphic_analyze",
-    "sample_hash_deterministic", "sample_reservoir_per_group",
-    # Analytics batch — 6 (the 4 ranking ops above belong here too)
-    "dq_expectations", "table_diff_snapshots", "scd2_point_in_time_join",
-    "market_basket_rules", "cohort_ltv_curve", "monthly_growth_rates",
-    "supplier_concentration_hhi",
-    # Dedup / text tail — 7
-    "dedup_prefix_truncation", "text_ngram_novelty",
-    "dedup_cluster_keep_best", "doc_chunk_sliding",
-    "text_repetition_score", "corpus_mixing_weights",
-    # Features / graph — 3
-    "target_encoding_loo", "user_rfm_segments", "graph_degree_distribution",
-    # Event-time batch — 13
-    "attribution_last_touch", "timeseries_twap", "timeseries_ewma",
-    "window_session_capped", "rollup_incremental_merge",
-    "events_seasonality_profile", "events_top_paths",
-    "events_autocorrelation_lag1", "events_anomaly_seasonal_zscore",
-    "timeseries_interpolate_linear", "events_active_users",
-    "timeseries_rolling_median", "funnel_conversion_windowed",
-    # --- positions 51+: round-7 front (low risk / stub plumbing)
-    "mm_decode_real_png", "dedup_repeated_ngram_spans", "eval_calibration_bins",
-    "agg_countmin_sketch", "text_zipf_fit", "sim_search_pq",
-    "pipeline_corpus_curation_v3", "stream_countmin_stateful",
-    "privacy_l_diversity", "agg_hll_portable", "events_activity_bursts",
-    "logreg_embeddings", "eval_spearman_rank_corr", "stream_hll_stateful",
-    "sample_balanced_downsample", "monthly_seasonal_decomposition",
-    "stream_bloom_stateful", "text_winnowing_fingerprints",
-    "dedup_winnowing_pairs", "events_hourly_percentile_bands",
-    "entity_resolution_names", "doc_bm25_topk", "text_rake_keywords",
-    "events_cusum_changepoint", "parts_xyz_classification",
-    "scd2_history_compaction", "funnel_step_latency",
-    "orders_duplicate_payment_detector", "text_js_divergence_sources",
-    "corpus_health_report", "dedup_cross_source_matrix",
-    "graph_link_prediction_jaccard", "sim_search_hybrid_rrf",
-    "events_error_budget_burn", "orders_gmv_daily_7dma",
-    "doc_length_buckets", "text_flesch_readability",
-    "lang_id_confusion_matrix", "mm_binary_metadata", "mm_decode_stub",
-    "mm_frame_sample",
-    # --- round-7 additions (hash-oracled, verify this round)
-    "mm_decode_real_gif",
-    "attribution_position_based", "timeseries_holt_forecast",
-    "eval_ndcg_at_k", "text_naive_bayes_lang", "sketch_kmv_distinct",
-    "graph_bfs_hops", "agg_quantile_sketch_kmv", "stream_kmv_stateful",
+    # --- ROUND 9 state: four never-attested entries (the round-9
+    # additions, registered early per the round-7 lesson): the
+    # sniff-and-route real decode that replaced the retired
+    # mm_decode_stub/mm_frame_sample, the BPE tokenizer's inference
+    # half, LPA communities, and the streaming Misra-Gries twin
+    # (rows-only by nature). They fill window slots 1-4;
+    # _REFRESH_TAIL holds the five stale-r04 rows-only sketches; the
+    # newest-round-ascending verified back then drains the 40-query
+    # r02 backlog (VERDICT r08 item 2) in the remaining slots.
+    "mm_decode_dispatch", "bpe_apply_segment", "graph_label_propagation",
+    "stream_topk_mg_stateful",
+    # (Entries here that have since earned a green driver row are
+    # filtered out by _ordered_names — the list is the PRIORITY among
+    # whatever remains unverified, not a status record.)
     # remaining never-verified entries follow in registration order
 ]
 
-# Verified-but-stale rows worth re-earning when the never-verified
-# front leaves spare slots in the driver's 50-query window: the two
-# approx sketches still carry r01 rows (pre-regeneration era — they
-# don't read events, so not tainted, but a fresh row costs nothing).
-# Placed immediately after the never-verified front, before the rest
-# of the verified back (which follows in first-seen order, i.e. the
-# oldest green rows refresh first as slots free up round over round).
+# Verified-but-stale rows worth re-earning AHEAD of the general
+# oldest-first back: the five rows-only ANN/sketch attestations last
+# driver-run in r04 (VERDICT r08 item 2's second half) — rows-only
+# entries re-prove execution on the current corpus, and these are
+# the oldest such proofs on the board. Placed immediately after the
+# never-verified front; the verified back (newest-round ascending)
+# follows and self-drains the hash-oracled backlog.
 _REFRESH_TAIL = [
-    "agg_approx_distinct",
-    "agg_approx_quantile",
+    "dedup_simhash",
+    "knn_label_vote_ann",
+    "sim_search_ann_lsh",
+    "sim_search_ann_ivf",
+    "topk_heavy_hitters_mg",
 ]
 
 

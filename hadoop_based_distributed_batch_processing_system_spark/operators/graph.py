@@ -23,7 +23,7 @@ aggregation inside a recursive CTE member is not portable SQL.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
@@ -699,6 +699,134 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peel_round").cast("int").alias("peel_round"),
         (F.col("peel_round") == 0).alias("in_core"),
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Synchronous label propagation unrolled as chained MATERIALIZED
+    CTEs (the pagerank/BFS/k-core device): per round, a vote table
+    (neighbor labels + the node's own), an exact count, and a
+    ROW_NUMBER argmax with the deterministic (count DESC, label ASC)
+    tie-break."""
+    steps = []
+    prev = "lab0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        steps.append(
+            f"""votes{r} AS (
+          SELECT e.dst AS node, l.label FROM edges0 e JOIN {prev} l ON l.node = e.src
+          UNION ALL
+          SELECT node, label FROM {prev}
+        ),
+        cnt{r} AS MATERIALIZED (
+          SELECT node, label, COUNT(*) AS c FROM votes{r} GROUP BY 1, 2
+        ),
+        lab{r} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM cnt{r}) WHERE rn = 1
+        )"""
+        )
+        prev = f"lab{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '{_TRIANGLE_SHIP_LO}'
+            AND l_shipdate < TIMESTAMP '{_TRIANGLE_SHIP_HI}'
+        ),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges0 AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs
+        ),
+        lab0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges0),
+        {chain}
+        SELECT CAST(label AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(node) AS BIGINT) AS min_node
+        FROM {prev}
+        GROUP BY label
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("G7", "graph", "communities", "lpa", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — COMMUNITY DETECTION by synchronous label propagation
+    (Raghavan et al. 2007), the graph family's sixth rung
+    (components = connectivity, pagerank = importance, triangles =
+    cohesion, BFS = reach, k-core = embeddedness, LPA = COMMUNITY):
+    every node starts as its own label; each round every node adopts
+    the most frequent label among its neighbors-plus-itself (the
+    self-vote damps oscillation), ties broken by MIN label — a total,
+    engine-portable order, which with a FIXED {_LPA_ROUNDS} rounds
+    makes the whole algorithm deterministic (async/random-order LPA
+    is not; the synchronous min-tiebreak variant is the one every
+    distributed implementation ships). Graph: the same one-ship-year
+    part co-purchase graph as ``triangle_count`` — sparse
+    (order-local cliques, <= 7 lines per order), so labels travel at
+    most {_LPA_ROUNDS} hops and genuine small communities survive
+    (the dense customer-supplier bipartite graph degenerates to its
+    two sides under any LPA — measured, and why this operator runs
+    on the co-purchase graph).
+
+    Scale per round: one equi-join of the edge list with the
+    vertex-sized label frame (shuffle on the join key), one exact
+    (node, label) count with map-side partial aggregation, and one
+    per-node argmax whose rank window stands ALONE on its spec — so
+    Catalyst plans WindowGroupLimit (map-side partial top-1;
+    audit-enforced in tests/test_plans.py). Label frames are
+    VERTEX-sized and cached per round (compute-once for their two
+    consumers; ContextCleaner reclaims them when the plan is
+    dropped) — no corpus-sized state ever accumulates, and no
+    driver-side collect exists at all: the model state IS
+    distributed, unlike the k-means/BPE bounded-collect loops."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TRIANGLE_SHIP_LO) & (F.col("l_shipdate") < _TRIANGLE_SHIP_HI)
+    ).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _r in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .unionAll(labels)
+        )
+        cnt = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .cache()
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+    ).select(F.col("label").cast("long").alias("community"), "n_members", "min_node")
 
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings

@@ -66,6 +66,7 @@ WINDOW_GROUP_LIMIT_EXPECTED = {
     "knn_label_vote_ann",           # same vote over the ANN candidate set
     "text_tfidf_topterms",          # top-terms-per-doc rank filter
     "text_naive_bayes_lang",        # argmax class = rank-1 per doc
+    "graph_label_propagation",      # per-node label argmax = rank-1, every round
 }
 
 # See module docstring: window input must be a calendar/domain-bounded

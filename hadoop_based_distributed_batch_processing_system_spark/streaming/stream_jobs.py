@@ -1190,6 +1190,78 @@ def stream_quantile_kmv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(result, "hbdbps_stream_qkmv", "update")
 
 
+_SMG_SLOTS = 16
+
+
+@register(
+    "stream_topk_mg_stateful",
+    # Rows-only by nature (the round-8 verdict's call, like the batch
+    # topk_heavy_hitters_mg): Misra-Gries slot contents depend on
+    # micro-batch boundaries (each overflow decrement is taken
+    # against the counts seen SO FAR), so no batch SQL reproduces
+    # them under arbitrary triggers. pytest pins the sketch's
+    # guarantees instead: under-count, the n/k presence bound, and
+    # determinism for a fixed batch layout.
+    tags=("A4", "O2", "sketch", "misra-gries", "stream", "stateful"),
+)
+def stream_topk_mg_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``topk_heavy_hitters_mg`` — live per-
+    event-type heavy hitters with {_SMG_SLOTS} Misra-Gries slots as
+    keyed state, completing the live-sketch family with the one
+    member that was still batch-only (count-min = counts, HLL/KMV =
+    cardinality, Bloom = membership, quantile-KMV = distribution,
+    this = TOP-K). Per micro-batch the kernel merges the batch's
+    EXACT per-key counts into the slot dict, then applies the
+    mergeable-summaries reduction (Agarwal et al. 2012): while more
+    than {_SMG_SLOTS} slots remain, subtract the ({_SMG_SLOTS}+1)-th
+    largest slot count from every slot and drop the non-positive —
+    order-independent WITHIN a batch (it folds counts, not rows),
+    and the classic MG under-count bound survives merging: every
+    estimate is <= the true count, short by at most n_key /
+    {_SMG_SLOTS}, so any user above that frequency is GUARANTEED a
+    slot (both pinned in pytest).
+
+    Scale: state is {_SMG_SLOTS} (user, count) pairs per event_type —
+    constant in stream volume and user cardinality; the shuffle
+    carries per-batch pre-reduced (event_type, user, n) deltas, never
+    raw events. Queries read at most keys x {_SMG_SLOTS} rows from
+    the state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("event_type", "user_id")
+
+    def update_mg(key, pdfs, state: GroupState):
+        slots: dict[int, int] = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in pdfs:
+            for uid, n in pdf.groupby("user_id").size().items():
+                slots[int(uid)] = slots.get(int(uid), 0) + int(n)
+            while len(slots) > _SMG_SLOTS:
+                d = sorted(slots.values(), reverse=True)[_SMG_SLOTS]
+                slots = {u: c - d for u, c in slots.items() if c > d}
+        items = sorted(slots.items())
+        state.update(([u for u, _ in items], [c for _, c in items]))
+        out = sorted(slots.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(out),
+                "user_id": [u for u, _ in out],
+                "est_count": [c for _, c in out],
+            }
+        )
+
+    result = ev.groupBy("event_type").applyInPandasWithState(
+        update_mg,
+        outputStructType="event_type string, user_id long, est_count long",
+        stateStructType="users array<long>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_topk_mg", "update")
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -61,3 +61,39 @@ def test_file_sink_rerun_is_exactly_once(spark):
     second = REG["stream_file_sink_exactly_once"].fn(spark, SF_ORACLE).count()
     n_src = load_table(spark, SF_ORACLE, "events").count()
     assert first == second == n_src
+
+
+def test_stream_topk_mg_bounds_and_determinism(spark):
+    """The live Misra-Gries top-k's sketch guarantees (it is rows-only
+    by nature — slot contents depend on micro-batch boundaries):
+    (1) every estimate is an UNDER-count of the true per-(type, user)
+    frequency; (2) any user with true frequency > n_type/k is
+    guaranteed a slot (the classic MG bound, preserved under the
+    mergeable-summaries reduction the kernel applies); (3) at most k
+    slots per key; (4) a re-run over the same batch layout is
+    byte-identical."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+    from hadoop_based_distributed_batch_processing_system_spark.streaming.stream_jobs import (
+        _SMG_SLOTS,
+    )
+    from tests.conftest import SF_ORACLE
+
+    one = REG["stream_topk_mg_stateful"].fn(spark, SF_ORACLE).toPandas()
+    two = REG["stream_topk_mg_stateful"].fn(spark, SF_ORACLE).toPandas()
+    assert canon_frame(one) == canon_frame(two)
+    assert one.groupby("event_type").size().max() <= _SMG_SLOTS
+
+    exact = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    merged = one.merge(exact, on=["event_type", "user_id"], how="left")
+    assert merged["n"].notna().all()  # every slot holds a real key
+    assert (merged["est_count"] <= merged["n"]).all()
+    totals = exact.groupby("event_type")["n"].sum()
+    for et, grp in exact.groupby("event_type"):
+        heavy = set(grp[grp["n"] > totals[et] / _SMG_SLOTS]["user_id"])
+        present = set(one[one["event_type"] == et]["user_id"])
+        assert heavy <= present, (et, heavy - present)
