@@ -88,6 +88,23 @@ HEADLINE = [
     "mm_decode_real_gif",   # multi-frame GIF synth + LZW decode + frame sampling
     "text_naive_bayes_lang",  # NB train+classify, sparse unseen-word decomposition
     "sketch_kmv_distinct",  # KMV theta sketches, WindowGroupLimit partial top-k
+    # --- round-9 rows: the round-7/8 operators the r08 verdict flagged
+    # as unbenched, the heaviest legacy rows that lacked a baseline,
+    # and the round-9 additions.
+    "graph_bfs_hops",       # 3-round Pregel-shape min-hop relaxation
+    "timeseries_holt_forecast",  # integer Holt fold per series + 3-step forecast
+    "attribution_position_based",  # 40/40/20 multi-touch credit in a purchase window
+    "eval_ndcg_at_k",       # graded position-discounted retrieval metric
+    "agg_quantile_sketch_kmv",  # k-min-by-hash quantile sample, WindowGroupLimit
+    "dedup_simhash_portable",  # md5-plane simhash + pigeonhole chunk blocking
+    "privacy_t_closeness",  # exact-integer TVD vs corpus distribution
+    "bpe_train_merges",     # 10-round merge-loop training on the vocab table
+    "graph_kcore_peel",     # 6-round parallel peel, checkpoint-truncated
+    "stream_quantile_kmv_stateful",  # live per-type p50/p90, k-pair keyed state
+    "mm_decode_dispatch",   # sniff-and-route real decode (BMP/WAV/GIF)
+    "bpe_apply_segment",    # tokenizer inference: fold learned merges over new docs
+    "graph_label_propagation",  # 4-round synchronous LPA communities
+    "stream_topk_mg_stateful",  # live Misra-Gries heavy hitters, keyed slots
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
