@@ -117,7 +117,7 @@ _PRIORITY_WINDOW = [
     # newest-round-ascending verified back then drains the 40-query
     # r02 backlog (VERDICT r08 item 2) in the remaining slots.
     "mm_decode_dispatch", "bpe_apply_segment", "graph_label_propagation",
-    "stream_topk_mg_stateful",
+    "stream_topk_mg_stateful", "ml_decision_stump",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

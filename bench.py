@@ -105,6 +105,7 @@ HEADLINE = [
     "bpe_apply_segment",    # tokenizer inference: fold learned merges over new docs
     "graph_label_propagation",  # 4-round synchronous LPA communities
     "stream_topk_mg_stateful",  # live Misra-Gries heavy hitters, keyed slots
+    "ml_decision_stump",    # histogram split finding, one scan + bounded argmax
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

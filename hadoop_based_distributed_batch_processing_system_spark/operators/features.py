@@ -316,3 +316,172 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn = (F.row_number().over(w) + F.element_at(off_map, F.col(bcols[i]))).cast("long")
         scored = scored.withColumn(score_name, ntile_of(rn, n_total))
     return scored.select("user_id", "r_score", "f_score", "m_score", "n_events", "monetary")
+
+
+_STUMP_FEATURES = (
+    # (name, integer-bin expression over lineitem — identical text in
+    # both engines so bin assignment is bit-identical)
+    ("price_10k", "CAST(floor(l_extendedprice / 10000) AS INT)"),
+    ("discount_pct", "CAST(round(l_discount * 100) AS INT)"),
+    ("tax_pct", "CAST(round(l_tax * 100) AS INT)"),
+)
+_STUMP_TARGET = "l_quantity > 25"
+
+
+def _stump_oracle() -> str:
+    feats = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS bin, y FROM base" for name, expr in _STUMP_FEATURES
+    )
+    return f"""
+        WITH base AS (
+          SELECT l_extendedprice, l_discount, l_tax,
+                 CASE WHEN {_STUMP_TARGET} THEN 1 ELSE 0 END AS y
+          FROM lineitem
+        ),
+        fb AS ({feats}),
+        hist AS (
+          SELECT feature, bin, COUNT(*) AS n, SUM(y) AS pos
+          FROM fb GROUP BY feature, bin
+        ),
+        cum AS (
+          SELECT feature, bin,
+                 SUM(n) OVER w AS n_left, SUM(pos) OVER w AS pos_left,
+                 SUM(n) OVER p AS n_tot, SUM(pos) OVER p AS pos_tot
+          FROM hist
+          WINDOW w AS (PARTITION BY feature ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 p AS (PARTITION BY feature)
+        ),
+        cand AS (
+          SELECT feature, bin AS split_bin,
+                 CAST(n_left AS BIGINT) AS n_left,
+                 CAST(pos_left AS BIGINT) AS pos_left,
+                 CAST(n_tot - n_left AS BIGINT) AS n_right,
+                 CAST(pos_tot - pos_left AS BIGINT) AS pos_right,
+                 ROUND(
+                   (1.0 - (pos_tot * pos_tot + (n_tot - pos_tot) * (n_tot - pos_tot))
+                        / (1.0 * n_tot * n_tot))
+                   - (n_left * (1.0 - (pos_left * pos_left
+                        + (n_left - pos_left) * (n_left - pos_left))
+                        / (1.0 * n_left * n_left))
+                      + (n_tot - n_left) * (1.0 - ((pos_tot - pos_left) * (pos_tot - pos_left)
+                        + ((n_tot - n_left) - (pos_tot - pos_left))
+                          * ((n_tot - n_left) - (pos_tot - pos_left)))
+                        / (1.0 * (n_tot - n_left) * (n_tot - n_left)))) / n_tot,
+                 6) AS gain
+          FROM cum
+          WHERE n_left > 0 AND n_tot - n_left > 0
+        ),
+        best AS (
+          SELECT feature, split_bin FROM cand
+          ORDER BY gain DESC, feature, split_bin LIMIT 1
+        )
+        SELECT c.feature, c.split_bin, c.n_left, c.pos_left, c.n_right, c.pos_right,
+               c.gain,
+               (c.feature = b.feature AND c.split_bin = b.split_bin) AS is_best
+        FROM cand c, best b
+    """
+
+
+@register(
+    "ml_decision_stump",
+    oracle=_stump_oracle(),
+    tags=("ML5", "tree", "stump", "histogram"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML5 — distributed DECISION-STUMP training by histogram split
+    finding: the depth-1 CART tree, and more importantly THE split
+    primitive every histogram GBDT (LightGBM/XGBoost-hist) runs per
+    node — fifth ML flagship beside k-means / logreg / PCA / BPE.
+    Target: is this a bulk line (l_quantity > 25)? Features: integer
+    bins of extendedprice / discount / tax. For every (feature,
+    boundary) candidate, the exact left/right class counts and the
+    Gini impurity decrease; ``is_best`` marks the argmax split
+    (round-6dp gain, then (feature, bin) tiebreak — the
+    round-before-argmax discipline).
+
+    Scale — the histogram trick verbatim: the corpus is scanned ONCE
+    (one generator explode into (feature, bin, y)), then ONE
+    map-side-combining aggregate leaves #features × #bins rows (~70
+    here; bounded by construction, never by data). Split evaluation
+    is a prefix-scan window over those bounded histogram rows and
+    the argmax rides back as a broadcast 1-row scalar join —
+    at 100 TB the only corpus-sized work is the single scan, exactly
+    why every production GBDT bins first. Gini arithmetic runs on
+    exact BIGINT counts with the identical expression text in both
+    engines; ROUND 6dp absorbs last-ulp double division drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.expr(f"CASE WHEN {_STUMP_TARGET} THEN 1 ELSE 0 END").alias("y"),
+        *[F.expr(expr).alias(name) for name, expr in _STUMP_FEATURES],
+    )
+    fb = base.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("feature"), F.col(name).alias("bin"))
+                    for name, _ in _STUMP_FEATURES
+                ]
+            )
+        ).alias("fb"),
+    ).select(F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"), "y")
+    hist = fb.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        F.col("bin").alias("split_bin"),
+        F.sum("n").over(w).alias("n_left"),
+        F.sum("pos").over(w).alias("pos_left"),
+        F.sum("n").over(p).alias("n_tot"),
+        F.sum("pos").over(p).alias("pos_tot"),
+    )
+    gain = F.expr(
+        """
+        ROUND(
+          (1.0 - (pos_tot * pos_tot + (n_tot - pos_tot) * (n_tot - pos_tot))
+               / (1.0 * n_tot * n_tot))
+          - (n_left * (1.0 - (pos_left * pos_left
+               + (n_left - pos_left) * (n_left - pos_left))
+               / (1.0 * n_left * n_left))
+             + (n_tot - n_left) * (1.0 - ((pos_tot - pos_left) * (pos_tot - pos_left)
+               + ((n_tot - n_left) - (pos_tot - pos_left))
+                 * ((n_tot - n_left) - (pos_tot - pos_left)))
+               / (1.0 * (n_tot - n_left) * (n_tot - n_left)))) / n_tot,
+        6)
+        """
+    )
+    cand = (
+        cum.filter((F.col("n_left") > 0) & (F.col("n_tot") - F.col("n_left") > 0))
+        .select(
+            "feature",
+            "split_bin",
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("pos_left").cast("long").alias("pos_left"),
+            (F.col("n_tot") - F.col("n_left")).cast("long").alias("n_right"),
+            (F.col("pos_tot") - F.col("pos_left")).cast("long").alias("pos_right"),
+            gain.alias("gain"),
+        )
+    )
+    best = cand.agg(
+        F.min(
+            F.struct(
+                (-F.col("gain")).alias("ng"),
+                F.col("feature").alias("bf"),
+                F.col("split_bin").alias("bb"),
+            )
+        ).alias("b")
+    )
+    return cand.crossJoin(F.broadcast(best)).select(
+        "feature", "split_bin", "n_left", "pos_left", "n_right", "pos_right", "gain",
+        ((F.col("feature") == F.col("b.bf")) & (F.col("split_bin") == F.col("b.bb"))).alias(
+            "is_best"
+        ),
+    )

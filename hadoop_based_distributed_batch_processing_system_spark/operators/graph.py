@@ -557,7 +557,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         relaxed = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
         )
-        labels = labels.unionAll(relaxed).groupBy("node").agg(F.min("hops").alias("hops"))
+        # labels is referenced TWICE per round (relaxation join +
+        # union), so uncached the final plan holds 2^hops copies of
+        # the whole frontier chain and recomputes each. Caching the
+        # vertex-sized frame per round (the LPA discipline; bounded,
+        # ContextCleaner-reclaimed) measured 2.3 s → 0.30 s at sf0.1.
+        labels = (
+            labels.unionAll(relaxed).groupBy("node").agg(F.min("hops").alias("hops")).cache()
+        )
     return labels.select(
         "node",
         F.col("hops").cast("int").alias("hops"),
@@ -686,12 +693,22 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labeled = removed.withColumn("peel_round", F.lit(r))
         peeled = labeled if peeled is None else peeled.unionAll(labeled)
+        # alive stays checkpointed per round even though its lineage
+        # would be a single linear chain with removed checkpointed
+        # (only multi-reference frames explode the plan k^rounds — see
+        # BASELINE.md's kcore DNF note): measured round 9, skipping it
+        # RE-EXECUTES the r-deep anti-join chain inside every later
+        # removed_r evaluation — ~21 extra stage launches vs 6 saved
+        # checkpoint jobs, net −0.5 s at sf0.1.
         alive = alive.join(removed, "node", "left_anti").localCheckpoint()
-        edges = (
-            edges.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
-            .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
-            .localCheckpoint()
-        )
+        if r < _KCORE_ROUNDS:
+            # the final round's edge frame has no consumer — skip its
+            # materialization (−1 job)
+            edges = (
+                edges.join(removed.withColumnRenamed("node", "src"), "src", "left_anti")
+                .join(removed.withColumnRenamed("node", "dst"), "dst", "left_anti")
+                .localCheckpoint()
+            )
     out = peeled.unionAll(alive.withColumn("peel_round", F.lit(0)))
     return out.select(
         "node",
