@@ -469,6 +469,11 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos_tot") - F.col("pos_left")).cast("long").alias("pos_right"),
             gain.alias("gain"),
         )
+        # two consumers (the argmax aggregate + the output projection)
+        # — uncached, each re-runs the corpus scan + histogram, i.e.
+        # TWO full scans at 100 TB for a #features×#bins-row frame.
+        # Cache the bounded frame; ContextCleaner reclaims it.
+        .cache()
     )
     best = cand.agg(
         F.min(
