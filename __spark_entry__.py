@@ -118,6 +118,9 @@ _PRIORITY_WINDOW = [
     # r02 backlog (VERDICT r08 item 2) in the remaining slots.
     "mm_decode_dispatch", "bpe_apply_segment", "graph_label_propagation",
     "stream_topk_mg_stateful", "ml_decision_stump",
+    # Late-round-9 additions (all hash-oracled): exact prefix-filter
+    # set-similarity join, HITS hubs/authorities, WOE/IV screening.
+    "dedup_allpairs_prefix", "graph_hits", "feature_woe_iv",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -106,6 +106,9 @@ HEADLINE = [
     "graph_label_propagation",  # 4-round synchronous LPA communities
     "stream_topk_mg_stateful",  # live Misra-Gries heavy hitters, keyed slots
     "ml_decision_stump",    # histogram split finding, one scan + bounded argmax
+    "dedup_allpairs_prefix",  # exact prefix-filter set-similarity join
+    "graph_hits",           # 6-round hubs/authorities, end-normalized
+    "feature_woe_iv",       # WOE/IV scorecard, domain-bounded rollup windows
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -1252,6 +1252,116 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_allpairs_prefix",
+    # Oracle is the brute-force ground truth: prefix filtering is an
+    # EXACT pruning (no false negatives by the prefix-filter theorem),
+    # and verification recomputes exact Jaccard, so the result set
+    # must equal the all-pairs scan, values included.
+    oracle=f"""
+        WITH tok AS ({_ORACLE_SHINGLES})
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM tok a, tok b
+          WHERE a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("L2", "allpairs", "prefix-filter"),
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — EXACT set-similarity self-join via prefix filtering
+    (AllPairs / PPJoin family, Bayardo et al. WWW'07 — public paper;
+    re-derived here over the documents fixture).
+
+    The third strategy beside brute force (ground truth, O(n²)) and
+    MinHash-LSH (approximate): exact results WITHOUT the all-pairs
+    product.
+
+    1. 3-word shingles per doc (same sets as the brute-force op);
+    2. global token order = ascending document frequency (rarest
+       first, shingle text as tie-break) — one groupBy over the
+       exploded shingles, joined back per token;
+    3. prefix of a size-s set under Jaccard threshold t = its first
+       ``s - ceil(t*s) + 1`` tokens in that order. Prefix-filter
+       theorem: if J(r,s) >= t, the first common token in the global
+       order lies inside BOTH prefixes (else one side alone caps the
+       overlap at ceil(t*|r|) - 1 < t*|r∪s|), so candidates =
+       equi-self-join of exploded PREFIXES on token;
+    4. length filter inside the join: min(sz) >= t * max(sz)
+       (J >= t forces t*|r∪s| >= t*max);
+    5. verify the candidate set with exact Jaccard; emit pairs >= t.
+
+    Internals run on xxhash64'd shingles (8-byte array elements,
+    integer set ops — the ``_shingles_hashed`` discipline): Jaccard
+    over hashed shingles equals Jaccard over strings absent 64-bit
+    collisions (~1e-13 here), and the VALUES are integer-count
+    ratios, so the brute-force string oracle still hash-matches.
+    The global order becomes (freq, hash) — any consistent total
+    order is valid for the prefix theorem.
+
+    Scale: the candidate join is an equi-join on prefix tokens — a
+    hash shuffle, never a cartesian. Rarest-first ordering puts the
+    highest-frequency (skew-heavy) tokens OUTSIDE the prefixes, so
+    the per-token collision lists stay short; cost is sum over prefix
+    tokens of (list length choose 2), the AllPairs bound. The ordered
+    arrays (the op's only reused frame — prefixes AND verification
+    read it) are materialized once via ``localCheckpoint`` rather
+    than ``cache()``: checkpoint blocks are reference-GC'd by the
+    ContextCleaner when the caller drops the frame, while a cache()
+    here pinned ~150 MB of shingle arrays for the session lifetime
+    and starved later operators' broadcast builds in the shared
+    local JVM (the global_islands ownership rule, operators/
+    sorts.py). Everything is JVM-side built-ins — no UDFs."""
+    t = _JACCARD_THRESHOLD
+    tok = _shingles_hashed(spark, sf_dir)
+    ex = tok.select("doc_id", F.explode("sh").alias("token"))
+    freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # Rebuild each doc's shingle set as an array ORDERED by (freq,
+    # token): sort_array on struct sorts field-wise, giving every doc
+    # the same shared global order. collect_list is unordered — the
+    # sort_array AFTER collection is what makes it deterministic.
+    # Single materialization point (see docstring for ownership).
+    ordered = (
+        ex.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(freq, token))), s -> s.token)").alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+        .withColumn("plen", F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    pref = ordered.select(
+        "doc_id", "sz", F.explode(F.expr("slice(toks, 1, CAST(plen AS INT))")).alias("token")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least("a.sz", "b.sz") >= F.lit(t) * F.greatest("a.sz", "b.sz")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair can share several prefix tokens
+    )
+    # Verification reuses the ordered arrays — same elements as the
+    # raw shingle sets, so intersect/union counts are unchanged.
+    sha = ordered.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("sh_a"))
+    shb = ordered.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -490,3 +490,123 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_best"
         ),
     )
+
+
+_WOE_PRICE_BIN = 62500  # fixed-width o_totalprice bins: 0..500k -> 8 buckets
+_WOE_PRICE_CAP = 7
+
+
+@register(
+    "feature_woe_iv",
+    oracle=f"""
+        WITH base AS (
+          SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS y,
+                 c.c_mktsegment AS seg,
+                 CAST(LEAST(CAST(FLOOR(o.o_totalprice / {_WOE_PRICE_BIN}) AS BIGINT),
+                            {_WOE_PRICE_CAP}) AS VARCHAR) AS pb
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        binned AS (
+          SELECT 'mktsegment' AS feature, seg AS bin, y FROM base
+          UNION ALL
+          SELECT 'price_bucket' AS feature, pb AS bin, y FROM base
+        ),
+        cnt AS (
+          SELECT feature, bin, SUM(y) AS n_good, SUM(1 - y) AS n_bad
+          FROM binned GROUP BY feature, bin
+        ),
+        tot AS (
+          SELECT feature, bin, n_good, n_bad,
+                 SUM(n_good) OVER (PARTITION BY feature) AS tg,
+                 SUM(n_bad) OVER (PARTITION BY feature) AS tb,
+                 COUNT(*) OVER (PARTITION BY feature) AS nb
+          FROM cnt
+        ),
+        woe AS (
+          SELECT feature, bin, n_good, n_bad,
+                 ln((n_good + 1) * (tb + nb)) - ln((n_bad + 1) * (tg + nb)) AS woe_raw,
+                 CAST(n_good + 1 AS DOUBLE) / (tg + nb)
+                   - CAST(n_bad + 1 AS DOUBLE) / (tb + nb) AS dp
+          FROM tot
+        )
+        SELECT feature, bin,
+               CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
+               ROUND(woe_raw, 6) AS woe,
+               ROUND(dp * woe_raw, 6) AS iv_term,
+               ROUND(SUM(dp * woe_raw) OVER (PARTITION BY feature), 6) AS iv_feature
+        FROM woe
+    """,
+    tags=("L17", "features", "woe"),
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening (the
+    classic credit-scoring binning diagnostic; Siddiqi 2006, public
+    method): binary target y = order priority URGENT/HIGH; features =
+    customer market segment (categorical) and o_totalprice in fixed
+    {_WOE_PRICE_BIN}-wide buckets capped at {_WOE_PRICE_CAP}. Per
+    (feature, bin): WOE = ln(P(bin|good)/P(bin|bad)) with +1
+    Laplace smoothing — kept as ln of INTEGER products
+    (ln((g+1)*(B+nb)) - ln((b+1)*(G+nb))), the engine-portable float
+    discipline — and the bin's IV term (P_g - P_b)*WOE, plus the
+    feature-level IV (the sum every feature-selection cut ranks by).
+
+    Scale: one fact-table pass builds the binned union (narrow maps;
+    the customer join is broadcast-able at any SF — dims grow slower
+    than facts), one map-side-combining groupBy on (feature, bin)
+    collapses the corpus to a DOMAIN-BOUNDED rollup (5 segments + 8
+    buckets = 13 rows); the per-feature totals/IV windows run on
+    those 13 rows partitioned by feature — never on corpus-sized
+    input. Output is the full scorecard table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.col("c_mktsegment").alias("seg"),
+        F.least(
+            F.floor(F.col("o_totalprice") / _WOE_PRICE_BIN).cast("long"),
+            F.lit(_WOE_PRICE_CAP).cast("long"),
+        )
+        .cast("string")
+        .alias("pb"),
+    )
+    binned = base.select(
+        F.lit("mktsegment").alias("feature"), F.col("seg").alias("bin"), "y"
+    ).unionAll(base.select(F.lit("price_bucket").alias("feature"), F.col("pb").alias("bin"), "y"))
+    cnt = binned.groupBy("feature", "bin").agg(
+        F.sum("y").alias("n_good"), F.sum(F.lit(1) - F.col("y")).alias("n_bad")
+    )
+    # See module docstring: window input is the domain-bounded rollup
+    # (<= 13 rows), partitioned by feature — never a corpus window.
+    w = Window.partitionBy("feature")
+    woe_raw = F.log((F.col("n_good") + 1) * (F.col("tb") + F.col("nb"))) - F.log(
+        (F.col("n_bad") + 1) * (F.col("tg") + F.col("nb"))
+    )
+    dp = (F.col("n_good") + 1).cast("double") / (F.col("tg") + F.col("nb")) - (
+        F.col("n_bad") + 1
+    ).cast("double") / (F.col("tb") + F.col("nb"))
+    return (
+        cnt.withColumn("tg", F.sum("n_good").over(w))
+        .withColumn("tb", F.sum("n_bad").over(w))
+        .withColumn("nb", F.count(F.lit(1)).over(w))
+        .withColumn("woe_raw", woe_raw)
+        .withColumn("dp", dp)
+        .select(
+            "feature",
+            "bin",
+            F.col("n_good").cast("long").alias("n_good"),
+            F.col("n_bad").cast("long").alias("n_bad"),
+            F.round("woe_raw", 6).alias("woe"),
+            F.round(F.col("dp") * F.col("woe_raw"), 6).alias("iv_term"),
+            F.round(F.sum(F.col("dp") * F.col("woe_raw")).over(w), 6).alias("iv_feature"),
+        )
+    )
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

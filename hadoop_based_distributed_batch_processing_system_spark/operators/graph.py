@@ -846,6 +846,139 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("label").cast("long").alias("community"), "n_members", "min_node")
 
 
+_HITS_ROUNDS = 6
+_HITS_TOP = 25
+
+
+def _hits_oracle() -> str:
+    """HITS unrolled as chained MATERIALIZED CTEs: per round one
+    authority aggregate (sum of in-neighbor hub scores) and one hub
+    aggregate (sum of out-neighbor authority scores); no per-round
+    normalization (direction is scale-invariant; see operator
+    docstring), one L1 normalization at the end."""
+    steps = []
+    prev_h = "h0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        steps.append(
+            f"""a{r} AS MATERIALIZED (
+          SELECT p.s AS node, SUM(h.score) AS score
+          FROM pairs p JOIN {prev_h} h ON p.c = h.node GROUP BY p.s
+        ),
+        h{r} AS MATERIALIZED (
+          SELECT p.c AS node, SUM(a.score) AS score
+          FROM pairs p JOIN a{r} a ON p.s = a.node GROUP BY p.c
+        )"""
+        )
+        prev_h = f"h{r}"
+    chain = ",\n        ".join(steps)
+    last = _HITS_ROUNDS
+    return f"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        h0 AS MATERIALIZED (SELECT DISTINCT c AS node, 1.0 AS score FROM pairs),
+        {chain},
+        atot AS (SELECT SUM(score) AS t FROM a{last}),
+        htot AS (SELECT SUM(score) AS t FROM h{last})
+        SELECT kind, node, score_permille FROM (
+          SELECT 'authority' AS kind, CAST(a.node AS BIGINT) AS node,
+                 ROUND(1000 * a.score / atot.t, 6) AS score_permille
+          FROM a{last} a CROSS JOIN atot
+          ORDER BY score_permille DESC, node LIMIT {_HITS_TOP}
+        )
+        UNION ALL
+        SELECT kind, node, score_permille FROM (
+          SELECT 'hub' AS kind, CAST(h.node AS BIGINT) AS node,
+                 ROUND(1000 * h.score / htot.t, 6) AS score_permille
+          FROM h{last} h CROSS JOIN htot
+          ORDER BY score_permille DESC, node LIMIT {_HITS_TOP}
+        )
+    """
+
+
+@register(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    tags=("G8", "graph", "hits", "iterative"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — HITS hubs & authorities (Kleinberg 1999, public paper;
+    re-derived over the order graph), the graph family's seventh
+    rung: on the directed customer→supplier purchase graph (distinct
+    (o_custkey, l_suppkey) pairs through orders⋈lineitem), a round
+    sets every supplier's AUTHORITY to the sum of its buyers' hub
+    scores, then every customer's HUB to the sum of its suppliers'
+    authority scores — {_HITS_ROUNDS} fixed rounds, top {_HITS_TOP}
+    per side by L1-normalized permille score.
+
+    NO per-round normalization: HITS direction is scale-invariant
+    (normalizing is only needed for the limit, not any finite round),
+    so skipping it removes {_HITS_ROUNDS}×2 driver-visible scalar
+    joins; raw magnitudes grow like (avg degree)^{2 * _HITS_ROUNDS}
+    — ≤ ~1e48 even at SF1000, far inside double range — and one L1
+    normalization at the end yields the same rounded permilles. The
+    two sides live in separate frames keyed by their own ids (no
+    node-id doubling needed — roles never mix), matching the oracle's
+    unrolled-CTE chain; floats follow the pagerank discipline
+    (plain double sums, ROUND 6dp at the very end, rounded-value
+    ordering so the LIMIT cut is engine-deterministic).
+
+    Scale per round: two equi-joins of the edge list with a
+    vertex-sized score frame + two map-side-combining sum aggregates
+    — shuffles on the natural keys only. Each join carries a
+    ``shuffle_hash`` hint on the SCORE side: without it AQE sees the
+    sf0.1 edge list under the 10 MB broadcast threshold and builds a
+    fresh edge-list broadcast per round per side (2×{_HITS_ROUNDS}
+    driver-side builds — OOMs the shared 1 GiB local JVM, and at real
+    scale the edge list is never broadcastable anyway), while the
+    hinted form shuffles both sides by the join key and hashes only
+    the per-partition slice of the VERTEX frame — the side that grows
+    slowest — which is the plan that survives 100×. Final
+    top-{_HITS_TOP} is
+    orderBy+limit → TakeOrderedAndProject (per-partition heap, no
+    global sort); the two 1-row L1 totals ride a broadcast scalar
+    join (allowlisted)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .cache()
+    )
+    hub = pairs.select(F.col("c").alias("node")).distinct().withColumn("score", F.lit(1.0))
+    for _r in range(_HITS_ROUNDS):
+        # shuffle_hash hint on the score side: see docstring (Scale).
+        auth = (
+            pairs.join(hub.hint("shuffle_hash"), pairs.c == hub.node)
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("score").alias("score"))
+        )
+        hub = (
+            pairs.join(auth.hint("shuffle_hash"), pairs.s == auth.node)
+            .groupBy(F.col("c").alias("node"))
+            .agg(F.sum("score").alias("score"))
+        )
+    auth = auth.cache()  # final frames feed both the total and the top-k
+    hub = hub.cache()
+
+    def _side(frame: DataFrame, kind: str) -> DataFrame:
+        tot = frame.agg(F.sum("score").alias("t"))
+        return (
+            frame.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("node").cast("long").alias("node"),
+                F.round(F.lit(1000) * F.col("score") / F.col("t"), 6).alias("score_permille"),
+            )
+            .orderBy(F.desc("score_permille"), F.asc("node"))
+            .limit(_HITS_TOP)
+        )
+
+    return _side(auth, "authority").unionAll(_side(hub, "hub"))
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

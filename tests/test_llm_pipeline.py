@@ -36,6 +36,17 @@ def test_minhash_lsh_jaccard_above_threshold(spark):
     assert (pdf["id_a"] < pdf["id_b"]).all()
 
 
+def test_allpairs_prefix_matches_ground_truth(spark):
+    """Prefix filtering is EXACT (no false negatives): the
+    prefix-filter theorem guarantees any pair with Jaccard >= t
+    shares a token inside both rarest-first prefixes, and
+    verification recomputes exact Jaccard — so the result must equal
+    the brute-force all-pairs scan, pair-for-pair."""
+    pruned = _pairset(REG["dedup_allpairs_prefix"].fn(spark, SF_ORACLE).toPandas())
+    truth = _pairset(REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).toPandas())
+    assert pruned == truth
+
+
 def test_simhash_blocking_is_exhaustive(spark):
     """The 4x16-bit chunk equi-join must find EXACTLY the pairs a
     brute-force all-pairs Hamming scan finds (pigeonhole: <=3
