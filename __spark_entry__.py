@@ -121,6 +121,8 @@ _PRIORITY_WINDOW = [
     # Late-round-9 additions (all hash-oracled): exact prefix-filter
     # set-similarity join, HITS hubs/authorities, WOE/IV screening.
     "dedup_allpairs_prefix", "graph_hits", "feature_woe_iv",
+    "text_pmi_collocations", "feature_quantile_binning",
+    "graph_sssp_weighted", "stream_moments_stateful",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

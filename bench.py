@@ -109,6 +109,10 @@ HEADLINE = [
     "dedup_allpairs_prefix",  # exact prefix-filter set-similarity join
     "graph_hits",           # 6-round hubs/authorities, end-normalized
     "feature_woe_iv",       # WOE/IV scorecard, domain-bounded rollup windows
+    "text_pmi_collocations",  # PMI phrase mining, one scan + vocab-sized joins
+    "feature_quantile_binning",  # exact quartile binning via bucketed rank
+    "graph_sssp_weighted",  # 4-round Bellman-Ford, integer edge weights
+    "stream_moments_stateful",  # live per-user moments, integer-triple state
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -607,6 +607,108 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QBIN_PS = (0.25, 0.5, 0.75)  # dyadic fractions: p*n is float-EXACT
+
+
+@register(
+    "feature_quantile_binning",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT o_totalprice AS v,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS y,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+          FROM orders
+        ),
+        n AS (SELECT COUNT(*) AS c FROM orders),
+        cuts AS (
+          SELECT
+            MAX(CASE WHEN rn = CAST(ceil(0.25 * c) AS BIGINT) THEN v END) AS q1,
+            MAX(CASE WHEN rn = CAST(ceil(0.5 * c) AS BIGINT) THEN v END) AS q2,
+            MAX(CASE WHEN rn = CAST(ceil(0.75 * c) AS BIGINT) THEN v END) AS q3
+          FROM ranked CROSS JOIN n
+        )
+        SELECT CAST(b AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+               ROUND(MIN(v), 2) AS v_min, ROUND(MAX(v), 2) AS v_max
+        FROM (
+          SELECT y, v,
+                 CASE WHEN v <= c.q1 THEN 0
+                      WHEN v <= c.q2 THEN 1
+                      WHEN v <= c.q3 THEN 2
+                      ELSE 3 END AS b
+          FROM ranked CROSS JOIN cuts c
+        )
+        GROUP BY b
+    """,
+    tags=("L17", "features", "binning", "quantile"),
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quartile) feature binning — the other half of
+    the binning toolbox beside ``feature_woe_iv``'s fixed-width
+    buckets, and the default discretizer for skewed monetary
+    features: EXACT type-1 quartile boundaries of ``o_totalprice``
+    (the ``ceil(p·n)``-th order statistics under the deterministic
+    (value, orderkey) total order — actual data values, so the
+    bucketing compares exactly in every engine; the quartile
+    fractions are dyadic, making ``p·n`` float-exact too), then each
+    order lands in bin 0–3 by boundary comparison and the per-bin
+    scorecard reports size, positives (priority URGENT/HIGH) and the
+    positive rate as an exact integer ppm (``(10⁶·pos) DIV n`` — no
+    float division anywhere).
+
+    Scale: the order statistics come from the two-phase bucketed
+    global row-number (``bucketed_rank_cumsum`` — per-bucket windows
+    only, never a SinglePartition window; ≤32 bucket-count rows touch
+    the driver, plus the 3 cut RANKS computed driver-side from the
+    total count, a model-sized scalar). The 1-row boundary frame is
+    broadcast back (allowlisted scalar join); the final rollup is a
+    4-row map-side-combining aggregate. At 100 TB swap the exact
+    order statistics for ``percentile_approx`` boundaries — the plan
+    shape (1-row broadcast + CASE + tiny rollup) is unchanged; the
+    exact form here is what makes the operator hash-oracle-checkable.
+    """
+    from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
+        bucketed_rank_cumsum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    ranked, n_total, _ = bucketed_rank_cumsum(orders, "v", ["o_orderkey"])
+    import math
+
+    cut_ranks = [int(math.ceil(p * n_total)) for p in _QBIN_PS]
+    cuts = ranked.filter(F.col("__rn").isin(cut_ranks)).agg(
+        *[
+            F.max(F.when(F.col("__rn") == r, F.col("v"))).alias(f"q{i + 1}")
+            for i, r in enumerate(cut_ranks)
+        ]
+    )
+    binned = ranked.crossJoin(F.broadcast(cuts)).select(
+        "y",
+        "v",
+        F.when(F.col("v") <= F.col("q1"), 0)
+        .when(F.col("v") <= F.col("q2"), 1)
+        .when(F.col("v") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("b"),
+    )
+    return binned.groupBy(F.col("b").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr("CAST((1000000 * sum(y)) DIV count(1) AS BIGINT)").alias("pos_rate_ppm"),
+        F.round(F.min("v"), 2).alias("v_min"),
+        F.round(F.max("v"), 2).alias("v_max"),
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -2407,6 +2407,93 @@ def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_MIN_COUNT = 25
+_PMI_TOP = 50
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+        WITH toks AS (
+          SELECT string_split(lower(text), ' ') AS t FROM documents
+        ),
+        bi AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        big AS (SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY w1, w2),
+        m1 AS (SELECT w1, SUM(n) AS c1 FROM big GROUP BY w1),
+        m2 AS (SELECT w2, SUM(n) AS c2 FROM big GROUP BY w2),
+        tot AS (SELECT SUM(n) AS nn FROM big)
+        SELECT w1, w2, n, pmi FROM (
+          SELECT b.w1, b.w2, CAST(b.n AS BIGINT) AS n,
+                 ROUND(ln(tot.nn) + ln(b.n) - ln(m1.c1) - ln(m2.c2), 6) AS pmi
+          FROM big b
+          JOIN m1 ON b.w1 = m1.w1
+          JOIN m2 ON b.w2 = m2.w2
+          CROSS JOIN tot
+          WHERE b.n >= {_PMI_MIN_COUNT}
+          ORDER BY pmi DESC, b.w1, b.w2
+          LIMIT {_PMI_TOP}
+        )
+    """,
+    tags=("L5", "pmi", "collocations"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — PMI-ranked collocations (Church & Hanks 1990, public
+    method): the top-{_PMI_TOP} adjacent word pairs by pointwise
+    mutual information ``ln(N·c12 / (c1·c2))`` among pairs seen at
+    least {_PMI_MIN_COUNT} times (PMI famously explodes on hapax
+    pairs — the min-count gate is part of the method). This is the
+    phrase-mining / multi-word-expression detector every corpus
+    pipeline runs before tokenizer training: high-PMI pairs are the
+    merge candidates BPE discovers statistically.
+
+    Marginals come from the bigram table itself (c1 = Σ_w2 n,
+    c2 = Σ_w1 n, N = Σ n), so the corpus is scanned ONCE; everything
+    after the first groupBy is vocabulary-sized. PMI is computed as
+    ``ln N + ln c12 − ln c1 − ln c2`` — four ``ln``s of INTEGER
+    arguments (the engine-portable float discipline; also the
+    scale-safe spelling: the product form ``N·c12`` overflows int64
+    once N passes ~1e12 bigrams, the sum-of-logs form never does),
+    rounded to 6 dp BEFORE the ordering so the LIMIT cut is
+    engine-deterministic (tiebreak: word pair).
+
+    Scale: one corpus scan → map-side-combining bigram groupBy; the
+    two marginal joins are vocabulary-keyed equi-joins (the marginal
+    tables are re-aggregations of the bigram table, never corpus
+    re-scans); N is a broadcast 1-row scalar (allowlisted); the
+    top-{_PMI_TOP} is orderBy+limit → TakeOrderedAndProject, a
+    per-partition heap with no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("t"))
+    bi = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    m1 = big.groupBy("w1").agg(F.sum("n").alias("c1"))
+    m2 = big.groupBy("w2").agg(F.sum("n").alias("c2"))
+    tot = big.agg(F.sum("n").alias("nn"))
+    return (
+        big.filter(F.col("n") >= _PMI_MIN_COUNT)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log("nn") + F.log("n") - F.log("c1") - F.log("c2"), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOP)
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -1262,6 +1262,82 @@ def stream_topk_mg_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(result, "hbdbps_stream_topk_mg", "update")
 
 
+@register(
+    "stream_moments_stateful",
+    # Oracle: batch moments over the SAME fixed-point quantization —
+    # the bounded stream's final state must equal the batch rollup
+    # exactly (integer sums are order-free; the two float divisions
+    # at the end are single operations on identical integers).
+    oracle="""
+        WITH q AS (
+          SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS q FROM events
+        ),
+        a AS (
+          SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s,
+                 CAST(SUM(q * q) AS BIGINT) AS ss
+          FROM q GROUP BY user_id
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+               ROUND(CAST(s AS DOUBLE) / (100 * n), 6) AS mean_v,
+               ROUND((CAST(ss AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                     / 10000, 6) AS var_v
+        FROM a
+    """,
+    tags=("A8", "stream", "stateful", "moments"),
+)
+def stream_moments_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch moment aggregates
+    (``agg_stats_moments``): per-user LIVE count/mean/population
+    variance with the mergeable ``(n, Σx, Σx²)`` triple as keyed
+    state — the same partial-aggregation algebra Spark's own
+    map-side combine uses, carried across micro-batches by
+    ``applyInPandasWithState``. The state is three integers because
+    values are fixed-point-quantized first (``floor(value·100)`` —
+    cents; floor of a double is exact and engine-identical), so the
+    accumulating sums are INTEGER — order-free and overflow-audited
+    (q ≤ ~6e4 ⇒ Σq² per key needs ~2^42 at sf0.1; int64 headroom to
+    ~1e9 events per key) — and the only floats anywhere are the two
+    final divisions of exact integers, identical in every engine.
+    Contrast ``stream_ewma_stateful``, whose float fold must
+    replicate event-time order to oracle; the moments triple is
+    commutative, so batch arrival order is immaterial — the
+    replay-safety argument, same as the KMV/Misra-Gries twins.
+    Over the bounded demo stream the final state equals the batch
+    group-by bit-for-bit → hash-oracled."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_moments(key, pdfs, state: GroupState):
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        import numpy as np
+
+        for pdf in pdfs:
+            q = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+            n += int(q.size)
+            s += int(q.sum())
+            ss += int((q * q).sum())
+        state.update((n, s, ss))
+        mean_v = round(float(s) / (100 * n), 6)
+        var_v = round(
+            (float(ss) / n - (float(s) / n) * (float(s) / n)) / 10000, 6
+        )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_obs": [n], "mean_v": [mean_v], "var_v": [var_v]}
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update_moments,
+        outputStructType="user_id long, n_obs long, mean_v double, var_v double",
+        stateStructType="n long, s long, ss long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_moments", "update")
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())
