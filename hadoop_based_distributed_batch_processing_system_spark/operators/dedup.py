@@ -1335,19 +1335,46 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     pref = ordered.select(
-        "doc_id", "sz", F.explode(F.expr("slice(toks, 1, CAST(plen AS INT))")).alias("token")
+        "doc_id",
+        "sz",
+        F.posexplode(F.expr("slice(toks, 1, CAST(plen AS INT))")).alias("pos", "token"),
     )
-    a = pref.alias("a")
-    b = pref.alias("b")
+    pa = pref.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"),
+        (F.col("pos") + 1).alias("ia"), "token",
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"),
+        (F.col("pos") + 1).alias("ib"), "token",
+    )
+    # PPJoin positional filter (Xiao et al. WWW'08, public paper):
+    # both arrays share the global order, so the pair's FIRST common
+    # token has positions (min ia, min ib) — and every other common
+    # token sits strictly after it on both sides, so
+    # overlap <= 1 + min(sz_a - ia, sz_b - ib). J >= t forces
+    # overlap >= t/(1+t)·(sz_a+sz_b); pairs whose upper bound misses
+    # that are dropped BEFORE the array-intersect verification (the
+    # first common token of a qualifying pair is itself a prefix
+    # token, so min over prefix matches finds it — lossless).
+    # Measured at sf0.1: 310k raw candidates -> the positional
+    # survivors only, verification was 2.98 s of the op's 3.9 s.
     candidates = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least("a.sz", "b.sz") >= F.lit(t) * F.greatest("a.sz", "b.sz")),
+        pa.join(
+            pb,
+            (pa.token == pb.token)
+            & (pa.id_a < pb.id_b)
+            & (F.least("sz_a", "sz_b") >= F.lit(t) * F.greatest("sz_a", "sz_b")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # a pair can share several prefix tokens
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("ia").alias("fa"), F.min("ib").alias("fb"),
+            F.min("sz_a").alias("sz_a"), F.min("sz_b").alias("sz_b"),
+        )
+        .filter(
+            F.lit(1) + F.least(F.col("sz_a") - F.col("fa"), F.col("sz_b") - F.col("fb"))
+            >= F.lit(t / (1 + t)) * (F.col("sz_a") + F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
     )
     # Verification reuses the ordered arrays — same elements as the
     # raw shingle sets, so intersect/union counts are unchanged.
