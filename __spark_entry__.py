@@ -123,6 +123,7 @@ _PRIORITY_WINDOW = [
     "dedup_allpairs_prefix", "graph_hits", "feature_woe_iv",
     "text_pmi_collocations", "feature_quantile_binning",
     "graph_sssp_weighted", "stream_moments_stateful",
+    "sample_weighted_reservoir", "sim_search_tfidf_sparse",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -113,6 +113,8 @@ HEADLINE = [
     "feature_quantile_binning",  # exact quartile binning via bucketed rank
     "graph_sssp_weighted",  # 4-round Bellman-Ford, integer edge weights
     "stream_moments_stateful",  # live per-user moments, integer-triple state
+    "sample_weighted_reservoir",  # A-ES weighted sample, WindowGroupLimit top-k
+    "sim_search_tfidf_sparse",  # sparse tf-idf cosine pairs, df-capped index
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

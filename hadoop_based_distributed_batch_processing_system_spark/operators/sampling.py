@@ -396,3 +396,88 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_WRES_K = 5  # weighted sample size per source
+# 48-bit hash -> uniform in (0, 1]: u = (h+1)/2^48. The A-ES key
+# u^(1/w) is rank-equivalent to ln(u)/w = (ln(h+1) - ln(2^48))/w —
+# two ln's of INTEGER arguments (the portable float discipline);
+# 2^48 spelled as its integer literal so both engines take ln of
+# the same exact int.
+_WRES_H_SPARK = "CAST(conv(substr(md5(concat('wres|', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+_WRES_H_DUCK = " + ".join(
+    f"CAST({16 ** (11 - i)} AS BIGINT) * "
+    f"(strpos('0123456789abcdef', substr(md5('wres|' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    for i in range(12)
+)
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+        WITH d AS (
+          SELECT source, doc_id,
+                 len(string_split(text, ' ')) AS w,
+                 {_WRES_H_DUCK} AS h
+          FROM documents
+        ),
+        keyed AS (
+          SELECT source, doc_id, w,
+                 ROUND((ln(h + 1) - ln(281474976710656)) / w, 6) AS skey
+          FROM d
+        )
+        SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens, skey
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY skey DESC, doc_id
+                 ) AS rn
+          FROM keyed
+        )
+        WHERE rn <= {_WRES_K}
+    """,
+    tags=("P5", "L8", "sampling", "weighted", "reservoir"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, {_WRES_K} docs per
+    source, weight = token count — the Efraimidis–Spirakis A-ES
+    scheme (IPL 2006, public method): each item draws a uniform u
+    and is ranked by ``u^(1/w)``; the top-k by that key are EXACTLY
+    a weighted sample without replacement. The training-data use is
+    sampling documents proportional to length/quality without a
+    second pass or RNG state.
+
+    Determinism discipline (the ``sample_reservoir_per_group``
+    contract, extended to weights): u comes from a 48-bit md5 of the
+    salted primary key, so the same rows win every run, on any
+    partitioning, in any engine. The key is compared as
+    ``ln(u)/w = (ln(h+1) − ln(2^48))/w`` — monotone in ``u^(1/w)``,
+    two ``ln``s of integer arguments, one division by the integer
+    weight — rounded to 6 dp BEFORE ranking with doc_id tiebreak
+    (round-before-argmax, the portable-float tie discipline; the
+    rounding coarsens keys by <1e-6, and any such tie resolves the
+    same way in both engines).
+
+    Scale: one hash shuffle on source; the rank window function
+    stands alone on its spec, so Spark plans WindowGroupLimit — the
+    map-side partial top-k keeps per-task state at k rows per
+    stratum (audit-enforced); output bounded at k × |sources|."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("w"),
+        F.expr(_WRES_H_SPARK).alias("h"),
+    ).select(
+        "source",
+        "doc_id",
+        "w",
+        F.round(
+            (F.log(F.col("h") + 1) - F.log(F.lit(281474976710656))) / F.col("w"), 6
+        ).alias("skey"),
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _WRES_K)
+        .select("source", "doc_id", F.col("w").cast("long").alias("n_tokens"), "skey")
+    )

@@ -1448,6 +1448,111 @@ def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
 
 
+_TFIDF_DF_CAP = 100  # posting-list cap: drop corpus-stopwords from the index
+_TFIDF_TOP = 20
+
+
+@register(
+    "sim_search_tfidf_sparse",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, w, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(t) AS w FROM toks
+          ) GROUP BY doc_id, w
+        ),
+        dfc AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT COUNT(*) AS nd FROM documents),
+        wt AS (
+          SELECT tf.doc_id, tf.w,
+                 tf.tf * (ln(n.nd) - ln(dfc.df)) AS wgt
+          FROM tf JOIN dfc ON tf.w = dfc.w CROSS JOIN n
+          WHERE dfc.df <= {_TFIDF_DF_CAP} AND dfc.df < n.nd
+        ),
+        nrm AS (
+          SELECT doc_id, sqrt(SUM(wgt * wgt)) AS nn FROM wt GROUP BY doc_id
+        ),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wgt * b.wgt) AS dot
+          FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, cosine FROM (
+          SELECT d.id_a, d.id_b,
+                 ROUND(d.dot / (na.nn * nb.nn), 6) AS cosine
+          FROM dots d
+          JOIN nrm na ON d.id_a = na.doc_id
+          JOIN nrm nb ON d.id_b = nb.doc_id
+          ORDER BY cosine DESC, id_a, id_b
+          LIMIT {_TFIDF_TOP}
+        )
+    """,
+    tags=("L3", "L12", "tfidf", "sparse", "similarity"),
+)
+def sim_search_tfidf_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L12 — sparse lexical similarity: the top-{_TFIDF_TOP} most
+    similar document PAIRS by tf-idf cosine, computed through a
+    df-capped inverted index — the SPARSE-vector rung of the
+    similarity ladder (dense cosine = ``dedup_embedding_cosine``,
+    set overlap = ``dedup_containment``, probabilistic =
+    ``doc_bm25_topk``; this is the classic VSM pairwise form).
+
+    The pair generation is the inverted-index self-join on tokens —
+    an equi-join whose per-token collision lists are bounded by the
+    df cap ({_TFIDF_DF_CAP}): corpus-stopword postings never enter
+    the index (they carry near-zero idf weight anyway), which is
+    what keeps candidate volume LINEAR in corpus size instead of
+    the stopword-quadratic blowup. idf is ``ln N − ln df`` (lns of
+    integers, the portable float spelling); dot products and norms
+    are sums over the SAME capped weight table on both engines, so
+    the algebra is identical by construction; the final cosine is
+    rounded to 6 dp before the ordering so the LIMIT cut is
+    engine-deterministic.
+
+    Scale: tf and df are map-side-combining aggregates; the dot
+    join shuffles postings by token (bounded lists); norms join
+    back doc-keyed. N rides the idf via one vocabulary-sized join —
+    no corpus broadcast. At 100 TB the df cap is the knob: it
+    bounds per-token work regardless of corpus growth, the same
+    contract as dedup_containment."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.count()  # one scalar (parquet-footer count job), model-sized
+    wt = (
+        tf.join(dfc.filter((F.col("df") <= _TFIDF_DF_CAP) & (F.col("df") < nd)), "w")
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * (F.log(F.lit(nd)) - F.log("df"))).alias("wgt"),
+        )
+        .localCheckpoint(eager=True)  # reused by norms AND the dot join
+    )
+    nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nn"))
+    a = wt.select(F.col("doc_id").alias("id_a"), "w", F.col("wgt").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("id_b"), "w", F.col("wgt").alias("wb"))
+    dots = (
+        a.join(b, (a.w == b.w) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(_TFIDF_TOP)
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -67,6 +67,7 @@ WINDOW_GROUP_LIMIT_EXPECTED = {
     "text_tfidf_topterms",          # top-terms-per-doc rank filter
     "text_naive_bayes_lang",        # argmax class = rank-1 per doc
     "graph_label_propagation",      # per-node label argmax = rank-1, every round
+    "sample_weighted_reservoir",    # A-ES top-k key per source = weighted reservoir
 }
 
 # See module docstring: window input must be a calendar/domain-bounded
