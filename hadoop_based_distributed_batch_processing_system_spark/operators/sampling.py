@@ -481,3 +481,8 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _WRES_K)
         .select("source", "doc_id", F.col("w").cast("long").alias("n_tokens"), "skey")
     )
+
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())
