@@ -124,6 +124,7 @@ _PRIORITY_WINDOW = [
     "text_pmi_collocations", "feature_quantile_binning",
     "graph_sssp_weighted", "stream_moments_stateful",
     "sample_weighted_reservoir", "sim_search_tfidf_sparse",
+    "events_sequence_pattern",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -115,6 +115,7 @@ HEADLINE = [
     "stream_moments_stateful",  # live per-user moments, integer-triple state
     "sample_weighted_reservoir",  # A-ES weighted sample, WindowGroupLimit top-k
     "sim_search_tfidf_sparse",  # sparse tf-idf cosine pairs, df-capped index
+    "events_sequence_pattern",  # CEP regex funnel over per-user event strings
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

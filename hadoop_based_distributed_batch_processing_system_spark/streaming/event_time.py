@@ -1950,6 +1950,74 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fits.unionByName(forecasts)
 
 
+_SEQ_PATTERN = "v+cp"  # one-or-more views, then a click, then a purchase
+
+
+@register(
+    "events_sequence_pattern",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(s) AS BIGINT) AS seq_len,
+               CAST(len(regexp_extract_all(s, '{_SEQ_PATTERN}')) AS BIGINT) AS n_funnels,
+               CAST(len(regexp_extract(s, '^(.*?{_SEQ_PATTERN})', 1)) AS BIGINT)
+                 AS first_funnel_end
+        FROM seq
+    """,
+    tags=("E10", "cep", "pattern", "sequence"),
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — sequence pattern matching over per-user event streams:
+    the MATCH_RECOGNIZE / CEP capability Spark SQL lacks, expressed
+    batch-first. Each user's events collapse (in exact (ts, event_id)
+    event-time order) to a string of event-type initials — the five
+    types start with distinct letters, so the alphabet is lossless —
+    and the funnel pattern ``{_SEQ_PATTERN}`` (one-or-more views,
+    then a click, then a purchase) is evaluated as a REGEX over that
+    string: per user the non-overlapping match count, the end
+    position of the first completed funnel (0 = never), and the
+    sequence length. Leftmost-non-overlapping greedy semantics and
+    lazy ``.*?`` prefixes agree between Java regex and RE2, and every
+    output is an integer — nothing to round.
+
+    This is the batch form of the CEP automaton: the symbol string
+    IS the NFA input tape, built with one hash shuffle on user_id
+    (sort_array over collect_list — per-task memory bounded by one
+    user's history, the secondary-sort contract) and scanned
+    JVM-side by codegen'd regexp functions — no UDFs, no per-event
+    state machine in Python. At unbounded scale the same pattern
+    runs as the streaming twin's keyed automaton (carry the NFA
+    state + tail fragment per user in ``applyInPandasWithState``);
+    batch retention windows keep per-user strings bounded here."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ini")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(e)), x -> x.ini)"), ""
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.size(F.expr(f"regexp_extract_all(s, '{_SEQ_PATTERN}', 0)")).cast("long").alias(
+            "n_funnels"
+        ),
+        F.length(F.regexp_extract("s", f"^(.*?{_SEQ_PATTERN})", 1)).cast("long").alias(
+            "first_funnel_end"
+        ),
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())
