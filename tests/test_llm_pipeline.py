@@ -12,6 +12,13 @@ from hadoop_based_distributed_batch_processing_system_spark.registry import load
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
 from tests.conftest import SF_ORACLE
 
+# The O(n²) ground-truth arms (brute-force jaccard / all-pairs Hamming)
+# run on the pair-preserving reduced documents fixture (conftest
+# sf_doc_subset): engine-vs-engine EQUALITY is corpus-size-independent,
+# the planted near-dup structure survives intact, and the driver still
+# hash-checks every operator at full sf0.01 each round. Measured r09:
+# these five tests cost 78 s of the file's 129 s at sf0.01.
+
 REG = load_all()
 
 
@@ -19,14 +26,14 @@ def _pairset(pdf):
     return set(map(tuple, pdf[["id_a", "id_b"]].values.tolist()))
 
 
-def test_minhash_lsh_matches_ground_truth(spark):
+def test_minhash_lsh_matches_ground_truth(spark, sf_doc_subset):
     """LSH candidates, post-verification, must equal the brute-force
     Jaccard pairs: verification kills false positives exactly, and at
     the corpus's planted similarity (s >= 0.9) the per-pair miss
     probability is (1-s^2)^8 ~= 2e-6 — and the hashing is
     deterministic, so the outcome is fixed."""
-    lsh = _pairset(REG["dedup_minhash_lsh"].fn(spark, SF_ORACLE).toPandas())
-    truth = _pairset(REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).toPandas())
+    lsh = _pairset(REG["dedup_minhash_lsh"].fn(spark, sf_doc_subset).toPandas())
+    truth = _pairset(REG["dedup_ngram_jaccard"].fn(spark, sf_doc_subset).toPandas())
     assert lsh == truth
 
 
@@ -36,23 +43,23 @@ def test_minhash_lsh_jaccard_above_threshold(spark):
     assert (pdf["id_a"] < pdf["id_b"]).all()
 
 
-def test_allpairs_prefix_matches_ground_truth(spark):
+def test_allpairs_prefix_matches_ground_truth(spark, sf_doc_subset):
     """Prefix filtering is EXACT (no false negatives): the
     prefix-filter theorem guarantees any pair with Jaccard >= t
     shares a token inside both rarest-first prefixes, and
     verification recomputes exact Jaccard — so the result must equal
     the brute-force all-pairs scan, pair-for-pair."""
-    pruned = _pairset(REG["dedup_allpairs_prefix"].fn(spark, SF_ORACLE).toPandas())
-    truth = _pairset(REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).toPandas())
+    pruned = _pairset(REG["dedup_allpairs_prefix"].fn(spark, sf_doc_subset).toPandas())
+    truth = _pairset(REG["dedup_ngram_jaccard"].fn(spark, sf_doc_subset).toPandas())
     assert pruned == truth
 
 
-def test_simhash_blocking_is_exhaustive(spark):
+def test_simhash_blocking_is_exhaustive(spark, sf_doc_subset):
     """The 4x16-bit chunk equi-join must find EXACTLY the pairs a
     brute-force all-pairs Hamming scan finds (pigeonhole: <=3
     differing bits can't touch all 4 chunks)."""
-    blocked = _pairset(REG["dedup_simhash"].fn(spark, SF_ORACLE).toPandas())
-    sigs = simhash_signatures(spark, SF_ORACLE)
+    blocked = _pairset(REG["dedup_simhash"].fn(spark, sf_doc_subset).toPandas())
+    sigs = simhash_signatures(spark, sf_doc_subset)
     a, b = sigs.alias("a"), sigs.alias("b")
     brute = _pairset(
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -67,11 +74,11 @@ def test_simhash_blocking_is_exhaustive(spark):
     assert blocked == brute
 
 
-def test_simhash_near_dups_cover_planted_pairs(spark):
+def test_simhash_near_dups_cover_planted_pairs(spark, sf_doc_subset):
     """SimHash at radius 3 should rediscover most of the planted
     near-duplicate pairs the exact-Jaccard ground truth finds."""
-    sim = _pairset(REG["dedup_simhash"].fn(spark, SF_ORACLE).toPandas())
-    truth = _pairset(REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).toPandas())
+    sim = _pairset(REG["dedup_simhash"].fn(spark, sf_doc_subset).toPandas())
+    truth = _pairset(REG["dedup_ngram_jaccard"].fn(spark, sf_doc_subset).toPandas())
     assert len(sim & truth) >= len(truth) * 0.5
 
 
@@ -193,10 +200,10 @@ def test_ann_ivf_shape_invariants(spark):
     assert not pdf.duplicated(["q_id", "n_id"]).any()
 
 
-def test_connected_components_agree_with_unionfind(spark):
+def test_connected_components_agree_with_unionfind(spark, sf_doc_subset):
     """Spark label propagation must produce exactly the components a
     driver-side union-find builds from the same pair list."""
-    pairs = REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).select("id_a", "id_b").collect()
+    pairs = REG["dedup_ngram_jaccard"].fn(spark, sf_doc_subset).select("id_a", "id_b").collect()
     parent: dict = {}
 
     def find(x):
@@ -213,7 +220,7 @@ def test_connected_components_agree_with_unionfind(spark):
     want = {x: find(x) for x in parent}
     got = {
         r.doc_id: r.component
-        for r in REG["dedup_connected_components"].fn(spark, SF_ORACLE).collect()
+        for r in REG["dedup_connected_components"].fn(spark, sf_doc_subset).collect()
     }
     assert got == want
 
