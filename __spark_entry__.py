@@ -107,15 +107,18 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 9 state: four never-attested entries (the round-9
-    # additions, registered early per the round-7 lesson): the
+    # --- ROUND 9 state: fifteen never-attested entries (this round's
+    # additions, registered as they landed). Early: the
     # sniff-and-route real decode that replaced the retired
     # mm_decode_stub/mm_frame_sample, the BPE tokenizer's inference
-    # half, LPA communities, and the streaming Misra-Gries twin
-    # (rows-only by nature). They fill window slots 1-4;
-    # _REFRESH_TAIL holds the five stale-r04 rows-only sketches; the
-    # newest-round-ascending verified back then drains the 40-query
-    # r02 backlog (VERDICT r08 item 2) in the remaining slots.
+    # half, LPA communities, the streaming Misra-Gries twin
+    # (rows-only by nature), and the histogram decision stump.
+    # They fill the window front; _REFRESH_TAIL holds the five
+    # stale-r04 rows-only sketches; the newest-round-ascending
+    # verified back then drains the r02 backlog (VERDICT r08 item 2)
+    # in the remaining ~30 slots — the ~10 r02 composites that do
+    # not fit roll to round 10, where the self-draining order picks
+    # them first.
     "mm_decode_dispatch", "bpe_apply_segment", "graph_label_propagation",
     "stream_topk_mg_stateful", "ml_decision_stump",
     # Late-round-9 additions (all hash-oracled): exact prefix-filter
@@ -124,7 +127,7 @@ _PRIORITY_WINDOW = [
     "text_pmi_collocations", "feature_quantile_binning",
     "graph_sssp_weighted", "stream_moments_stateful",
     "sample_weighted_reservoir", "sim_search_tfidf_sparse",
-    "events_sequence_pattern",
+    "events_sequence_pattern", "stream_sequence_pattern",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

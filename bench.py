@@ -116,6 +116,7 @@ HEADLINE = [
     "sample_weighted_reservoir",  # A-ES weighted sample, WindowGroupLimit top-k
     "sim_search_tfidf_sparse",  # sparse tf-idf cosine pairs, df-capped index
     "events_sequence_pattern",  # CEP regex funnel over per-user event strings
+    "stream_sequence_pattern",  # live CEP automaton, 4-int keyed state
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -1338,6 +1338,102 @@ def stream_moments_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(result, "hbdbps_stream_moments", "update")
 
 
+@register(
+    "stream_sequence_pattern",
+    # Oracle: the batch CEP operator's own SQL — the keyed automaton
+    # over the bounded stream must reproduce the regex scan exactly.
+    oracle="""
+        WITH seq AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(s) AS BIGINT) AS seq_len,
+               CAST(len(regexp_extract_all(s, 'v+cp')) AS BIGINT) AS n_funnels,
+               CAST(len(regexp_extract(s, '^(.*?v+cp)', 1)) AS BIGINT)
+                 AS first_funnel_end
+        FROM seq
+    """,
+    tags=("E10", "cep", "pattern", "stream", "stateful"),
+)
+def stream_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_sequence_pattern``: the funnel
+    pattern ``v+cp`` as a LIVE keyed automaton — per user the state
+    is FOUR integers (events seen, NFA state ∈ {{0: idle, 1: in
+    views, 2: click seen}}, completed funnels, first completion
+    position), carried across micro-batches by
+    ``applyInPandasWithState``. This is the CEP deployment shape:
+    the batch form materializes each user's full symbol string; the
+    automaton never stores the sequence at all — O(1) state per key
+    no matter how long the stream runs, which is the entire point
+    of MATCH_RECOGNIZE-style engines.
+
+    The automaton implements exactly the regex's leftmost
+    non-overlapping semantics for this pattern: on a failed 'p'/'c'
+    expectation the current symbol is RE-EXAMINED as a potential new
+    'v' (the KMP-style fallback — dropping it instead would miss
+    ``vcvcp``'s match), and a completed match resets to idle so
+    matches never overlap. Rows within each batch fold in exact
+    (ts, event_id) event-time order (the EWMA twin's ordering
+    contract — per-key order is the upstream log's guarantee in
+    production). Over the bounded demo stream the final state equals
+    the batch regex scan symbol-for-symbol, so the job is
+    hash-oracled against the batch operator's own SQL."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_pattern(key, pdfs, state: GroupState):
+        n, st, matched, first_end = state.get if state.exists else (0, 0, 0, 0)
+        parts = [pdf for pdf in pdfs]
+        batch = pd.concat(parts) if len(parts) > 1 else parts[0]
+        batch = batch.sort_values(["ts", "event_id"])
+        for c in batch["ini"]:
+            n += 1
+            # one symbol may be examined twice (failure fallback)
+            reexamine = True
+            while reexamine:
+                reexamine = False
+                if st == 0:
+                    if c == "v":
+                        st = 1
+                elif st == 1:
+                    if c == "c":
+                        st = 2
+                    elif c != "v":
+                        st = 0
+                else:  # st == 2: expecting the purchase
+                    if c == "p":
+                        matched += 1
+                        if first_end == 0:
+                            first_end = n
+                        st = 0
+                    else:
+                        st = 0
+                        reexamine = True  # the failed symbol may start a new 'v+'
+        state.update((n, st, matched, first_end))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "seq_len": [n],
+                "n_funnels": [matched],
+                "first_funnel_end": [first_end],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ini")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update_pattern,
+        outputStructType="user_id long, seq_len long, n_funnels long, first_funnel_end long",
+        stateStructType="n long, st integer, matched long, first_end long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "hbdbps_stream_seqpat", "update")
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

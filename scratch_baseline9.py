@@ -332,6 +332,47 @@ def plain_seqpat():
 
 FNS.update({"seqpat": plain_seqpat})
 
+
+def plain_seqpat_stream():
+    # Buffer-everything trap: the FULL initial string per key as state,
+    # regex re-run on the whole buffer every batch.
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import re as _re
+
+    def upd(key, pdfs, state: GroupState):
+        (buf,) = state.get if state.exists else ("",)
+        parts = [p for p in pdfs]
+        batch = pd.concat(parts) if len(parts) > 1 else parts[0]
+        batch = batch.sort_values(["ts", "event_id"])
+        buf = buf + "".join(batch["ini"])
+        state.update((buf,))
+        m = _re.search(r"^(.*?v+cp)", buf)
+        yield pd.DataFrame({"user_id": [key[0]], "seq_len": [len(buf)],
+                            "n_funnels": [len(_re.findall(r"v+cp", buf))],
+                            "first_funnel_end": [len(m.group(1)) if m else 0]})
+
+    import os, tempfile
+    d = tempfile.mkdtemp(prefix="pb_ev2_")
+    os.symlink(f"{SF}/events.parquet", os.path.join(d, "events.parquet"))
+    ev = (
+        spark.readStream.schema(spark.read.parquet(f"{SF}/events.parquet").schema)
+        .parquet(d).select("user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ini"))
+    )
+    res = ev.groupBy("user_id").applyInPandasWithState(
+        upd, outputStructType="user_id long, seq_len long, n_funnels long, first_funnel_end long",
+        stateStructType="buf string", outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import uuid
+    qn = "pb_" + uuid.uuid4().hex[:8]
+    q = res.writeStream.format("memory").queryName(qn).outputMode("update").trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(qn)
+
+
+FNS.update({"seqpatstream": plain_seqpat_stream})
+
 name = sys.argv[1]
 fn = FNS[name]
 fn().collect()
