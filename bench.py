@@ -117,6 +117,7 @@ HEADLINE = [
     "sim_search_tfidf_sparse",  # sparse tf-idf cosine pairs, df-capped index
     "events_sequence_pattern",  # CEP regex funnel over per-user event strings
     "stream_sequence_pattern",  # live CEP automaton, 4-int keyed state
+    "dq_benford_first_digit",  # Benford screen, 9-row rollup + scalar total
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

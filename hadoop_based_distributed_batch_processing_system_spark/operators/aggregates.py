@@ -1365,6 +1365,80 @@ def agg_quantile_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.groupBy("flag").agg(*aggs)
 
 
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+        WITH obs AS (
+          SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                      AS BIGINT) AS digit,
+                 COUNT(*) AS n
+          FROM orders WHERE o_totalprice >= 1
+          GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n) AS nt FROM obs)
+        SELECT CAST(digit AS INT) AS digit,
+               CAST(n AS BIGINT) AS n_obs,
+               ROUND(nt * (ln(digit + 1) - ln(digit)) / ln(10), 6) AS n_expected,
+               ROUND(power(n - nt * (ln(digit + 1) - ln(digit)) / ln(10), 2)
+                     / (nt * (ln(digit + 1) - ln(digit)) / ln(10)), 6) AS chi2_term,
+               ROUND(SUM(power(n - nt * (ln(digit + 1) - ln(digit)) / ln(10), 2)
+                         / (nt * (ln(digit + 1) - ln(digit)) / ln(10))) OVER (), 6)
+                 AS chi2_total
+        FROM obs CROSS JOIN tot
+    """,
+    tags=("DQ", "benford", "fraud", "stats"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — Benford's-law first-digit screen over order totals (the
+    classic forensic-accounting / synthetic-data smell test, public
+    method — Benford 1938, Nigrini's audit usage): observed leading
+    digits of ⌊o_totalprice⌋ vs the Benford expectation
+    ``P(d) = log10(1 + 1/d)``, per-digit χ² terms and the total χ²
+    (9-cell goodness of fit, 8 dof). A pipeline runs this as a drift
+    / fabrication alarm on monetary feeds: conforming feeds score
+    low; generated or truncated data lights up (the TPC-H-ish corpus
+    itself scores astronomically — uniform-ish totals are exactly
+    what Benford flags; the operator's value is the COMPARISON over
+    time, and the test pins the corpus's known signature).
+
+    Portability: the leading digit comes from the INTEGER part's
+    string form (bigint→string is identical in every engine — never
+    stringify a DOUBLE, whose shortest-roundtrip form differs), and
+    the expectation uses ``(ln(d+1) − ln d)/ln 10`` — lns of small
+    integers, the portable float discipline; χ² is assembled from
+    those plus integer counts and rounded at 6 dp.
+
+    Scale: one scan, one map-side-combining 9-row groupBy; the total
+    rides a broadcast 1-row scalar (allowlisted); the χ²-total
+    window runs over the 9-row rollup — the domain-bounded window
+    contract."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    obs = (
+        orders.select(
+            F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("nt"))
+    p = (F.log(F.col("digit") + 1) - F.log("digit")) / F.log(F.lit(10))
+    exp_n = F.col("nt") * p
+    term = F.pow(F.col("n") - exp_n, 2) / exp_n
+    w = Window.partitionBy()  # 9-row rollup — domain-bounded, never corpus
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(exp_n, 6).alias("n_expected"),
+            F.round(term, 6).alias("chi2_term"),
+            F.round(F.sum(term).over(w), 6).alias("chi2_total"),
+        )
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -90,6 +90,10 @@ UNPARTITIONED_WINDOW_ALLOWED = {
         "the degree histogram; bound = max degree support (≤ sqrt(edges) "
         "distinct values in practice, ~10^3)"
     ),
+    "dq_benford_first_digit": (
+        "input = one row per leading digit, chi2-total sum over the "
+        "9-row digit rollup; bound = 9 by construction"
+    ),
 }
 
 

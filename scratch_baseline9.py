@@ -373,6 +373,31 @@ def plain_seqpat_stream():
 
 FNS.update({"seqpatstream": plain_seqpat_stream})
 
+
+
+def plain_benford():
+    # Plain spelling: stringify the DOUBLE directly (the engine uses the
+    # integer part's string — double stringification is the portability
+    # trap, not a perf difference) and recompute expectation per row.
+    orders = spark.read.parquet(f"{SF}/orders.parquet").filter(F.col("o_totalprice") >= 1)
+    obs = (
+        orders.select(F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("bigint").alias("digit"))
+        .groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("nt"))
+    p = (F.log(F.col("digit") + 1) - F.log("digit")) / F.log(F.lit(10))
+    exp_n = F.col("nt") * p
+    term = F.pow(F.col("n") - exp_n, 2) / exp_n
+    w = Window.partitionBy()
+    return obs.crossJoin(tot).select(
+        F.col("digit").cast("int").alias("digit"), F.col("n").cast("long").alias("n_obs"),
+        F.round(exp_n, 6).alias("n_expected"), F.round(term, 6).alias("chi2_term"),
+        F.round(F.sum(term).over(w), 6).alias("chi2_total"),
+    )
+
+
+FNS.update({"benford": plain_benford})
+
 name = sys.argv[1]
 fn = FNS[name]
 fn().collect()

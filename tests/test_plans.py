@@ -282,6 +282,7 @@ _NESTED_LOOP_ALLOWED = {
     "graph_hits": "broadcasts the two 1-row L1-total scalars for the final normalization",
     "text_pmi_collocations": "broadcasts the 1-row global bigram total N",
     "feature_quantile_binning": "broadcasts the 1-row quartile-boundary frame",
+    "dq_benford_first_digit": "broadcasts the 1-row grand total onto the 9-digit rollup",
     "corpus_mixing_weights": "broadcasts the 1-row corpus totals (total tokens, n_langs)",
     "ab_test_welch_t": "assembles the test statistic from two 1-row arm-moment frames",
     "chi_square_independence": "broadcasts the 1-row grand total onto the contingency table",
