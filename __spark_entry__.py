@@ -128,7 +128,7 @@ _PRIORITY_WINDOW = [
     "graph_sssp_weighted", "stream_moments_stateful",
     "sample_weighted_reservoir", "sim_search_tfidf_sparse",
     "events_sequence_pattern", "stream_sequence_pattern",
-    "dq_benford_first_digit",
+    "dq_benford_first_digit", "mm_decode_real_jpeg",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

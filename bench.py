@@ -118,6 +118,7 @@ HEADLINE = [
     "events_sequence_pattern",  # CEP regex funnel over per-user event strings
     "stream_sequence_pattern",  # live CEP automaton, 4-int keyed state
     "dq_benford_first_digit",  # Benford screen, 9-row rollup + scalar total
+    "mm_decode_real_jpeg",  # baseline-JPEG entropy decode, real Huffman+IDCT
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -651,3 +651,65 @@ def test_bpe_train_matches_sequential_reference(spark):
             vocab[w] = (merged, c)
     got = [tuple(x) for x in out[["merge_rank", "sym_left", "sym_right", "merged", "n"]].itertuples(index=False)]
     assert got == expect
+
+
+def test_jpeg_decode_roundtrip_dc_closed_form():
+    """The JPEG path is a real entropy-codec round-trip: canonical
+    Huffman tables rebuilt from the file's own DHT segments, byte
+    stuffing, DC prediction with EXTEND, zigzag dequant and the float
+    IDCT. DC-only constant blocks make every decoded pixel closed-form
+    (128 + 2*dcq with the uniform Q=16 table)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    for doc_id in [0, 1, 2, 3, 5, 11, 31, 32, 123, 9999]:
+        bw, bh = 2 + doc_id % 4, 1 + doc_id % 3
+        w, h, nb, sp, tl, ldc = decode_jpeg(synth_jpeg_bytes(doc_id))
+        exp_sum = sum(
+            64 * (128 + 2 * (((doc_id + 5 * b) % 32) - 16)) for b in range(bw * bh)
+        )
+        assert (w, h, nb) == (bw * 8, bh * 8, bw * bh), doc_id
+        assert sp == exp_sum, doc_id
+        assert tl == 128 + 2 * ((doc_id % 32) - 16), doc_id
+        assert ldc == ((doc_id + 5 * (bw * bh - 1)) % 32) - 16, doc_id
+
+
+def test_jpeg_nonzero_ac_path_matches_numpy_idct():
+    """The general AC entropy path — run/size symbols, a >15 zero run
+    forcing ZRL, negative coefficients exercising EXTEND on both DC
+    and AC — must decode to exactly the NumPy IDCT reference of the
+    same quantized coefficients. This is the half of the decoder the
+    DC-only hash oracle cannot reach."""
+    import numpy as np
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import (
+        _JPEG_Q,
+        _jpeg_idct_2d,
+        decode_jpeg,
+        synth_jpeg_from_blocks,
+    )
+
+    blocks = []
+    # block 0: dense low-frequency ACs, mixed signs
+    b0 = [0] * 64
+    b0[0], b0[1], b0[8], b0[9], b0[2] = 5, 3, -4, 2, -7
+    blocks.append(b0)
+    # block 1: negative DC delta + an AC after a 17-zero run (ZRL path)
+    b1 = [0] * 64
+    b1[0] = -9
+    # zigzag index 20 (natural 40) leaves a run > 15 after index 2
+    b1[40], b1[16] = 6, -1
+    blocks.append(b1)
+    # block 2: max-size-ish coefficients at the tail of the zigzag
+    b2 = [0] * 64
+    b2[0], b2[63] = 12, -3
+    blocks.append(b2)
+    payload = synth_jpeg_from_blocks(blocks, bw=3, bh=1)
+    w, h, nb, sp, tl, ldc, got = decode_jpeg(payload, return_blocks=True)
+    assert (w, h, nb) == (24, 8, 3)
+    for blk, px in zip(blocks, got):
+        coef = np.array(blk, dtype=float).reshape(8, 8) * _JPEG_Q
+        ref = np.clip(np.round(_jpeg_idct_2d(coef) + 128), 0, 255).astype(int)
+        assert (px == ref).all()
