@@ -1021,30 +1021,35 @@ def mm_decode_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duration) is a hash mismatch.
     oracle="""
         SELECT doc_id,
-               CASE CAST(doc_id % 3 AS INTEGER)
-                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               CASE CAST(doc_id % 3 AS INTEGER)
+               CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    WHEN 2 THEN 'video' ELSE 'image' END AS kind,
+               CASE CAST(doc_id % 4 AS INTEGER)
                     WHEN 0 THEN CAST(4 + doc_id % 13 AS INTEGER)
                     WHEN 1 THEN CAST(NULL AS INTEGER)
-                    ELSE CAST(3 + doc_id % 8 AS INTEGER) END AS width,
-               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 2 THEN CAST(3 + doc_id % 8 AS INTEGER)
+                    ELSE CAST(8 * (2 + doc_id % 4) AS INTEGER) END AS width,
+               CASE CAST(doc_id % 4 AS INTEGER)
                     WHEN 0 THEN CAST(3 + doc_id % 9 AS INTEGER)
                     WHEN 1 THEN CAST(NULL AS INTEGER)
-                    ELSE CAST(2 + doc_id % 5 AS INTEGER) END AS height,
-               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 2 THEN CAST(2 + doc_id % 5 AS INTEGER)
+                    ELSE CAST(8 * (1 + doc_id % 3) AS INTEGER) END AS height,
+               CASE CAST(doc_id % 4 AS INTEGER)
                     WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
+                    WHEN 3 THEN CAST(1 AS INTEGER)
                     ELSE CAST(3 AS INTEGER) END AS n_channels,
-               CASE CAST(doc_id % 3 AS INTEGER)
+               CASE CAST(doc_id % 4 AS INTEGER)
                     WHEN 0 THEN CAST(1 AS INTEGER)
                     WHEN 1 THEN CAST(400 + (doc_id % 7) * 100 AS INTEGER)
-                    ELSE CAST(2 + doc_id % 5 AS INTEGER) END AS n_frames,
-               CASE CAST(doc_id % 3 AS INTEGER)
-                    WHEN 0 THEN CAST(0 AS BIGINT)
+                    WHEN 2 THEN CAST(2 + doc_id % 5 AS INTEGER)
+                    ELSE CAST(1 AS INTEGER) END AS n_frames,
+               CASE CAST(doc_id % 4 AS INTEGER)
                     WHEN 1 THEN CAST((400 + (doc_id % 7) * 100) * 1000
                                      // (CASE CAST(doc_id % 4 AS INTEGER)
                                          WHEN 0 THEN 8000 WHEN 1 THEN 16000
                                          WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT)
-                    ELSE CAST((2 + doc_id % 5) * (4 + doc_id % 7) * 10 AS BIGINT) END
+                    WHEN 2 THEN CAST((2 + doc_id % 5) * (4 + doc_id % 7) * 10 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END
                  AS duration_ms
         FROM documents
     """,
@@ -1055,12 +1060,14 @@ def mm_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 9's replacement for the retired fake-decode plumbing
     (``mm_decode_stub``/``mm_frame_sample``, rounds 2–7): stage 1
     synthesizes a genuine container per document routed by its kind
-    column (image → 24-bit BMP, audio → 16-bit PCM WAV, video →
-    multi-frame GIF89a; in production this binary column arrives
-    from ingestion), stage 2 SNIFFS each payload's magic bytes —
-    never trusting the metadata column — routes it to the matching
-    real codec (``decode_bmp`` / ``decode_wav`` /
-    ``decode_gif_frames``), and emits ONE unified metadata schema:
+    column (image → 24-bit BMP or baseline JPEG, audio → 16-bit PCM
+    WAV, video → multi-frame GIF89a; in production this binary
+    column arrives from ingestion), stage 2 SNIFFS each payload's
+    magic bytes — never trusting the metadata column — routes it to
+    the matching real codec (``decode_bmp`` / ``decode_wav`` /
+    ``decode_gif_frames`` / ``decode_jpeg``: two different image
+    containers behind ONE kind proves routing is magic-driven, not
+    metadata-driven), and emits ONE unified metadata schema:
     width/height (NULL for audio), channel count, frame count (PCM
     frames for audio, animation frames for video, 1 for stills) and
     presentation duration in ms. An unknown magic raises — a quality
@@ -1074,12 +1081,15 @@ def mm_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity (~10k rows) keeps any skew far below task size."""
 
     def synth_batches(batches):
-        synths = {0: synth_bmp_bytes, 1: synth_wav_bytes, 2: synth_gif_bytes}
+        synths = {
+            0: synth_bmp_bytes, 1: synth_wav_bytes,
+            2: synth_gif_bytes, 3: synth_jpeg_bytes,
+        }
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [synths[int(d) % 3](int(d)) for d in pdf["doc_id"]],
+                    "payload": [synths[int(d) % 4](int(d)) for d in pdf["doc_id"]],
                 }
             )
 
@@ -1101,6 +1111,9 @@ def mm_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w, h, nf, frames = decode_gif_frames(p)
                     step = frames[1][1] - frames[0][1] if nf >= 2 else 0
                     row = ("video", w, h, 3, nf, frames[-1][1] + step)
+                elif p[:2] == b"\xff\xd8":
+                    w, h, _nb, _sp, _tl, _ldc = decode_jpeg(p)
+                    row = ("image", w, h, 1, 1, 0)
                 else:
                     raise ValueError(f"unknown payload magic: {p[:6]!r}")
                 out["doc_id"].append(int(doc_id))

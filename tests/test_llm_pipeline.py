@@ -142,10 +142,16 @@ def test_decode_dispatch_routes_all_modalities(spark):
     assert one.equals(two)
     assert len(one) == load_table(spark, SF_ORACLE, "documents").count()
     assert set(one["kind"]) == {"image", "audio", "video"}
+    # two image containers behind one kind: BMP (3-channel, small dims)
+    # and baseline JPEG (grayscale, 8-px-multiple dims) — the split
+    # proves routing is magic-driven, not kind-driven
     img = one[one["kind"] == "image"]
-    assert img["width"].between(4, 16).all() and img["height"].between(3, 11).all()
-    assert (img["n_channels"] == 3).all() and (img["n_frames"] == 1).all()
-    assert (img["duration_ms"] == 0).all()
+    bmp = img[img["n_channels"] == 3]
+    jpg = img[img["n_channels"] == 1]
+    assert len(bmp) and len(jpg)
+    assert bmp["width"].between(4, 16).all() and bmp["height"].between(3, 11).all()
+    assert (jpg["width"] % 8 == 0).all() and (jpg["height"] % 8 == 0).all()
+    assert (img["n_frames"] == 1).all() and (img["duration_ms"] == 0).all()
     aud = one[one["kind"] == "audio"]
     assert aud["width"].isna().all() and aud["height"].isna().all()
     assert aud["n_channels"].between(1, 2).all()
