@@ -1312,16 +1312,25 @@ class _JpegBitReader:
     def _fill(self, n: int) -> None:
         while self.nbits < n:
             if self.pos >= len(self.data):
-                # past EOI padding: spec pads with 1s
+                # past the scan: T.81 pads with 1-bits
                 self.acc = (self.acc << 8) | 0xFF
             else:
                 byte = self.data[self.pos]
-                self.pos += 1
                 if byte == 0xFF:
-                    nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                    nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
                     if nxt != 0x00:
-                        raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
-                    self.pos += 1  # drop the stuffed 0x00
+                        # a real marker (EOI/RSTn) ends the entropy
+                        # segment: leave it unconsumed and pad with
+                        # 1-bits (T.81 F.2.2.5) — a peek() for a LONGER
+                        # candidate code than the final short code must
+                        # not die on the trailing marker. Garbage after
+                        # the pad still fails Huffman decode loudly.
+                        self.acc = (self.acc << 8) | 0xFF
+                        self.nbits += 8
+                        continue
+                    self.pos += 2  # data 0xFF + its stuffed 0x00
+                else:
+                    self.pos += 1
                 self.acc = (self.acc << 8) | byte
             self.nbits += 8
 
