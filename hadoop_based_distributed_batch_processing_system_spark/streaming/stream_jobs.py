@@ -1338,6 +1338,39 @@ def stream_moments_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(result, "hbdbps_stream_moments", "update")
 
 
+def funnel_automaton_step(symbols, n, st, matched, first_end):
+    """Advance the v+cp funnel NFA over a symbol iterable from state
+    (n, st, matched, first_end) — module-level so the hypothesis fuzz
+    test drives the SAME code the streaming kernel runs. st: 0 idle,
+    1 inside v+, 2 click seen. A failed 'p' expectation re-examines
+    the symbol as a potential new 'v' (KMP fallback); a completed
+    match resets to idle, so matches never overlap — exactly the
+    regex's leftmost non-overlapping semantics for this pattern."""
+    for c in symbols:
+        n += 1
+        reexamine = True
+        while reexamine:
+            reexamine = False
+            if st == 0:
+                if c == "v":
+                    st = 1
+            elif st == 1:
+                if c == "c":
+                    st = 2
+                elif c != "v":
+                    st = 0
+            else:  # st == 2: expecting the purchase
+                if c == "p":
+                    matched += 1
+                    if first_end == 0:
+                        first_end = n
+                    st = 0
+                else:
+                    st = 0
+                    reexamine = True  # failed symbol may start a new 'v+'
+    return n, st, matched, first_end
+
+
 @register(
     "stream_sequence_pattern",
     # Oracle: the batch CEP operator's own SQL — the keyed automaton
@@ -1388,29 +1421,9 @@ def stream_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts = [pdf for pdf in pdfs]
         batch = pd.concat(parts) if len(parts) > 1 else parts[0]
         batch = batch.sort_values(["ts", "event_id"])
-        for c in batch["ini"]:
-            n += 1
-            # one symbol may be examined twice (failure fallback)
-            reexamine = True
-            while reexamine:
-                reexamine = False
-                if st == 0:
-                    if c == "v":
-                        st = 1
-                elif st == 1:
-                    if c == "c":
-                        st = 2
-                    elif c != "v":
-                        st = 0
-                else:  # st == 2: expecting the purchase
-                    if c == "p":
-                        matched += 1
-                        if first_end == 0:
-                            first_end = n
-                        st = 0
-                    else:
-                        st = 0
-                        reexamine = True  # the failed symbol may start a new 'v+'
+        n, st, matched, first_end = funnel_automaton_step(
+            batch["ini"], n, st, matched, first_end
+        )
         state.update((n, st, matched, first_end))
         yield pd.DataFrame(
             {

@@ -330,3 +330,79 @@ def test_position_attribution_weights_account_exactly(n):
     total = sum(weights)
     assert total <= 1_000_000
     assert 1_000_000 - total < max(n - 2, 1)
+
+
+@given(s=st.text(alphabet="vcpse", max_size=300), cut=st.integers(min_value=0, max_value=300))
+@settings(max_examples=400, deadline=None)
+def test_funnel_automaton_equals_regex_and_is_batch_splittable(s, cut):
+    """The streaming CEP automaton must (a) agree with the regex the
+    batch operator and the DuckDB oracle use — non-overlapping match
+    count AND first-completion end position — and (b) be insensitive
+    to where a micro-batch boundary falls (state carry correctness):
+    running the symbols in two chunks equals running them in one."""
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.streaming.stream_jobs import (
+        funnel_automaton_step,
+    )
+
+    one = funnel_automaton_step(s, 0, 0, 0, 0)
+    m = re.search(r"^(.*?v+cp)", s)
+    assert one[0] == len(s)
+    assert one[2] == len(re.findall(r"v+cp", s))
+    assert one[3] == (len(m.group(1)) if m else 0)
+
+    cut = min(cut, len(s))
+    mid = funnel_automaton_step(s[:cut], 0, 0, 0, 0)
+    two = funnel_automaton_step(s[cut:], *mid)
+    assert two == one
+
+
+@given(
+    blocks=st.lists(
+        st.builds(
+            dict,
+            dc=st.integers(min_value=-128, max_value=127),
+            acs=st.lists(
+                st.tuples(
+                    st.integers(min_value=1, max_value=63),
+                    st.integers(min_value=-511, max_value=511).filter(lambda v: v != 0),
+                ),
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_jpeg_entropy_codec_fuzz_roundtrip(blocks):
+    """Fuzz the whole baseline-JPEG entropy path: random quantized
+    blocks (DC anywhere in category range, up to 8 random-position
+    random-sign ACs — covering runs 0..62, ZRL, EOB and EXTEND on
+    both tables) must encode to a valid scan and decode to exactly
+    the NumPy IDCT reference of the same coefficients."""
+    import numpy as np
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.multimodal import (
+        _JPEG_Q,
+        _jpeg_idct_2d,
+        decode_jpeg,
+        synth_jpeg_from_blocks,
+    )
+
+    blks = []
+    for b in blocks:
+        blk = [0] * 64
+        blk[0] = b["dc"]
+        for pos, val in b["acs"]:
+            blk[pos] = val
+        blks.append(blk)
+    payload = synth_jpeg_from_blocks(blks, bw=len(blks), bh=1)
+    w, h, nb, _sp, _tl, last_dc, got = decode_jpeg(payload, return_blocks=True)
+    assert (w, h, nb) == (8 * len(blks), 8, len(blks))
+    assert last_dc == blks[-1][0]
+    for blk, px in zip(blks, got):
+        coef = np.array(blk, dtype=float).reshape(8, 8) * _JPEG_Q
+        ref = np.clip(np.round(_jpeg_idct_2d(coef) + 128), 0, 255).astype(int)
+        assert (px == ref).all()
