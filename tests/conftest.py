@@ -50,6 +50,10 @@ def _build_doc_subset() -> str:
     os.makedirs(SF_DOC_SUBSET_DIR, exist_ok=True)
     ids = ",".join(map(str, _DOC_SUBSET_MEMBERS))
     con = duckdb.connect()
+    # write under a per-process name, promote atomically: two pytest
+    # sessions may build concurrently and readers must never see a
+    # half-written parquet
+    tmp = f"{SF_DOC_SUBSET_DIR}/.documents.{os.getpid()}.parquet"
     con.execute(
         f"""
         COPY (
@@ -59,9 +63,10 @@ def _build_doc_subset() -> str:
                            WHERE doc_id NOT IN ({ids})
                            ORDER BY doc_id LIMIT {_DOC_SUBSET_BACKGROUND})
           ORDER BY doc_id
-        ) TO '{SF_DOC_SUBSET_DIR}/documents.parquet' (FORMAT PARQUET)
+        ) TO '{tmp}' (FORMAT PARQUET)
         """
     )
+    os.replace(tmp, f"{SF_DOC_SUBSET_DIR}/documents.parquet")
     n_pairs = con.execute(
         f"""
         WITH tok AS (
