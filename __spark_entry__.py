@@ -107,28 +107,16 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 9 state: fifteen never-attested entries (this round's
-    # additions, registered as they landed). Early: the
-    # sniff-and-route real decode that replaced the retired
-    # mm_decode_stub/mm_frame_sample, the BPE tokenizer's inference
-    # half, LPA communities, the streaming Misra-Gries twin
-    # (rows-only by nature), and the histogram decision stump.
-    # They fill the window front; _REFRESH_TAIL holds the five
-    # stale-r04 rows-only sketches; the newest-round-ascending
-    # verified back then drains the r02 backlog (VERDICT r08 item 2)
-    # in the remaining ~30 slots — the ~10 r02 composites that do
-    # not fit roll to round 10, where the self-draining order picks
-    # them first.
-    "mm_decode_dispatch", "bpe_apply_segment", "graph_label_propagation",
-    "stream_topk_mg_stateful", "ml_decision_stump",
-    # Late-round-9 additions (all hash-oracled): exact prefix-filter
-    # set-similarity join, HITS hubs/authorities, WOE/IV screening.
-    "dedup_allpairs_prefix", "graph_hits", "feature_woe_iv",
-    "text_pmi_collocations", "feature_quantile_binning",
-    "graph_sssp_weighted", "stream_moments_stateful",
-    "sample_weighted_reservoir", "sim_search_tfidf_sparse",
-    "events_sequence_pattern", "stream_sequence_pattern",
-    "dq_benford_first_digit", "mm_decode_real_jpeg",
+    # --- ROUND 10 state: the one red row on the board goes FIRST —
+    # ml_decision_stump hash-FAILED r09 (DECIMAL gain column from a
+    # bare 1.0 literal in the F.expr; fixed to 1.0D + a -0.0
+    # normalize this round, VERDICT r09 item 1). It is the only
+    # never-hash-verified entry left; any new round-10 operators
+    # register behind it. The rest of the window is the verified
+    # back in newest-round-ascending order, which by itself drains
+    # the ~13 remaining r02 TPC-H composites first, then r03
+    # (VERDICT r09 item 5 — keep the window refresh-heavy).
+    "ml_decision_stump",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)
@@ -136,19 +124,13 @@ _PRIORITY_WINDOW = [
 ]
 
 # Verified-but-stale rows worth re-earning AHEAD of the general
-# oldest-first back: the five rows-only ANN/sketch attestations last
-# driver-run in r04 (VERDICT r08 item 2's second half) — rows-only
-# entries re-prove execution on the current corpus, and these are
-# the oldest such proofs on the board. Placed immediately after the
-# never-verified front; the verified back (newest-round ascending)
-# follows and self-drains the hash-oracled backlog.
-_REFRESH_TAIL = [
-    "dedup_simhash",
-    "knn_label_vote_ann",
-    "sim_search_ann_lsh",
-    "sim_search_ann_ivf",
-    "topk_heavy_hitters_mg",
-]
+# oldest-first back. Empty for round 10: the five rows-only sketches
+# this held were all re-attested in r09, and the newest-round-
+# ascending verified back already self-drains stalest-first — listing
+# anything here would burn window slots the r02 composite backlog
+# needs (VERDICT r09 item 5). Keep the mechanism for future rounds
+# where a specific stale row must jump the queue.
+_REFRESH_TAIL: list[str] = []
 
 
 def _ordered_names() -> list[str]:

@@ -358,6 +358,8 @@ def _stump_oracle() -> str:
                  CAST(pos_left AS BIGINT) AS pos_left,
                  CAST(n_tot - n_left AS BIGINT) AS n_right,
                  CAST(pos_tot - pos_left AS BIGINT) AS pos_right,
+                 -- + 0.0 normalizes a rounded -0.0 to +0.0 so the
+                 -- DESC argmax ordering agrees with Spark's struct-min
                  ROUND(
                    (1.0 - (pos_tot * pos_tot + (n_tot - pos_tot) * (n_tot - pos_tot))
                         / (1.0 * n_tot * n_tot))
@@ -368,7 +370,7 @@ def _stump_oracle() -> str:
                         + ((n_tot - n_left) - (pos_tot - pos_left))
                           * ((n_tot - n_left) - (pos_tot - pos_left)))
                         / (1.0 * (n_tot - n_left) * (n_tot - n_left)))) / n_tot,
-                 6) AS gain
+                 6) + 0.0 AS gain
           FROM cum
           WHERE n_left > 0 AND n_tot - n_left > 0
         ),
@@ -443,19 +445,27 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(p).alias("n_tot"),
         F.sum("pos").over(p).alias("pos_tot"),
     )
+    # 1.0D, not 1.0: a bare 1.0 literal parses as DECIMAL(2,1) in Spark
+    # SQL and drags the whole gain into decimal arithmetic — the driver
+    # hashes the SERIALIZED cell, so Decimal('0.000006') != 6e-06 even
+    # though the loose numeric compare passes (r09 hash FAIL). Double
+    # literals keep the arithmetic in IEEE double exactly like DuckDB's.
+    # The trailing + 0.0D collapses a rounded -0.0 to +0.0 so the
+    # struct-min argmax (which would order -0.0 before 0.0 — Spark has
+    # no NormalizeFloatingNumbers on min) matches the oracle's DESC sort.
     gain = F.expr(
         """
         ROUND(
-          (1.0 - (pos_tot * pos_tot + (n_tot - pos_tot) * (n_tot - pos_tot))
-               / (1.0 * n_tot * n_tot))
-          - (n_left * (1.0 - (pos_left * pos_left
+          (1.0D - (pos_tot * pos_tot + (n_tot - pos_tot) * (n_tot - pos_tot))
+               / (1.0D * n_tot * n_tot))
+          - (n_left * (1.0D - (pos_left * pos_left
                + (n_left - pos_left) * (n_left - pos_left))
-               / (1.0 * n_left * n_left))
-             + (n_tot - n_left) * (1.0 - ((pos_tot - pos_left) * (pos_tot - pos_left)
+               / (1.0D * n_left * n_left))
+             + (n_tot - n_left) * (1.0D - ((pos_tot - pos_left) * (pos_tot - pos_left)
                + ((n_tot - n_left) - (pos_tot - pos_left))
                  * ((n_tot - n_left) - (pos_tot - pos_left)))
-               / (1.0 * (n_tot - n_left) * (n_tot - n_left)))) / n_tot,
-        6)
+               / (1.0D * (n_tot - n_left) * (n_tot - n_left)))) / n_tot,
+        6) + 0.0D
         """
     )
     cand = (

@@ -36,7 +36,13 @@ def canon_cell(v):
             return NULL
         return f"{round(v, 6):.6f}"
     if isinstance(v, Decimal):
-        return f"{round(float(v), 6):.6f}"
+        # Type-faithful on purpose: the driver hashes the SERIALIZED
+        # cell, so a Spark DecimalType column fails its hash check even
+        # when numerically equal to the oracle's double (the r09
+        # ml_decision_stump miss — this mirror used to coerce Decimal
+        # to float and stayed green while the driver went red). Tag the
+        # type so a decimal-vs-double leak fails LOCALLY too.
+        return f"dec:{round(float(v), 6):.6f}"
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (bool, np.bool_)):

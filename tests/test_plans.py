@@ -545,7 +545,13 @@ def test_no_complex_toplevel_output_types(spark):
     may output a complex top-level column — vectors serialize to
     exact fixed-point strings (feature_hashing, embed_standardize,
     embed_label_centroids, kmeans_embeddings, mm_feature_extract_stub
-    set the pattern). Streaming ops are asserted through their
+    set the pattern). DECIMAL is banned for the same serialized-hash
+    reason: no DuckDB oracle ever yields one, and the driver hashes the
+    serialized cell, so Decimal('0.000006') != 6e-06 even when the
+    loose numeric compare passes (ml_decision_stump's r09 hash FAIL —
+    a bare 1.0 literal in an F.expr parses as DECIMAL(2,1) and drags
+    the whole expression into decimal arithmetic; write 1.0D).
+    Streaming ops are asserted through their
     memory-sink outputs in test_streaming; eager ops execute once at
     smoke scale here, lazy ops cost analysis only."""
     offenders = {}
@@ -557,10 +563,11 @@ def test_no_complex_toplevel_output_types(spark):
             f.name: f.dataType.typeName()
             for f in schema.fields
             if f.dataType.typeName() in ("array", "struct", "map")
+            or f.dataType.typeName().startswith("decimal")
         }
         if complex_cols:
             offenders[name] = complex_cols
-    assert not offenders, f"complex top-level output columns (driver cannot hash): {offenders}"
+    assert not offenders, f"complex/decimal top-level output columns (driver cannot hash): {offenders}"
 
 
 def test_plan_facts_api_extracts_structure(spark):
