@@ -131,6 +131,26 @@ HEADLINE = [
 # matching baseline row is measured with the noop sink too.
 ACTION = {"timeseries_resample_locf": "noop"}
 
+# The 10 BASELINE.md headline rows (TPC-H shapes + the original core
+# set). The driver's BENCH artifact keeps only the LAST 2000 chars of
+# bench stdout, and the full queries dict outgrew that in round 9 —
+# these fell off the recorded artifact and had to be re-measured by
+# hand (VERDICT r09 item 4). They are therefore repeated in a trailing
+# "headline" JSON key, emitted last so the artifact tail always holds
+# them.
+HEADLINE_BASELINE_ROWS = [
+    "agg_group",
+    "join_shipping_priority",
+    "join_multiway",
+    "agg_global",
+    "agg_count_distinct_global",
+    "win_rank_limited",
+    "topk",
+    "window_tumbling",
+    "fn_json",
+    "dedup_exact",
+]
+
 
 def run_action(df, action: str) -> None:
     if action == "noop":
@@ -187,8 +207,13 @@ def main() -> None:
                 "metric": "headline_queries_total_warm_best3",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "queries": timings,
+                # LAST on purpose: the recorded artifact is a 2000-char
+                # stdout tail; keys after "queries" survive it.
+                "headline": {
+                    n: timings[n] for n in HEADLINE_BASELINE_ROWS if n in timings
+                },
             }
         )
     )

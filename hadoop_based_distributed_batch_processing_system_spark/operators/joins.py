@@ -1107,7 +1107,7 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands shape of window_session); incidents — a GLOBAL
     island problem with no partitioning key — go through
     ``global_islands`` (sorts.py): per-time-bucket local islands plus
-    a driver-bounded boundary-chain merge, never a single-partition
+    a bounded declarative census chain-merge, never a single-partition
     window over the error stream. The candidate join shuffles
     interval-count × bins-per-interval rows on bin keys, never
     sessions × incidents. Overlap lengths are exact integer
@@ -1134,7 +1134,7 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
     err = ev.filter(F.col("event_type") == "error").select("ts", "event_id")
-    err_isl, _nb = global_islands(
+    err_isl = global_islands(
         err,
         "ts",
         ["event_id"],

@@ -395,14 +395,12 @@ def _islands_bucketed_window(
     bucket_us: int,
 ) -> DataFrame:
     """Steps 1–2 of ``global_islands`` (bucket by ts, form islands
-    locally with a PARTITIONED window), split out so the plan audit
-    can see it: ``global_islands`` localCheckpoints this frame at
-    build time, which TRUNCATES LINEAGE — consumer operators' plans
-    show only a scan of checkpoint blocks below that point, so the
-    fleet sweeps (single-partition-window / cartesian /
-    WindowGroupLimit) are blind to everything in here. A dedicated
-    test (tests/test_plans.py::test_global_islands_prechckpt_plan)
-    audits THIS pre-checkpoint frame directly instead."""
+    locally with a PARTITIONED window). Split out so the plan audit
+    can probe the island window in isolation
+    (tests/test_plans.py::test_global_islands_island_window_plan):
+    the window MUST be partitioned by the time bucket — a
+    SinglePartition exchange feeding it would be the exact
+    scale-killer this recipe exists to avoid."""
     us = F.unix_micros(F.col(ts_col))
     d = df.withColumn("__us", us).withColumn(
         "__bkt", F.expr(f"unix_micros({ts_col}) div {bucket_us}")
@@ -432,11 +430,11 @@ def global_islands(
     *,
     gap_us: int,
     bucket_us: int,
-):
+) -> DataFrame:
     """GLOBAL gaps-and-islands (sessionize a totally-ordered event
     stream: new island when the gap to the previous event exceeds
-    ``gap_us``) WITHOUT the single-partition window — the time-domain
-    sibling of ``bucketed_rank_cumsum``.
+    ``gap_us``) WITHOUT a corpus-sized single-partition window — the
+    time-domain sibling of ``bucketed_rank_cumsum``.
 
     ``SUM(is_new) OVER (ORDER BY ts)`` with no PARTITION BY funnels
     the whole stream through one task. Here instead:
@@ -445,70 +443,103 @@ def global_islands(
        value, deterministic across jobs);
     2. islands form LOCALLY per bucket (ordinary partitioned window);
     3. islands can only merge across buckets through each bucket's
-       FIRST and LAST local island, so a per-bucket summary —
+       FIRST and LAST local island, so a per-bucket CENSUS —
        (first_ts, last_ts, island count), ONE row per non-empty
        bucket, bounded by time-range/bucket_us and independent of
-       event count — lets the driver chain-merge boundary islands
-       with a linear scan; interior islands keep their (bucket,
-       local_id) key untouched. The merge map (≤ 2 entries per
-       bucket) is applied as a broadcast literal-map projection — no
-       join, no extra shuffle.
+       event count — resolves every cross-bucket merge. The census
+       chain-merge is itself a gaps-and-islands over census rows: a
+       bucket's first island joins the previous bucket's last island
+       iff the boundary gap obeys the window's own gap rule; runs of
+       merging buckets form chains, and within a chain the head key
+       for bucket b is the last island of the nearest PRECEDING
+       bucket with >1 islands (that island was never remapped), else
+       the chain head's first island. That is two window passes over
+       the bounded census frame, and the resulting remap (≤1 row per
+       merging bucket) comes back as a BROADCAST equi-join on
+       (bucket, local_id=1).
 
-    Returns ``(out_df, n_buckets)`` where ``out_df`` is ``df`` plus
-    ``__island`` (a string key; equal keys = same global island —
-    exactly the islands the global window would produce, since
-    bucketing preserves order and boundary merging applies the same
-    gap rule the window applies)."""
+    Everything is ONE lazy plan and ONE action: no driver collect, no
+    checkpoint, no literal-map rebuild per run. The census branch is
+    planned independently of the output branch (column pruning gives
+    the two branches different exchanges, so there is nothing to
+    reuse), but pruning works FOR it: the census re-scan reads only
+    (ts, event_id) and its shuffle carries three longs per row, while
+    the output branch carries the caller's full rows — so the second
+    pass is the narrow one. Alternatives measured at sf0.1 and
+    rejected: sharing the frame via localCheckpoint (eager or lazy)
+    costs MORE wall-clock than the narrow second pass (persisting the
+    full decorated frame + extra job waves: 0.93–0.95 s vs 0.80 s),
+    and a driver-collected literal remap map adds a blocking
+    collect + per-run plan rebuild. At 100 TB: two bucket-keyed
+    passes over the stream (one narrow), both embarrassingly
+    parallel; the census aggregate is map-side-combining down to one
+    row per non-empty bucket (~10^3–10^4 per decade at 6-h buckets —
+    the same bound the calendar-exception rule in
+    ``operators/windows.py`` documents for its SinglePartition
+    window); the broadcast is ≤2 keys per bucket. Escape hatch past
+    the bound: raise ``bucket_us`` (census rows shrink linearly) —
+    merge correctness is bucket-size-independent.
+
+    Returns ``df`` plus ``__island`` (a string key; equal keys = same
+    global island — exactly the islands the global window would
+    produce, since bucketing preserves order and boundary merging
+    applies the same gap rule the window applies; property-tested
+    against the sequential model in tests/test_properties.py)."""
     d = _islands_bucketed_window(df, ts_col, tiebreak_cols, gap_us=gap_us, bucket_us=bucket_us)
 
-    # Two consumers read the bucketed-window result (the summary
-    # aggregate below and the caller's output plan) — materialize it
-    # once via localCheckpoint rather than cache(): this is shared
-    # library code with no unpersist hook, and a cache() here would
-    # pin corpus-sized partitions in executor storage for the session
-    # lifetime (plan sweeps and bench loops build many operators per
-    # session). Checkpoint blocks are reference-GC'd by the
-    # ContextCleaner once the caller's frame is dropped, so ownership
-    # needs no API change; the window still computes exactly once.
-    # KNOWN TRADE-OFFS of checkpointing here (ADVICE r08): (a) the
-    # truncated lineage hides everything above from the fleet plan
-    # sweeps when they audit CONSUMERS of this helper — the
-    # pre-checkpoint frame is audited directly instead
-    # (tests/test_plans.py::test_global_islands_prechckpt_plan on
-    # _islands_bucketed_window); (b) unlike cache(), checkpointed
-    # blocks are not recomputable on executor loss — acceptable for
-    # these interactive/bench jobs, revisit if reused inside a
-    # long-running fault-sensitive pipeline.
-    d = d.localCheckpoint(eager=True)
-
-    summary = (
-        d.groupBy("__bkt")
-        .agg(
-            F.min("__us").alias("first_us"),
-            F.max("__us").alias("last_us"),
-            F.max("__lid").alias("n_isl"),
-        )
-        .orderBy("__bkt")
-        .collect()
+    census = d.groupBy("__bkt").agg(
+        F.min("__us").alias("first_us"),
+        F.max("__us").alias("last_us"),
+        F.max("__lid").alias("n_isl"),
     )
-    # Chain-merge boundary islands on the driver: the FIRST island of a
-    # bucket joins the LAST island of the previous non-empty bucket iff
-    # the boundary gap obeys the same rule the window applies.
-    head: dict = {}
-    prev = None
-    for r in summary:
-        k_first = (r["__bkt"], 1)
-        if prev is not None and r["first_us"] - prev["last_us"] <= gap_us:
-            pk = (prev["__bkt"], prev["n_isl"])
-            head[k_first] = head.get(pk, pk)
-        prev = r
+    # Census windows: SinglePartition by construction — the frame is
+    # bounded (one row per non-empty bucket), per the module rule in
+    # operators/windows.py; consumers are allowlisted there.
+    wseq = Window.orderBy("__bkt")
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chained = census.withColumn(
+        "__merge",
+        F.coalesce(
+            (F.col("first_us") - F.lag("last_us").over(wseq)) <= F.lit(gap_us),
+            F.lit(False),
+        ),
+    ).withColumn(
+        "__chain",
+        F.sum(F.when(F.col("__merge"), 0).otherwise(1)).over(wrun),
+    )
+    wprev = (
+        Window.partitionBy("__chain")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wchain = Window.partitionBy("__chain").orderBy("__bkt")
+    resolved = chained.withColumn(
+        "__lastbig",
+        F.last(
+            F.when(
+                F.col("n_isl") > 1,
+                F.struct(F.col("__bkt").alias("hb"), F.col("n_isl").alias("hl")),
+            ),
+            ignorenulls=True,
+        ).over(wprev),
+    ).withColumn("__headbkt", F.first("__bkt").over(wchain))
+    remap = resolved.filter(F.col("__merge")).select(
+        F.col("__bkt").alias("m_bkt"),
+        F.lit(1).alias("m_lid"),
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("__lastbig.hb"), F.col("__headbkt")),
+            F.coalesce(F.col("__lastbig.hl"), F.lit(1)),
+        ).alias("__head"),
+    )
 
-    key = F.concat_ws(":", F.col("__bkt"), F.col("__lid"))
-    if head:
-        pairs = []
-        for (b, l), (hb, hl) in head.items():
-            pairs += [F.lit(f"{b}:{l}"), F.lit(f"{hb}:{hl}")]
-        remap = F.create_map(*pairs)
-        key = F.coalesce(F.element_at(remap, key), key)
-    out = d.withColumn("__island", key).drop("__us", "__bkt", "__lid")
-    return out, len(summary)
+    own = F.concat_ws(":", F.col("__bkt"), F.col("__lid"))
+    return (
+        d.join(
+            F.broadcast(remap),
+            (F.col("__bkt") == F.col("m_bkt")) & (F.col("__lid") == F.col("m_lid")),
+            "left",
+        )
+        .withColumn("__island", F.coalesce(F.col("__head"), own))
+        .drop("m_bkt", "m_lid", "__head", "__us", "__bkt", "__lid")
+    )

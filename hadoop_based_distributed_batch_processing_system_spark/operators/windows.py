@@ -94,6 +94,19 @@ UNPARTITIONED_WINDOW_ALLOWED = {
         "input = one row per leading digit, chi2-total sum over the "
         "9-row digit rollup; bound = 9 by construction"
     ),
+    "events_activity_bursts": (
+        "global_islands census chain-merge: input = one row per "
+        "non-empty time bucket (time-range/bucket_us, ~10^3-10^4 per "
+        "decade at 6-h buckets), two window passes resolve cross-"
+        "bucket island merges; the corpus-sized island window itself "
+        "stays bucket-partitioned (asserted in "
+        "test_global_islands_island_window_plan)"
+    ),
+    "join_interval_overlap_binned": (
+        "same global_islands census chain-merge, over the error-event "
+        "incident stream; bound = non-empty 6-h buckets in the events "
+        "horizon"
+    ),
 }
 
 

@@ -1390,30 +1390,31 @@ def events_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole event stream ends a burst): the incident/traffic-spike
     segmentation an ops dashboard draws, and the canonical
     global-islands problem. Runs through ``global_islands``
-    (sorts.py): per-time-bucket local islands + a driver-bounded
-    boundary-chain merge — the oracle computes the identical islands
-    with the single-partition window the engine refuses to run.
+    (sorts.py): per-time-bucket local islands + a declarative
+    census chain-merge (two bounded windows + a broadcast remap
+    join, no driver state) — the oracle computes the identical
+    islands with the single-partition window the engine refuses
+    to run over the corpus.
     Per burst: first event id (the stable key), bounds, event and
     distinct-user counts, exact integer-microsecond duration.
 
-    Scale: the only full-stream work is one bucket-keyed window;
-    driver state is one row per non-empty time bucket regardless of
-    event volume — at the 6-hour bucket width that is ~1.5k rows per
-    year, ~15k per decade, inside the ~10^4–10^5-row bound the
-    calendar-exception rule in ``operators/windows.py`` documents
-    (and unlike the allowlisted ops, the boundary merge here is a
-    driver linear scan, not a window — the plan audit sees no
-    SinglePartition window at all). Escape hatch past the bound:
-    raise ``bucket_us`` (driver rows shrink linearly) — merge
-    correctness is bucket-size-independent. The per-burst aggregate
-    shuffles on island keys — burst-sized groups, AQE-splittable if
-    one burst dominates."""
+    Scale: full-stream work is two bucket-keyed passes (the output
+    window and the narrow 3-long-per-row census pass); the census
+    chain-merge windows run over one row per non-empty time bucket
+    regardless of event volume — at the 6-hour bucket width that is
+    ~1.5k rows per year, ~15k per decade, inside the ~10^4–10^5-row
+    bound the calendar-exception rule in ``operators/windows.py``
+    documents (this op carries the allowlist entry). Escape hatch
+    past the bound: raise ``bucket_us`` (census rows shrink
+    linearly) — merge correctness is bucket-size-independent. The
+    per-burst aggregate shuffles on island keys — burst-sized
+    groups, AQE-splittable if one burst dominates."""
     from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
         global_islands,
     )
 
     ev = load_table(spark, sf_dir, "events").select("ts", "event_id", "user_id")
-    isl, _nb = global_islands(
+    isl = global_islands(
         ev,
         "ts",
         ["event_id"],

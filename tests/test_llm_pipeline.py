@@ -526,12 +526,16 @@ def test_global_islands_matches_single_window_reference(spark):
     # [10,50,120], [400], [950,1040,...,1990 step 90 → chains buckets],
     # [5000]
     chain = list(range(950, 2000, 90))
-    us_list = [10, 50, 120, 400] + chain + [5000]
+    # 7800|7950 = a 2-island bucket (gap 150 > GAP) whose SECOND island
+    # is continued by the next bucket (8040-7950 = 90 <= GAP): the
+    # remap must target (bucket 7, lid 2), not the bucket's first
+    # island — the n_isl>1 head-resolution path.
+    us_list = [10, 50, 120, 400] + chain + [5000, 7800, 7950, 8040, 8130, 9500]
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(us_list)], "event_id long, us long"
     ).select("event_id", F.timestamp_micros(F.col("us")).alias("ts"))
 
-    out, _nb = global_islands(df, "ts", ["event_id"], gap_us=GAP, bucket_us=BKT)
+    out = global_islands(df, "ts", ["event_id"], gap_us=GAP, bucket_us=BKT)
     got = {
         tuple(sorted(r["ids"]))
         for r in out.groupBy("__island").agg(F.collect_list("event_id").alias("ids")).collect()

@@ -690,20 +690,22 @@ def test_window_group_limit_mechanism(spark):
     assert plan_facts(beside).n_window_group_limits == 0
 
 
-def test_global_islands_prechckpt_plan(spark):
-    """ADVICE r08: ``global_islands`` localCheckpoints its bucketed
-    window at build time, truncating lineage — consumer operators'
-    plans (e.g. ``events_activity_bursts``) show only a scan of
-    checkpoint RDD blocks below that point, so the three fleet sweeps
-    can NEVER see the recipe's own window again. Audit the
-    PRE-checkpoint frame directly instead: the island window must be
-    partitioned by the time bucket (no SinglePartition exchange
-    feeding any Window), with no cartesian and no row-Python — i.e. a
-    regression inside the recipe is caught here, not silently exempt."""
+def test_global_islands_island_window_plan(spark):
+    """``global_islands`` is one lazy plan since round 10 (the census
+    chain-merge and remap are declarative — no driver collect, no
+    checkpoint, no literal-map rebuild), so the fleet sweeps see the
+    whole recipe through its consumers. Pin the recipe's OWN
+    contracts directly: (a) the corpus-sized island window is
+    partitioned by the time bucket (no SinglePartition exchange may
+    feed it); (b) the remap applies as a BROADCAST hash join with no
+    cartesian/row-Python; (c) the census branch's second stream pass
+    is the NARROW one — column pruning must strip the caller's
+    payload columns from its scan (only ts + tiebreak reach it)."""
     import re
 
     from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import (
         _islands_bucketed_window,
+        global_islands,
     )
 
     ev = load_table(spark, SF_SMOKE, "events").select("ts", "event_id", "user_id")
@@ -717,3 +719,21 @@ def test_global_islands_prechckpt_plan(spark):
         assert m is None or not m.group(1).startswith("SinglePartition"), plan
     facts = plan_facts(pre)
     assert not facts.has_cartesian and not facts.has_row_python
+
+    full = global_islands(
+        ev, "ts", ["event_id"], gap_us=900 * 1_000_000, bucket_us=6 * 3600 * 1_000_000
+    )
+    fplan = plan_of(full)
+    ffacts = plan_facts(full)
+    assert not ffacts.has_cartesian and not ffacts.has_row_python
+    assert "BroadcastHashJoin" in fplan, fplan
+    # The census branch re-scans the stream (different pruned columns
+    # block exchange reuse — deliberate; see the recipe docstring),
+    # and that scan must be the narrow one: its ReadSchema carries
+    # only ts + event_id, never user_id (the caller payload).
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", fplan)
+    assert len(schemas) == 2, fplan
+    narrow = [s for s in schemas if "user_id" not in s]
+    assert len(narrow) == 1 and "ts" in narrow[0], schemas
