@@ -2307,11 +2307,21 @@ def _bpe_apply_oracle() -> str:
     apply_steps = []
     prev = "aseg0"
     for r in range(1, _BPE_MERGES + 1):
+        # LEFT JOIN + COALESCE, not a cross join: if the trainer chain
+        # exhausts pairs before _BPE_MERGES rounds (degenerate corpus),
+        # best{r} is EMPTY — a cross join would empty every later
+        # aseg CTE and the oracle would return zero rows while the
+        # operator still segments with the merges actually learned
+        # (ADVICE r09: the apply-side twin of the trainer's
+        # pair-exhaustion convergence fix). With an empty best{r} the
+        # left join yields NULL x.a/x.b, replace() goes NULL, and
+        # COALESCE keeps the segmentation unchanged — exactly the
+        # no-op round the operator's fold performs.
         apply_steps.append(
             f"""aseg{r} AS MATERIALIZED (
-          SELECT w, replace(seg, '|' || x.a || '||' || x.b || '|',
-                                 '|' || x.a || x.b || '|') AS seg
-          FROM {prev}, best{r} x
+          SELECT w, COALESCE(replace(seg, '|' || x.a || '||' || x.b || '|',
+                                     '|' || x.a || x.b || '|'), seg) AS seg
+          FROM {prev} LEFT JOIN best{r} x ON TRUE
         )"""
         )
         prev = f"aseg{r}"

@@ -60,28 +60,42 @@ def interpolate_docstrings(module_globals: dict) -> None:
     otherwise show readers of ``help()`` the literal braces). Call once
     at the bottom of an operator module:
     ``interpolate_docstrings(globals())``. Placeholders are evaluated
-    against the module globals (so ``{_BITS // _WORD}`` works); any
-    expression that does not evaluate is left verbatim, which keeps
-    intentional brace text (e.g. format templates in helpers) intact.
-    """
+    against the module globals (so ``{_BITS // _WORD}`` works).
+    ``{{...}}`` is an ESCAPE that collapses to single braces — use it
+    for intentional brace text like set notation (ADVICE r09: the
+    ``{{0: idle, ...}}`` state-map in stream_jobs previously matched
+    the inner-brace regex and rendered doubled in ``help()``). A
+    placeholder that LOOKS like a module-constant reference
+    (``{_UPPER_SNAKE...}``) but fails to evaluate raises — a typoed
+    constant name must fail at import, not ship verbatim braces;
+    anything else that fails to evaluate is left untouched."""
     import re
     import types
 
-    def _sub(doc: str) -> str:
+    def _sub(doc: str, owner: str) -> str:
         def repl(m: re.Match) -> str:
             expr, _, spec = m.group(1).partition(":")
             try:
                 val = eval(expr, module_globals)  # noqa: S307
                 return format(val, spec) if spec else str(val)
             except Exception:
+                if re.match(r"^_[A-Z][A-Z0-9_]*$", expr.strip()):
+                    raise NameError(
+                        f"docstring of {owner!r} references unknown module "
+                        f"constant {{{expr}}} — typo, or constant removed?"
+                    ) from None
                 return m.group(0)
 
-        return re.sub(r"\{([^{}]+)\}", repl, doc)
+        # Escapes first: {{...}} → a placeholder token no brace regex
+        # can see, restored as single braces at the end.
+        doc = doc.replace("{{", "\x00").replace("}}", "\x01")
+        doc = re.sub(r"\{([^{}]+)\}", repl, doc)
+        return doc.replace("\x00", "{").replace("\x01", "}")
 
     for obj in list(module_globals.values()):
         if isinstance(obj, types.FunctionType) and obj.__doc__ and "{" in obj.__doc__:
             if obj.__globals__ is module_globals:
-                obj.__doc__ = _sub(obj.__doc__)
+                obj.__doc__ = _sub(obj.__doc__, obj.__qualname__)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -39,8 +39,6 @@ SF_DOC_SUBSET_DIR = "/tmp/hbdbps_doc_subset_sf001"
 def _build_doc_subset() -> str:
     """Materialize the reduced-documents sf dir (idempotent, keyed on
     the source parquet's size+mtime so a regenerated corpus rebuilds)."""
-    import duckdb
-
     src = f"{SF_ORACLE}/documents.parquet"
     st = os.stat(src)
     stamp = f"{st.st_size}-{int(st.st_mtime)}-{len(_DOC_SUBSET_MEMBERS)}"
@@ -48,6 +46,28 @@ def _build_doc_subset() -> str:
     if os.path.exists(stamp_file) and open(stamp_file).read() == stamp:
         return SF_DOC_SUBSET_DIR
     os.makedirs(SF_DOC_SUBSET_DIR, exist_ok=True)
+    # Serialize concurrent pytest sessions (ADVICE r09): without the
+    # lock both sessions redo the full DuckDB build, and the loser can
+    # crash creating symlinks the winner already made. The artifact
+    # promotion below stays atomic regardless (os.replace / temp-name
+    # symlink), so the lock is an efficiency+tidiness guard, not the
+    # correctness mechanism — a second process entering after the
+    # winner releases just hits the stamp fast-path.
+    import fcntl
+
+    lock_fh = open(os.path.join(SF_DOC_SUBSET_DIR, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if os.path.exists(stamp_file) and open(stamp_file).read() == stamp:
+            return SF_DOC_SUBSET_DIR
+        return _build_doc_subset_locked(src, stamp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+def _build_doc_subset_locked(src: str, stamp: str, stamp_file: str) -> str:
+    import duckdb
     ids = ",".join(map(str, _DOC_SUBSET_MEMBERS))
     con = duckdb.connect()
     # write under a per-process name, promote atomically: two pytest
@@ -96,7 +116,11 @@ def _build_doc_subset() -> str:
     ]:
         dst = os.path.join(SF_DOC_SUBSET_DIR, f"{t}.parquet")
         if not os.path.lexists(dst):
-            os.symlink(f"{SF_ORACLE}/{t}.parquet", dst)
+            # temp-name + os.replace: atomic like the parquet above,
+            # immune to a concurrent creator (ADVICE r09 TOCTOU note)
+            tmp_link = f"{dst}.{os.getpid()}.tmp"
+            os.symlink(f"{SF_ORACLE}/{t}.parquet", tmp_link)
+            os.replace(tmp_link, dst)
     with open(stamp_file, "w") as fh:
         fh.write(stamp)
     return SF_DOC_SUBSET_DIR
