@@ -173,10 +173,13 @@ def test_decode_dispatch_rejects_unknown_magic():
 
 
 def test_ann_ivf_recall_against_brute_force(spark):
-    """IVF (learned centroids, nprobe=4) should comfortably beat the
-    LSH variant's recall on this corpus — measured at sf0.01; pin a
-    margin below. Fully deterministic: seeds are stride-sampled and
-    the Lloyd step is exact arithmetic."""
+    """IVF (farthest-first seeds on a hash-deterministic sketch + 3
+    distributed Lloyd steps, nprobe=6) should comfortably beat the
+    LSH variant's recall on this corpus. Fully deterministic: the
+    sketch is the smallest-xxhash64 slice, farthest-first ties break
+    by index, Lloyd is exact arithmetic. Measured 0.792 at sf0.01
+    after the round-10 retraining (stride+1-step+nprobe4 history:
+    0.596); floor pinned with a drift margin."""
     emb = with_norm(load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
     a, b = emb.alias("a"), emb.alias("b")
     from pyspark.sql.window import Window
@@ -196,7 +199,7 @@ def test_ann_ivf_recall_against_brute_force(spark):
     for r in ann.itertuples():
         got.setdefault(r.q_id, set()).add(r.n_id)
     recall = sum(1 for q, n in truth.items() if n in got.get(q, set())) / len(truth)
-    assert recall >= 0.5, f"IVF recall degraded: {recall}"
+    assert recall >= 0.7, f"IVF recall degraded: {recall}"
 
 
 def test_ann_ivf_shape_invariants(spark):
