@@ -353,26 +353,30 @@ def bucketed_rank_cumsum(
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("s"))
     stats = bucketed.groupBy("__bkt").agg(*aggs).orderBy("__bkt").collect()
-    rn_pairs: list = []
-    cum_pairs: list = []
+    rn_off = [0] * n_buckets
+    cum_off = [0.0] * n_buckets
     acc_n = 0
     acc_s = 0.0
     for r in stats:
-        rn_pairs += [F.lit(int(r["__bkt"])), F.lit(acc_n)]
+        rn_off[int(r["__bkt"])] = acc_n
         acc_n += r["c"]
         if value_col is not None:
-            cum_pairs += [F.lit(int(r["__bkt"])), F.lit(float(acc_s))]
+            cum_off[int(r["__bkt"])] = float(acc_s)
             acc_s += float(r["s"])
 
     order_exprs = [F.desc(order_col) if descending else F.asc(order_col)] + [
         F.asc(c) for c in tiebreak_cols
     ]
     w = Window.partitionBy("__bkt").orderBy(*order_exprs)
+    # offsets as ONE array literal indexed by bucket id — a create_map
+    # of 2×n_buckets literal children is rebuilt PER ROW by codegen
+    # (measured ~20% of user_rfm_segments' final job at sf0.1), while
+    # F.lit(list) folds to a single Literal evaluated once.
     out = bucketed.withColumn(
         "__rn",
         (
             F.row_number().over(w)
-            + F.element_at(F.create_map(*rn_pairs), F.col("__bkt"))
+            + F.element_at(F.lit(rn_off), F.col("__bkt") + 1)
         ).cast("long"),
     )
     if value_col is not None:
@@ -381,7 +385,7 @@ def bucketed_rank_cumsum(
             F.sum(value_col).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            + F.element_at(F.create_map(*cum_pairs), F.col("__bkt")),
+            + F.element_at(F.lit(cum_off), F.col("__bkt") + 1),
         )
     return out.drop("__bkt"), acc_n, acc_s
 
