@@ -107,12 +107,6 @@ UNPARTITIONED_WINDOW_ALLOWED = {
         "incident stream; bound = non-empty 6-h buckets in the events "
         "horizon"
     ),
-    "user_rfm_segments": (
-        "bucketed-rank census: three prefix-sum windows over the "
-        "GROUPING SETS bucket counts (≤32 rows per metric by "
-        "construction) turn the census into rank offsets, broadcast "
-        "back; the corpus-sized rank windows stay bucket-partitioned"
-    ),
 }
 
 

@@ -257,7 +257,6 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row scalar broadcasts (min/max, totals, probe vectors) — the
     # nested loop's build side is a single row by construction
     "agg_histogram": "broadcasts 1-row global min/max for bin width",
-    "user_rfm_segments": "broadcasts the 1-row metric min/max bounds frame",
     "ml_decision_stump": "broadcasts the 1-row argmax-split scalar",
     "sample_class_weights": "broadcasts 1-row global total",
     "target_encoding_loo": "broadcasts 1-row global target mean",
