@@ -237,6 +237,34 @@ def test_global_islands_recipe_matches_sequential(gaps, gap_us, bucket_us):
     got = {tuple(sorted(v)) for v in merged.values()}
     assert got == {tuple(sorted(i)) for i in ref}
 
+    # Round 10 replaced the sequential head-map scan with a DECLARATIVE
+    # census resolution (two window passes — sorts.py:global_islands);
+    # model THAT algorithm here too so the hypothesis sweep covers the
+    # shipped logic, not just its predecessor: buckets whose first
+    # island merges backward form CHAINS (run of merge_prev), and the
+    # head key for a merging bucket is the last island of the nearest
+    # PRECEDING chain bucket with >1 islands, else (chain head, 1).
+    merge_prev = {}
+    prev_row = None
+    for b, first, last, n_isl in summary:
+        merge_prev[b] = prev_row is not None and first - prev_row[2] <= gap_us
+        prev_row = (b, first, last, n_isl)
+    head2 = {}
+    chain_head = None
+    last_big = None  # (bkt, n_isl) of nearest preceding >1-island bucket IN CHAIN
+    for b, first, last, n_isl in summary:
+        if not merge_prev[b]:
+            chain_head, last_big = b, None
+        else:
+            head2[(b, 1)] = last_big if last_big is not None else (chain_head, 1)
+        if n_isl > 1:
+            last_big = (b, n_isl)
+    assert head2 == head, (head2, head)  # window resolution ≡ sequential scan
+    merged2 = defaultdict(list)
+    for key, members in local.items():
+        merged2[head2.get(key, key)].extend(members)
+    assert {tuple(sorted(v)) for v in merged2.values()} == {tuple(sorted(i)) for i in ref}
+
 
 @settings(max_examples=50, deadline=None)
 @given(
