@@ -527,23 +527,26 @@ def global_islands(
             ignorenulls=True,
         ).over(wprev),
     ).withColumn("__headbkt", F.first("__bkt").over(wchain))
+    # __-prefixed join-side names: this is shared library code and the
+    # caller's columns survive into the output — bare names could
+    # collide with (or silently drop) caller columns.
     remap = resolved.filter(F.col("__merge")).select(
-        F.col("__bkt").alias("m_bkt"),
-        F.lit(1).alias("m_lid"),
+        F.col("__bkt").alias("__m_bkt"),
+        F.lit(1).alias("__m_lid"),
         F.concat_ws(
             ":",
             F.coalesce(F.col("__lastbig.hb"), F.col("__headbkt")),
             F.coalesce(F.col("__lastbig.hl"), F.lit(1)),
-        ).alias("__head"),
+        ).alias("__m_head"),
     )
 
     own = F.concat_ws(":", F.col("__bkt"), F.col("__lid"))
     return (
         d.join(
             F.broadcast(remap),
-            (F.col("__bkt") == F.col("m_bkt")) & (F.col("__lid") == F.col("m_lid")),
+            (F.col("__bkt") == F.col("__m_bkt")) & (F.col("__lid") == F.col("__m_lid")),
             "left",
         )
-        .withColumn("__island", F.coalesce(F.col("__head"), own))
-        .drop("m_bkt", "m_lid", "__head", "__us", "__bkt", "__lid")
+        .withColumn("__island", F.coalesce(F.col("__m_head"), own))
+        .drop("__m_bkt", "__m_lid", "__m_head", "__us", "__bkt", "__lid")
     )

@@ -173,8 +173,9 @@ def test_decode_dispatch_rejects_unknown_magic():
 
 
 def test_ann_ivf_recall_against_brute_force(spark):
-    """IVF (farthest-first seeds on a hash-deterministic sketch + 3
-    distributed Lloyd steps, nprobe=6) should comfortably beat the
+    """IVF (farthest-first seeds on a hash-deterministic sketch, 10
+    sketch-side Lloyd iterations + ONE distributed polish step,
+    nprobe=6) should comfortably beat the
     LSH variant's recall on this corpus. Fully deterministic: the
     sketch is the smallest-xxhash64 slice, farthest-first ties break
     by index, Lloyd is exact arithmetic. Measured 0.792 at sf0.01

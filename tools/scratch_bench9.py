@@ -1,6 +1,6 @@
 """One-off round-9 scratch: engine timings for the three new ops at sf0.1."""
 import os, sys, time, json
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
 from hadoop_based_distributed_batch_processing_system_spark.session import get_spark

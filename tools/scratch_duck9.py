@@ -1,6 +1,6 @@
 """DuckDB timings for the new ops' own oracle SQL at sf0.1 (best-of-3)."""
 import sys, time, json, duckdb, os
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
 
 SF = "/root/testdata/sf0.1"
