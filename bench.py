@@ -119,6 +119,8 @@ HEADLINE = [
     "stream_sequence_pattern",  # live CEP automaton, 4-int keyed state
     "dq_benford_first_digit",  # Benford screen, 9-row rollup + scalar total
     "mm_decode_real_jpeg",  # baseline-JPEG entropy decode, real Huffman+IDCT
+    # --- round-10 rows
+    "dedup_semantic_lsh",   # banded hyperplane blocking + exact cosine verify
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

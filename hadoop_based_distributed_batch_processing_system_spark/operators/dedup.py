@@ -1389,6 +1389,153 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- semantic (embedding-space) near-dedup, LSH-blocked ------------
+#
+# SemDeDup-shaped (Abbas et al. 2023 use k-means clusters; the blocking
+# idea is the same): candidate pairs come from shared random-hyperplane
+# buckets, verification is the exact cosine — completing the L2
+# symmetry: ngram-jaccard brute force ↔ minhash-LSH :: embedding-cosine
+# brute force (dedup_embedding_cosine) ↔ THIS.
+
+_SEMLSH_BANDS = 12
+_SEMLSH_BITS = 6  # planes per band; band key ∈ [0, 2^6)
+_SEMLSH_DIM = 64
+
+
+def _semlsh_planes() -> list[list[float]]:
+    """±1 Rademacher hyperplanes, derived from md5 of a fixed seed
+    string — no RNG, the same 72×64 matrix on every run and in both
+    engines (the literals are embedded in the Spark expression AND the
+    DuckDB oracle, so collision behavior is bit-identical)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"semlsh:{p}:{j}".encode()).digest()[0] >= 128 else -1.0
+            for j in range(_SEMLSH_DIM)
+        ]
+        for p in range(_SEMLSH_BANDS * _SEMLSH_BITS)
+    ]
+
+
+def _semlsh_bands_expr() -> str:
+    """Spark SQL expression: embedding -> array of {_SEMLSH_BANDS} band
+    keys. The vector is LET-BOUND once via the 1-element aggregate fold
+    (the round-6 CollapseProject lesson: referencing an aliased array
+    column inside 72 zip_with lambdas would re-inline its cast per
+    use); each band key folds its {_SEMLSH_BITS} sign bits MSB-first."""
+    pl = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")" for row in _semlsh_planes()
+    ) + ")"
+    return f"""
+        aggregate(
+          array(v),
+          CAST(NULL AS ARRAY<INT>),
+          (acc, vv) -> transform(sequence(0, {_SEMLSH_BANDS - 1}), b ->
+            CAST(aggregate(sequence(0, {_SEMLSH_BITS - 1}), 0, (a, k) ->
+              a * 2 + IF(
+                aggregate(zip_with(vv, element_at({pl}, b * {_SEMLSH_BITS} + k + 1),
+                                   (x, y) -> x * y),
+                          CAST(0 AS DOUBLE), (s, p) -> s + p) > CAST(0 AS DOUBLE),
+                1, 0)) AS INT)))
+    """
+
+
+def _semlsh_oracle() -> str:
+    planes_values = ", ".join(
+        f"({p + 1}, [" + ", ".join(f"{x:.1f}" for x in row) + "])"
+        for p, row in enumerate(_semlsh_planes())
+    )
+    cos = _SEM_ORACLE_COS.format(a="x.v", b="y.v")
+    return f"""
+        WITH pl(pid, pv) AS (VALUES {planes_values}),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (
+          SELECT v.vec_id, t.b,
+                 CAST(SUM(CASE WHEN list_dot_product(v.v, pl.pv) > 0
+                          THEN 1 << ({_SEMLSH_BITS - 1} - (pl.pid - 1 - t.b * {_SEMLSH_BITS}))
+                          ELSE 0 END) AS BIGINT) AS key
+          FROM v, generate_series(0, {_SEMLSH_BANDS - 1}) AS t(b), pl
+          WHERE pl.pid BETWEEN t.b * {_SEMLSH_BITS} + 1 AND (t.b + 1) * {_SEMLSH_BITS}
+          GROUP BY v.vec_id, t.b
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM (
+          SELECT c.id_a, c.id_b, {cos} AS cosine
+          FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
+        ) WHERE cosine >= {_COSINE_DUP_THRESHOLD}
+    """
+
+
+_SEM_ORACLE_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "dedup_semantic_lsh",
+    oracle=_semlsh_oracle(),
+    tags=("L2", "embedding", "semantic", "lsh"),
+)
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dedup at scale — the embedding-space sibling of
+    ``dedup_minhash_lsh`` (SemDeDup's blocking idea with hyperplane
+    buckets instead of k-means clusters): candidate pairs must share
+    at least one of {_SEMLSH_BANDS} banded random-hyperplane buckets
+    ({_SEMLSH_BITS} sign bits per band), then the EXACT cosine
+    verifies each candidate against the threshold — so precision is
+    1.0 by construction and only recall is approximate. This corpus's
+    embeddings are near-orthogonal random vectors (max pairwise
+    cosine ≈0.5), so the dup threshold sits at the documented
+    toy-scale {_COSINE_DUP_THRESHOLD} where banding recall is the
+    curve's LOW end (~0.50 vs brute force, pytest-pinned); at a
+    production semantic-dup threshold (cosine ≥0.9) the identical
+    configuration collides true pairs with p ≈
+    1-(1-(1-acos(0.9)/pi)^{_SEMLSH_BITS})^{_SEMLSH_BANDS} ≈ 0.997 —
+    banding is built for the high-similarity regime.
+
+    Scale: signatures are pure JVM folds (the vector let-bound ONCE —
+    72 zip_with dots per row, no Python); candidates come from ONE
+    hash shuffle on (band, key) — never an all-pairs product (the
+    brute-force twin ``dedup_embedding_cosine`` carries the size
+    guard); verification is one dot per candidate with norms
+    precomputed per side. Bucket fan-out is the standard LSH lever:
+    more bits per band cuts candidates geometrically, more bands buys
+    recall linearly in cost. Carrying the vector through the
+    {_SEMLSH_BANDS}-way explode is the same trade as
+    ``sim_search_ann_lsh``; at extreme dims, ship ids and re-join
+    vectors at verify time instead."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        pair_cosine,
+        with_norm,
+    )
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    sig = emb.select(
+        "vec_id", "v", "norm", F.posexplode(F.expr(_semlsh_bands_expr())).alias("band", "key")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            pair_cosine().alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())
