@@ -121,6 +121,7 @@ HEADLINE = [
     "mm_decode_real_jpeg",  # baseline-JPEG entropy decode, real Huffman+IDCT
     # --- round-10 rows
     "dedup_semantic_lsh",   # banded hyperplane blocking + exact cosine verify
+    "graph_cc_twophase",    # large-star/small-star CC, O(log^2) alternations
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
