@@ -122,6 +122,7 @@ HEADLINE = [
     # --- round-10 rows
     "dedup_semantic_lsh",   # banded hyperplane blocking + exact cosine verify
     "graph_cc_twophase",    # large-star/small-star CC, O(log^2) alternations
+    "table_log_time_travel",  # commit-log snapshots, manifest-stats read
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -555,3 +555,145 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 6).alias("sum_value"),
         )
     )
+
+
+# ---- minimal copy-on-write table format (commit log + snapshots) ----
+
+_TLOG_RELATION_MEMO: dict = {}
+
+_TLOG_VERSIONS = (
+    # version -> live o_orderkey % 4 residues after replaying the log:
+    # v0 adds A(%4=0) + B(%4=1); v1 adds C(%4=2); v2 removes B and
+    # adds D(%4 IN (1,3)) — a compaction-style rewrite.
+    (0, (0, 1)),
+    (1, (0, 1, 2)),
+    (2, (0, 1, 2, 3)),
+)
+
+
+@register(
+    "table_log_time_travel",
+    # Hash oracle: every snapshot's content is a pure function of the
+    # deterministic file slices the log adds/removes, so DuckDB
+    # recomputes each version straight from `orders` by residue set.
+    # All aggregates are exact integers (cents via ROUND*100) —
+    # order-independent across file groupings and engines.
+    oracle="""
+        SELECT v.version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM (VALUES (0), (1), (2)) v(version)
+        JOIN orders o
+          ON (v.version = 0 AND o.o_orderkey % 4 IN (0, 1))
+          OR (v.version = 1 AND o.o_orderkey % 4 IN (0, 1, 2))
+          OR (v.version = 2)
+        GROUP BY v.version
+    """,
+    tags=("S9", "lakehouse", "snapshot", "time-travel"),
+)
+def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — a MINIMAL copy-on-write table format, the Delta/Iceberg
+    mechanism stripped to its core: data lives in immutable parquet
+    files; a JSON COMMIT LOG (one file per version) records which
+    files each commit adds and removes; a reader resolves any
+    version's live file set by replaying the log up to that version
+    and reads exactly those files. Three commits are synthesized over
+    deterministic ``orders`` slices — append, append, and a
+    compaction-style rewrite (remove one file, add a file covering a
+    superset) — then ALL THREE snapshots are read back (time travel)
+    and fingerprinted with exact-integer aggregates, hash-checked
+    against recomputing each version straight from the source table.
+
+    Scale: this is the metadata/data split that makes lakehouse
+    tables work at 100 TB — the log is versions-sized (driver-bounded
+    by design; real formats add checkpoint files when logs grow),
+    resolution is a pure driver computation, and the data plane is
+    ordinary parquet scans of ONLY the live files: time travel costs
+    metadata, never a table copy. Readers never list directories
+    (object-store listing is both slow and eventually consistent) —
+    the log IS the source of truth, which is also what makes commits
+    atomic: a snapshot either sees a commit's whole file set or none
+    of it. The multi-version read uses the MANIFEST-STATS trick: each
+    live file is scanned ONCE into per-file partial aggregates, and
+    snapshots combine partials through a broadcast (version, file)
+    membership join — files shared by several snapshots (most of
+    them, under copy-on-write) are never re-read, the same reason
+    real formats keep column stats in manifests."""
+    import json
+
+    tag = corpus_tag(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"hbdbps_tablelog_{tag}")
+    logd = os.path.join(root, "_log")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        slices = {
+            "A": F.col("o_orderkey") % 4 == 0,
+            "B": F.col("o_orderkey") % 4 == 1,
+            "C": F.col("o_orderkey") % 4 == 2,
+            "D": (F.col("o_orderkey") % 4).isin(1, 3),
+        }
+        for name, pred in slices.items():
+            orders.filter(pred).write.mode("overwrite").parquet(
+                os.path.join(root, f"file_{name}")
+            )
+        os.makedirs(logd, exist_ok=True)
+        commits = [
+            {"add": ["file_A", "file_B"], "remove": []},
+            {"add": ["file_C"], "remove": []},
+            {"add": ["file_D"], "remove": ["file_B"]},
+        ]
+        for v, c in enumerate(commits):
+            with open(os.path.join(logd, f"{v:06d}.json"), "w") as fh:
+                json.dump(c, fh)
+        open(os.path.join(root, "_BUILT"), "w").close()
+
+    def live_files(version: int) -> list[str]:
+        live: set[str] = set()
+        for v in range(version + 1):
+            c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+            live -= set(c["remove"])
+            live |= set(c["add"])
+        return sorted(os.path.join(root, f) for f in live)
+
+    membership = [
+        (version, os.path.basename(path))
+        for version, _residues in _TLOG_VERSIONS
+        for path in live_files(version)
+    ]
+    every_file = sorted({os.path.join(root, f) for _v, f in membership})
+    # ONE relation over the union of live files (one listing, one scan
+    # job — separate per-file relations each pay plan-time listing +
+    # footer reads), MEMOIZED like load_table's source relations: the
+    # file set is immutable by construction (copy-on-write — a commit
+    # never rewrites a live file), so caching the relation is exactly
+    # the metadata caching real formats do, and re-listing per query
+    # would pay driver-side listing + schema inference every run.
+    memo_key = (spark.sparkContext.applicationId, *every_file)
+    if memo_key not in _TLOG_RELATION_MEMO:
+        _TLOG_RELATION_MEMO[memo_key] = spark.read.parquet(*every_file)
+    partials = (
+        _TLOG_RELATION_MEMO[memo_key]
+        .withColumn("file", F.regexp_extract(F.input_file_name(), r"(file_[A-Z])/", 1))
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("pc"),
+            F.min("o_orderkey").cast("long").alias("pmin"),
+            F.max("o_orderkey").cast("long").alias("pmax"),
+        )
+    )
+    mem = spark.createDataFrame(membership, "version int, file string")
+    return (
+        partials.join(F.broadcast(mem), "file")
+        .groupBy("version")
+        .agg(
+            F.sum("pn").alias("n_rows"),
+            F.sum("pc").alias("sum_cents"),
+            F.min("pmin").alias("min_key"),
+            F.max("pmax").alias("max_key"),
+        )
+        .select("version", "n_rows", "sum_cents", "min_key", "max_key")
+    )
