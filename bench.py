@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_semantic_lsh",   # banded hyperplane blocking + exact cosine verify
     "graph_cc_twophase",    # large-star/small-star CC, O(log^2) alternations
     "table_log_time_travel",  # commit-log snapshots, manifest-stats read
+    "table_log_incremental_read",  # CDC-style per-commit change sets
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -315,6 +315,7 @@ _PLAN_SWEEP_SKIP = {
     "graph_kcore_peel",  # per-round localCheckpoints execute on build
     "graph_cc_twophase",  # per-round checkpoints + convergence counts execute on build
     "table_log_time_travel",  # synthesizes the table dir + commit log on build
+    "table_log_incremental_read",  # may synthesize the table dir on build
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",
