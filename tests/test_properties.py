@@ -434,3 +434,80 @@ def test_jpeg_entropy_codec_fuzz_roundtrip(blocks):
         coef = np.array(blk, dtype=float).reshape(8, 8) * _JPEG_Q
         ref = np.clip(np.round(_jpeg_idct_2d(coef) + 128), 0, 255).astype(int)
         assert (px == ref).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_twophase_cc_alternation_matches_union_find(edges):
+    """Pure-python model of graph_cc_twophase's large-star/small-star
+    alternation (the exact emission rules the Spark operator runs) vs
+    union-find ground truth on arbitrary random multigraphs — star
+    chains, cliques, isolated pairs, parallel edges, long paths. Also
+    pins the convergence bound the operator's loud cap relies on
+    (components here are <= 41 nodes, so 16 alternations is generous)."""
+    E = {(max(u, v), min(u, v)) for u, v in edges if u != v}
+    if not E:
+        return
+
+    # ground truth
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in E:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for n in parent:
+        truth.setdefault(find(n), set()).add(n)
+    truth_sets = {frozenset(s | {c}) for c, s in truth.items()}
+
+    # star alternation — mirrors operators/graph.py:graph_cc_twophase
+    cur = set(E)
+    for _round in range(16):
+        old = cur
+        for step in ("large", "small"):
+            adj: dict = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            new = set()
+            for u, nbrs in adj.items():
+                m = min(nbrs | {u})
+                if step == "large":
+                    for v in nbrs:
+                        if v > u:
+                            new.add((v, m))
+                else:
+                    for v in nbrs:
+                        if v < u and v != m:
+                            new.add((v, m))
+                    if u != m:
+                        new.add((u, m))
+            cur = new
+        if cur == old:
+            break
+    else:
+        raise AssertionError("no convergence in 16 alternations")
+
+    got: dict = {}
+    for a, b in cur:
+        got.setdefault(b, set()).add(a)
+    got_sets = {frozenset(s | {c}) for c, s in got.items()}
+    assert got_sets == truth_sets, (sorted(map(sorted, got_sets)), sorted(map(sorted, truth_sets)))
+    # terminal state is a star forest: every child maps straight to
+    # its component min, and no center appears as a child
+    children = {a for a, _b in cur}
+    centers = {b for _a, b in cur}
+    assert not (children & centers)
