@@ -1149,8 +1149,8 @@ def graph_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     which SHRINKS toward n-1 star edges as rounds proceed. Per-round
     ``localCheckpoint`` truncates lineage (the k-core discipline —
     each round references the previous edge set twice, so the lazy
-    plan would grow ~2^rounds); convergence is detected from two
-    bounded driver scalars (edge count + one-way set difference) and
+    plan would grow ~2^rounds); convergence is ONE signed-multiset
+    difference aggregate per alternation (a limit-1 isEmpty probe) and
     a hard {_CC2_MAX_ROUNDS}-round cap raises loudly rather than
     returning an unconverged labeling. The DuckDB oracle computes the
     same components as a recursive-CTE transitive closure with MIN
@@ -1201,7 +1201,19 @@ def graph_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             E = new.distinct().localCheckpoint(eager=True)
-        if E.count() == e_old.count() and E.exceptAll(e_old).count() == 0:
+        # ONE convergence job per alternation (ADVICE r10: count +
+        # count + exceptAll.count was up to 3 driver-blocking jobs):
+        # both edge sets are distinct, so set equality ⟺ the signed
+        # per-key multiplicity sum never deviates from 0 — a single
+        # aggregate over the union, probed with limit-1 isEmpty.
+        diff = (
+            E.withColumn("_s", F.lit(1))
+            .unionAll(e_old.withColumn("_s", F.lit(-1)))
+            .groupBy("a", "b")
+            .agg(F.sum("_s").alias("s"))
+            .filter(F.col("s") != 0)
+        )
+        if diff.isEmpty():
             break
     else:
         raise RuntimeError(

@@ -316,6 +316,7 @@ _PLAN_SWEEP_SKIP = {
     "graph_cc_twophase",  # per-round checkpoints + convergence counts execute on build
     "table_log_time_travel",  # synthesizes the table dir + commit log on build
     "table_log_incremental_read",  # may synthesize the table dir on build
+    "table_log_merge_upsert",  # runs the CoW merge commit (writes + discovery collect) on build
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",
@@ -736,7 +737,10 @@ def test_global_islands_island_window_plan(spark):
     # only ts + event_id, never user_id (the caller payload).
     import re as _re
 
+    # Assert the PROPERTY, not the scan count (ADVICE r10: pinning
+    # len(schemas) == 2 broke on any benign planner change): at least
+    # one scan must be the pruned census branch — ts (+ the island
+    # key) without the caller payload column.
     schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", fplan)
-    assert len(schemas) == 2, fplan
-    narrow = [s for s in schemas if "user_id" not in s]
-    assert len(narrow) == 1 and "ts" in narrow[0], schemas
+    narrow = [s for s in schemas if "user_id" not in s and "ts" in s]
+    assert narrow, f"no user_id-free census scan found in {schemas}"

@@ -1,0 +1,130 @@
+"""Invariants for the copy-on-write commit-log table format
+(S9/S9'/S9''): optimistic-concurrency conflict detection, log
+checkpointing, copy-on-write minimality, and stale-dir recovery —
+the write-path properties the hash oracles can't see."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+    TableLogConflictError,
+    _tlog_apply_merge,
+    _tlog_build,
+    _tlog_built_ok,
+    _tlog_commit,
+    _tlog_latest_version,
+    _tlog_live_files,
+    _tlog_merge_root,
+    _TLOG_CHECKPOINT_EVERY,
+    _TLOG_COMMITS,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tlog_dir(spark):
+    """A private base-built table dir (3 commits), torn down after."""
+    root = tempfile.mkdtemp(prefix="hbdbps_tlog_test_")
+    shutil.rmtree(root)  # _tlog_build wants to create/populate it
+    _tlog_build(spark, SF_SMOKE, root)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_occ_exactly_one_winner(tlog_dir):
+    """Two committers that both read base v2 race commit v3: the
+    put-if-absent link lets exactly one win; the loser gets the
+    descriptive conflict error and the winner's content is intact."""
+    base = _tlog_latest_version(tlog_dir)
+    v = _tlog_commit(tlog_dir, add=["file_X"], remove=[], base_version=base)
+    assert v == base + 1
+    with pytest.raises(TableLogConflictError, match="rebase|retry|race"):
+        _tlog_commit(tlog_dir, add=["file_Y"], remove=["file_A"], base_version=base)
+    committed = json.load(open(os.path.join(tlog_dir, "_log", f"{v:06d}.json")))
+    assert committed == {"add": ["file_X"], "remove": []}
+    # the loser's rebase path: re-resolve latest, retry on the new base
+    v2 = _tlog_commit(tlog_dir, add=["file_Y"], remove=["file_A"], base_version=v)
+    assert v2 == v + 1
+    assert set(os.path.basename(p) for p in _tlog_live_files(tlog_dir, v2)) == {
+        "file_C", "file_D", "file_X", "file_Y",
+    }
+
+
+def test_checkpoint_written_and_resolution_matches_replay(tlog_dir):
+    """Crossing the checkpoint cadence writes a checkpoint file, and
+    live-file resolution THROUGH the checkpoint equals a from-scratch
+    log replay (computed here by hand)."""
+    base = _tlog_latest_version(tlog_dir)
+    # drive the log to the cadence boundary
+    n_needed = _TLOG_CHECKPOINT_EVERY - (base + 1)
+    for i in range(n_needed):
+        base = _tlog_commit(tlog_dir, add=[f"file_extra_{i}"], remove=[], base_version=base)
+    cp = os.path.join(tlog_dir, "_log", f"{base:06d}.checkpoint.json")
+    assert os.path.exists(cp), "checkpoint not written at the cadence boundary"
+    # hand replay of the full log
+    live: set[str] = set()
+    for v in range(base + 1):
+        c = json.load(open(os.path.join(tlog_dir, "_log", f"{v:06d}.json")))
+        live -= set(c["remove"])
+        live |= set(c["add"])
+    assert [os.path.basename(p) for p in _tlog_live_files(tlog_dir, base)] == sorted(live)
+    # a post-checkpoint commit resolves via checkpoint + one delta
+    nxt = _tlog_commit(tlog_dir, add=["file_post"], remove=["file_A"], base_version=base)
+    assert set(os.path.basename(p) for p in _tlog_live_files(tlog_dir, nxt)) == (
+        live - {"file_A"}
+    ) | {"file_post"}
+
+
+def test_merge_is_cow_minimal_and_checkpointed(spark):
+    """The MERGE commit rewrites ONLY the files containing matched
+    keys: file_D (residues 1,3 — no update keys) survives into v3
+    unrewritten, the affected files are replaced by their _m1 copies
+    plus the insert file, and the 4th commit wrote the log's first
+    checkpoint."""
+    root = _tlog_build(spark, SF_SMOKE, _tlog_merge_root(SF_SMOKE))
+    _tlog_apply_merge(spark, SF_SMOKE, root)
+    latest = _tlog_latest_version(root)
+    assert latest == len(_TLOG_COMMITS)  # base 3 commits + the merge
+    live = {os.path.basename(p) for p in _tlog_live_files(root, latest)}
+    assert live == {"file_D", "file_A_m1", "file_C_m1", "file_I_m1"}
+    # snapshot isolation: v2 still resolves to the pre-merge files
+    assert {os.path.basename(p) for p in _tlog_live_files(root, latest - 1)} == {
+        "file_A", "file_C", "file_D",
+    }
+    assert os.path.exists(
+        os.path.join(root, "_log", f"{latest:06d}.checkpoint.json")
+    ), "merge commit crossed the cadence but wrote no checkpoint"
+    # idempotence: re-applying is a stamp-guarded no-op (no new commit)
+    _tlog_apply_merge(spark, SF_SMOKE, root)
+    assert _tlog_latest_version(root) == latest
+
+
+def test_stale_partial_dir_rebuilds_and_raises_descriptively(spark, tlog_dir):
+    """A dir whose _BUILT stamp survives but whose log lost a commit
+    (crashed/older build) must fail the built check — and resolution
+    against the broken log raises a descriptive error, never None."""
+    victim = os.path.join(tlog_dir, "_log", "000001.json")
+    os.remove(victim)
+    assert not _tlog_built_ok(tlog_dir)
+    with pytest.raises(RuntimeError, match="missing commit 000001"):
+        _tlog_live_files(tlog_dir, 2)
+    # the build helper recovers the dir in place
+    _tlog_build(spark, SF_SMOKE, tlog_dir)
+    assert _tlog_built_ok(tlog_dir)
+    assert {os.path.basename(p) for p in _tlog_live_files(tlog_dir, 2)} == {
+        "file_A", "file_C", "file_D",
+    }
+
+
+def test_spec_stamp_forces_rebuild(spark, tlog_dir):
+    """An empty/old-format _BUILT (pre-r11 builds wrote a bare marker)
+    fails the stamp comparison so the layout is rebuilt, not served
+    stale (ADVICE r10)."""
+    open(os.path.join(tlog_dir, "_BUILT"), "w").close()
+    assert not _tlog_built_ok(tlog_dir)
+    _tlog_build(spark, SF_SMOKE, tlog_dir)
+    assert _tlog_built_ok(tlog_dir)
