@@ -190,3 +190,103 @@ class JsonlSinkDataSource(DataSource):
 
 def register_jsonl_sink(spark: SparkSession) -> None:
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+class TableLogFeedStreamReader(SimpleDataSourceStreamReader):
+    """CHANGE-DATA-FEED stream reader over the commit-log table format
+    (S9''' — the readStream twin of
+    ``operators.scans.table_log_incremental_read``): offsets are
+    COMMIT VERSIONS. ``initialOffset`` is version 1 (commit 0
+    bootstraps the table — a CDC consumer has no prior state to
+    delta against), each micro-batch emits exactly one commit's
+    change rows tagged ``side = 'add' | 'remove'`` (deletes are
+    first-class, as in any lakehouse change feed), and
+    ``readBetweenOffsets`` replays any committed version range
+    bit-identically — the log and its data files are immutable, so
+    replay determinism (hence checkpoint exactly-once) is free.
+
+    This SIMPLE reader reads change files driver-side with pyarrow —
+    right-sized for change sets, which are change-sized, not
+    table-sized. The scale path is the partitioned
+    ``DataSourceStreamReader``: map each (commit, file) to an
+    ``InputPartition`` so change files are read executor-side in
+    parallel; offsets and semantics are unchanged."""
+
+    def __init__(self, options):
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("table_log_feed requires .option('root', <table dir>)")
+
+    def _latest(self) -> int:
+        import os
+        import re
+
+        logd = os.path.join(self.root, "_log")
+        return max(
+            (
+                int(m.group(1))
+                for f in os.listdir(logd)
+                if (m := re.fullmatch(r"(\d{6})\.json", f))
+            ),
+            default=-1,
+        )
+
+    def _commit_rows(self, v: int):
+        import glob
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        c = json.load(open(os.path.join(self.root, "_log", f"{v:06d}.json")))
+        rows = []  # materialized: the simple-reader prefetch cache pickles
+        for side in ("add", "remove"):
+            for fname in sorted(c[side]):
+                for part in sorted(
+                    glob.glob(os.path.join(self.root, fname, "*.parquet"))
+                ):
+                    t = pq.read_table(part, columns=["o_orderkey", "o_totalprice"])
+                    rows.extend(
+                        (v, side, k, p)
+                        for k, p in zip(
+                            t.column("o_orderkey").to_pylist(),
+                            t.column("o_totalprice").to_pylist(),
+                        )
+                    )
+        return rows
+
+    def initialOffset(self):
+        return {"next": 1}
+
+    def read(self, start):
+        v = start["next"]
+        if v > self._latest():
+            return iter([]), start
+        return iter(self._commit_rows(v)), {"next": v + 1}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [
+                row
+                for v in range(start["next"], end["next"])
+                for row in self._commit_rows(v)
+            ]
+        )
+
+
+class TableLogFeedStreamSource(DataSource):
+    """``spark.readStream.format("table_log_feed").option("root", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_log_feed"
+
+    def schema(self) -> str:
+        return "version INT, side STRING, o_orderkey BIGINT, o_totalprice DOUBLE"
+
+    def simpleStreamReader(self, schema) -> "TableLogFeedStreamReader":
+        return TableLogFeedStreamReader(self.options)
+
+
+def register_table_log_feed_source(spark: SparkSession) -> None:
+    spark.dataSource.register(TableLogFeedStreamSource)

@@ -128,3 +128,36 @@ def test_spec_stamp_forces_rebuild(spark, tlog_dir):
     assert not _tlog_built_ok(tlog_dir)
     _tlog_build(spark, SF_SMOKE, tlog_dir)
     assert _tlog_built_ok(tlog_dir)
+
+
+def test_stream_feed_replay_idempotence(spark):
+    """The CDC stream source's exactly-once contract: an offset walk
+    covers each commit's rows exactly once, and replaying a committed
+    offset range (checkpoint recovery) re-reads bit-identical rows.
+    Running the whole streaming operator twice agrees too."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_root,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        TableLogFeedStreamReader,
+    )
+
+    _tlog_build(spark, SF_SMOKE, _tlog_root(SF_SMOKE))
+    rdr = TableLogFeedStreamReader({"root": _tlog_root(SF_SMOKE)})
+    a = sorted(rdr.readBetweenOffsets({"next": 1}, {"next": 3}))
+    b = sorted(rdr.readBetweenOffsets({"next": 1}, {"next": 3}))
+    assert a and a == b, "committed-range replay must be bit-identical"
+    rows, off = [], rdr.initialOffset()
+    while True:
+        it, nxt = rdr.read(off)
+        chunk = list(it)
+        if not chunk and nxt == off:
+            break
+        rows.extend(chunk)
+        off = nxt
+    assert sorted(rows) == a, "offset walk must cover each commit exactly once"
+    fn = load_all()["stream_table_log_feed"].fn
+    r1 = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+    r2 = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+    assert r1 == r2 and len(r1) == 3
