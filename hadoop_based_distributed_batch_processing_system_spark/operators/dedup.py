@@ -1509,13 +1509,21 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SEMLSH_BANDS}-way explode is the same trade as
     ``sim_search_ann_lsh``; at extreme dims, ship ids and re-join
     vectors at verify time instead."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_lsh_pairs(emb, _COSINE_DUP_THRESHOLD)
+
+
+def semantic_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """The banding+verify core of ``dedup_semantic_lsh``, reusable at
+    any threshold over any (vec_id, embedding) frame — the pytest
+    production-regime pin (recall ≥ 0.95 at cosine ≥ 0.9 on planted
+    near-duplicate twins, VERDICT r10 item 5) drives this directly."""
     from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
         pair_cosine,
         with_norm,
     )
 
-    emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    sig = emb.select(
+    sig = with_norm(emb).select(
         "vec_id", "v", "norm", F.posexplode(F.expr(_semlsh_bands_expr())).alias("band", "key")
     )
     a, b = sig.alias("a"), sig.alias("b")
@@ -1532,7 +1540,7 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair_cosine().alias("cosine"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -744,3 +744,89 @@ def test_jpeg_nonzero_ac_path_matches_numpy_idct():
         coef = np.array(blk, dtype=float).reshape(8, 8) * _JPEG_Q
         ref = np.clip(np.round(_jpeg_idct_2d(coef) + 128), 0, 255).astype(int)
         assert (px == ref).all()
+
+
+def test_semantic_lsh_production_threshold_recall(spark):
+    """The PRODUCTION-regime pin (VERDICT r10 item 5): BASELINE.md
+    claims band-collision p ≈ 0.997 for true semantic duplicates
+    (cosine ≥ 0.9) — this plants 100 deterministic near-duplicate
+    twins (cos(v, twin) = 1/sqrt(1 + 0.35²) ≈ 0.944, built from the
+    corpus's own vectors plus a fixed-size orthogonal nudge) and
+    requires the banded pipeline at threshold 0.9 to recover ≥ 95%
+    of them. The toy-threshold floor (0.45 at cosine 0.3, test
+    above) is the documented LOW end of the same banding curve."""
+    import numpy as np
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import (
+        semantic_lsh_pairs,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+    base = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 100")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    eps = 0.35
+    rows = []
+    for vec_id, emb in zip(base["vec_id"], base["embedding"]):
+        v = np.asarray(emb, dtype=np.float64)
+        vn = v / np.linalg.norm(v)
+        # deterministic reference direction, orthogonalized against v
+        r = np.cos(np.arange(v.size) * (int(vec_id) + 2.0))
+        o = r - (r @ vn) * vn
+        twin = vn + eps * (o / np.linalg.norm(o))
+        rows.append((int(vec_id), [float(x) for x in vn]))
+        rows.append((int(vec_id) + 1_000_000, [float(x) for x in twin]))
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = semantic_lsh_pairs(emb_df, 0.9).toPandas()
+    planted = {(int(i), int(i) + 1_000_000) for i in base["vec_id"]}
+    hits = {(r.id_a, r.id_b) for r in found.itertuples()} & planted
+    recall = len(hits) / len(planted)
+    assert recall >= 0.95, f"production-threshold banding recall: {recall}"
+    # every planted hit carries the exact verified cosine
+    expect = 1.0 / np.sqrt(1.0 + eps * eps)
+    for r in found.itertuples():
+        if (r.id_a, r.id_b) in planted:
+            assert abs(r.cosine - expect) < 1e-9
+
+
+def test_ann_ivf_persisted_recall_and_no_retrain(spark, monkeypatch):
+    """The persisted-index query path must (a) keep the per-call
+    trainer's recall floor, and (b) actually SERVE from the persisted
+    index: after the build exists, the trainer is poisoned — any
+    retrain attempt fails the test."""
+    import hadoop_based_distributed_batch_processing_system_spark.operators.similarity as sim
+
+    # ensure the index is built, then poison the trainer
+    sim._ivf_index_build(spark, SF_ORACLE)
+
+    def _poisoned(*a, **k):
+        raise AssertionError("persisted path retrained the IVF index")
+
+    monkeypatch.setattr(sim, "_ivf_train_centroids", _poisoned)
+    ann = REG["sim_search_ann_ivf_persisted"].fn(spark, SF_ORACLE).toPandas()
+    assert (ann["rk"] >= 1).all() and (ann["rk"] <= 5).all()
+    assert not (ann["q_id"] == ann["n_id"]).any()
+
+    emb = with_norm(load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
+    a, b = emb.alias("a"), emb.alias("b")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    bf1 = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("q_id"), F.col("b.vec_id").alias("n_id"), pair_cosine().alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("q_id", "n_id")
+        .toPandas()
+    )
+    truth = dict(zip(bf1.q_id, bf1.n_id))
+    got: dict = {}
+    for r in ann.itertuples():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    recall = sum(1 for q, n in truth.items() if n in got.get(q, set())) / len(truth)
+    assert recall >= 0.7, f"persisted-IVF recall degraded: {recall}"

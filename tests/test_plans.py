@@ -311,6 +311,8 @@ _PLAN_SWEEP_SKIP_PREFIX = ("stream_", "sink_", "compact_")
 _PLAN_SWEEP_SKIP = {
     "counters_job_audit", "join_bloom_filtered", "rownum_scalable_global",
     "sim_search_ann_ivf", "kmeans_embeddings", "pca_power_iteration_top1",
+    "sim_search_ann_ivf_persisted",  # builds/publishes the index on call
+
     "bpe_train_merges",  # 10 driver-side argmax jobs (iterative trainer)
     "graph_kcore_peel",  # per-round localCheckpoints execute on build
     "graph_cc_twophase",  # per-round checkpoints + convergence counts execute on build
