@@ -124,6 +124,10 @@ HEADLINE = [
     "graph_cc_twophase",    # large-star/small-star CC, O(log^2) alternations
     "table_log_time_travel",  # commit-log snapshots, manifest-stats read
     "table_log_incremental_read",  # CDC-style per-commit change sets
+    # --- round-11 rows
+    "table_log_merge_upsert",  # CoW MERGE commit + OCC + checkpointed read
+    "stream_table_log_feed",   # commit-version-offset CDC stream drain
+    "sim_search_ann_ivf_persisted",  # probe-join against the persisted IVF index
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
