@@ -107,16 +107,17 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 10 state: the one red row on the board goes FIRST —
-    # ml_decision_stump hash-FAILED r09 (DECIMAL gain column from a
-    # bare 1.0 literal in the F.expr; fixed to 1.0D + a -0.0
-    # normalize this round, VERDICT r09 item 1). It is the only
-    # never-hash-verified entry left; any new round-10 operators
-    # register behind it. The rest of the window is the verified
-    # back in newest-round-ascending order, which by itself drains
-    # the ~13 remaining r02 TPC-H composites first, then r03
-    # (VERDICT r09 item 5 — keep the window refresh-heavy).
-    "ml_decision_stump",
+    # --- ROUND 11 state: the board is all-green (VERDICT r10), so
+    # the front is just this round's three new operators — the
+    # lakehouse MERGE write path, its streaming CDC twin, and the
+    # persisted-IVF query path (rows-only by nature). The rest of
+    # the window is the verified back in newest-round-ascending
+    # order, which drains the 35 remaining r04 rows (the
+    # events-blast-radius re-attestation block) and then starts on
+    # r05 (VERDICT r10 item 2).
+    "table_log_merge_upsert",
+    "stream_table_log_feed",
+    "sim_search_ann_ivf_persisted",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)
@@ -130,7 +131,14 @@ _PRIORITY_WINDOW = [
 # anything here would burn window slots the r02 composite backlog
 # needs (VERDICT r09 item 5). Keep the mechanism for future rounds
 # where a specific stale row must jump the queue.
-_REFRESH_TAIL: list[str] = []
+_REFRESH_TAIL: list[str] = [
+    # Round 11 (VERDICT r10 item 8): the two stalest rows-only
+    # attestations — sketch-path regressions shouldn't be able to
+    # hide for five rounds. Both jump the queue ahead of the general
+    # oldest-first back (which this round drains the r04 block).
+    "agg_hll_mergeable",
+    "sink_sorted_runs",
+]
 
 
 def _ordered_names() -> list[str]:
