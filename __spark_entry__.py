@@ -118,6 +118,7 @@ _PRIORITY_WINDOW = [
     "table_log_merge_upsert",
     "stream_table_log_feed",
     "sim_search_ann_ivf_persisted",
+    "table_log_schema_evolution",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

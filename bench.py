@@ -128,6 +128,7 @@ HEADLINE = [
     "table_log_merge_upsert",  # CoW MERGE commit + OCC + checkpointed read
     "stream_table_log_feed",   # commit-version-offset CDC stream drain
     "sim_search_ann_ivf_persisted",  # probe-join against the persisted IVF index
+    "table_log_schema_evolution",  # add-column commit + union-schema snapshot read
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
