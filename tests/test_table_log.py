@@ -161,3 +161,30 @@ def test_stream_feed_replay_idempotence(spark):
     r1 = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
     r2 = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
     assert r1 == r2 and len(r1) == 3
+
+
+def test_schema_evolution_is_metadata_only(spark):
+    """Add-column must not touch base files: the evolved snapshot is
+    base files + the wider append, the pre-evolution snapshot still
+    resolves without the new column, and base data files carry no
+    o_flag in their own schema (NULL back-fill happens at scan)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_apply_schema_commit,
+        _tlog_schema_root,
+    )
+
+    root = _tlog_build(spark, SF_SMOKE, _tlog_schema_root(SF_SMOKE))
+    _tlog_apply_schema_commit(spark, SF_SMOKE, root)
+    latest = _tlog_latest_version(root)
+    live = {os.path.basename(p) for p in _tlog_live_files(root, latest)}
+    assert live == {"file_A", "file_C", "file_D", "file_E"}
+    prev = {os.path.basename(p) for p in _tlog_live_files(root, latest - 1)}
+    assert prev == {"file_A", "file_C", "file_D"}
+    # base file schema unchanged on disk; only the append is wider
+    base_schema = spark.read.parquet(os.path.join(root, "file_A")).schema.names
+    assert "o_flag" not in base_schema
+    wide_schema = spark.read.parquet(os.path.join(root, "file_E")).schema.names
+    assert "o_flag" in wide_schema
+    # idempotent re-apply: no extra commit
+    _tlog_apply_schema_commit(spark, SF_SMOKE, root)
+    assert _tlog_latest_version(root) == latest
