@@ -119,6 +119,8 @@ _PRIORITY_WINDOW = [
     "stream_table_log_feed",
     "sim_search_ann_ivf_persisted",
     "table_log_schema_evolution",
+    "table_log_compact_commit",
+    "table_log_vacuum_retention",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

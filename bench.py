@@ -129,6 +129,8 @@ HEADLINE = [
     "stream_table_log_feed",   # commit-version-offset CDC stream drain
     "sim_search_ann_ivf_persisted",  # probe-join against the persisted IVF index
     "table_log_schema_evolution",  # add-column commit + union-schema snapshot read
+    "table_log_compact_commit",  # OPTIMIZE-style sorted rewrite as one commit
+    "table_log_vacuum_retention",  # retention GC below the log
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

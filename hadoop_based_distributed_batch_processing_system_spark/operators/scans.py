@@ -624,11 +624,13 @@ def _tlog_built_ok(root: str) -> bool:
             return False
     except OSError:
         return False
+    vacuumed = _tlog_vacuumed(root)  # deleted-by-retention ≠ half-built
     return all(
         os.path.exists(os.path.join(logd, f"{v:06d}.json"))
         for v in range(len(_TLOG_COMMITS))
     ) and all(
-        os.path.exists(os.path.join(root, f"file_{s}", "_SUCCESS"))
+        f"file_{s}" in vacuumed
+        or os.path.exists(os.path.join(root, f"file_{s}", "_SUCCESS"))
         for s in _TLOG_SLICES
     )
 
@@ -722,6 +724,13 @@ def _tlog_live_files(root: str, version: int) -> list[str]:
             ) from e
         live -= set(c["remove"])
         live |= set(c["add"])
+    gone = sorted(live & _tlog_vacuumed(root))
+    if gone:
+        raise RuntimeError(
+            f"version {version} of the table at {root} references vacuumed "
+            f"file groups {gone}: time travel below the retention horizon "
+            "is gone by design (re-ingest or raise retention)"
+        )
     return sorted(os.path.join(root, f) for f in live)
 
 
@@ -1283,3 +1292,192 @@ def table_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("flag_bucket", "n_rows", "sum_cents", "min_key", "max_key")
     )
+
+
+def _tlog_compact_root(sf_dir: str) -> str:
+    # own root: compaction + vacuum mutate their table's files/log
+    return os.path.join(tempfile.gettempdir(), f"hbdbps_tablelogc_{corpus_tag(sf_dir)}")
+
+
+def _tlog_vacuumed(root: str) -> set[str]:
+    try:
+        return set(open(os.path.join(root, "_VACUUMED")).read().split())
+    except OSError:
+        return set()
+
+
+def _tlog_apply_compact(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """OPTIMIZE-style COMPACTION COMMIT once per table dir (flock +
+    stamp): read the latest snapshot's live files, rewrite them as
+    ONE range-partitioned, key-sorted file group (small-file
+    compaction + clustering in one pass — sorted non-overlapping
+    runs are what make manifest min/max stats selective), and
+    publish add+remove in a single put-if-absent commit. The
+    snapshot's CONTENT is unchanged by construction — that is the
+    oracle: compaction is a physical re-layout, logically a no-op."""
+    import fcntl
+    import json
+
+    marker = os.path.join(root, "_COMPACTED")
+    if os.path.exists(marker):
+        return
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if os.path.exists(marker):
+            return
+        base = _tlog_latest_version(root)
+        live = _tlog_live_files(root, base)
+        rel = _tlog_relation(spark, live)
+        (
+            rel.repartitionByRange(4, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "file_compact_1"))
+        )
+        removed = sorted(os.path.basename(p) for p in live)
+        try:
+            _tlog_commit(root, add=["file_compact_1"], remove=removed, base_version=base)
+        except TableLogConflictError:
+            winner = json.load(
+                open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
+            )
+            if winner != {"add": ["file_compact_1"], "remove": removed}:
+                raise
+        tmp = os.path.join(root, f"._COMPACTED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("v1")
+        os.replace(tmp, marker)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+def _tlog_vacuum(root: str, retain_version: int) -> list[str]:
+    """Physically delete data files no snapshot at or after
+    ``retain_version`` references (Delta's VACUUM, minus the clock:
+    retention here is a version horizon, not hours). Vacuum writes NO
+    commit — it is a physical operation below the log — but it DOES
+    record what it deleted in ``_VACUUMED`` so (a) the build-check
+    knows the dir is complete-minus-vacuum rather than half-built,
+    and (b) time travel below the horizon fails with a descriptive
+    error instead of a parquet FileNotFound. Deleting is safe for
+    live readers of retained versions: their files are, by
+    definition, referenced. Returns the deleted file-group names."""
+    import re
+    import shutil
+
+    latest = _tlog_latest_version(root)
+    referenced: set[str] = set()
+    for v in range(retain_version, latest + 1):
+        referenced |= {os.path.basename(p) for p in _tlog_live_files(root, v)}
+    deleted = []
+    for d in sorted(os.listdir(root)):
+        if re.fullmatch(r"file_[A-Za-z0-9_]+", d) and d not in referenced:
+            shutil.rmtree(os.path.join(root, d))
+            deleted.append(d)
+    if deleted:
+        prev = _tlog_vacuumed(root)
+        tmp = os.path.join(root, f"._VACUUMED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(prev | set(deleted))))
+        os.replace(tmp, os.path.join(root, "_VACUUMED"))
+    return deleted
+
+
+_TLOG_CONTENT_ORACLE = """
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        GROUP BY 1
+"""
+
+
+def _tlog_latest_fingerprint(spark: SparkSession, root: str) -> DataFrame:
+    files = _tlog_live_files(root, _tlog_latest_version(root))
+    rel = _tlog_relation(spark, files)
+    return (
+        rel.select(
+            (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select("bucket", "n_rows", "sum_cents", "min_key", "max_key")
+    )
+
+
+@register(
+    "table_log_compact_commit",
+    # Hash oracle: compaction is logically a no-op, so the
+    # post-compaction snapshot must equal the full source content
+    # (all %4 residues are live at v2). Exact-integer fingerprints.
+    oracle=_TLOG_CONTENT_ORACLE,
+    tags=("S9-opt", "lakehouse", "compaction", "clustering"),
+)
+def table_log_compact_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-opt — small-file COMPACTION AS A COMMIT (the OPTIMIZE /
+    rewrite-data-files maintenance op every lakehouse table needs,
+    here expressed in the table format itself rather than at the
+    bare-parquet layer like ``compact_small_files``): the latest
+    snapshot's live files are rewritten into one range-partitioned,
+    key-SORTED file group (compaction + clustering in one pass) and
+    swapped in atomically via the put-if-absent commit — readers
+    either see the old layout or the new one, and the content is
+    provably unchanged (the hash oracle recomputes it from the
+    source). The 4th commit crosses the checkpoint cadence, so the
+    compacted table also carries a log checkpoint.
+
+    Scale: small-file proliferation is THE operational failure mode
+    of streaming/CDC ingest at 100 TB (every commit adds files; scan
+    cost grows with file count, not data size); compaction bounds it
+    without blocking writers (OCC: a concurrent append simply wins
+    or loses the version race and rebases). Sorting during the
+    rewrite makes the new files' min/max manifest stats disjoint, so
+    key-range queries prune whole files — compaction is also when
+    clustering happens in production formats."""
+    root = _tlog_build(spark, sf_dir, _tlog_compact_root(sf_dir))
+    _tlog_apply_compact(spark, sf_dir, root)
+    return _tlog_latest_fingerprint(spark, root)
+
+
+@register(
+    "table_log_vacuum_retention",
+    # Same content oracle as compaction: vacuum is physical cleanup
+    # below the log — the retained snapshot must be bit-identical.
+    oracle=_TLOG_CONTENT_ORACLE,
+    tags=("S9-gc", "lakehouse", "vacuum", "retention"),
+)
+def table_log_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-gc — RETENTION VACUUM: after compaction supersedes the old
+    file groups, they are unreferenced by every snapshot at or after
+    the retention horizon and can be physically deleted — the
+    storage-reclaim half of the compaction story (without it a CoW
+    table's storage grows monotonically). Vacuum writes no commit
+    (it is below the log) but records deletions so time travel below
+    the horizon fails DESCRIPTIVELY, and the build-stamp check
+    understands vacuumed-vs-half-built. The retained latest snapshot
+    is then read back and hash-checked unchanged against the source.
+
+    Scale: at 100 TB, vacuum is what turns copy-on-write from
+    "storage doubles on every rewrite" into steady-state; the
+    version-horizon rule here is the time-retention rule of
+    production formats with the clock replaced by an explicit
+    version (no wall-clock in this repo's determinism discipline).
+    Deletion safety is structural: a file referenced by any retained
+    snapshot is never touched, and readers of vacuumed history get
+    the horizon error, not silent partial data."""
+    root = _tlog_build(spark, sf_dir, _tlog_compact_root(sf_dir))
+    _tlog_apply_compact(spark, sf_dir, root)
+    _tlog_vacuum(root, retain_version=_tlog_latest_version(root))
+    return _tlog_latest_fingerprint(spark, root)

@@ -188,3 +188,36 @@ def test_schema_evolution_is_metadata_only(spark):
     # idempotent re-apply: no extra commit
     _tlog_apply_schema_commit(spark, SF_SMOKE, root)
     assert _tlog_latest_version(root) == latest
+
+
+def test_compact_then_vacuum_lifecycle(spark):
+    """Compaction swaps the layout without changing content; vacuum
+    then deletes every unreferenced file group, latest still reads,
+    and time travel below the horizon fails descriptively."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_apply_compact,
+        _tlog_compact_root,
+        _tlog_vacuum,
+        _tlog_vacuumed,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+
+    REG = load_all()
+    root = _tlog_build(spark, SF_SMOKE, _tlog_compact_root(SF_SMOKE))
+    _tlog_apply_compact(spark, SF_SMOKE, root)
+    latest = _tlog_latest_version(root)
+    assert {os.path.basename(p) for p in _tlog_live_files(root, latest)} == {
+        "file_compact_1"
+    }
+    assert os.path.exists(os.path.join(root, "_log", f"{latest:06d}.checkpoint.json"))
+    deleted = _tlog_vacuum(root, retain_version=latest)
+    # idempotent; B was already dead at v2, A/C/D superseded by compaction
+    assert set(deleted) <= {"file_A", "file_B", "file_C", "file_D"}
+    assert _tlog_vacuumed(root) == {"file_A", "file_B", "file_C", "file_D"}
+    assert _tlog_vacuum(root, retain_version=latest) == []
+    # retained snapshot still reads (4 buckets of orders)
+    df = REG["table_log_vacuum_retention"].fn(spark, SF_SMOKE)
+    assert df.count() == 4
+    # sub-horizon time travel names the vacuum, not FileNotFound
+    with pytest.raises(RuntimeError, match="vacuum"):
+        _tlog_live_files(root, latest - 1)
