@@ -108,19 +108,21 @@ def _verified_past_rounds() -> list[str]:
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
     # --- ROUND 11 state: the board is all-green (VERDICT r10), so
-    # the front is just this round's three new operators — the
-    # lakehouse MERGE write path, its streaming CDC twin, and the
-    # persisted-IVF query path (rows-only by nature). The rest of
-    # the window is the verified back in newest-round-ascending
-    # order, which drains the 35 remaining r04 rows (the
-    # events-blast-radius re-attestation block) and then starts on
-    # r05 (VERDICT r10 item 2).
+    # the front is this round's seven new operators — the lakehouse
+    # lifecycle (MERGE write path, schema evolution, compaction
+    # commit, retention vacuum), the two CDC stream twins (simple +
+    # partitioned executor-side), and the persisted-IVF query path
+    # (rows-only by nature). The rest of the window is the verified
+    # back in newest-round-ascending order, which drains the 35
+    # remaining r04 rows (the events-blast-radius re-attestation
+    # block) and then starts on r05 (VERDICT r10 item 2).
     "table_log_merge_upsert",
     "stream_table_log_feed",
     "sim_search_ann_ivf_persisted",
     "table_log_schema_evolution",
     "table_log_compact_commit",
     "table_log_vacuum_retention",
+    "stream_table_log_feed_partitioned",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -131,6 +131,7 @@ HEADLINE = [
     "table_log_schema_evolution",  # add-column commit + union-schema snapshot read
     "table_log_compact_commit",  # OPTIMIZE-style sorted rewrite as one commit
     "table_log_vacuum_retention",  # retention GC below the log
+    "stream_table_log_feed_partitioned",  # executor-side parallel CDC drain
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

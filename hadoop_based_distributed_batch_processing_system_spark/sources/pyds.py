@@ -27,6 +27,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -290,3 +291,105 @@ class TableLogFeedStreamSource(DataSource):
 
 def register_table_log_feed_source(spark: SparkSession) -> None:
     spark.dataSource.register(TableLogFeedStreamSource)
+
+
+class TableLogFeedPartition(InputPartition):
+    """One (commit version, side, file group) of the change feed —
+    the getSplits() unit: each becomes one executor task."""
+
+    def __init__(self, version: int, side: str, path: str):
+        self.version = version
+        self.side = side
+        self.path = path
+
+
+class TableLogFeedPartitionedReader(DataSourceStreamReader):
+    """The SCALE-PATH twin of ``TableLogFeedStreamReader``: a full
+    ``DataSourceStreamReader`` whose micro-batch is planned as one
+    ``InputPartition`` per (commit, side, file group), so change
+    files are read EXECUTOR-SIDE in parallel with pyarrow — the
+    driver only lists the log (metadata-sized), exactly the
+    driver/executor split a production lakehouse streaming source
+    uses. Offsets are commit versions, as in the simple reader;
+    ``latestOffset`` re-lists the log each trigger (a live table
+    grows), and replaying any committed range re-plans identical
+    partitions over immutable files — exactly-once under checkpoint
+    replay for free."""
+
+    def __init__(self, options):
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("table_log_feed_partitioned requires .option('root', ...)")
+
+    def _latest_commit(self) -> int:
+        import os
+        import re
+
+        logd = os.path.join(self.root, "_log")
+        return max(
+            (
+                int(m.group(1))
+                for f in os.listdir(logd)
+                if (m := re.fullmatch(r"(\d{6})\.json", f))
+            ),
+            default=-1,
+        )
+
+    def initialOffset(self):
+        return {"next": 1}
+
+    def latestOffset(self):
+        return {"next": self._latest_commit() + 1}
+
+    def partitions(self, start, end):
+        import json
+        import os
+
+        parts = []
+        for v in range(start["next"], end["next"]):
+            c = json.load(open(os.path.join(self.root, "_log", f"{v:06d}.json")))
+            for side in ("add", "remove"):
+                for fname in sorted(c[side]):
+                    parts.append(
+                        TableLogFeedPartition(v, side, os.path.join(self.root, fname))
+                    )
+        # an empty micro-batch still needs >= 1 partition in the API;
+        # a sentinel with no path reads zero rows
+        return parts or [TableLogFeedPartition(-1, "none", "")]
+
+    def read(self, partition):
+        if not partition.path:
+            return
+        import glob
+
+        import pyarrow.parquet as pq
+
+        for part in sorted(glob.glob(partition.path + "/*.parquet")):
+            t = pq.read_table(part, columns=["o_orderkey", "o_totalprice"])
+            for k, p in zip(
+                t.column("o_orderkey").to_pylist(),
+                t.column("o_totalprice").to_pylist(),
+            ):
+                yield (partition.version, partition.side, k, p)
+
+    def commit(self, end):
+        # offsets are durable in the log itself; nothing to persist
+        pass
+
+
+class TableLogFeedPartitionedSource(DataSource):
+    """``spark.readStream.format("table_log_feed_partitioned")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_log_feed_partitioned"
+
+    def schema(self) -> str:
+        return "version INT, side STRING, o_orderkey BIGINT, o_totalprice DOUBLE"
+
+    def streamReader(self, schema) -> "TableLogFeedPartitionedReader":
+        return TableLogFeedPartitionedReader(self.options)
+
+
+def register_table_log_feed_partitioned_source(spark: SparkSession) -> None:
+    spark.dataSource.register(TableLogFeedPartitionedSource)

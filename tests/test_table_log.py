@@ -221,3 +221,19 @@ def test_compact_then_vacuum_lifecycle(spark):
     # sub-horizon time travel names the vacuum, not FileNotFound
     with pytest.raises(RuntimeError, match="vacuum"):
         _tlog_live_files(root, latest - 1)
+
+
+def test_three_cdc_consumption_paths_agree(spark):
+    """Batch incremental read, the simple stream reader, and the
+    partitioned executor-side stream reader must produce identical
+    change-set fingerprints — one semantics, three execution shapes."""
+    from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+
+    REG = load_all()
+    def rows(name):
+        return sorted(tuple(r) for r in REG[name].fn(spark, SF_SMOKE).collect())
+
+    batch = rows("table_log_incremental_read")
+    simple = rows("stream_table_log_feed")
+    part = rows("stream_table_log_feed_partitioned")
+    assert batch == simple == part and len(batch) == 3
