@@ -123,6 +123,7 @@ _PRIORITY_WINDOW = [
     "table_log_compact_commit",
     "table_log_vacuum_retention",
     "stream_table_log_feed_partitioned",
+    "dedup_semantic_lsh_multiprobe",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)
