@@ -237,3 +237,32 @@ def test_three_cdc_consumption_paths_agree(spark):
     simple = rows("stream_table_log_feed")
     part = rows("stream_table_log_feed_partitioned")
     assert batch == simple == part and len(batch) == 3
+
+
+def test_table_log_read_plans(spark):
+    """The multi-version and incremental reads must plan the
+    manifest-stats shape: a broadcast membership join (never a
+    shuffle on the file key), no cartesian, and a scan pruned to the
+    two data columns."""
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+
+    REG = load_all()
+    for name in ("table_log_time_travel", "table_log_incremental_read"):
+        from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+            physical_plan,
+        )
+
+        df = REG[name].fn(spark, SF_SMOKE)
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" in plan, f"{name}: membership join not broadcast"
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        data_scans = [x for x in schemas if "o_totalprice" in x]
+        # incremental read prunes to o_totalprice ALONE (no min/max
+        # keys in its fingerprint); time travel reads both columns —
+        # either way a data scan must never exceed the two data cols
+        assert data_scans and all(
+            x.count(":") <= 2 and "o_comment" not in x for x in data_scans
+        ), f"{name}: unpruned scan {schemas}"
