@@ -108,14 +108,15 @@ def _verified_past_rounds() -> list[str]:
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
     # --- ROUND 11 state: the board is all-green (VERDICT r10), so
-    # the front is this round's seven new operators — the lakehouse
+    # the front is this round's nine new operators — the lakehouse
     # lifecycle (MERGE write path, schema evolution, compaction
-    # commit, retention vacuum), the two CDC stream twins (simple +
-    # partitioned executor-side), and the persisted-IVF query path
-    # (rows-only by nature). The rest of the window is the verified
-    # back in newest-round-ascending order, which drains the 35
-    # remaining r04 rows (the events-blast-radius re-attestation
-    # block) and then starts on r05 (VERDICT r10 item 2).
+    # commit, retention vacuum), the three CDC stream forms (simple,
+    # partitioned executor-side, and replication-apply), the
+    # persisted-IVF query path (rows-only by nature), and multiprobe
+    # semantic LSH. The rest of the window is the verified back in
+    # newest-round-ascending order, which drains the 35 remaining
+    # r04 rows (the events-blast-radius re-attestation block) and
+    # then starts on r05 (VERDICT r10 item 2).
     "table_log_merge_upsert",
     "stream_table_log_feed",
     "sim_search_ann_ivf_persisted",
@@ -124,6 +125,7 @@ _PRIORITY_WINDOW = [
     "table_log_vacuum_retention",
     "stream_table_log_feed_partitioned",
     "dedup_semantic_lsh_multiprobe",
+    "stream_table_log_replicate",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -132,6 +132,7 @@ HEADLINE = [
     "table_log_compact_commit",  # OPTIMIZE-style sorted rewrite as one commit
     "table_log_vacuum_retention",  # retention GC below the log
     "stream_table_log_feed_partitioned",  # executor-side parallel CDC drain
+    "stream_table_log_replicate",  # CDC feed applied as transactional replica commits
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -1481,3 +1481,153 @@ def table_log_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tlog_apply_compact(spark, sf_dir, root)
     _tlog_vacuum(root, retain_version=_tlog_latest_version(root))
     return _tlog_latest_fingerprint(spark, root)
+
+
+def _tlog_replica_root(sf_dir: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"hbdbps_tablelogr_{corpus_tag(sf_dir)}")
+
+
+def _tlog_replicate(spark: SparkSession, sf_dir: str, src_root: str, dst_root: str) -> None:
+    """CDC REPLICATION once per replica dir (flock + stamp): bootstrap
+    the replica from the source's v0 snapshot, then drain the
+    source's change feed with ``foreachBatch`` — each micro-batch
+    (exactly one source commit) is applied as ONE transactional
+    commit on the replica: adds land in a new file, removes rewrite
+    only the replica files that contain removed keys (the merge
+    operator's file-pruning discovery), and the add+remove file sets
+    publish atomically through the put-if-absent protocol. After the
+    drain, the replica's commit count must equal the source's —
+    checked loudly."""
+    import fcntl
+
+    stamp_file = os.path.join(dst_root, "_REPLICATED")
+    if os.path.exists(stamp_file):
+        return
+    os.makedirs(os.path.join(dst_root, "_log"), exist_ok=True)
+    lock_fh = open(os.path.join(dst_root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if os.path.exists(stamp_file):
+            return
+        from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+            register_table_log_feed_source,
+        )
+
+        # bootstrap: the source's v0 snapshot becomes replica commit 0
+        boot_files = _tlog_live_files(src_root, 0)
+        _tlog_relation(spark, boot_files).write.mode("overwrite").parquet(
+            os.path.join(dst_root, "file_boot")
+        )
+        try:
+            _tlog_commit(dst_root, add=["file_boot"], remove=[], base_version=-1)
+        except TableLogConflictError:
+            pass  # a concurrent replicator bootstrapped identically
+
+        def apply_commit(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            version = batch_df.agg(F.max("version")).collect()[0][0]
+            adds = batch_df.filter(F.col("side") == "add").select(
+                "o_orderkey", "o_totalprice"
+            )
+            removes = batch_df.filter(F.col("side") == "remove").select("o_orderkey")
+            base = _tlog_latest_version(dst_root)
+            live = _tlog_live_files(dst_root, base)
+            add_files: list[str] = []
+            remove_files: list[str] = []
+            if not removes.isEmpty():
+                rel = _tlog_relation(spark, live).withColumn(
+                    "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+                )
+                affected = sorted(
+                    r["file"]
+                    for r in rel.join(F.broadcast(removes), "o_orderkey")
+                    .select("file")
+                    .distinct()
+                    .collect()
+                )
+                for fname in affected:
+                    kept = (
+                        rel.filter(F.col("file") == fname)
+                        .drop("file")
+                        .join(F.broadcast(removes), "o_orderkey", "left_anti")
+                    )
+                    new_name = f"{fname}_r{version}"
+                    kept.write.mode("overwrite").parquet(
+                        os.path.join(dst_root, new_name)
+                    )
+                    add_files.append(new_name)
+                    remove_files.append(fname)
+            if not adds.isEmpty():
+                add_name = f"file_add_{version}"
+                adds.write.mode("overwrite").parquet(os.path.join(dst_root, add_name))
+                add_files.append(add_name)
+            _tlog_commit(dst_root, add=add_files, remove=remove_files, base_version=base)
+
+        register_table_log_feed_source(spark)
+        raw = spark.readStream.format("table_log_feed").option("root", src_root).load()
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            query = (
+                raw.writeStream.foreachBatch(apply_commit)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            query.processAllAvailable()
+            query.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_latest = _tlog_latest_version(src_root)
+        dst_latest = _tlog_latest_version(dst_root)
+        if dst_latest != src_latest:
+            raise RuntimeError(
+                f"replication drained to replica v{dst_latest} but the source "
+                f"is at v{src_latest} — feed lost or double-applied a commit"
+            )
+        tmp = os.path.join(dst_root, f"._REPLICATED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"src_latest={src_latest}")
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "stream_table_log_replicate",
+    # Hash oracle: after replaying every source commit, the replica's
+    # latest snapshot must equal the source table's latest content —
+    # which is the full orders table by residue construction.
+    oracle=_TLOG_CONTENT_ORACLE,
+    tags=("S9-repl", "stream", "cdc", "lakehouse", "replication"),
+)
+def stream_table_log_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-repl — CDC REPLICATION end-to-end: the read-side story
+    (``stream_table_log_feed``: commit-version offsets) COMPOSED with
+    the write-side story (``table_log_merge_upsert``: transactional
+    CoW commits) into the flagship lakehouse streaming pattern —
+    replicate table A into table B by consuming A's change feed and
+    applying each micro-batch as one atomic commit on B. Bootstrap =
+    A's v0 snapshot as B's commit 0; then per source commit: adds
+    append a file, removes rewrite ONLY the B files containing
+    removed keys (file-pruning discovery + anti-join, copy-on-write),
+    one put-if-absent commit per batch. The replica's latest snapshot
+    is hash-checked equal to the source's latest content — and a
+    commit-count reconciliation fails loudly if the feed dropped or
+    double-applied a batch.
+
+    Scale: this is how a 100-TB table fans out to replicas/regions
+    without re-copying — per-batch work is change-sized; exactly-once
+    comes from the feed's commit-version offsets (replay-idempotent)
+    plus the replica's own atomic commits; B's OCC protocol means a
+    replication stream and local writers can share B, conflicting
+    only at the version counter where the loser rebases. Removes are
+    row-level here (the broadcast anti-join rewrite degrades to a
+    bucketed shuffle join when change sets outgrow broadcast);
+    production formats add deletion vectors to defer exactly this
+    rewrite — the documented growth path."""
+    src_root = _tlog_build(spark, sf_dir, _tlog_root(sf_dir))
+    dst_root = _tlog_replica_root(sf_dir)
+    _tlog_replicate(spark, sf_dir, src_root, dst_root)
+    return _tlog_latest_fingerprint(spark, dst_root)

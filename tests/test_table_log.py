@@ -266,3 +266,42 @@ def test_table_log_read_plans(spark):
         assert data_scans and all(
             x.count(":") <= 2 and "o_comment" not in x for x in data_scans
         ), f"{name}: unpruned scan {schemas}"
+
+
+def test_replication_log_structure(spark):
+    """The replica's log must mirror the source commit-for-commit:
+    commit 0 = bootstrap, commit 1 = pure append, commit 2 = the
+    remove batch rewrote the bootstrap file (CoW) + appended — and
+    the replica's latest content equals reading the source's latest
+    snapshot directly."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_replica_root,
+        _tlog_replicate,
+        _tlog_root,
+    )
+
+    src = _tlog_build(spark, SF_SMOKE, _tlog_root(SF_SMOKE))
+    dst = _tlog_replica_root(SF_SMOKE)
+    _tlog_replicate(spark, SF_SMOKE, src, dst)
+    assert _tlog_latest_version(dst) == _tlog_latest_version(src) == 2
+    live2 = {os.path.basename(p) for p in _tlog_live_files(dst, 2)}
+    # remove batch (source v2 removed the residue-1 rows that lived in
+    # the bootstrap) rewrote file_boot; both adds appended
+    assert live2 == {"file_boot_r2", "file_add_1", "file_add_2"}
+    assert {os.path.basename(p) for p in _tlog_live_files(dst, 1)} == {
+        "file_boot", "file_add_1",
+    }
+    # content equivalence with a direct read of the source's latest
+    src_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(*_tlog_live_files(src, 2))
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    dst_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(*_tlog_live_files(dst, 2))
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    assert src_rows == dst_rows
