@@ -133,6 +133,7 @@ HEADLINE = [
     "table_log_vacuum_retention",  # retention GC below the log
     "stream_table_log_feed_partitioned",  # executor-side parallel CDC drain
     "stream_table_log_replicate",  # CDC feed applied as transactional replica commits
+    "table_log_deletion_vectors",  # row-level deletes via sidecar anti-join
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -734,7 +734,13 @@ def _tlog_live_files(root: str, version: int) -> list[str]:
     return sorted(os.path.join(root, f) for f in live)
 
 
-def _tlog_commit(root: str, add: list[str], remove: list[str], base_version: int) -> int:
+def _tlog_commit(
+    root: str,
+    add: list[str],
+    remove: list[str],
+    base_version: int,
+    dv: dict[str, str] | None = None,
+) -> int:
     """OPTIMISTIC-CONCURRENCY commit: version ``base_version + 1`` is
     claimed by an atomic hard-link of a fully-written temp file onto
     the commit path — put-if-absent WITH complete content (no reader
@@ -753,8 +759,11 @@ def _tlog_commit(root: str, add: list[str], remove: list[str], base_version: int
     logd = os.path.join(root, "_log")
     path = os.path.join(logd, f"{v:06d}.json")
     tmp = os.path.join(logd, f".commit.{os.getpid()}.{v}.tmp")
+    payload = {"add": sorted(add), "remove": sorted(remove)}
+    if dv:
+        payload["dv"] = dict(sorted(dv.items()))  # file -> deletion-vector sidecar
     with open(tmp, "w") as fh:
-        json.dump({"add": sorted(add), "remove": sorted(remove)}, fh)
+        json.dump(payload, fh)
         fh.flush()
         os.fsync(fh.fileno())
     try:
@@ -1631,3 +1640,158 @@ def stream_table_log_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst_root = _tlog_replica_root(sf_dir)
     _tlog_replicate(spark, sf_dir, src_root, dst_root)
     return _tlog_latest_fingerprint(spark, dst_root)
+
+
+def _tlog_dv_root(sf_dir: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"hbdbps_tablelogdv_{corpus_tag(sf_dir)}")
+
+
+# DV spec: delete the o_orderkey % 9 == 3 rows that live in file_D
+# (residues 1 and 3) — row-level deletes without rewriting the file.
+_TLOG_DV_SPEC = {"target": "file_D", "del_mod": 9, "del_residue": 3}
+
+
+def _tlog_live_dvs(root: str, version: int) -> dict[str, str]:
+    """Replay the log for deletion-vector state: a commit's ``dv``
+    map binds a sidecar to a live file (latest binding wins);
+    removing a file drops its DV. Replays raw commits (checkpoint
+    files don't carry DV state yet — the documented growth path is
+    folding DV bindings into checkpoints the way ``live`` already
+    is)."""
+    import json
+
+    logd = os.path.join(root, "_log")
+    dvs: dict[str, str] = {}
+    for v in range(version + 1):
+        c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        for f in c["remove"]:
+            dvs.pop(f, None)
+        dvs.update(c.get("dv", {}))
+    return dvs
+
+
+def _tlog_apply_dv(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Commit a DELETION VECTOR once per table dir (flock + stamp):
+    the doomed keys are written to a sidecar parquet (``dv_*`` —
+    outside the ``file_*`` data namespace, so vacuum and the data
+    regex never confuse it for a data file) and one commit binds the
+    sidecar to its target file. The target file's bytes are NEVER
+    touched."""
+    import fcntl
+    import json
+
+    spec = _TLOG_DV_SPEC
+    stamp_file = os.path.join(root, "_DV")
+    stamp = json.dumps(spec, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        base = _tlog_latest_version(root)
+        target_rel = spark.read.parquet(os.path.join(root, spec["target"]))
+        doomed = target_rel.filter(
+            F.col("o_orderkey") % spec["del_mod"] == spec["del_residue"]
+        ).select("o_orderkey")
+        dv_name = f"dv_{spec['target']}_v{base + 1}"
+        doomed.write.mode("overwrite").parquet(os.path.join(root, dv_name))
+        try:
+            _tlog_commit(
+                root, add=[], remove=[], base_version=base, dv={spec["target"]: dv_name}
+            )
+        except TableLogConflictError:
+            winner = json.load(
+                open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
+            )
+            if winner != {"add": [], "remove": [], "dv": {spec["target"]: dv_name}}:
+                raise
+        tmp = os.path.join(root, f"._DV.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_deletion_vectors",
+    # Hash oracle: the DV'd snapshot = the source minus exactly the
+    # doomed keys (which live only in file_D — residues 1,3).
+    oracle="""
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE NOT (o_orderkey % 4 IN (1, 3) AND o_orderkey % 9 = 3)
+        GROUP BY 1
+    """,
+    tags=("S9-dv", "lakehouse", "deletion-vectors"),
+)
+def table_log_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-dv — row-level deletes by DELETION VECTOR (the Delta DV /
+    Iceberg v2 position-delete mechanism, key-based): instead of
+    copy-on-write rewriting a whole file to drop a few rows (the
+    merge operator's shape), ONE commit binds a doomed-keys sidecar
+    to the target file — the data file's bytes are never touched —
+    and every reader anti-joins the bound sidecars at scan time.
+    This is the write-amplification dial: DV-delete costs O(deleted
+    keys) regardless of file size, at the price of a read-side
+    anti-join that compaction later "materializes" away (rewrite
+    applying the DV, drop the binding — the compact operator's job
+    in a production format). Removing a file drops its DV binding;
+    the DV'd snapshot is hash-checked against the source minus
+    exactly the doomed keys.
+
+    Scale: a 1 GB file with 10 deleted rows costs a 10-row sidecar
+    write, not a 1 GB rewrite — the difference between CDC-rate
+    deletes being feasible or not; readers pay one broadcast
+    anti-join keyed (file, key) so only bound files' rows are
+    tested, and the sidecar broadcast degrades to a shuffle join
+    when DVs accumulate — which is the signal to compact."""
+    root = _tlog_build(spark, sf_dir, _tlog_dv_root(sf_dir))
+    _tlog_apply_dv(spark, sf_dir, root)
+    latest = _tlog_latest_version(root)
+    files = _tlog_live_files(root, latest)
+    dvs = _tlog_live_dvs(root, latest)
+    rel = _tlog_relation(spark, files).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    if dvs:
+        dv_frames = [
+            spark.read.parquet(os.path.join(root, dv_name))
+            .select("o_orderkey")
+            .withColumn("file", F.lit(fname))
+            for fname, dv_name in sorted(dvs.items())
+        ]
+        dv_all = dv_frames[0]
+        for d in dv_frames[1:]:
+            dv_all = dv_all.unionAll(d)
+        rel = rel.join(F.broadcast(dv_all), ["file", "o_orderkey"], "left_anti")
+    return (
+        rel.select(
+            (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select("bucket", "n_rows", "sum_cents", "min_key", "max_key")
+    )

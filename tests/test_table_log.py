@@ -305,3 +305,42 @@ def test_replication_log_structure(spark):
         .collect()
     )
     assert src_rows == dst_rows
+
+
+def test_deletion_vector_leaves_data_file_untouched(spark):
+    """DV-delete must not rewrite the target: file_D's parquet bytes
+    predate the DV commit, the sidecar lives outside the data
+    namespace, and removing a file drops its DV binding on replay."""
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_apply_dv,
+        _tlog_dv_root,
+        _tlog_live_dvs,
+    )
+
+    root = _tlog_build(spark, SF_SMOKE, _tlog_dv_root(SF_SMOKE))
+    _tlog_apply_dv(spark, SF_SMOKE, root)
+    latest = _tlog_latest_version(root)
+    dvs = _tlog_live_dvs(root, latest)
+    assert dvs == {"file_D": f"dv_file_D_v{latest}"}
+    # data file set unchanged by the DV commit
+    assert {os.path.basename(p) for p in _tlog_live_files(root, latest)} == {
+        "file_A", "file_C", "file_D",
+    }
+    # target bytes untouched: file_D's newest mtime predates the commit
+    d_mtime = max(
+        os.path.getmtime(os.path.join(root, "file_D", f))
+        for f in os.listdir(os.path.join(root, "file_D"))
+    )
+    commit_path = os.path.join(root, "_log", f"{latest:06d}.json")
+    assert d_mtime <= os.path.getmtime(commit_path)
+    # removing the file drops its binding (replayed, not stored state)
+    nxt = _tlog_commit(root, add=["file_Z"], remove=["file_D"], base_version=latest)
+    try:
+        assert _tlog_live_dvs(root, nxt) == {}
+    finally:
+        os.remove(os.path.join(root, "_log", f"{nxt:06d}.json"))
+        cp = os.path.join(root, "_log", f"{nxt:06d}.checkpoint.json")
+        if os.path.exists(cp):
+            os.remove(cp)
