@@ -127,6 +127,7 @@ _PRIORITY_WINDOW = [
     "dedup_semantic_lsh_multiprobe",
     "stream_table_log_replicate",
     "table_log_deletion_vectors",
+    "table_log_stats_pruned_read",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -134,6 +134,7 @@ HEADLINE = [
     "stream_table_log_feed_partitioned",  # executor-side parallel CDC drain
     "stream_table_log_replicate",  # CDC feed applied as transactional replica commits
     "table_log_deletion_vectors",  # row-level deletes via sidecar anti-join
+    "table_log_stats_pruned_read",  # manifest-stats file skipping before any footer
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

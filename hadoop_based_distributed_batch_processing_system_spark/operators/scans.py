@@ -740,6 +740,7 @@ def _tlog_commit(
     remove: list[str],
     base_version: int,
     dv: dict[str, str] | None = None,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """OPTIMISTIC-CONCURRENCY commit: version ``base_version + 1`` is
     claimed by an atomic hard-link of a fully-written temp file onto
@@ -762,6 +763,8 @@ def _tlog_commit(
     payload = {"add": sorted(add), "remove": sorted(remove)}
     if dv:
         payload["dv"] = dict(sorted(dv.items()))  # file -> deletion-vector sidecar
+    if stats:
+        payload["stats"] = dict(sorted(stats.items()))  # file -> column min/max
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
         fh.flush()
@@ -1327,7 +1330,10 @@ def _tlog_apply_compact(spark: SparkSession, sf_dir: str, root: str) -> None:
     import fcntl
     import json
 
-    marker = os.path.join(root, "_COMPACTED")
+    # v2 marker: the v1 layout (one file group, no stats) upgrades by
+    # re-compacting on top of its own latest snapshot — compaction is
+    # content-preserving, so stacking one more commit is safe.
+    marker = os.path.join(root, "_COMPACTED_V2")
     if os.path.exists(marker):
         return
     lock_fh = open(os.path.join(root, ".lock"), "w")
@@ -1338,20 +1344,53 @@ def _tlog_apply_compact(spark: SparkSession, sf_dir: str, root: str) -> None:
         base = _tlog_latest_version(root)
         live = _tlog_live_files(root, base)
         rel = _tlog_relation(spark, live)
+        # 4 disjoint key ranges, sorted within each, ONE write job: a
+        # staging dir partitioned by the range id, then each range is
+        # promoted to its own top-level file group (the log's unit).
+        staging = os.path.join(root, ".compact_staging")
         (
             rel.repartitionByRange(4, "o_orderkey")
             .sortWithinPartitions("o_orderkey")
+            .withColumn("rg", F.spark_partition_id())
             .write.mode("overwrite")
-            .parquet(os.path.join(root, "file_compact_1"))
+            .partitionBy("rg")
+            .parquet(staging)
         )
+        import shutil
+
+        groups = sorted(
+            d for d in os.listdir(staging) if d.startswith("rg=")
+        )
+        add, stats = [], {}
+        for d in groups:
+            gname = f"file_compact_r{d.split('=')[1]}"
+            dst = os.path.join(root, gname)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(os.path.join(staging, d), dst)
+            open(os.path.join(dst, "_SUCCESS"), "w").close()
+            add.append(gname)
+        shutil.rmtree(staging, ignore_errors=True)
+        # per-group min/max column stats -> the commit (manifest stats:
+        # ONE bounded agg job over the new groups, len(groups) rows)
+        grouped = (
+            spark.read.parquet(*(os.path.join(root, g) for g in add))
+            .withColumn("g", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1))
+            .groupBy("g")
+            .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+            .collect()
+        )
+        for r in grouped:
+            stats[r["g"]] = {"o_orderkey": [int(r["lo"]), int(r["hi"])]}
         removed = sorted(os.path.basename(p) for p in live)
         try:
-            _tlog_commit(root, add=["file_compact_1"], remove=removed, base_version=base)
+            _tlog_commit(
+                root, add=add, remove=removed, base_version=base, stats=stats
+            )
         except TableLogConflictError:
             winner = json.load(
                 open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
             )
-            if winner != {"add": ["file_compact_1"], "remove": removed}:
+            if winner.get("add") != sorted(add) or winner.get("remove") != removed:
                 raise
         tmp = os.path.join(root, f"._COMPACTED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
@@ -1795,3 +1834,93 @@ def table_log_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "n_rows", "sum_cents", "min_key", "max_key")
     )
+
+
+def _tlog_live_stats(root: str, version: int) -> dict[str, dict]:
+    """Replay the log for per-file column stats (manifest min/max):
+    a commit's ``stats`` map binds bounds to files it adds; removing
+    a file drops its stats. Same replay discipline as DV bindings."""
+    import json
+
+    logd = os.path.join(root, "_log")
+    stats: dict[str, dict] = {}
+    for v in range(version + 1):
+        c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        for f in c["remove"]:
+            stats.pop(f, None)
+        stats.update(c.get("stats", {}))
+    return stats
+
+
+def _tlog_stats_prune(
+    files: list[str], stats: dict[str, dict], column: str, lo: int, hi: int
+) -> list[str]:
+    """Manifest-stats FILE SKIPPING: keep a file iff its recorded
+    [min, max] for ``column`` intersects [lo, hi] — or it has no
+    recorded stats (unknown must be read; skipping it would be wrong,
+    which is why stats are conservative metadata, not a filter)."""
+    out = []
+    for p in files:
+        st = stats.get(os.path.basename(p), {}).get(column)
+        if st is None or (st[0] <= hi and st[1] >= lo):
+            out.append(p)
+    return out
+
+
+_TLOG_PRUNE_LO, _TLOG_PRUNE_HI = 1000, 2999
+
+
+@register(
+    "table_log_stats_pruned_read",
+    # Hash oracle: the key-range slice recomputed from the source.
+    # Stats pruning is correctness-preserving for ANY recorded
+    # bounds (files are only skipped when provably disjoint), so the
+    # result is boundary-independent.
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE o_orderkey BETWEEN {_TLOG_PRUNE_LO} AND {_TLOG_PRUNE_HI}
+    """,
+    tags=("S9-stats", "lakehouse", "file-skipping", "manifest-stats"),
+)
+def table_log_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-stats — MANIFEST-STATS FILE SKIPPING, the metadata pruning
+    every production table format sells: the compaction commit
+    records each rewritten file group's per-column [min, max] in the
+    LOG, and a key-range query resolves its file set by intersecting
+    the predicate with those bounds BEFORE any parquet footer is
+    opened — whole files are skipped on driver-side metadata alone
+    (the pytest pins that pruning actually happened). The surviving
+    files still apply the predicate (stats are conservative: a file
+    is skipped only when provably disjoint; a file with no recorded
+    stats must be read), and the result is hash-checked against
+    recomputing the key-range slice from the source.
+
+    Scale: this is the layer ABOVE parquet row-group stats — at a
+    100 TB table the difference between "open 100k footers to
+    discover 99k are irrelevant" and "read one log, open 1k files".
+    It only bites when layout correlates with the predicate column,
+    which is exactly what sorted compaction bought: range-clustered
+    files have tight, disjoint bounds. Unknown-stats files reading
+    unconditionally is what keeps third-party writers safe."""
+    root = _tlog_build(spark, sf_dir, _tlog_compact_root(sf_dir))
+    _tlog_apply_compact(spark, sf_dir, root)
+    latest = _tlog_latest_version(root)
+    files = _tlog_live_files(root, latest)
+    stats = _tlog_live_stats(root, latest)
+    surviving = _tlog_stats_prune(
+        files, stats, "o_orderkey", _TLOG_PRUNE_LO, _TLOG_PRUNE_HI
+    )
+    rel = _tlog_relation(spark, surviving).filter(
+        F.col("o_orderkey").between(_TLOG_PRUNE_LO, _TLOG_PRUNE_HI)
+    )
+    return rel.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    ).select("n_rows", "sum_cents", "min_key", "max_key")

@@ -206,14 +206,14 @@ def test_compact_then_vacuum_lifecycle(spark):
     root = _tlog_build(spark, SF_SMOKE, _tlog_compact_root(SF_SMOKE))
     _tlog_apply_compact(spark, SF_SMOKE, root)
     latest = _tlog_latest_version(root)
-    assert {os.path.basename(p) for p in _tlog_live_files(root, latest)} == {
-        "file_compact_1"
-    }
-    assert os.path.exists(os.path.join(root, "_log", f"{latest:06d}.checkpoint.json"))
+    live = {os.path.basename(p) for p in _tlog_live_files(root, latest)}
+    # range-compacted layout: only file_compact_r* groups live
+    assert live and all(n.startswith("file_compact_r") for n in live), live
     deleted = _tlog_vacuum(root, retain_version=latest)
-    # idempotent; B was already dead at v2, A/C/D superseded by compaction
-    assert set(deleted) <= {"file_A", "file_B", "file_C", "file_D"}
-    assert _tlog_vacuumed(root) == {"file_A", "file_B", "file_C", "file_D"}
+    # everything superseded by compaction is vacuumable; the live
+    # compact groups are never touched
+    assert not (set(deleted) & live)
+    assert {"file_A", "file_B", "file_C", "file_D"} <= _tlog_vacuumed(root)
     assert _tlog_vacuum(root, retain_version=latest) == []
     # retained snapshot still reads (4 buckets of orders)
     df = REG["table_log_vacuum_retention"].fn(spark, SF_SMOKE)
@@ -344,3 +344,32 @@ def test_deletion_vector_leaves_data_file_untouched(spark):
         cp = os.path.join(root, "_log", f"{nxt:06d}.checkpoint.json")
         if os.path.exists(cp):
             os.remove(cp)
+
+
+def test_stats_pruning_skips_disjoint_files(spark):
+    """The manifest stats recorded by compaction must actually SKIP
+    files for a narrow key-range query (driver-side, before any
+    footer), never skip a file that intersects, and read unknowns."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _TLOG_PRUNE_HI,
+        _TLOG_PRUNE_LO,
+        _tlog_apply_compact,
+        _tlog_compact_root,
+        _tlog_live_stats,
+        _tlog_stats_prune,
+    )
+
+    root = _tlog_build(spark, SF_SMOKE, _tlog_compact_root(SF_SMOKE))
+    _tlog_apply_compact(spark, SF_SMOKE, root)
+    latest = _tlog_latest_version(root)
+    files = _tlog_live_files(root, latest)
+    stats = _tlog_live_stats(root, latest)
+    assert all(os.path.basename(p) in stats for p in files), "compaction must record stats"
+    surviving = _tlog_stats_prune(files, stats, "o_orderkey", _TLOG_PRUNE_LO, _TLOG_PRUNE_HI)
+    assert len(surviving) < len(files), "narrow range should skip >=1 range group"
+    # safety: every skipped file is provably disjoint from the range
+    for p in set(files) - set(surviving):
+        lo, hi = stats[os.path.basename(p)]["o_orderkey"]
+        assert hi < _TLOG_PRUNE_LO or lo > _TLOG_PRUNE_HI
+    # unknown stats must be read, not skipped
+    assert _tlog_stats_prune(["x/file_unknown"], {}, "o_orderkey", 0, 1) == ["x/file_unknown"]
