@@ -511,3 +511,83 @@ def test_twophase_cc_alternation_matches_union_find(edges):
     children = {a for a, _b in cur}
     centers = {b for _a, b in cur}
     assert not (children & centers)
+
+
+# ---- commit-log table format kernel (S9): model-based resolution ----
+
+@st.composite
+def _tlog_histories(draw):
+    """A random commit history: each commit adds fresh file names and
+    removes a subset of the then-live set (the CoW invariant — a
+    commit never adds a name that ever existed before, mirroring
+    content-addressed file naming)."""
+    n_commits = draw(st.integers(min_value=1, max_value=9))
+    history, live, counter = [], set(), 0
+    for _ in range(n_commits):
+        n_add = draw(st.integers(min_value=0, max_value=3))
+        add = [f"file_g{counter + i}" for i in range(n_add)]
+        counter += n_add
+        remove = sorted(
+            f for f in sorted(live) if live and draw(st.booleans())
+        )
+        live = (live - set(remove)) | set(add)
+        history.append({"add": add, "remove": remove})
+    return history
+
+
+@settings(max_examples=30, deadline=None)
+@given(history=_tlog_histories())
+def test_tablelog_resolution_matches_model_replay(history):
+    """_tlog_commit + _tlog_live_files (with whatever checkpoints the
+    cadence wrote) must equal a plain dict-replay model at EVERY
+    version — the format kernel's core invariant. Vacuum at a random
+    horizon then deletes exactly the model's unreferenced files,
+    retained versions still resolve, and sub-horizon versions that
+    lost files raise the retention error."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_live_files,
+        _tlog_vacuum,
+    )
+
+    root = tempfile.mkdtemp(prefix="hbdbps_tlog_prop_")
+    try:
+        os.makedirs(os.path.join(root, "_log"))
+        model_live: list[set] = []
+        live: set = set()
+        for v, c in enumerate(history):
+            for f in c["add"]:  # data dirs must exist for vacuum to delete
+                os.makedirs(os.path.join(root, f), exist_ok=True)
+            got = _tlog_commit(root, add=c["add"], remove=c["remove"], base_version=v - 1)
+            assert got == v
+            live = (live - set(c["remove"])) | set(c["add"])
+            model_live.append(set(live))
+        latest = len(history) - 1
+        for v in range(latest + 1):
+            assert {
+                os.path.basename(p) for p in _tlog_live_files(root, v)
+            } == model_live[v], f"version {v} diverged from model"
+        # vacuum at the latest horizon: exactly the unreferenced names go
+        referenced = model_live[latest]
+        ever = {f for c in history for f in c["add"]}
+        deleted = set(_tlog_vacuum(root, retain_version=latest))
+        assert deleted == ever - referenced
+        assert {
+            os.path.basename(p) for p in _tlog_live_files(root, latest)
+        } == referenced
+        for v in range(latest):
+            if model_live[v] - referenced:
+                with _pytest.raises(RuntimeError, match="vacuum"):
+                    _tlog_live_files(root, v)
+            else:
+                assert {
+                    os.path.basename(p) for p in _tlog_live_files(root, v)
+                } == model_live[v]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
