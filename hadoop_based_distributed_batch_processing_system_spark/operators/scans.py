@@ -591,11 +591,15 @@ class TableLogConflictError(RuntimeError):
 def _tlog_spec_stamp() -> str:
     """Serialized slice+commit layout. Stored in _BUILT so a spec edit
     forces a rebuild instead of silently serving the old table
-    (ADVICE r10: a bare existence stamp did exactly that)."""
+    (ADVICE r10: a bare existence stamp did exactly that).
+    ``log_format`` versions the COMMIT FILE SCHEMA itself — bumping
+    it (r12: commits gained a deterministic ``ts`` stamp) rebuilds
+    every table whose log predates the format."""
     import json
 
     return json.dumps(
         {
+            "log_format": 2,
             "slices": {k: list(v) for k, v in sorted(_TLOG_SLICES.items())},
             "commits": list(_TLOG_COMMITS),
         },
@@ -643,8 +647,16 @@ def _tlog_build(spark: SparkSession, sf_dir: str, root: str) -> str:
     ``_BUILT`` stamp is the serialized slice+commit spec, so editing
     the layout rebuilds instead of serving a stale table. A process
     arriving after the winner releases the lock hits the stamp
-    fast-path, same discipline as tests/conftest._build_doc_subset."""
+    fast-path, same discipline as tests/conftest._build_doc_subset.
+
+    A rebuild WIPES the root first (everything but the held lock):
+    derived commits (merge/schema/compaction/DV at v3+) and their
+    stamps key only on their OWN specs, so rebuilding the base in
+    place would leave stale derived files from the old slice layout
+    being served as current — exactly the silent-stale failure the
+    spec-stamp discipline exists to close (ADVICE r11 medium)."""
     import fcntl
+    import shutil
 
     if _tlog_built_ok(root):
         return root
@@ -656,6 +668,11 @@ def _tlog_build(spark: SparkSession, sf_dir: str, root: str) -> str:
             return root
         import json
 
+        for entry in os.listdir(root):
+            if entry == ".lock":
+                continue
+            p = os.path.join(root, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
         orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
         for name, residues in _TLOG_SLICES.items():
             orders.filter((F.col("o_orderkey") % 4).isin(*residues)).write.mode(
@@ -663,10 +680,15 @@ def _tlog_build(spark: SparkSession, sf_dir: str, root: str) -> str:
             ).parquet(os.path.join(root, f"file_{name}"))
         logd = os.path.join(root, "_log")
         os.makedirs(logd, exist_ok=True)
+        prev_ts = 0
         for v, c in enumerate(_TLOG_COMMITS):
+            payload = dict(c)
+            prev_ts = payload["ts"] = _tlog_next_ts(
+                json.dumps(c, sort_keys=True), prev_ts
+            )
             tmp = os.path.join(logd, f".{v:06d}.{os.getpid()}.tmp")
             with open(tmp, "w") as fh:
-                json.dump(c, fh)
+                json.dump(payload, fh)
             os.replace(tmp, os.path.join(logd, f"{v:06d}.json"))
         tmp = os.path.join(root, f"._BUILT.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
@@ -676,6 +698,79 @@ def _tlog_build(spark: SparkSession, sf_dir: str, root: str) -> str:
         fcntl.flock(lock_fh, fcntl.LOCK_UN)
         lock_fh.close()
     return root
+
+
+def _tlog_next_ts(payload_json: str, prev_ts: int) -> int:
+    """Deterministic monotonic COMMIT TIMESTAMP (a logical clock —
+    no wall clock in this repo's determinism discipline): the next
+    stamp is ``prev + 2 + md5(content) % 997``. Strictly increasing
+    with gaps >= 2 (so every commit has a queryable instant strictly
+    between it and its successor), irregular like real commit times,
+    and a pure function of the log content so every session agrees.
+    A production format would record the wall clock here; everything
+    downstream (as-of resolution, retention horizons) only needs
+    monotonicity, which this shares."""
+    import hashlib
+
+    return prev_ts + 2 + int(hashlib.md5(payload_json.encode()).hexdigest()[:8], 16) % 997
+
+
+def _tlog_commit_ts(root: str, version: int) -> int:
+    """Read commit ``version``'s timestamp (0 for a pre-log base of
+    -1, or for logs written before the stamp existed)."""
+    import json
+
+    if version < 0:
+        return 0
+    try:
+        return int(
+            json.load(open(os.path.join(root, "_log", f"{version:06d}.json"))).get(
+                "ts", 0
+            )
+        )
+    except OSError:
+        return 0
+
+
+def _tlog_version_as_of(root: str, ts: int) -> int:
+    """Resolve "as of timestamp T" -> the newest version whose commit
+    stamp is <= T (the Delta/Iceberg timestamp-travel rule). A T
+    before the table's first commit fails descriptively with the
+    earliest available instant."""
+    latest = _tlog_latest_version(root)
+    stamps = [(v, _tlog_commit_ts(root, v)) for v in range(latest + 1)]
+    eligible = [v for v, t in stamps if t <= ts]
+    if not eligible:
+        raise RuntimeError(
+            f"as-of timestamp {ts} predates the table at {root}: earliest "
+            f"available commit is v0 at ts {stamps[0][1]}"
+        )
+    return max(eligible)
+
+
+def _tlog_files_as_of(root: str, ts: int) -> list[str]:
+    """Timestamp time travel: resolve the as-of version, then its live
+    file set. History vacuumed below the retention horizon re-raises
+    with the earliest still-resolvable INSTANT (not just a version
+    number) so a caller thinking in time can act on the error."""
+    version = _tlog_version_as_of(root, ts)
+    try:
+        return _tlog_live_files(root, version)
+    except RuntimeError as e:
+        if "vacuumed" not in str(e):
+            raise
+        latest = _tlog_latest_version(root)
+        for v in range(version + 1, latest + 1):
+            try:
+                _tlog_live_files(root, v)
+            except RuntimeError:
+                continue
+            raise RuntimeError(
+                f"as-of ts {ts} resolves to v{version}, whose files are "
+                f"vacuumed; earliest available: ts {_tlog_commit_ts(root, v)} "
+                f"(v{v})"
+            ) from e
+        raise
 
 
 def _tlog_latest_version(root: str) -> int:
@@ -741,6 +836,7 @@ def _tlog_commit(
     base_version: int,
     dv: dict[str, str] | None = None,
     stats: dict[str, dict] | None = None,
+    batch: int | None = None,
 ) -> int:
     """OPTIMISTIC-CONCURRENCY commit: version ``base_version + 1`` is
     claimed by an atomic hard-link of a fully-written temp file onto
@@ -765,6 +861,15 @@ def _tlog_commit(
         payload["dv"] = dict(sorted(dv.items()))  # file -> deletion-vector sidecar
     if stats:
         payload["stats"] = dict(sorted(stats.items()))  # file -> column min/max
+    if batch is not None:
+        payload["batch"] = batch  # idempotent-sink key (streaming ingest)
+    # deterministic monotonic commit stamp — the "time" axis for
+    # as-of reads and retention horizons (computed over the payload
+    # BEFORE the stamp itself, so two writers racing identical
+    # content produce identical commits, byte for byte)
+    payload["ts"] = _tlog_next_ts(
+        json.dumps(payload, sort_keys=True), _tlog_commit_ts(root, base_version)
+    )
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
         fh.flush()
@@ -786,6 +891,24 @@ def _tlog_commit(
             json.dump({"version": v, "live": live}, fh)
         os.replace(ctmp, os.path.join(logd, f"{v:06d}.checkpoint.json"))
     return v
+
+
+def _tlog_same_commit(
+    winner: dict,
+    add: list[str],
+    remove: list[str],
+    dv: dict[str, str] | None = None,
+) -> bool:
+    """True iff a race-winning commit carries the SAME logical change
+    we lost trying to write (identical-content adoption: another
+    session ran the same deterministic mutation first). Compares the
+    change keys only — the ``ts`` stamp is derived, and new payload
+    keys must not break old adoption checks."""
+    return (
+        winner.get("add") == sorted(add)
+        and winner.get("remove") == sorted(remove)
+        and winner.get("dv") == (dict(sorted(dv.items())) if dv else None)
+    )
 
 
 def _tlog_relation(spark: SparkSession, files: list[str]) -> DataFrame:
@@ -1079,7 +1202,7 @@ def _tlog_apply_merge(spark: SparkSession, sf_dir: str, root: str) -> None:
             winner = json.load(
                 open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
             )
-            if winner != {"add": sorted(add), "remove": sorted(affected)}:
+            if not _tlog_same_commit(winner, add, affected):
                 raise
         tmp = os.path.join(root, f"._MERGED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
@@ -1227,7 +1350,7 @@ def _tlog_apply_schema_commit(spark: SparkSession, sf_dir: str, root: str) -> No
             winner = json.load(
                 open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
             )
-            if winner != {"add": ["file_E"], "remove": []}:
+            if not _tlog_same_commit(winner, ["file_E"], []):
                 raise
         tmp = os.path.join(root, f"._SCHEMA_EVOLVED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
@@ -1390,7 +1513,7 @@ def _tlog_apply_compact(spark: SparkSession, sf_dir: str, root: str) -> None:
             winner = json.load(
                 open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
             )
-            if winner.get("add") != sorted(add) or winner.get("remove") != removed:
+            if not _tlog_same_commit(winner, add, removed):
                 raise
         tmp = os.path.join(root, f"._COMPACTED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
@@ -1751,7 +1874,7 @@ def _tlog_apply_dv(spark: SparkSession, sf_dir: str, root: str) -> None:
             winner = json.load(
                 open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
             )
-            if winner != {"add": [], "remove": [], "dv": {spec["target"]: dv_name}}:
+            if not _tlog_same_commit(winner, [], [], dv={spec["target"]: dv_name}):
                 raise
         tmp = os.path.join(root, f"._DV.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:

@@ -45,7 +45,14 @@ def test_occ_exactly_one_winner(tlog_dir):
     with pytest.raises(TableLogConflictError, match="rebase|retry|race"):
         _tlog_commit(tlog_dir, add=["file_Y"], remove=["file_A"], base_version=base)
     committed = json.load(open(os.path.join(tlog_dir, "_log", f"{v:06d}.json")))
-    assert committed == {"add": ["file_X"], "remove": []}
+    assert {k: committed[k] for k in ("add", "remove")} == {
+        "add": ["file_X"], "remove": [],
+    }
+    # the commit carries a monotonic deterministic timestamp
+    prev_ts = json.load(
+        open(os.path.join(tlog_dir, "_log", f"{base:06d}.json"))
+    )["ts"]
+    assert committed["ts"] >= prev_ts + 2
     # the loser's rebase path: re-resolve latest, retry on the new base
     v2 = _tlog_commit(tlog_dir, add=["file_Y"], remove=["file_A"], base_version=v)
     assert v2 == v + 1
@@ -115,6 +122,33 @@ def test_stale_partial_dir_rebuilds_and_raises_descriptively(spark, tlog_dir):
     # the build helper recovers the dir in place
     _tlog_build(spark, SF_SMOKE, tlog_dir)
     assert _tlog_built_ok(tlog_dir)
+    assert {os.path.basename(p) for p in _tlog_live_files(tlog_dir, 2)} == {
+        "file_A", "file_C", "file_D",
+    }
+
+
+def test_spec_change_rebuild_wipes_derived_state(spark, tlog_dir):
+    """A base-spec rebuild must not leave derived commits, stamps, or
+    file groups from the OLD layout behind (ADVICE r11 medium: the
+    derived stamps key only on their own specs, so an in-place base
+    rebuild would serve snapshots mixing new base files with stale
+    derived ones). Simulate a derived commit v3 + its stamp + a
+    derived group, invalidate the spec, rebuild — all of it is gone
+    and the log is back to exactly the base commits."""
+    base = _tlog_latest_version(tlog_dir)
+    os.makedirs(os.path.join(tlog_dir, "file_A_m1"), exist_ok=True)
+    open(os.path.join(tlog_dir, "file_A_m1", "_SUCCESS"), "w").close()
+    _tlog_commit(tlog_dir, add=["file_A_m1"], remove=["file_A"], base_version=base)
+    with open(os.path.join(tlog_dir, "_MERGED"), "w") as fh:
+        fh.write("stale-derived-stamp")
+    with open(os.path.join(tlog_dir, "_BUILT"), "w") as fh:
+        fh.write("stale-spec")  # a spec edit invalidates the stamp
+    assert not _tlog_built_ok(tlog_dir)
+    _tlog_build(spark, SF_SMOKE, tlog_dir)
+    assert _tlog_built_ok(tlog_dir)
+    assert _tlog_latest_version(tlog_dir) == 2, "derived commit must not survive"
+    assert not os.path.exists(os.path.join(tlog_dir, "_MERGED"))
+    assert not os.path.exists(os.path.join(tlog_dir, "file_A_m1"))
     assert {os.path.basename(p) for p in _tlog_live_files(tlog_dir, 2)} == {
         "file_A", "file_C", "file_D",
     }
