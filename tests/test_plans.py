@@ -322,6 +322,7 @@ _PLAN_SWEEP_SKIP = {
     "table_log_schema_evolution",  # commits the wider-schema append on build
     "table_log_compact_commit", "table_log_vacuum_retention",  # rewrite/delete files on build
     "table_log_deletion_vectors",  # commits the DV sidecar on build
+    "table_log_compact_materialize_dv",  # DV commit + materializing compaction on build
     "table_log_stats_pruned_read",  # may run the compaction commit on build
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",

@@ -413,15 +413,68 @@ def test_deletion_vector_leaves_data_file_untouched(spark):
     )
     commit_path = os.path.join(root, "_log", f"{latest:06d}.json")
     assert d_mtime <= os.path.getmtime(commit_path)
-    # removing the file drops its binding (replayed, not stored state)
-    nxt = _tlog_commit(root, add=["file_Z"], remove=["file_D"], base_version=latest)
+    # removing the file drops its binding (replayed, not stored
+    # state) — exercised on a PRIVATE COPY of the table: committing
+    # a version referencing a nonexistent file_Z to the shared
+    # per-corpus root would break every concurrent reader resolving
+    # latest if this test died before cleanup (ADVICE r11)
+    clone = tempfile.mkdtemp(prefix="hbdbps_tlog_dvclone_")
     try:
-        assert _tlog_live_dvs(root, nxt) == {}
+        shutil.rmtree(clone)
+        shutil.copytree(root, clone)
+        nxt = _tlog_commit(clone, add=["file_Z"], remove=["file_D"], base_version=latest)
+        assert _tlog_live_dvs(clone, nxt) == {}
     finally:
-        os.remove(os.path.join(root, "_log", f"{nxt:06d}.json"))
-        cp = os.path.join(root, "_log", f"{nxt:06d}.checkpoint.json")
-        if os.path.exists(cp):
-            os.remove(cp)
+        shutil.rmtree(clone, ignore_errors=True)
+
+
+def test_compaction_materializes_deletion_vectors(spark):
+    """Compaction after a DV commit must APPLY the bound sidecars in
+    the rewrite (not just structurally drop the bindings — that alone
+    would RESURRECT the deleted rows) and leave the table with zero
+    DVs, content identical to source-minus-doomed-keys."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _TLOG_DV_SPEC,
+        _tlog_apply_compact,
+        _tlog_apply_dv,
+        _tlog_dvc_root,
+        _tlog_live_dvs,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    root = _tlog_build(spark, SF_SMOKE, _tlog_dvc_root(SF_SMOKE))
+    _tlog_apply_dv(spark, SF_SMOKE, root)
+    assert _tlog_live_dvs(root, _tlog_latest_version(root)), "DV commit missing"
+    _tlog_apply_compact(spark, SF_SMOKE, root)
+    latest = _tlog_latest_version(root)
+    assert _tlog_live_dvs(root, latest) == {}, "bindings must drop at compaction"
+    live = _tlog_live_files(root, latest)
+    assert all(os.path.basename(p).startswith("file_compact_r") for p in live)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(*live).select("o_orderkey", "o_totalprice").collect()
+    )
+    spec = _TLOG_DV_SPEC
+    import pyspark.sql.functions as F
+
+    want = sorted(
+        tuple(r)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(
+            ~(
+                (F.col("o_orderkey") % 4).isin(1, 3)
+                & (F.col("o_orderkey") % spec["del_mod"] == spec["del_residue"])
+            )
+        )
+        .collect()
+    )
+    assert got == want, "materializing compaction resurrected or lost rows"
+    # idempotent: a second apply is a no-op (stamped)
+    _tlog_apply_compact(spark, SF_SMOKE, root)
+    assert _tlog_latest_version(root) == latest
 
 
 def test_stats_pruning_skips_disjoint_files(spark):
