@@ -969,14 +969,14 @@ def _tlog_staged_write(
     return promoted
 
 
-@register(
-    "table_log_time_travel",
-    # Hash oracle: every snapshot's content is a pure function of the
-    # deterministic file slices the log adds/removes, so DuckDB
-    # recomputes each version straight from `orders` by residue set.
-    # All aggregates are exact integers (cents via ROUND*100) —
-    # order-independent across file groupings and engines.
-    oracle="""
+# Hash oracle for BOTH time-travel reads: every snapshot's content is
+# a pure function of the deterministic file slices the log
+# adds/removes, so DuckDB recomputes each version straight from
+# `orders` by residue set. All aggregates are exact integers (cents
+# via ROUND*100) — order-independent across file groupings, engines,
+# and (for the as-of twin) however the resolved instants map back to
+# versions.
+_TLOG_VERSIONS_ORACLE = """
         SELECT v.version,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -989,7 +989,12 @@ def _tlog_staged_write(
           OR (v.version = 1 AND o.o_orderkey % 4 IN (0, 1, 2))
           OR (v.version = 2)
         GROUP BY v.version
-    """,
+    """
+
+
+@register(
+    "table_log_time_travel",
+    oracle=_TLOG_VERSIONS_ORACLE,
     tags=("S9", "lakehouse", "snapshot", "time-travel"),
 )
 def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,6 +1035,18 @@ def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for version, _residues in _TLOG_VERSIONS
         for path in _tlog_live_files(root, version)
     ]
+    return _tlog_snapshot_fingerprints(spark, root, membership)
+
+
+def _tlog_snapshot_fingerprints(
+    spark: SparkSession, root: str, membership: list[tuple[int, str]]
+) -> DataFrame:
+    """Fingerprint several snapshots in ONE pass: every distinct live
+    file is scanned once into per-file partial aggregates, combined
+    per snapshot through a broadcast (version, file) membership join
+    — files shared by several snapshots (most, under copy-on-write)
+    are never re-read (the manifest-stats trick both time-travel
+    reads share)."""
     every_file = sorted({os.path.join(root, f) for _v, f in membership})
     partials = (
         _tlog_relation(spark, every_file)
@@ -1054,6 +1071,57 @@ def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("version", "n_rows", "sum_cents", "min_key", "max_key")
     )
+
+
+@register(
+    "table_log_time_travel_as_of",
+    oracle=_TLOG_VERSIONS_ORACLE,
+    tags=("S9-ts", "lakehouse", "time-travel", "as-of"),
+)
+def table_log_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-ts — time travel BY TIMESTAMP (VERDICT r11 item 4: snapshots
+    previously resolved only by version; a reader asking "as of
+    2026-08-01" had no path). Every commit carries a deterministic
+    monotonic stamp (``_tlog_next_ts`` — a logical clock, since this
+    repo's determinism discipline bans the wall clock; a production
+    format records commit wall time here and resolves identically);
+    "as of T" resolves to the newest version whose stamp is <= T
+    (``_tlog_version_as_of``), with a descriptive failure naming the
+    earliest available instant when T predates the table or the
+    resolved snapshot is below the vacuum horizon. The operator
+    queries one instant per version — strictly BETWEEN commit stamps
+    for the historical versions (stamps gap by >= 2, so ts_{{v+1}}-1
+    genuinely exercises floor-resolution, not equality) and after
+    the last stamp for latest — asserts each resolves to the
+    expected version, and fingerprints all three snapshots through
+    the same one-scan membership plan as the version-addressed read;
+    the hash oracle is shared with it.
+
+    Scale: resolution is a pure driver computation over the
+    commits-sized log (bounded further by checkpoints); the data
+    plane is identical to version-addressed travel. Timestamp
+    resolution is what makes retention horizons, "reproduce
+    yesterday's training set", and cross-table consistent reads
+    ("every table as of T") expressible without a version registry."""
+    root = _tlog_build(spark, sf_dir, _tlog_root(sf_dir))
+    latest = _tlog_latest_version(root)
+    membership: list[tuple[int, str]] = []
+    for v in range(latest + 1):
+        instant = (
+            _tlog_commit_ts(root, v + 1) - 1
+            if v < latest
+            else _tlog_commit_ts(root, latest) + 1
+        )
+        resolved = _tlog_version_as_of(root, instant)
+        if resolved != v:
+            raise RuntimeError(
+                f"as-of resolution broken: instant {instant} resolved to "
+                f"v{resolved}, expected v{v}"
+            )
+        membership.extend(
+            (v, os.path.basename(p)) for p in _tlog_files_as_of(root, instant)
+        )
+    return _tlog_snapshot_fingerprints(spark, root, membership)
 
 
 @register(
@@ -1605,20 +1673,29 @@ def _tlog_apply_compact(spark: SparkSession, sf_dir: str, root: str) -> None:
         lock_fh.close()
 
 
-def _tlog_vacuum(root: str, retain_version: int) -> list[str]:
-    """Physically delete data files no snapshot at or after
-    ``retain_version`` references (Delta's VACUUM, minus the clock:
-    retention here is a version horizon, not hours). Vacuum writes NO
-    commit — it is a physical operation below the log — but it DOES
-    record what it deleted in ``_VACUUMED`` so (a) the build-check
-    knows the dir is complete-minus-vacuum rather than half-built,
-    and (b) time travel below the horizon fails with a descriptive
-    error instead of a parquet FileNotFound. Deleting is safe for
-    live readers of retained versions: their files are, by
+def _tlog_vacuum(
+    root: str, retain_version: int | None = None, retain_ts: int | None = None
+) -> list[str]:
+    """Physically delete data files (and DV sidecars) no snapshot at
+    or after the retention horizon references — Delta's VACUUM. The
+    horizon is a version (``retain_version``) or an INSTANT
+    (``retain_ts``, resolved through the same commit stamps as as-of
+    reads — the production form: "retain 7 days" is a timestamp rule).
+    Vacuum writes NO commit — it is a physical operation below the
+    log — but it DOES record what it deleted in ``_VACUUMED`` so (a)
+    the build-check knows the dir is complete-minus-vacuum rather
+    than half-built, and (b) time travel below the horizon fails with
+    a descriptive error (naming the earliest still-available instant
+    on the as-of path) instead of a parquet FileNotFound. Deleting is
+    safe for live readers of retained versions: their files are, by
     definition, referenced. Returns the deleted file-group names."""
     import re
     import shutil
 
+    if (retain_version is None) == (retain_ts is None):
+        raise ValueError("pass exactly one of retain_version / retain_ts")
+    if retain_ts is not None:
+        retain_version = _tlog_version_as_of(root, retain_ts)
     latest = _tlog_latest_version(root)
     referenced: set[str] = set()
     for v in range(retain_version, latest + 1):

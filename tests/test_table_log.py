@@ -428,6 +428,41 @@ def test_deletion_vector_leaves_data_file_untouched(spark):
         shutil.rmtree(clone, ignore_errors=True)
 
 
+def test_timestamp_as_of_resolution_and_retention(spark, tlog_dir):
+    """Timestamp time travel: commit stamps are strictly monotonic
+    with gaps >= 2; as-of floor-resolves between stamps; a T before
+    the table fails descriptively; a timestamp-horizon vacuum makes
+    sub-horizon as-of reads name the earliest available INSTANT."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_ts,
+        _tlog_files_as_of,
+        _tlog_vacuum,
+        _tlog_version_as_of,
+    )
+
+    ts = [_tlog_commit_ts(tlog_dir, v) for v in range(3)]
+    assert ts[0] >= 2 and ts[1] >= ts[0] + 2 and ts[2] >= ts[1] + 2
+    # exact stamp -> that version; between stamps -> floor
+    assert _tlog_version_as_of(tlog_dir, ts[1]) == 1
+    assert _tlog_version_as_of(tlog_dir, ts[2] - 1) == 1
+    assert _tlog_version_as_of(tlog_dir, ts[2] + 100) == 2
+    assert {os.path.basename(p) for p in _tlog_files_as_of(tlog_dir, ts[0])} == {
+        "file_A", "file_B",
+    }
+    with pytest.raises(RuntimeError, match="earliest available"):
+        _tlog_version_as_of(tlog_dir, ts[0] - 1)
+    # timestamp-horizon vacuum: retain as of ts[2] -> file_B deletable
+    with pytest.raises(ValueError, match="exactly one"):
+        _tlog_vacuum(tlog_dir)
+    deleted = _tlog_vacuum(tlog_dir, retain_ts=ts[2])
+    assert deleted == ["file_B"]
+    # sub-horizon as-of now fails naming the earliest available instant
+    with pytest.raises(RuntimeError, match=f"earliest available: ts {ts[2]}"):
+        _tlog_files_as_of(tlog_dir, ts[1])
+    # the retained snapshot still resolves
+    assert len(_tlog_files_as_of(tlog_dir, ts[2])) == 3
+
+
 def test_compaction_materializes_deletion_vectors(spark):
     """Compaction after a DV commit must APPLY the bound sidecars in
     the rewrite (not just structurally drop the bindings — that alone
@@ -446,7 +481,9 @@ def test_compaction_materializes_deletion_vectors(spark):
 
     root = _tlog_build(spark, SF_SMOKE, _tlog_dvc_root(SF_SMOKE))
     _tlog_apply_dv(spark, SF_SMOKE, root)
-    assert _tlog_live_dvs(root, _tlog_latest_version(root)), "DV commit missing"
+    # v3 is the DV commit (the compaction may already sit at v4 if a
+    # prior session ran the full lifecycle on this shared root)
+    assert _tlog_live_dvs(root, 3), "DV commit must bind a sidecar at v3"
     _tlog_apply_compact(spark, SF_SMOKE, root)
     latest = _tlog_latest_version(root)
     assert _tlog_live_dvs(root, latest) == {}, "bindings must drop at compaction"
