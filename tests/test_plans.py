@@ -324,6 +324,8 @@ _PLAN_SWEEP_SKIP = {
     "table_log_deletion_vectors",  # commits the DV sidecar on build
     "table_log_compact_materialize_dv",  # DV commit + materializing compaction on build
     "table_log_stats_pruned_read",  # may run the compaction commit on build
+    "table_log_zorder_pruned_read",  # runs the Z-order compaction commit on build
+    "table_log_time_travel_as_of",  # synthesizes the table dir + commit log on build
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",

@@ -514,6 +514,50 @@ def test_compaction_materializes_deletion_vectors(spark):
     assert _tlog_latest_version(root) == latest
 
 
+def test_zorder_pruning_skips_on_both_dimensions(spark):
+    """The Z-order compaction must record two-column manifest stats
+    whose pruning BITES ON EACH DIMENSION independently: the 2-D
+    window's file set is strictly smaller than either single-column
+    pruning alone (a 1-D sorted layout fails this — the unsorted
+    column's bounds span everything), and every skipped file is
+    provably disjoint on at least one dimension."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _TLOG_Z_KHI,
+        _TLOG_Z_KLO,
+        _TLOG_Z_PHI,
+        _TLOG_Z_PLO,
+        _tlog_apply_zorder_compact,
+        _tlog_live_stats,
+        _tlog_stats_prune,
+        _tlog_zroot,
+    )
+
+    root = _tlog_build(spark, SF_SMOKE, _tlog_zroot(SF_SMOKE))
+    _tlog_apply_zorder_compact(spark, SF_SMOKE, root)
+    latest = _tlog_latest_version(root)
+    files = _tlog_live_files(root, latest)
+    stats = _tlog_live_stats(root, latest)
+    assert all(
+        {"o_orderkey", "o_totalprice"} <= stats[os.path.basename(p)].keys()
+        for p in files
+    ), "every z-group must record stats for BOTH clustered columns"
+    by_key = _tlog_stats_prune(files, stats, "o_orderkey", _TLOG_Z_KLO, _TLOG_Z_KHI)
+    by_price = _tlog_stats_prune(files, stats, "o_totalprice", _TLOG_Z_PLO, _TLOG_Z_PHI)
+    both = _tlog_stats_prune(by_key, stats, "o_totalprice", _TLOG_Z_PLO, _TLOG_Z_PHI)
+    assert len(by_key) < len(files), "key dimension must skip files"
+    assert len(by_price) < len(files), "price dimension must skip files"
+    assert len(both) < len(by_key), "price bound must bite beyond the key bound"
+    assert len(both) < len(by_price), "key bound must bite beyond the price bound"
+    for p in set(files) - set(both):
+        st = stats[os.path.basename(p)]
+        klo, khi = st["o_orderkey"]
+        plo, phi = st["o_totalprice"]
+        assert (
+            khi < _TLOG_Z_KLO or klo > _TLOG_Z_KHI
+            or phi < _TLOG_Z_PLO or plo > _TLOG_Z_PHI
+        ), f"{p} skipped but not provably disjoint on any dimension"
+
+
 def test_stats_pruning_skips_disjoint_files(spark):
     """The manifest stats recorded by compaction must actually SKIP
     files for a narrow key-range query (driver-side, before any
