@@ -1990,6 +1990,230 @@ def stream_table_log_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tlog_latest_fingerprint(spark, dst_root)
 
 
+# ---- streaming ingest INTO the table format (batch-id idempotence) ----
+
+_TLOG_INGEST_ROWS = 10_000
+_TLOG_INGEST_BATCH = 2_500
+
+
+def _tlog_ingest_root() -> str:
+    # the source is the deterministic synthetic stream (no corpus
+    # dependence), so one root serves every sf_dir
+    return os.path.join(tempfile.gettempdir(), "hbdbps_tablelogin_v1")
+
+
+def _tlog_ingest_spec() -> str:
+    import json
+
+    return json.dumps(
+        {
+            "rows": _TLOG_INGEST_ROWS,
+            "batch": _TLOG_INGEST_BATCH,
+            "log_format": _tlog_spec_stamp(),
+        },
+        sort_keys=True,
+    )
+
+
+def _tlog_batch_committed(root: str, batch_id: int) -> bool:
+    """True iff some commit already carries this micro-batch id — the
+    idempotent-sink check (Delta's txn appId/version table, reduced
+    to a key in the commit payload): a replayed batch writes NOTHING."""
+    import json
+
+    logd = os.path.join(root, "_log")
+    if not os.path.isdir(logd):
+        return False
+    for f in os.listdir(logd):
+        if f.endswith(".json") and not f.endswith(".checkpoint.json"):
+            if json.load(open(os.path.join(logd, f))).get("batch") == batch_id:
+                return True
+    return False
+
+
+def _tlog_apply_ingest(spark: SparkSession, root: str) -> None:
+    """Drain the bounded synthetic event stream into a table-log
+    table, ONE atomic commit per micro-batch, keyed by batch id
+    (flock-serialized). Three-layer exactly-once:
+
+    1. the source replays any offset range deterministically
+       (checkpoint-replay exactly-once, the Kafka contract);
+    2. each batch's file group publishes via the put-if-absent
+       commit — readers see a whole batch or none of it;
+    3. the commit records its BATCH ID, so a re-delivered batch
+       (rerun with a lost checkpoint, foreachBatch retry after a
+       commit that DID land) writes nothing — the idempotent-sink
+       rule every production streaming-into-lakehouse pipeline
+       implements (Delta txn appId/version).
+
+    Recovery discipline: ``_INGEST_SPEC`` is written BEFORE the first
+    commit; a root carrying a different spec (or commits with no spec
+    at all) is wiped and re-ingested, while a matching spec with a
+    missing completion stamp is a CRASHED DRAIN — resumed in place,
+    which the batch-id dedup makes safe (ADVICE r11: the replica's
+    existence-only stamp had no such path and double-applied
+    forever)."""
+    import fcntl
+    import json
+    import shutil
+
+    stamp_file = os.path.join(root, "_INGESTED")
+    spec = _tlog_ingest_spec()
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == spec
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        spec_file = os.path.join(root, "_INGEST_SPEC")
+        stale_spec = False
+        try:
+            stale_spec = open(spec_file).read() != spec
+        except OSError:
+            stale_spec = os.path.isdir(os.path.join(root, "_log")) and any(
+                f.endswith(".json") for f in os.listdir(os.path.join(root, "_log"))
+            )
+        if stale_spec:
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+        if not os.path.exists(spec_file):
+            tmp = os.path.join(root, f"._SPEC.{os.getpid()}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(spec)
+            os.replace(tmp, spec_file)
+
+        from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+            register_synthetic_stream_source,
+        )
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if _tlog_batch_committed(root, batch_id):
+                return  # re-delivered batch: idempotent no-op
+            name = f"file_ingest_b{batch_id}"
+            _tlog_staged_write(
+                batch_df.select(
+                    F.lit(name).alias("tgt"), "event_id", "bucket", "value"
+                ),
+                root,
+                [name],
+            )
+            try:
+                base = _tlog_latest_version(root)
+            except RuntimeError:
+                base = -1
+            try:
+                _tlog_commit(
+                    root, add=[name], remove=[], base_version=base, batch=batch_id
+                )
+            except TableLogConflictError:
+                winner = json.load(
+                    open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
+                )
+                if winner.get("batch") != batch_id or not _tlog_same_commit(
+                    winner, [name], []
+                ):
+                    raise
+
+        register_synthetic_stream_source(spark)
+        raw = (
+            spark.readStream.format("synthetic_events_stream")
+            .option("rows", str(_TLOG_INGEST_ROWS))
+            .option("batch", str(_TLOG_INGEST_BATCH))
+            .load()
+        )
+        query = (
+            raw.writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(root, ".ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        n_commits = _tlog_latest_version(root) + 1
+        want = _TLOG_INGEST_ROWS // _TLOG_INGEST_BATCH
+        if n_commits != want:
+            raise RuntimeError(
+                f"ingest drained {n_commits} commits, expected {want} — "
+                "feed lost or double-applied a batch"
+            )
+        tmp = os.path.join(root, f"._INGESTED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(spec)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "stream_table_log_ingest",
+    # Hash oracle: the drained table's content recomputed from the
+    # synthetic source's closed form (id, id % 10, round(sqrt, 6)).
+    oracle=f"""
+        SELECT CAST(g % 10 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(ROUND(sqrt(g + 1.0), 6) * 1000000)
+                 AS BIGINT)) AS BIGINT) AS sum_micros,
+               CAST(MIN(g) AS BIGINT) AS min_id,
+               CAST(MAX(g) AS BIGINT) AS max_id
+        FROM generate_series(0, {_TLOG_INGEST_ROWS - 1}) t(g)
+        GROUP BY 1
+    """,
+    tags=("S9-in", "stream", "lakehouse", "ingest", "exactly-once"),
+)
+def stream_table_log_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-in — STREAMING INGEST INTO THE TABLE FORMAT (VERDICT r11
+    item 6): the write-side generalization of the replicate pattern —
+    an arbitrary event stream lands as ONE atomic table-log commit
+    per micro-batch, with batch-id → commit idempotence so a
+    re-delivered batch writes nothing (``stream_file_sink_exactly_once``'s
+    contract, but into the format, where it additionally buys atomic
+    multi-file publication, snapshot isolation from readers, time
+    travel over the ingest history, and OCC coexistence with other
+    writers). The drain is replay-pytest-pinned: a second drain with
+    a wiped checkpoint leaves the log byte-identical, and a crashed
+    drain (missing completion stamp, partial log) RESUMES, applying
+    only the missing batches. The result fingerprints the drained
+    table per bucket, hash-checked against the source's closed form.
+    ``sf_dir`` unused — the source is the deterministic stream.
+
+    Scale: this is how CDC/event firehoses land in a lakehouse —
+    commit-per-batch keeps readers consistent at any ingest rate;
+    the batch-id key makes retries free instead of duplicating data;
+    small-file growth is bounded by the compaction commit
+    (``table_log_compact_commit``), which is exactly the
+    ingest→optimize loop production tables run."""
+    root = _tlog_ingest_root()
+    _tlog_apply_ingest(spark, root)
+    files = _tlog_live_files(root, _tlog_latest_version(root))
+    return (
+        _tlog_relation(spark, files)
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sum_micros"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+        .select("bucket", "n_rows", "sum_micros", "min_id", "max_id")
+    )
+
+
 def _tlog_dv_root(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"hbdbps_tablelogdv_{corpus_tag(sf_dir)}")
 

@@ -514,6 +514,58 @@ def test_compaction_materializes_deletion_vectors(spark):
     assert _tlog_latest_version(root) == latest
 
 
+def test_stream_ingest_replay_writes_nothing_and_crash_resumes(spark):
+    """Batch-id -> commit idempotence for streaming ingest: (a) a
+    re-drain with a wiped checkpoint leaves the log byte-identical
+    (every batch already committed -> zero writes); (b) a CRASHED
+    drain (completion stamp missing, last commit gone) resumes and
+    applies only the missing batch, reproducing the identical commit
+    (deterministic source + logical-clock stamps)."""
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_apply_ingest,
+        _tlog_ingest_root,
+    )
+
+    _tlog_apply_ingest(spark, _tlog_ingest_root())
+    clone = tempfile.mkdtemp(prefix="hbdbps_tlog_ingest_clone_")
+    try:
+        shutil.rmtree(clone)
+        shutil.copytree(_tlog_ingest_root(), clone)
+
+        def log_bytes():
+            logd = os.path.join(clone, "_log")
+            return {
+                f: open(os.path.join(logd, f), "rb").read()
+                for f in os.listdir(logd)
+                if f.endswith(".json")
+            }
+
+        before = log_bytes()
+        assert len([f for f in before if not f.endswith(".checkpoint.json")]) == 4
+        # (a) replay: wipe checkpoint + completion stamp, re-drain
+        os.remove(os.path.join(clone, "_INGESTED"))
+        shutil.rmtree(os.path.join(clone, ".ckpt"))
+        _tlog_apply_ingest(spark, clone)
+        assert log_bytes() == before, "replayed drain must write nothing"
+        # (b) crash recovery: drop the last commit + its file group
+        last = json.load(open(os.path.join(clone, "_log", "000003.json")))
+        os.remove(os.path.join(clone, "_log", "000003.json"))
+        cp = os.path.join(clone, "_log", "000003.checkpoint.json")
+        if os.path.exists(cp):
+            os.remove(cp)
+        shutil.rmtree(os.path.join(clone, last["add"][0]))
+        os.remove(os.path.join(clone, "_INGESTED"))
+        shutil.rmtree(os.path.join(clone, ".ckpt"))
+        _tlog_apply_ingest(spark, clone)
+        redone = json.load(open(os.path.join(clone, "_log", "000003.json")))
+        assert redone == last, "resumed drain must reproduce the identical commit"
+        assert _tlog_latest_version(clone) == 3
+    finally:
+        shutil.rmtree(clone, ignore_errors=True)
+
+
 def test_zorder_pruning_skips_on_both_dimensions(spark):
     """The Z-order compaction must record two-column manifest stats
     whose pruning BITES ON EACH DIMENSION independently: the 2-D
