@@ -1829,18 +1829,47 @@ def _tlog_replicate(spark: SparkSession, sf_dir: str, src_root: str, dst_root: s
     operator's file-pruning discovery), and the add+remove file sets
     publish atomically through the put-if-absent protocol. After the
     drain, the replica's commit count must equal the source's —
-    checked loudly."""
+    checked loudly.
+
+    Recovery discipline (ADVICE r11: the previous existence-only
+    stamp had no path out of a crashed drain — the bootstrap
+    conflict was silently adopted and the feed restarted at offset
+    1, double-applying forever): the stamp carries the SOURCE SPEC,
+    and entering the locked section with an invalid-or-missing stamp
+    but a NONEMPTY replica log wipes the replica and re-replicates
+    from scratch — replication is change-sized, so redoing it beats
+    reasoning about which half-applied commit to resume at."""
     import fcntl
+    import json
+    import shutil
 
     stamp_file = os.path.join(dst_root, "_REPLICATED")
-    if os.path.exists(stamp_file):
+    stamp = json.dumps({"spec": _tlog_spec_stamp()}, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
         return
     os.makedirs(os.path.join(dst_root, "_log"), exist_ok=True)
     lock_fh = open(os.path.join(dst_root, ".lock"), "w")
     fcntl.flock(lock_fh, fcntl.LOCK_EX)
     try:
-        if os.path.exists(stamp_file):
+        if _ok():
             return
+        if any(
+            f.endswith(".json")
+            for f in os.listdir(os.path.join(dst_root, "_log"))
+        ):
+            for entry in os.listdir(dst_root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(dst_root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            os.makedirs(os.path.join(dst_root, "_log"), exist_ok=True)
         from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
             register_table_log_feed_source,
         )
@@ -1944,7 +1973,7 @@ def _tlog_replicate(spark: SparkSession, sf_dir: str, src_root: str, dst_root: s
             )
         tmp = os.path.join(dst_root, f"._REPLICATED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
-            fh.write(f"src_latest={src_latest}")
+            fh.write(stamp)
         os.replace(tmp, stamp_file)
     finally:
         fcntl.flock(lock_fh, fcntl.LOCK_UN)

@@ -1614,7 +1614,7 @@ def sim_search_tfidf_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_IVF_INDEX_FORMAT = 1  # bump to invalidate persisted indexes
+_IVF_INDEX_FORMAT = 2  # bump to invalidate persisted indexes (2: versioned file generations)
 
 
 def _ivf_index_root(sf_dir: str) -> str:
@@ -1629,7 +1629,11 @@ def _ivf_index_root(sf_dir: str) -> str:
 def _ivf_index_stamp(sf_dir: str) -> str:
     """Index validity stamp: the training spec + the source parquet's
     identity — a corpus regeneration or a spec change must retrain,
-    never serve a stale index (the table-format _BUILT discipline)."""
+    never serve a stale index (the table-format _BUILT discipline).
+    Source identity is (size, mtime_ns): whole-second truncation
+    previously let a same-size regeneration landing within one
+    second serve a stale index (ADVICE r11 — and this repo's corpus
+    HAS regenerated mid-build before)."""
     import json
     import os
 
@@ -1642,7 +1646,7 @@ def _ivf_index_stamp(sf_dir: str) -> str:
             "sample": _IVF_SAMPLE,
             "sketch_iters": _IVF_SKETCH_ITERS,
             "lloyd_steps": _IVF_LLOYD_STEPS,
-            "src": [st.st_size, int(st.st_mtime)],
+            "src": [st.st_size, st.st_mtime_ns],
         },
         sort_keys=True,
     )
@@ -1651,15 +1655,20 @@ def _ivf_index_stamp(sf_dir: str) -> str:
 def _ivf_index_build(spark: SparkSession, sf_dir: str) -> str:
     """BUILD-once step for the persisted IVF index (VERDICT r10 item
     6): train centroids, materialize the index as TWO parquet tables —
-    ``file_centroids`` (cluster, centroid) and ``file_postings`` (the
-    inverted lists, PARTITIONED BY bucket so a selective probe set
-    prunes partitions at scan time) — and PUBLISH them atomically as
-    commit 0 of a commit-log table (``_tlog_commit``: readers see the
-    whole index or none of it; a retrain would be commit 1 adding new
-    files and removing old, with time travel to the prior index for
-    free). flock-serialized + stamp-keyed like every other /tmp
-    artifact build in this repo."""
+    ``file_centroids_g<N>`` (cluster, centroid) and
+    ``file_postings_g<N>`` (the inverted lists, PARTITIONED BY bucket
+    so a selective probe set prunes partitions at scan time) — and
+    PUBLISH them atomically through the commit-log protocol
+    (``_tlog_commit``: readers see the whole index or none of it).
+    File names are VERSIONED BY GENERATION and a retrain is a real
+    add+remove commit on the existing log (ADVICE r11: the previous
+    in-place overwrite of unversioned files could expose a reader
+    that passed the old stamp mid-query to a half-overwritten file
+    set — now its snapshot's files are immutable until vacuumed, and
+    time travel to the prior index is free). flock-serialized +
+    stamp-keyed like every other /tmp artifact build in this repo."""
     import fcntl
+    import json
     import os
 
     root = _ivf_index_root(sf_dir)
@@ -1682,30 +1691,42 @@ def _ivf_index_build(spark: SparkSession, sf_dir: str) -> str:
         from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
             TableLogConflictError,
             _tlog_commit,
+            _tlog_latest_version,
+            _tlog_live_files,
+            _tlog_same_commit,
         )
 
+        try:
+            base = _tlog_latest_version(root)
+            old = sorted(os.path.basename(p) for p in _tlog_live_files(root, base))
+        except RuntimeError:
+            base, old = -1, []
+        gen = base + 1
+        cent_name, post_name = f"file_centroids_g{gen}", f"file_postings_g{gen}"
         emb, refined = _ivf_train_centroids(spark, sf_dir)
         cent_rows = [
             (int(c), [float(x) for x in refined[c]]) for c in range(refined.shape[0])
         ]
         spark.createDataFrame(
             cent_rows, "cluster int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, "file_centroids")
-        )
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, cent_name))
         emitted = emb.mapInPandas(
             _assign_emit_kernel(refined),
             "bucket int, side int, id long, v array<double>",
         )
         emitted.filter(F.col("side") == 0).write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(os.path.join(root, "file_postings"))
+        ).parquet(os.path.join(root, post_name))
+        add = [cent_name, post_name]
         try:
-            _tlog_commit(
-                root, add=["file_centroids", "file_postings"], remove=[], base_version=-1
-            )
+            _tlog_commit(root, add=add, remove=old, base_version=base)
         except TableLogConflictError:
-            pass  # an older build already published commit 0; files are rewritten in place
+            # another session published the same deterministic retrain
+            winner = json.load(
+                open(os.path.join(root, "_log", f"{gen:06d}.json"))
+            )
+            if not _tlog_same_commit(winner, add, old):
+                raise
         tmp = os.path.join(root, f"._BUILT.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write(_ivf_index_stamp(sf_dir))
@@ -1756,9 +1777,19 @@ def sim_search_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(p): p
         for p in _tlog_live_files(root, _tlog_latest_version(root))
     }
-    cent_rows = spark.read.parquet(live["file_centroids"]).orderBy("cluster").collect()
+
+    def _live_one(prefix: str) -> str:
+        hits = [p for n, p in live.items() if n.startswith(prefix)]
+        if len(hits) != 1:
+            raise RuntimeError(
+                f"index snapshot must reference exactly one {prefix}* "
+                f"generation, found {sorted(os.path.basename(h) for h in hits)}"
+            )
+        return hits[0]
+
+    cent_rows = spark.read.parquet(_live_one("file_centroids")).orderBy("cluster").collect()
     centroids = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
-    postings = spark.read.parquet(live["file_postings"]).select(
+    postings = spark.read.parquet(_live_one("file_postings")).select(
         "bucket", "side", "id", "v"
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

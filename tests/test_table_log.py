@@ -385,6 +385,48 @@ def test_replication_log_structure(spark):
     assert src_rows == dst_rows
 
 
+def test_replication_recovers_from_crashed_drain(spark):
+    """A replica left mid-drain (commits present, completion stamp
+    missing) must be wiped and re-replicated — never resumed into a
+    double-apply (ADVICE r11: the existence-only stamp previously
+    adopted the bootstrap conflict and restarted the feed at offset
+    1, failing reconciliation forever)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_replica_root,
+        _tlog_replicate,
+        _tlog_root,
+    )
+
+    src = _tlog_build(spark, SF_SMOKE, _tlog_root(SF_SMOKE))
+    good = _tlog_replica_root(SF_SMOKE)
+    _tlog_replicate(spark, SF_SMOKE, src, good)
+    crashed = tempfile.mkdtemp(prefix="hbdbps_tlog_replcrash_")
+    try:
+        shutil.rmtree(crashed)
+        shutil.copytree(good, crashed)
+        # simulate the crash: partial log (only the bootstrap + v1
+        # commits survive), no completion stamp
+        os.remove(os.path.join(crashed, "_REPLICATED"))
+        os.remove(os.path.join(crashed, "_log", "000002.json"))
+        _tlog_replicate(spark, SF_SMOKE, src, crashed)
+        assert _tlog_latest_version(crashed) == _tlog_latest_version(src)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                *_tlog_live_files(crashed, _tlog_latest_version(crashed))
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                *_tlog_live_files(src, _tlog_latest_version(src))
+            ).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(crashed, ignore_errors=True)
+
+
 def test_deletion_vector_leaves_data_file_untouched(spark):
     """DV-delete must not rewrite the target: file_D's parquet bytes
     predate the DV commit, the sidecar lives outside the data
