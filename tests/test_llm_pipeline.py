@@ -832,6 +832,61 @@ def test_ann_ivf_persisted_recall_and_no_retrain(spark, monkeypatch):
     assert recall >= 0.7, f"persisted-IVF recall degraded: {recall}"
 
 
+def test_semantic_lsh_multiprobe_mid_similarity_regime(spark):
+    """The regime multiprobe EXISTS for (VERDICT r11 item 8): 100
+    deterministic twins planted at cos ≈ 0.70, mined at threshold
+    0.65. Measured on this fixture: exact banding recalls 0.84,
+    1-bit multiprobe 1.00, for a candidate (verify-stage) volume of
+    3697 → 14657 of 19900 all-pairs — the probe factor is bounded by
+    the constant 1+bits, and the verify stage stays BELOW brute
+    force even over this worst-case near-orthogonal background. The
+    pins are slightly slack against corpus regeneration."""
+    import numpy as np
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import (
+        _SEMLSH_BITS,
+        semantic_lsh_pairs,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+
+    base = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 100")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    target_cos = 0.70
+    eps = float(np.sqrt(1.0 / target_cos**2 - 1.0))
+    rows = []
+    for vec_id, emb in zip(base["vec_id"], base["embedding"]):
+        v = np.asarray(emb, dtype=np.float64)
+        vn = v / np.linalg.norm(v)
+        r = np.cos(np.arange(v.size) * (int(vec_id) + 2.0))
+        o = r - (r @ vn) * vn
+        twin = vn + eps * (o / np.linalg.norm(o))
+        rows.append((int(vec_id), [float(x) for x in vn]))
+        rows.append((int(vec_id) + 1_000_000, [float(x) for x in twin]))
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {(int(i), int(i) + 1_000_000) for i in base["vec_id"]}
+    thr = 0.65
+
+    def recall(probe_bits):
+        found = semantic_lsh_pairs(emb_df, thr, probe_bits=probe_bits).toPandas()
+        return len({(r.id_a, r.id_b) for r in found.itertuples()} & planted) / len(planted)
+
+    r_exact, r_probe = recall(0), recall(1)
+    assert r_probe >= 0.95, f"multiprobe mid-regime recall: {r_probe}"
+    assert r_probe > r_exact, "the probe side must buy recall here"
+    assert r_exact >= 0.5, f"exact-band sanity floor: {r_exact}"
+    # cost: threshold -1 keeps every candidate -> verify-stage volume
+    cand_exact = semantic_lsh_pairs(emb_df, -1.0, probe_bits=0).count()
+    cand_probe = semantic_lsh_pairs(emb_df, -1.0, probe_bits=1).count()
+    all_pairs = len(rows) * (len(rows) - 1) // 2
+    assert cand_probe < all_pairs, "multiprobe verify must stay below brute force"
+    assert cand_probe <= (1 + _SEMLSH_BITS) * cand_exact, "probe factor exceeded 1+bits"
+
+
 def test_semantic_lsh_multiprobe_superset_and_recall(spark):
     """1-bit multiprobe must find every exact-band pair PLUS the
     near-miss bands: superset of the exact-band result, recall vs
