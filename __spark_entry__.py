@@ -107,27 +107,17 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 11 state: the board is all-green (VERDICT r10), so
-    # the front is this round's nine new operators — the lakehouse
-    # lifecycle (MERGE write path, schema evolution, compaction
-    # commit, retention vacuum), the three CDC stream forms (simple,
-    # partitioned executor-side, and replication-apply), the
-    # persisted-IVF query path (rows-only by nature), and multiprobe
-    # semantic LSH. The rest of the window is the verified back in
-    # newest-round-ascending order, which drains the 35 remaining
-    # r04 rows (the events-blast-radius re-attestation block) and
-    # then starts on r05 (VERDICT r10 item 2).
-    "table_log_merge_upsert",
-    "stream_table_log_feed",
-    "sim_search_ann_ivf_persisted",
-    "table_log_schema_evolution",
-    "table_log_compact_commit",
-    "table_log_vacuum_retention",
-    "stream_table_log_feed_partitioned",
-    "dedup_semantic_lsh_multiprobe",
-    "stream_table_log_replicate",
-    "table_log_deletion_vectors",
-    "table_log_stats_pruned_read",
+    # --- ROUND 12 state: the board is all-green (VERDICT r11), so
+    # the front is this round's four new operators — timestamp
+    # time travel, DV materialization at compaction, Z-order
+    # compaction with two-column stats pruning, and streaming ingest
+    # into the table format. Exactly 4 new + the 46-row r05 block =
+    # the 50-slot window: the verified back (newest-round-ascending)
+    # drains ALL of r05 this round (VERDICT r11 item 2).
+    "table_log_time_travel_as_of",
+    "table_log_compact_materialize_dv",
+    "table_log_zorder_pruned_read",
+    "stream_table_log_ingest",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)
@@ -142,12 +132,10 @@ _PRIORITY_WINDOW = [
 # needs (VERDICT r09 item 5). Keep the mechanism for future rounds
 # where a specific stale row must jump the queue.
 _REFRESH_TAIL: list[str] = [
-    # Round 11 (VERDICT r10 item 8): the two stalest rows-only
-    # attestations — sketch-path regressions shouldn't be able to
-    # hide for five rounds. Both jump the queue ahead of the general
-    # oldest-first back (which this round drains the r04 block).
-    "agg_hll_mergeable",
-    "sink_sorted_runs",
+    # Empty for round 12: both r11 jump-the-queue rows were
+    # re-attested clean, and the 4 new ops + the 46-row r05 block
+    # fill the 50-slot window exactly — any entry here would push an
+    # r05 row out of the drain (VERDICT r11 item 2).
 ]
 
 

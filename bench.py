@@ -135,6 +135,11 @@ HEADLINE = [
     "stream_table_log_replicate",  # CDC feed applied as transactional replica commits
     "table_log_deletion_vectors",  # row-level deletes via sidecar anti-join
     "table_log_stats_pruned_read",  # manifest-stats file skipping before any footer
+    # --- round-12 rows
+    "table_log_time_travel_as_of",  # timestamp -> version resolution + snapshot read
+    "table_log_compact_materialize_dv",  # DV-applying compaction, zero bindings after
+    "table_log_zorder_pruned_read",  # 2-D Morton clustering + two-column stats pruning
+    "stream_table_log_ingest",  # stream -> one commit per batch, batch-id idempotent
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
