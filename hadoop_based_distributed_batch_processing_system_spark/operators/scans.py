@@ -888,7 +888,20 @@ def _tlog_commit(
         live = [os.path.basename(p) for p in _tlog_live_files(root, v)]
         ctmp = os.path.join(logd, f".ckpt.{os.getpid()}.{v}.tmp")
         with open(ctmp, "w") as fh:
-            json.dump({"version": v, "live": live}, fh)
+            # checkpoints fold ALL replayed state — live set, DV
+            # bindings, AND manifest stats — so every resolution path
+            # is bounded by the cadence, not the log depth (the r11
+            # form checkpointed only `live`, leaving DV/stats replay
+            # O(log depth))
+            json.dump(
+                {
+                    "version": v,
+                    "live": live,
+                    "dv": _tlog_live_dvs(root, v),
+                    "stats": _tlog_live_stats(root, v),
+                },
+                fh,
+            )
         os.replace(ctmp, os.path.join(logd, f"{v:06d}.checkpoint.json"))
     return v
 
@@ -2252,23 +2265,42 @@ def _tlog_dv_root(sf_dir: str) -> str:
 _TLOG_DV_SPEC = {"target": "file_D", "del_mod": 9, "del_residue": 3}
 
 
-def _tlog_live_dvs(root: str, version: int) -> dict[str, str]:
-    """Replay the log for deletion-vector state: a commit's ``dv``
-    map binds a sidecar to a live file (latest binding wins);
-    removing a file drops its DV. Replays raw commits (checkpoint
-    files don't carry DV state yet — the documented growth path is
-    folding DV bindings into checkpoints the way ``live`` already
-    is)."""
+def _tlog_replay_map(root: str, version: int, key: str) -> dict:
+    """Checkpoint-aware replay of a per-file state map carried in
+    commits under ``key`` (``dv`` bindings, ``stats`` bounds): start
+    from the newest checkpoint at or before ``version`` that folded
+    this key (checkpoints written before the key existed fall back
+    to a full replay — correctness never depends on checkpoint
+    vintage), then apply the delta commits: a removed file drops its
+    entry, a commit's map updates win. Same cadence bound as
+    ``_tlog_live_files`` — resolution cost is O(checkpoint cadence),
+    not O(log depth)."""
     import json
 
     logd = os.path.join(root, "_log")
-    dvs: dict[str, str] = {}
-    for v in range(version + 1):
+    state: dict = {}
+    start = 0
+    for v in range(version, -1, -1):
+        cp = os.path.join(logd, f"{v:06d}.checkpoint.json")
+        if os.path.exists(cp):
+            c = json.load(open(cp))
+            if key in c:
+                state = dict(c[key])
+                start = v + 1
+            break
+    for v in range(start, version + 1):
         c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
         for f in c["remove"]:
-            dvs.pop(f, None)
-        dvs.update(c.get("dv", {}))
-    return dvs
+            state.pop(f, None)
+        state.update(c.get(key, {}))
+    return state
+
+
+def _tlog_live_dvs(root: str, version: int) -> dict[str, str]:
+    """Deletion-vector state at ``version``: a commit's ``dv`` map
+    binds a sidecar to a live file (latest binding wins); removing a
+    file drops its DV. Checkpoint-aware via ``_tlog_replay_map``."""
+    return _tlog_replay_map(root, version, "dv")
 
 
 def _tlog_dv_frame(spark: SparkSession, root: str, dvs: dict[str, str]) -> DataFrame:
@@ -2467,19 +2499,10 @@ def table_log_compact_materialize_dv(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _tlog_live_stats(root: str, version: int) -> dict[str, dict]:
-    """Replay the log for per-file column stats (manifest min/max):
-    a commit's ``stats`` map binds bounds to files it adds; removing
-    a file drops its stats. Same replay discipline as DV bindings."""
-    import json
-
-    logd = os.path.join(root, "_log")
-    stats: dict[str, dict] = {}
-    for v in range(version + 1):
-        c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
-        for f in c["remove"]:
-            stats.pop(f, None)
-        stats.update(c.get("stats", {}))
-    return stats
+    """Per-file column stats (manifest min/max) at ``version``: a
+    commit's ``stats`` map binds bounds to files it adds; removing a
+    file drops its stats. Checkpoint-aware via ``_tlog_replay_map``."""
+    return _tlog_replay_map(root, version, "stats")
 
 
 def _tlog_stats_prune(

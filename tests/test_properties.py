@@ -531,7 +531,16 @@ def _tlog_histories(draw):
             f for f in sorted(live) if live and draw(st.booleans())
         )
         live = (live - set(remove)) | set(add)
-        history.append({"add": add, "remove": remove})
+        # optional per-commit state maps: a DV binding on some
+        # still-live file, stats bounds on an added file
+        dv = {}
+        if live and draw(st.booleans()):
+            target = draw(st.sampled_from(sorted(live)))
+            dv[target] = f"dv_{target}_v{len(history)}"
+        stats = {}
+        if add and draw(st.booleans()):
+            stats[add[0]] = {"k": [len(history), len(history) + 10]}
+        history.append({"add": add, "remove": remove, "dv": dv, "stats": stats})
     return history
 
 
@@ -552,27 +561,60 @@ def test_tablelog_resolution_matches_model_replay(history):
 
     from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
         _tlog_commit,
+        _tlog_commit_ts,
+        _tlog_live_dvs,
         _tlog_live_files,
+        _tlog_live_stats,
         _tlog_vacuum,
+        _tlog_version_as_of,
     )
 
     root = tempfile.mkdtemp(prefix="hbdbps_tlog_prop_")
     try:
         os.makedirs(os.path.join(root, "_log"))
         model_live: list[set] = []
+        model_dv: list[dict] = []
+        model_stats: list[dict] = []
         live: set = set()
+        dv: dict = {}
+        stats: dict = {}
         for v, c in enumerate(history):
             for f in c["add"]:  # data dirs must exist for vacuum to delete
                 os.makedirs(os.path.join(root, f), exist_ok=True)
-            got = _tlog_commit(root, add=c["add"], remove=c["remove"], base_version=v - 1)
+            got = _tlog_commit(
+                root,
+                add=c["add"],
+                remove=c["remove"],
+                base_version=v - 1,
+                dv=c["dv"] or None,
+                stats=c["stats"] or None,
+            )
             assert got == v
             live = (live - set(c["remove"])) | set(c["add"])
+            for f in c["remove"]:
+                dv.pop(f, None)
+                stats.pop(f, None)
+            dv.update(c["dv"])
+            stats.update(c["stats"])
             model_live.append(set(live))
+            model_dv.append(dict(dv))
+            model_stats.append(dict(stats))
         latest = len(history) - 1
         for v in range(latest + 1):
             assert {
                 os.path.basename(p) for p in _tlog_live_files(root, v)
             } == model_live[v], f"version {v} diverged from model"
+            assert _tlog_live_dvs(root, v) == model_dv[v], f"dv state diverged at v{v}"
+            assert _tlog_live_stats(root, v) == model_stats[v], f"stats diverged at v{v}"
+        # commit stamps: strictly monotonic with gaps >= 2, and as-of
+        # floor-resolution agrees with the stamp sequence
+        ts = [_tlog_commit_ts(root, v) for v in range(latest + 1)]
+        assert all(b >= a + 2 for a, b in zip(ts, ts[1:]))
+        for v, t in enumerate(ts):
+            assert _tlog_version_as_of(root, t) == v
+            if v < latest:
+                assert _tlog_version_as_of(root, ts[v + 1] - 1) == v
+        assert _tlog_version_as_of(root, ts[-1] + 1000) == latest
         # vacuum at the latest horizon: exactly the unreferenced names go
         referenced = model_live[latest]
         ever = {f for c in history for f in c["add"]}

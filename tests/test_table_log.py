@@ -470,6 +470,46 @@ def test_deletion_vector_leaves_data_file_untouched(spark):
         shutil.rmtree(clone, ignore_errors=True)
 
 
+def test_checkpoints_fold_dv_and_stats_state(tlog_dir):
+    """Checkpoints must bound DV/stats replay by the cadence, not the
+    log depth: after the cadence writes a checkpoint, resolving
+    either map at a covered version must work even when a PRE-
+    checkpoint commit file is gone (proof the resolution started
+    from the checkpoint — the r11 form replayed every commit from
+    v0 for these maps)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _TLOG_CHECKPOINT_EVERY,
+        _tlog_live_dvs,
+        _tlog_live_stats,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    v = _tlog_commit(
+        tlog_dir,
+        add=["file_X"],
+        remove=[],
+        base_version=base,
+        dv={"file_A": "dv_file_A_v3"},
+        stats={"file_X": {"o_orderkey": [0, 10]}},
+    )
+    while (v + 1) % _TLOG_CHECKPOINT_EVERY != 0:
+        v = _tlog_commit(tlog_dir, add=[f"file_Y{v}"], remove=[], base_version=v)
+    assert os.path.exists(os.path.join(tlog_dir, "_log", f"{v:06d}.checkpoint.json"))
+    want_dv = {"file_A": "dv_file_A_v3"}
+    want_stats = {"file_X": {"o_orderkey": [0, 10]}}
+    assert _tlog_live_dvs(tlog_dir, v) == want_dv
+    assert _tlog_live_stats(tlog_dir, v) == want_stats
+    # sever pre-checkpoint history: resolution at v must still work
+    os.remove(os.path.join(tlog_dir, "_log", "000000.json"))
+    assert _tlog_live_dvs(tlog_dir, v) == want_dv
+    assert _tlog_live_stats(tlog_dir, v) == want_stats
+    assert {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)} >= {"file_X"}
+    # a post-checkpoint remove drops both maps' entries through the delta path
+    v2 = _tlog_commit(tlog_dir, add=[], remove=["file_A", "file_X"], base_version=v)
+    assert _tlog_live_dvs(tlog_dir, v2) == {}
+    assert _tlog_live_stats(tlog_dir, v2) == {}
+
+
 def test_timestamp_as_of_resolution_and_retention(spark, tlog_dir):
     """Timestamp time travel: commit stamps are strictly monotonic
     with gaps >= 2; as-of floor-resolves between stamps; a T before
