@@ -327,11 +327,15 @@ def test_table_log_read_plans(spark):
     from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
 
     REG = load_all()
-    for name in ("table_log_time_travel", "table_log_incremental_read"):
-        from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
-            physical_plan,
-        )
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
 
+    for name in (
+        "table_log_time_travel",
+        "table_log_incremental_read",
+        "table_log_time_travel_as_of",
+    ):
         df = REG[name].fn(spark, SF_SMOKE)
         plan = physical_plan(df)
         assert "BroadcastHashJoin" in plan, f"{name}: membership join not broadcast"
@@ -344,6 +348,15 @@ def test_table_log_read_plans(spark):
         assert data_scans and all(
             x.count(":") <= 2 and "o_comment" not in x for x in data_scans
         ), f"{name}: unpruned scan {schemas}"
+    # the Z-order pruned read: both range predicates must reach the
+    # parquet scan as pushed filters over the pre-pruned file set
+    df = REG["table_log_zorder_pruned_read"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(
+        "o_orderkey" in p and "o_totalprice" in p for p in pushed
+    ), f"zorder read: predicates not pushed to the scan: {pushed}"
 
 
 def test_replication_log_structure(spark):
