@@ -61,6 +61,44 @@ def test_occ_exactly_one_winner(tlog_dir):
     }
 
 
+def _race_commit(args):
+    """Module-level worker (picklable for multiprocessing): one
+    put-if-absent commit attempt against a shared base version."""
+    root, i, base = args
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        TableLogConflictError,
+        _tlog_commit,
+    )
+
+    try:
+        _tlog_commit(root, add=[f"file_race_{i}"], remove=[], base_version=base)
+        return ("won", i)
+    except TableLogConflictError:
+        return ("lost", i)
+
+
+def test_occ_race_across_processes(tlog_dir):
+    """The commit protocol's claim is MULTI-WRITER safety, so race it
+    for real: 8 separate OS processes commit the same version
+    concurrently — exactly one must win, every loser must get the
+    conflict error, and the winning commit must be one writer's
+    intact payload (the hard-link is atomic WITH content: no torn or
+    merged commit can exist)."""
+    import json
+    import multiprocessing as mp
+
+    base = _tlog_latest_version(tlog_dir)
+    with mp.get_context("spawn").Pool(8) as pool:
+        results = pool.map(_race_commit, [(tlog_dir, i, base) for i in range(8)])
+    winners = [i for status, i in results if status == "won"]
+    assert len(winners) == 1, f"put-if-absent let {len(winners)} writers win"
+    committed = json.load(
+        open(os.path.join(tlog_dir, "_log", f"{base + 1:06d}.json"))
+    )
+    assert committed["add"] == [f"file_race_{winners[0]}"]
+    assert _tlog_latest_version(tlog_dir) == base + 1
+
+
 def test_checkpoint_written_and_resolution_matches_replay(tlog_dir):
     """Crossing the checkpoint cadence writes a checkpoint file, and
     live-file resolution THROUGH the checkpoint equals a from-scratch
