@@ -599,7 +599,7 @@ def _tlog_spec_stamp() -> str:
 
     return json.dumps(
         {
-            "log_format": 2,
+            "log_format": 3,  # 3: base commits carry per-slice manifest stats
             "slices": {k: list(v) for k, v in sorted(_TLOG_SLICES.items())},
             "commits": list(_TLOG_COMMITS),
         },
@@ -678,11 +678,42 @@ def _tlog_build(spark: SparkSession, sf_dir: str, root: str) -> str:
             orders.filter((F.col("o_orderkey") % 4).isin(*residues)).write.mode(
                 "overwrite"
             ).parquet(os.path.join(root, f"file_{name}"))
+        # per-slice manifest stats for the base commits (ONE bounded
+        # agg job, len(slices) rows): writers record column bounds at
+        # commit time, which is what lets later maintenance (Z-order
+        # extents) and pruned reads plan from pure log metadata
+        slice_stats: dict[str, dict] = {}
+        per_residue = {
+            int(r["s"]): r
+            for r in orders.withColumn("s", (F.col("o_orderkey") % 4).cast("int"))
+            .groupBy("s")
+            .agg(
+                F.min("o_orderkey").alias("klo"), F.max("o_orderkey").alias("khi"),
+                F.min("o_totalprice").alias("plo"), F.max("o_totalprice").alias("phi"),
+            )
+            .collect()
+        }
+        for name, residues in _TLOG_SLICES.items():
+            rows = [per_residue[x] for x in residues if x in per_residue]
+            if rows:
+                slice_stats[f"file_{name}"] = {
+                    "o_orderkey": [
+                        int(min(r["klo"] for r in rows)),
+                        int(max(r["khi"] for r in rows)),
+                    ],
+                    "o_totalprice": [
+                        float(min(r["plo"] for r in rows)),
+                        float(max(r["phi"] for r in rows)),
+                    ],
+                }
         logd = os.path.join(root, "_log")
         os.makedirs(logd, exist_ok=True)
         prev_ts = 0
         for v, c in enumerate(_TLOG_COMMITS):
             payload = dict(c)
+            stats = {f: slice_stats[f] for f in c["add"] if f in slice_stats}
+            if stats:
+                payload["stats"] = dict(sorted(stats.items()))
             prev_ts = payload["ts"] = _tlog_next_ts(
                 json.dumps(c, sort_keys=True), prev_ts
             )
@@ -2541,8 +2572,10 @@ def _tlog_apply_zorder_compact(spark: SparkSession, sf_dir: str, root: str) -> N
     """Z-ORDER compaction commit once per table dir (flock + stamp):
     rewrite the latest snapshot clustered by the Morton interleave of
     (key bucket, price bucket) — both dimensions scaled to 8 bits
-    against their ACTUAL extents (one bounded agg; equal bit-width is
-    what keeps the interleave balanced: raw values would let the
+    against their ACTUAL extents (resolved from the log's own
+    manifest stats when every live file recorded them — pure driver
+    metadata, zero data pass; agg fallback otherwise. Equal bit-width
+    is what keeps the interleave balanced: raw values would let the
     wider dimension's bits dominate the sort and reduce Z-order to a
     single-column cluster) — and record per-group [min, max] for
     BOTH columns in the commit. A 1-D sorted compaction gives tight
@@ -2567,10 +2600,26 @@ def _tlog_apply_zorder_compact(spark: SparkSession, sf_dir: str, root: str) -> N
         base = _tlog_latest_version(root)
         live = _tlog_live_files(root, base)
         rel = _tlog_relation(spark, live)
-        kmin, kmax, pmin, pmax = rel.agg(
-            F.min("o_orderkey"), F.max("o_orderkey"),
-            F.min("o_totalprice"), F.max("o_totalprice"),
-        ).first()
+        # scaling extents come from the LOG's manifest stats when
+        # every live file recorded both columns — pure driver
+        # metadata, no data pass (how a production engine plans
+        # maintenance); the agg fallback covers third-party files
+        # committed without stats
+        stats = _tlog_live_stats(root, base)
+        live_names = [os.path.basename(p) for p in live]
+        if all(
+            {"o_orderkey", "o_totalprice"} <= stats.get(n, {}).keys()
+            for n in live_names
+        ):
+            kmin = min(stats[n]["o_orderkey"][0] for n in live_names)
+            kmax = max(stats[n]["o_orderkey"][1] for n in live_names)
+            pmin = min(stats[n]["o_totalprice"][0] for n in live_names)
+            pmax = max(stats[n]["o_totalprice"][1] for n in live_names)
+        else:
+            kmin, kmax, pmin, pmax = rel.agg(
+                F.min("o_orderkey"), F.max("o_orderkey"),
+                F.min("o_totalprice"), F.max("o_totalprice"),
+            ).first()
         kspan, pspan = max(1, kmax - kmin + 1), max(pmax - pmin, 1e-9)
         a = (
             f"CAST(least((CAST(o_orderkey AS BIGINT) - {kmin}) * 256"

@@ -547,18 +547,23 @@ def test_checkpoints_fold_dv_and_stats_state(tlog_dir):
         v = _tlog_commit(tlog_dir, add=[f"file_Y{v}"], remove=[], base_version=v)
     assert os.path.exists(os.path.join(tlog_dir, "_log", f"{v:06d}.checkpoint.json"))
     want_dv = {"file_A": "dv_file_A_v3"}
-    want_stats = {"file_X": {"o_orderkey": [0, 10]}}
-    assert _tlog_live_dvs(tlog_dir, v) == want_dv
-    assert _tlog_live_stats(tlog_dir, v) == want_stats
+
+    def check_maps():
+        assert _tlog_live_dvs(tlog_dir, v) == want_dv
+        stats = _tlog_live_stats(tlog_dir, v)
+        # base slices carry build-time manifest stats; file_X ours
+        assert set(stats) == {"file_A", "file_C", "file_D", "file_X"}
+        assert stats["file_X"] == {"o_orderkey": [0, 10]}
+
+    check_maps()
     # sever pre-checkpoint history: resolution at v must still work
     os.remove(os.path.join(tlog_dir, "_log", "000000.json"))
-    assert _tlog_live_dvs(tlog_dir, v) == want_dv
-    assert _tlog_live_stats(tlog_dir, v) == want_stats
+    check_maps()
     assert {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)} >= {"file_X"}
     # a post-checkpoint remove drops both maps' entries through the delta path
     v2 = _tlog_commit(tlog_dir, add=[], remove=["file_A", "file_X"], base_version=v)
     assert _tlog_live_dvs(tlog_dir, v2) == {}
-    assert _tlog_live_stats(tlog_dir, v2) == {}
+    assert set(_tlog_live_stats(tlog_dir, v2)) == {"file_C", "file_D"}
 
 
 def test_timestamp_as_of_resolution_and_retention(spark, tlog_dir):
@@ -741,6 +746,39 @@ def test_zorder_pruning_skips_on_both_dimensions(spark):
             khi < _TLOG_Z_KLO or klo > _TLOG_Z_KHI
             or phi < _TLOG_Z_PLO or plo > _TLOG_Z_PHI
         ), f"{p} skipped but not provably disjoint on any dimension"
+
+
+def test_zorder_extents_resolve_from_manifest_stats(spark, monkeypatch):
+    """Base commits record per-slice manifest stats, so the Z-order
+    compaction must plan its scaling extents from LOG METADATA alone
+    — no extents data pass. Pinned by poisoning DataFrame.first (the
+    agg fallback's only consumer in the apply) on a fresh root."""
+    from pyspark.sql import DataFrame
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_apply_zorder_compact,
+        _tlog_live_stats,
+    )
+
+    root = tempfile.mkdtemp(prefix="hbdbps_tlog_zmeta_")
+    shutil.rmtree(root)
+    _tlog_build(spark, SF_SMOKE, root)
+    base = _tlog_latest_version(root)
+    stats = _tlog_live_stats(root, base)
+    for p in _tlog_live_files(root, base):
+        assert {"o_orderkey", "o_totalprice"} <= stats[os.path.basename(p)].keys()
+
+    def _poisoned(self):
+        raise AssertionError("Z-order extents fell back to a data pass")
+
+    monkeypatch.setattr(DataFrame, "first", _poisoned)
+    try:
+        _tlog_apply_zorder_compact(spark, SF_SMOKE, root)
+    finally:
+        monkeypatch.undo()
+    live = {os.path.basename(p) for p in _tlog_live_files(root, _tlog_latest_version(root))}
+    assert live and all(n.startswith("file_zorder_r") for n in live)
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def test_stats_pruning_skips_disjoint_files(spark):
