@@ -930,6 +930,7 @@ def _tlog_commit(
                     "live": live,
                     "dv": _tlog_live_dvs(root, v),
                     "stats": _tlog_live_stats(root, v),
+                    "batches": _tlog_committed_batches(root, v),
                 },
                 fh,
             )
@@ -2091,17 +2092,65 @@ def _tlog_ingest_spec() -> str:
 def _tlog_batch_committed(root: str, batch_id: int) -> bool:
     """True iff some commit already carries this micro-batch id — the
     idempotent-sink check (Delta's txn appId/version table, reduced
-    to a key in the commit payload): a replayed batch writes NOTHING."""
+    to a key in the commit payload): a replayed batch writes NOTHING.
+    Checkpoint-aware: committed batch ids fold into checkpoints (the
+    ``batches`` set), so the check replays at most one cadence of
+    delta commits instead of the whole log — without this, an
+    n-batch ingest pays O(n) log reads per batch, O(n²) total."""
     import json
 
     logd = os.path.join(root, "_log")
     if not os.path.isdir(logd):
         return False
-    for f in os.listdir(logd):
-        if f.endswith(".json") and not f.endswith(".checkpoint.json"):
-            if json.load(open(os.path.join(logd, f))).get("batch") == batch_id:
-                return True
+    try:
+        latest = _tlog_latest_version(root)
+    except RuntimeError:
+        return False
+    start = 0
+    for v in range(latest, -1, -1):
+        cp = os.path.join(logd, f"{v:06d}.checkpoint.json")
+        if os.path.exists(cp):
+            c = json.load(open(cp))
+            if "batches" in c:
+                if batch_id in c["batches"]:
+                    return True
+                start = v + 1
+            break
+    for v in range(start, latest + 1):
+        try:
+            c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        except OSError:
+            continue  # severed pre-checkpoint history
+        if c.get("batch") == batch_id:
+            return True
     return False
+
+
+def _tlog_committed_batches(root: str, version: int) -> list[int]:
+    """All batch ids committed at or before ``version`` (for the
+    checkpoint fold). Batch ids never un-commit — unlike the per-file
+    maps, removes don't drop them."""
+    import json
+
+    logd = os.path.join(root, "_log")
+    out: set[int] = set()
+    start = 0
+    for v in range(version, -1, -1):
+        cp = os.path.join(logd, f"{v:06d}.checkpoint.json")
+        if os.path.exists(cp):
+            c = json.load(open(cp))
+            if "batches" in c:
+                out = set(c["batches"])
+                start = v + 1
+            break
+    for v in range(start, version + 1):
+        try:
+            c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        except OSError:
+            continue
+        if c.get("batch") is not None:
+            out.add(c["batch"])
+    return sorted(out)
 
 
 def _tlog_apply_ingest(spark: SparkSession, root: str) -> None:

@@ -534,6 +534,10 @@ def test_checkpoints_fold_dv_and_stats_state(tlog_dir):
         _tlog_live_stats,
     )
 
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_batch_committed,
+    )
+
     base = _tlog_latest_version(tlog_dir)
     v = _tlog_commit(
         tlog_dir,
@@ -542,6 +546,7 @@ def test_checkpoints_fold_dv_and_stats_state(tlog_dir):
         base_version=base,
         dv={"file_A": "dv_file_A_v3"},
         stats={"file_X": {"o_orderkey": [0, 10]}},
+        batch=7,
     )
     while (v + 1) % _TLOG_CHECKPOINT_EVERY != 0:
         v = _tlog_commit(tlog_dir, add=[f"file_Y{v}"], remove=[], base_version=v)
@@ -556,9 +561,15 @@ def test_checkpoints_fold_dv_and_stats_state(tlog_dir):
         assert stats["file_X"] == {"o_orderkey": [0, 10]}
 
     check_maps()
+    # committed batch ids fold too: the checkpoint at v covers batch
+    # 7, so the idempotence check resolves WITHOUT reading v's commit
+    # (the delta window after the checkpoint is empty)
+    assert _tlog_batch_committed(tlog_dir, 7)
+    assert not _tlog_batch_committed(tlog_dir, 8)
     # sever pre-checkpoint history: resolution at v must still work
     os.remove(os.path.join(tlog_dir, "_log", "000000.json"))
     check_maps()
+    assert _tlog_batch_committed(tlog_dir, 7)
     assert {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)} >= {"file_X"}
     # a post-checkpoint remove drops both maps' entries through the delta path
     v2 = _tlog_commit(tlog_dir, add=[], remove=["file_A", "file_X"], base_version=v)
