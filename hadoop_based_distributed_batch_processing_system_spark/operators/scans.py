@@ -938,6 +938,65 @@ def _tlog_commit(
     return v
 
 
+def _tlog_commit_rebase(
+    root: str,
+    add: list[str],
+    remove: list[str],
+    base_version: int,
+    read_set: set[str] | None = None,
+    dv: dict[str, str] | None = None,
+    stats: dict[str, dict] | None = None,
+    batch: int | None = None,
+    max_rebases: int = 16,
+) -> int:
+    """OCC commit WITH REBASE — the full protocol the commit
+    docstring promises: on a lost race, re-resolve the latest
+    version and VALIDATE THE READ SET against every commit we lost
+    to — if none of them touched a file our change derived from
+    (``read_set``), removed, or is about to (re)add, our rewrite is
+    still valid on the new base (snapshot-isolation serializability:
+    disjoint writers commute) and we retry there; any intersection
+    is a REAL conflict — the derivation is stale and the caller must
+    re-run it (Delta's ConcurrentModificationException contract).
+
+    If the very commit we lost to carries OUR identical change
+    (another session ran the same deterministic mutation), adopt it
+    — recovery, not conflict. Returns the committed (or adopted)
+    version."""
+    import json
+
+    if read_set is None:
+        read_set = set(remove)
+    ours = set(read_set) | set(remove) | set(add)
+    for _ in range(max_rebases):
+        try:
+            return _tlog_commit(
+                root, add=add, remove=remove, base_version=base_version, dv=dv,
+                stats=stats, batch=batch,
+            )
+        except TableLogConflictError:
+            winner = json.load(
+                open(os.path.join(root, "_log", f"{base_version + 1:06d}.json"))
+            )
+            if _tlog_same_commit(winner, add, remove, dv=dv):
+                return base_version + 1  # identical content: adopt
+            latest = _tlog_latest_version(root)
+            for v in range(base_version + 1, latest + 1):
+                c = json.load(open(os.path.join(root, "_log", f"{v:06d}.json")))
+                touched = set(c["add"]) | set(c["remove"])
+                if touched & ours:
+                    raise TableLogConflictError(
+                        f"true write conflict at v{v}: concurrent commit "
+                        f"touched {sorted(touched & ours)} which this change "
+                        "derives from — re-run the derivation on the new base"
+                    ) from None
+            base_version = latest  # disjoint history: rebase and retry
+    raise TableLogConflictError(
+        f"gave up after {max_rebases} rebases — writer livelock; "
+        "back off and retry the whole operation"
+    )
+
+
 def _tlog_same_commit(
     winner: dict,
     add: list[str],
@@ -1370,14 +1429,18 @@ def _tlog_apply_merge(spark: SparkSession, sf_dir: str, root: str) -> None:
         )
         add = sorted(f"{f}_m1" for f in affected) + ["file_I_m1"]
         _tlog_staged_write(rewritten.unionByName(inserts), root, add)
-        try:
-            _tlog_commit(root, add=add, remove=list(affected), base_version=base)
-        except TableLogConflictError:
-            winner = json.load(
-                open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
-            )
-            if not _tlog_same_commit(winner, add, affected):
-                raise
+        # WriteSerializable isolation (Delta's default level): a
+        # concurrent BLIND APPEND commutes with this merge and the
+        # commit rebases over it; any commit touching the files the
+        # rewrite derived from is a true conflict (identical content
+        # from a twin session is adopted as recovery)
+        _tlog_commit_rebase(
+            root,
+            add=add,
+            remove=list(affected),
+            base_version=base,
+            read_set=set(affected),
+        )
         tmp = os.path.join(root, f"._MERGED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write(json.dumps(_TLOG_MERGE_SPEC, sort_keys=True))
@@ -1518,14 +1581,12 @@ def _tlog_apply_schema_commit(spark: SparkSession, sf_dir: str, root: str) -> No
             (F.col("o_orderkey") % spec["flag_mod"]).cast("int").alias("o_flag"),
         )
         wider.write.mode("overwrite").parquet(os.path.join(root, "file_E"))
-        try:
-            _tlog_commit(root, add=["file_E"], remove=[], base_version=base)
-        except TableLogConflictError:
-            winner = json.load(
-                open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
-            )
-            if not _tlog_same_commit(winner, ["file_E"], []):
-                raise
+        # a schema-widening append is BLIND (derives from the source
+        # table, reads no live file): empty read set, rebases over
+        # any concurrent history
+        _tlog_commit_rebase(
+            root, add=["file_E"], remove=[], base_version=base, read_set=set()
+        )
         tmp = os.path.join(root, f"._SCHEMA_EVOLVED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write(json.dumps(spec, sort_keys=True))
@@ -2238,18 +2299,11 @@ def _tlog_apply_ingest(spark: SparkSession, root: str) -> None:
                 base = _tlog_latest_version(root)
             except RuntimeError:
                 base = -1
-            try:
-                _tlog_commit(
-                    root, add=[name], remove=[], base_version=base, batch=batch_id
-                )
-            except TableLogConflictError:
-                winner = json.load(
-                    open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
-                )
-                if winner.get("batch") != batch_id or not _tlog_same_commit(
-                    winner, [name], []
-                ):
-                    raise
+            # a batch landing is a blind append: empty read set
+            _tlog_commit_rebase(
+                root, add=[name], remove=[], base_version=base,
+                read_set=set(), batch=batch_id,
+            )
 
         register_synthetic_stream_source(spark)
         raw = (

@@ -99,6 +99,51 @@ def test_occ_race_across_processes(tlog_dir):
     assert _tlog_latest_version(tlog_dir) == base + 1
 
 
+def test_occ_rebase_read_set_validation(tlog_dir):
+    """The rebase protocol the commit docstring promises: a loser
+    whose read set is DISJOINT from the commits it lost to retries on
+    the new base and wins; a loser whose derivation touched a file a
+    concurrent commit changed gets the true-conflict error; identical
+    content is adopted without a duplicate commit."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    # a concurrent blind append lands first (stale base for us)
+    _tlog_commit(tlog_dir, add=["file_Q"], remove=[], base_version=base)
+    # disjoint change rebases over it and commits at the new head
+    v = _tlog_commit_rebase(
+        tlog_dir,
+        add=["file_A_m1"],
+        remove=["file_A"],
+        base_version=base,
+        read_set={"file_A"},
+    )
+    assert v == base + 2
+    live = {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)}
+    assert live == {"file_A_m1", "file_C", "file_D", "file_Q"}
+    # true conflict: our derivation read file_A, which v-1..v touched
+    with pytest.raises(TableLogConflictError, match="true write conflict"):
+        _tlog_commit_rebase(
+            tlog_dir,
+            add=["file_A_m2"],
+            remove=["file_A"],
+            base_version=base,
+            read_set={"file_A"},
+        )
+    # identical content at the contested version is adopted, no new commit
+    latest = _tlog_latest_version(tlog_dir)
+    got = _tlog_commit_rebase(
+        tlog_dir,
+        add=["file_A_m1"],
+        remove=["file_A"],
+        base_version=v - 1,
+        read_set={"file_A"},
+    )
+    assert got == v and _tlog_latest_version(tlog_dir) == latest
+
+
 def test_checkpoint_written_and_resolution_matches_replay(tlog_dir):
     """Crossing the checkpoint cadence writes a checkpoint file, and
     live-file resolution THROUGH the checkpoint equals a from-scratch
