@@ -1760,16 +1760,15 @@ def _tlog_apply_compact(spark: SparkSession, sf_dir: str, root: str) -> None:
         for r in grouped:
             stats[r["g"]] = {"o_orderkey": [int(r["lo"]), int(r["hi"])]}
         removed = sorted(os.path.basename(p) for p in live)
-        try:
-            _tlog_commit(
-                root, add=add, remove=removed, base_version=base, stats=stats
-            )
-        except TableLogConflictError:
-            winner = json.load(
-                open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
-            )
-            if not _tlog_same_commit(winner, add, removed):
-                raise
+        # read set = the files the rewrite derived from (all live at
+        # base): concurrent blind appends commute — their files stay
+        # live beside the compact groups, exactly Delta's OPTIMIZE
+        # semantics — while a concurrent rewrite of our inputs is a
+        # true conflict
+        _tlog_commit_rebase(
+            root, add=add, remove=removed, base_version=base,
+            read_set=set(removed), stats=stats,
+        )
         tmp = os.path.join(root, f"._COMPACTED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write("v1")
@@ -2492,16 +2491,11 @@ def _tlog_apply_dv(spark: SparkSession, sf_dir: str, root: str) -> None:
         ).select("o_orderkey")
         dv_name = f"dv_{spec['target']}_v{base + 1}"
         doomed.write.mode("overwrite").parquet(os.path.join(root, dv_name))
-        try:
-            _tlog_commit(
-                root, add=[], remove=[], base_version=base, dv={spec["target"]: dv_name}
-            )
-        except TableLogConflictError:
-            winner = json.load(
-                open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
-            )
-            if not _tlog_same_commit(winner, [], [], dv={spec["target"]: dv_name}):
-                raise
+        # read set = the target file alone: blind appends commute
+        _tlog_commit_rebase(
+            root, add=[], remove=[], base_version=base,
+            read_set={spec["target"]}, dv={spec["target"]: dv_name},
+        )
         tmp = os.path.join(root, f"._DV.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write(stamp)
@@ -2764,16 +2758,10 @@ def _tlog_apply_zorder_compact(spark: SparkSession, sf_dir: str, root: str) -> N
             .collect()
         }
         removed = sorted(os.path.basename(p) for p in live)
-        try:
-            _tlog_commit(
-                root, add=promoted, remove=removed, base_version=base, stats=stats
-            )
-        except TableLogConflictError:
-            winner = json.load(
-                open(os.path.join(root, "_log", f"{base + 1:06d}.json"))
-            )
-            if not _tlog_same_commit(winner, promoted, removed):
-                raise
+        _tlog_commit_rebase(
+            root, add=promoted, remove=removed, base_version=base,
+            read_set=set(removed), stats=stats,
+        )
         tmp = os.path.join(root, f"._ZORDERED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write("v1")
