@@ -1022,7 +1022,19 @@ def _tlog_relation(spark: SparkSession, files: list[str]) -> DataFrame:
     metadata caching real formats do: copy-on-write means a commit
     never rewrites a live file, so a (spec, files) key can never go
     stale within an application."""
-    memo_key = (spark.sparkContext.applicationId, _tlog_spec_stamp(), *files)
+    # the table GENERATION is part of the key: recovery paths (spec
+    # wipe, crashed-replica redo, stale-ingest wipe) rebuild a root
+    # IN PLACE under the same file names, and a (spec, files)-only
+    # key would keep serving the pre-wipe relation — the bootstrap
+    # commit's mtime_ns changes on every rebuild and pins the
+    # generation
+    try:
+        gen = os.stat(
+            os.path.join(os.path.dirname(files[0]), "_log", "000000.json")
+        ).st_mtime_ns
+    except OSError:
+        gen = 0
+    memo_key = (spark.sparkContext.applicationId, _tlog_spec_stamp(), gen, *files)
     if memo_key not in _TLOG_RELATION_MEMO:
         _TLOG_RELATION_MEMO[memo_key] = spark.read.parquet(*files)
     return _TLOG_RELATION_MEMO[memo_key]
