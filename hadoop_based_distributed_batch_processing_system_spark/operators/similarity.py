@@ -1689,11 +1689,9 @@ def _ivf_index_build(spark: SparkSession, sf_dir: str) -> str:
         if _ok():
             return root
         from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
-            TableLogConflictError,
-            _tlog_commit,
+            _tlog_commit_rebase,
             _tlog_latest_version,
             _tlog_live_files,
-            _tlog_same_commit,
         )
 
         try:
@@ -1718,15 +1716,11 @@ def _ivf_index_build(spark: SparkSession, sf_dir: str) -> str:
             "bucket"
         ).parquet(os.path.join(root, post_name))
         add = [cent_name, post_name]
-        try:
-            _tlog_commit(root, add=add, remove=old, base_version=base)
-        except TableLogConflictError:
-            # another session published the same deterministic retrain
-            winner = json.load(
-                open(os.path.join(root, "_log", f"{gen:06d}.json"))
-            )
-            if not _tlog_same_commit(winner, add, old):
-                raise
+        # read set = the superseded generation; a twin session's
+        # identical retrain is adopted inside the rebase helper
+        _tlog_commit_rebase(
+            root, add=add, remove=old, base_version=base, read_set=set(old)
+        )
         tmp = os.path.join(root, f"._BUILT.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write(_ivf_index_stamp(sf_dir))
