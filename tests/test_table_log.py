@@ -760,6 +760,30 @@ def test_stream_ingest_replay_writes_nothing_and_crash_resumes(spark):
         shutil.rmtree(clone, ignore_errors=True)
 
 
+def test_time_travel_composes_over_ingest_history(spark):
+    """The format's features COMPOSE: every version of the streamed
+    ingest table is a valid snapshot (cumulative batch prefixes), and
+    the as-of instants resolve the same snapshots — 'reproduce the
+    training set as of batch k' falls out of ingest + time travel
+    with no extra machinery."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _TLOG_INGEST_BATCH,
+        _tlog_apply_ingest,
+        _tlog_commit_ts,
+        _tlog_ingest_root,
+        _tlog_version_as_of,
+    )
+
+    root = _tlog_ingest_root()
+    _tlog_apply_ingest(spark, root)
+    latest = _tlog_latest_version(root)
+    for v in range(latest + 1):
+        n = spark.read.parquet(*_tlog_live_files(root, v)).count()
+        assert n == _TLOG_INGEST_BATCH * (v + 1), f"snapshot v{v} wrong size"
+    ts = [_tlog_commit_ts(root, v) for v in range(latest + 1)]
+    assert [_tlog_version_as_of(root, t) for t in ts] == list(range(latest + 1))
+
+
 def test_zorder_pruning_skips_on_both_dimensions(spark):
     """The Z-order compaction must record two-column manifest stats
     whose pruning BITES ON EACH DIMENSION independently: the 2-D
