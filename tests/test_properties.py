@@ -516,6 +516,95 @@ def test_twophase_cc_alternation_matches_union_find(edges):
 # ---- commit-log table format kernel (S9): model-based resolution ----
 
 @st.composite
+def _rebase_writer_sequences(draw):
+    """A sequence of writers against one table, each committing from a
+    possibly-STALE base (lag 0-3 versions behind head at its turn):
+    fresh-named adds, an optional remove of a file live at its base,
+    read_set = the removed file (or empty for a blind append)."""
+    n = draw(st.integers(min_value=2, max_value=10))
+    return [
+        (
+            draw(st.integers(min_value=0, max_value=3)),  # base lag
+            draw(st.booleans()),  # attempt a remove?
+            draw(st.integers(min_value=0, max_value=5)),  # which live file
+        )
+        for _ in range(n)
+    ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(seq=_rebase_writer_sequences())
+def test_rebase_serializability_matches_model(seq):
+    """_tlog_commit_rebase must admit EXACTLY the writers a
+    serializability model admits: a writer succeeds iff no commit
+    after its base touched a file its change derived from (blind
+    appends always succeed via rebase); every success's change
+    applies; every rejection raises the true-conflict error and
+    changes nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        TableLogConflictError,
+        _tlog_commit,
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="hbdbps_rebase_prop_")
+    try:
+        os.makedirs(os.path.join(root, "_log"))
+        _tlog_commit(root, add=["file_base0", "file_base1"], remove=[], base_version=-1)
+        touched_at: list[set] = [set()]  # per version, files its commit touched
+        live = {"file_base0", "file_base1"}
+        counter = 0
+        for lag, do_remove, pick in seq:
+            head = _tlog_latest_version(root)
+            base = max(0, head - lag)
+            base_live = {
+                os.path.basename(p) for p in _tlog_live_files(root, base)
+            }
+            add = [f"file_w{counter}"]
+            counter += 1
+            remove, read_set = [], set()
+            if do_remove and base_live:
+                target = sorted(base_live)[pick % len(base_live)]
+                remove, read_set = [target], {target}
+            # model: conflict iff any commit in (base, head] touched us
+            ours = read_set | set(remove) | set(add)
+            model_conflict = any(
+                touched_at[v] & ours for v in range(base + 1, head + 1)
+            )
+            # (a stale remove of an already-removed file is conflict
+            # by this same rule: its remover touched it)
+            if model_conflict:
+                with _pytest.raises(TableLogConflictError, match="true write conflict"):
+                    _tlog_commit_rebase(
+                        root, add=add, remove=remove,
+                        base_version=base, read_set=read_set,
+                    )
+                # rejected: no commit, no new version
+            else:
+                v = _tlog_commit_rebase(
+                    root, add=add, remove=remove,
+                    base_version=base, read_set=read_set,
+                )
+                assert v == head + 1
+                live = (live - set(remove)) | set(add)
+                touched_at.append(ours)
+        assert {
+            os.path.basename(p)
+            for p in _tlog_live_files(root, _tlog_latest_version(root))
+        } == live
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
 def _tlog_histories(draw):
     """A random commit history: each commit adds fresh file names and
     removes a subset of the then-live set (the CoW invariant — a
