@@ -746,9 +746,57 @@ def _tlog_next_ts(payload_json: str, prev_ts: int) -> int:
     return prev_ts + 2 + int(hashlib.md5(payload_json.encode()).hexdigest()[:8], 16) % 997
 
 
+def _tlog_checkpoint_ts_stamps(root: str, version: int) -> tuple[list[int], int]:
+    """Commit timestamps v0..cp from the newest checkpoint at or
+    before ``version`` that folded them (the ``ts`` key), plus the
+    delta-replay start. Checkpoints written before the key existed
+    fall back to a full replay — correctness never depends on
+    checkpoint vintage (the ``_tlog_replay_map`` contract)."""
+    import json
+
+    logd = os.path.join(root, "_log")
+    for v in range(version, -1, -1):
+        cp = os.path.join(logd, f"{v:06d}.checkpoint.json")
+        if os.path.exists(cp):
+            c = json.load(open(cp))
+            if "ts" in c:
+                return [int(t) for t in c["ts"]], v + 1
+            break
+    return [], 0
+
+
+def _tlog_ts_stamps(root: str, version: int) -> list[int]:
+    """All commit timestamps v0..``version``: the newest checkpoint's
+    folded ``ts`` list plus the post-checkpoint delta commits — so
+    as-of resolution is bounded by the checkpoint cadence, not the
+    log depth (ADVICE r12: the previous form read EVERY commit file,
+    O(log depth) per resolution, and the docstring's "bounded by
+    checkpoints" claim was false for timestamps)."""
+    import json
+
+    folded, start = _tlog_checkpoint_ts_stamps(root, version)
+    out = folded[: version + 1]
+    for v in range(max(start, len(out)), version + 1):
+        try:
+            c = json.load(open(os.path.join(root, "_log", f"{v:06d}.json")))
+        except OSError as e:
+            # severed pre-checkpoint history MUST resolve from a
+            # checkpoint fold; a silent ts 0 would mis-resolve every
+            # as-of read against this table (ADVICE r12)
+            raise RuntimeError(
+                f"commit {v:06d}.json at {root} is unreadable and no "
+                "checkpoint folds its timestamp — as-of resolution would "
+                "be wrong; rebuild the table or restore the log"
+            ) from e
+        out.append(int(c.get("ts", 0)))
+    return out
+
+
 def _tlog_commit_ts(root: str, version: int) -> int:
     """Read commit ``version``'s timestamp (0 for a pre-log base of
-    -1, or for logs written before the stamp existed)."""
+    -1). Falls back to the checkpoint's folded ``ts`` list when the
+    commit file itself is severed; raises if neither source has it
+    (ADVICE r12: returning 0 silently mis-resolved as-of queries)."""
     import json
 
     if version < 0:
@@ -760,21 +808,24 @@ def _tlog_commit_ts(root: str, version: int) -> int:
             )
         )
     except OSError:
-        return 0
+        # stamps are append-only, so ANY later checkpoint's fold
+        # covers this version — resolve through the newest one
+        return _tlog_ts_stamps(root, _tlog_latest_version(root))[version]
 
 
 def _tlog_version_as_of(root: str, ts: int) -> int:
     """Resolve "as of timestamp T" -> the newest version whose commit
     stamp is <= T (the Delta/Iceberg timestamp-travel rule). A T
     before the table's first commit fails descriptively with the
-    earliest available instant."""
+    earliest available instant. Stamp resolution is checkpoint-
+    bounded via ``_tlog_ts_stamps``."""
     latest = _tlog_latest_version(root)
-    stamps = [(v, _tlog_commit_ts(root, v)) for v in range(latest + 1)]
-    eligible = [v for v, t in stamps if t <= ts]
+    stamps = _tlog_ts_stamps(root, latest)
+    eligible = [v for v, t in enumerate(stamps) if t <= ts]
     if not eligible:
         raise RuntimeError(
             f"as-of timestamp {ts} predates the table at {root}: earliest "
-            f"available commit is v0 at ts {stamps[0][1]}"
+            f"available commit is v0 at ts {stamps[0]}"
         )
     return max(eligible)
 
@@ -920,10 +971,11 @@ def _tlog_commit(
         ctmp = os.path.join(logd, f".ckpt.{os.getpid()}.{v}.tmp")
         with open(ctmp, "w") as fh:
             # checkpoints fold ALL replayed state — live set, DV
-            # bindings, AND manifest stats — so every resolution path
-            # is bounded by the cadence, not the log depth (the r11
-            # form checkpointed only `live`, leaving DV/stats replay
-            # O(log depth))
+            # bindings, manifest stats, batch ids, AND commit
+            # timestamps — so every resolution path (including as-of
+            # reads, ADVICE r12) is bounded by the cadence, not the
+            # log depth (the r11 form checkpointed only `live`,
+            # leaving DV/stats replay O(log depth))
             json.dump(
                 {
                     "version": v,
@@ -931,6 +983,7 @@ def _tlog_commit(
                     "dv": _tlog_live_dvs(root, v),
                     "stats": _tlog_live_stats(root, v),
                     "batches": _tlog_committed_batches(root, v),
+                    "ts": _tlog_ts_stamps(root, v),
                 },
                 fh,
             )
@@ -978,12 +1031,18 @@ def _tlog_commit_rebase(
             winner = json.load(
                 open(os.path.join(root, "_log", f"{base_version + 1:06d}.json"))
             )
-            if _tlog_same_commit(winner, add, remove, dv=dv):
+            if _tlog_same_commit(winner, add, remove, dv=dv, stats=stats, batch=batch):
                 return base_version + 1  # identical content: adopt
             latest = _tlog_latest_version(root)
             for v in range(base_version + 1, latest + 1):
                 c = json.load(open(os.path.join(root, "_log", f"{v:06d}.json")))
-                touched = set(c["add"]) | set(c["remove"])
+                # a DV binding is a logical write to its target file:
+                # a rebased rewrite that kept a DV'd file in its read
+                # set would otherwise drop the binding and resurrect
+                # deleted rows (ADVICE r12)
+                touched = (
+                    set(c["add"]) | set(c["remove"]) | set(c.get("dv", {}).keys())
+                )
                 if touched & ours:
                     raise TableLogConflictError(
                         f"true write conflict at v{v}: concurrent commit "
@@ -1002,16 +1061,22 @@ def _tlog_same_commit(
     add: list[str],
     remove: list[str],
     dv: dict[str, str] | None = None,
+    stats: dict[str, dict] | None = None,
+    batch: int | None = None,
 ) -> bool:
     """True iff a race-winning commit carries the SAME logical change
     we lost trying to write (identical-content adoption: another
-    session ran the same deterministic mutation first). Compares the
-    change keys only — the ``ts`` stamp is derived, and new payload
-    keys must not break old adoption checks."""
+    session ran the same deterministic mutation first). Compares
+    EVERY change key — add/remove/dv AND batch id and stats (ADVICE
+    r12: two writers committing the same file names under different
+    batch keys or bounds are different logical changes and must NOT
+    be adopted) — but not the ``ts`` stamp, which is derived."""
     return (
         winner.get("add") == sorted(add)
         and winner.get("remove") == sorted(remove)
         and winner.get("dv") == (dict(sorted(dv.items())) if dv else None)
+        and winner.get("batch") == batch
+        and winner.get("stats") == (dict(sorted(stats.items())) if stats else None)
     )
 
 

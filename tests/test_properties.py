@@ -519,13 +519,16 @@ def test_twophase_cc_alternation_matches_union_find(edges):
 def _rebase_writer_sequences(draw):
     """A sequence of writers against one table, each committing from a
     possibly-STALE base (lag 0-3 versions behind head at its turn):
-    fresh-named adds, an optional remove of a file live at its base,
-    read_set = the removed file (or empty for a blind append)."""
+    a blind APPEND, a REMOVE of a file live at its base (read_set =
+    that file), or a DV-ONLY commit binding a deletion vector to a
+    live file (add=[], remove=[] — ADVICE r12: these are logical
+    writes to their target and must participate in conflict
+    detection like any other touch)."""
     n = draw(st.integers(min_value=2, max_value=10))
     return [
         (
             draw(st.integers(min_value=0, max_value=3)),  # base lag
-            draw(st.booleans()),  # attempt a remove?
+            draw(st.sampled_from(["append", "remove", "dv"])),  # commit shape
             draw(st.integers(min_value=0, max_value=5)),  # which live file
         )
         for _ in range(n)
@@ -562,20 +565,27 @@ def test_rebase_serializability_matches_model(seq):
         touched_at: list[set] = [set()]  # per version, files its commit touched
         live = {"file_base0", "file_base1"}
         counter = 0
-        for lag, do_remove, pick in seq:
+        for lag, shape, pick in seq:
             head = _tlog_latest_version(root)
             base = max(0, head - lag)
             base_live = {
                 os.path.basename(p) for p in _tlog_live_files(root, base)
             }
-            add = [f"file_w{counter}"]
-            counter += 1
-            remove, read_set = [], set()
-            if do_remove and base_live:
+            add, remove, dv, read_set = [], [], None, set()
+            if shape == "dv" and base_live:
+                # DV-only commit: binds a sidecar to a base-live file
+                # — a LOGICAL write to that file (ADVICE r12)
                 target = sorted(base_live)[pick % len(base_live)]
-                remove, read_set = [target], {target}
+                dv, read_set = {target: f"dv_{target}_w{counter}"}, {target}
+            else:
+                add = [f"file_w{counter}"]
+                if shape == "remove" and base_live:
+                    target = sorted(base_live)[pick % len(base_live)]
+                    remove, read_set = [target], {target}
+            counter += 1
             # model: conflict iff any commit in (base, head] touched us
-            ours = read_set | set(remove) | set(add)
+            # — where "touched" includes DV bindings on a file
+            ours = read_set | set(remove) | set(add) | set((dv or {}).keys())
             model_conflict = any(
                 touched_at[v] & ours for v in range(base + 1, head + 1)
             )
@@ -584,13 +594,13 @@ def test_rebase_serializability_matches_model(seq):
             if model_conflict:
                 with _pytest.raises(TableLogConflictError, match="true write conflict"):
                     _tlog_commit_rebase(
-                        root, add=add, remove=remove,
+                        root, add=add, remove=remove, dv=dv,
                         base_version=base, read_set=read_set,
                     )
                 # rejected: no commit, no new version
             else:
                 v = _tlog_commit_rebase(
-                    root, add=add, remove=remove,
+                    root, add=add, remove=remove, dv=dv,
                     base_version=base, read_set=read_set,
                 )
                 assert v == head + 1

@@ -888,3 +888,95 @@ def test_stats_pruning_skips_disjoint_files(spark):
         assert hi < _TLOG_PRUNE_LO or lo > _TLOG_PRUNE_HI
     # unknown stats must be read, not skipped
     assert _tlog_stats_prune(["x/file_unknown"], {}, "o_orderkey", 0, 1) == ["x/file_unknown"]
+
+
+def test_rebase_treats_dv_commits_as_writes(tlog_dir):
+    """ADVICE r12 (medium): a DV-only commit (add=[], remove=[]) is a
+    LOGICAL write to its target file — a rebasing rewriter whose read
+    set includes that file must get the true-conflict error, not
+    silently remove the file and drop the binding (which would commit
+    rows derived WITHOUT the delete applied: resurrection)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    # a DV lands on file_C while our compaction (which read file_C at
+    # `base`) is in flight
+    _tlog_commit(
+        tlog_dir, add=[], remove=[], base_version=base,
+        dv={"file_C": "dv_file_C_x"},
+    )
+    with pytest.raises(TableLogConflictError, match="true write conflict"):
+        _tlog_commit_rebase(
+            tlog_dir,
+            add=["file_C_rw"],
+            remove=["file_C"],
+            base_version=base,
+            read_set={"file_C"},
+        )
+    # a writer disjoint from the DV's target still rebases over it
+    v = _tlog_commit_rebase(
+        tlog_dir,
+        add=["file_D_rw"],
+        remove=["file_D"],
+        base_version=base,
+        read_set={"file_D"},
+    )
+    assert v == base + 2
+
+
+def test_same_commit_adoption_compares_batch_and_stats(tlog_dir):
+    """ADVICE r12 (low): identical-content adoption must compare the
+    batch id and the stats bounds too — same file names under a
+    different batch key or bounds are DIFFERENT logical changes."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_same_commit,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    v = _tlog_commit(
+        tlog_dir, add=["file_b"], remove=[], base_version=base,
+        stats={"file_b": {"o_orderkey": [0, 9]}}, batch=4,
+    )
+    winner = json.load(open(os.path.join(tlog_dir, "_log", f"{v:06d}.json")))
+    same = dict(stats={"file_b": {"o_orderkey": [0, 9]}}, batch=4)
+    assert _tlog_same_commit(winner, ["file_b"], [], **same)
+    assert not _tlog_same_commit(winner, ["file_b"], [], stats=same["stats"], batch=5)
+    assert not _tlog_same_commit(
+        winner, ["file_b"], [], stats={"file_b": {"o_orderkey": [0, 8]}}, batch=4
+    )
+    assert not _tlog_same_commit(winner, ["file_b"], [])
+
+
+def test_as_of_resolution_is_checkpoint_bounded(tlog_dir):
+    """ADVICE r12 (low): commit timestamps fold into checkpoints, so
+    as-of resolution survives severed pre-checkpoint history (reading
+    only the post-checkpoint delta) — and an unreadable commit with
+    NO checkpoint fold raises instead of silently stamping ts 0
+    (which would mis-resolve every as-of read)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _TLOG_CHECKPOINT_EVERY,
+        _tlog_commit_ts,
+        _tlog_version_as_of,
+    )
+
+    v = _tlog_latest_version(tlog_dir)
+    while (v + 1) % _TLOG_CHECKPOINT_EVERY != 0:
+        v = _tlog_commit(tlog_dir, add=[f"file_t{v}"], remove=[], base_version=v)
+    cp = json.load(
+        open(os.path.join(tlog_dir, "_log", f"{v:06d}.checkpoint.json"))
+    )
+    assert cp["ts"] == [_tlog_commit_ts(tlog_dir, x) for x in range(v + 1)]
+    ts1 = _tlog_commit_ts(tlog_dir, 1)
+    # sever ALL pre-checkpoint history: stamps still resolve from the
+    # checkpoint fold, for both single-version and as-of lookups
+    for x in range(v):
+        os.remove(os.path.join(tlog_dir, "_log", f"{x:06d}.json"))
+    assert _tlog_commit_ts(tlog_dir, 1) == ts1
+    assert _tlog_version_as_of(tlog_dir, ts1) == 1
+    assert _tlog_version_as_of(tlog_dir, ts1 + 1) == 1
+    # no checkpoint fold -> loud failure, not ts 0
+    os.remove(os.path.join(tlog_dir, "_log", f"{v:06d}.checkpoint.json"))
+    with pytest.raises(RuntimeError, match="unreadable.*no.*checkpoint|checkpoint folds"):
+        _tlog_version_as_of(tlog_dir, ts1)
