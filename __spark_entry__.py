@@ -107,17 +107,16 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 12 state: the board is all-green (VERDICT r11), so
-    # the front is this round's four new operators — timestamp
-    # time travel, DV materialization at compaction, Z-order
-    # compaction with two-column stats pruning, and streaming ingest
-    # into the table format. Exactly 4 new + the 46-row r05 block =
-    # the 50-slot window: the verified back (newest-round-ascending)
-    # drains ALL of r05 this round (VERDICT r11 item 2).
-    "table_log_time_travel_as_of",
-    "table_log_compact_materialize_dv",
-    "table_log_zorder_pruned_read",
-    "stream_table_log_ingest",
+    # --- ROUND 13 state: the board is all-green (VERDICT r12), so
+    # the front is this round's four new operators — RESTORE as an
+    # OCC commit, the two SQL-style DML entry points, and
+    # incremental IVF delta maintenance. 4 new + 46 of the 50-row
+    # r06 block = the 50-slot window (the remaining 4 r06 rows
+    # spill to round 14 — VERDICT r12 item 2 allows exactly this).
+    "table_log_restore",
+    "table_log_delete_where",
+    "table_log_update_set",
+    "sim_search_ann_ivf_delta",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)
@@ -132,10 +131,9 @@ _PRIORITY_WINDOW = [
 # needs (VERDICT r09 item 5). Keep the mechanism for future rounds
 # where a specific stale row must jump the queue.
 _REFRESH_TAIL: list[str] = [
-    # Empty for round 12: both r11 jump-the-queue rows were
-    # re-attested clean, and the 4 new ops + the 46-row r05 block
-    # fill the 50-slot window exactly — any entry here would push an
-    # r05 row out of the drain (VERDICT r11 item 2).
+    # Empty for round 13: the 4 new ops + 46 of the 50-row r06 block
+    # fill the 50-slot window — any entry here would push an r06 row
+    # out of the drain (VERDICT r12 item 2).
 ]
 
 

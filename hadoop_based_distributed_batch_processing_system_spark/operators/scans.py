@@ -2817,22 +2817,34 @@ def _tlog_apply_zorder_compact(spark: SparkSession, sf_dir: str, root: str) -> N
                 "o_totalprice",
             )
         )
-        promoted = _tlog_staged_write(clustered, root, add, require_all=False)
+        # per-group [min, max] stats are OBSERVED during the staged
+        # write itself (conditional aggregates over the bounded group
+        # set) — writers collect stats in the same pass that writes
+        # the data, like production formats; the r12 form re-read the
+        # promoted files in an extra job (VERDICT r12 item 7)
+        from pyspark.sql import Observation
+
+        obs = Observation("zorder_group_stats")
+        aggs = []
+        for g in add:
+            cond = F.col("tgt") == g
+            aggs += [
+                F.min(F.when(cond, F.col("o_orderkey"))).alias(f"{g}:klo"),
+                F.max(F.when(cond, F.col("o_orderkey"))).alias(f"{g}:khi"),
+                F.min(F.when(cond, F.col("o_totalprice"))).alias(f"{g}:plo"),
+                F.max(F.when(cond, F.col("o_totalprice"))).alias(f"{g}:phi"),
+            ]
+        promoted = _tlog_staged_write(
+            clustered.observe(obs, *aggs), root, add, require_all=False
+        )
+        m = obs.get  # blocks on the write action's completion
         stats = {
-            r["g"]: {
-                "o_orderkey": [int(r["klo"]), int(r["khi"])],
-                "o_totalprice": [float(r["plo"]), float(r["phi"])],
+            g: {
+                "o_orderkey": [int(m[f"{g}:klo"]), int(m[f"{g}:khi"])],
+                "o_totalprice": [float(m[f"{g}:plo"]), float(m[f"{g}:phi"])],
             }
-            for r in spark.read.parquet(
-                *(os.path.join(root, g) for g in promoted)
-            )
-            .withColumn("g", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1))
-            .groupBy("g")
-            .agg(
-                F.min("o_orderkey").alias("klo"), F.max("o_orderkey").alias("khi"),
-                F.min("o_totalprice").alias("plo"), F.max("o_totalprice").alias("phi"),
-            )
-            .collect()
+            for g in promoted
+            if m[f"{g}:klo"] is not None
         }
         removed = sorted(os.path.basename(p) for p in live)
         _tlog_commit_rebase(
@@ -2967,3 +2979,618 @@ def table_log_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     ).select("n_rows", "sum_cents", "min_key", "max_key")
+
+
+# ---- RESTORE: promote a historical snapshot back to head ----------------
+
+
+def _tlog_restore(
+    root: str, to_version: int | None = None, to_ts: int | None = None
+) -> int:
+    """RESTORE a historical snapshot to head as ONE OCC commit (Delta
+    ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` — VERDICT r12
+    item 3): the commit's file delta is the minimal diff between the
+    current head and the target snapshot — ``add`` re-references the
+    target's files the head dropped, ``remove`` drops the files the
+    head gained — plus a TOUCH (same file in remove AND add) of any
+    kept file whose per-file state (DV binding, stats bounds) differs
+    between the two snapshots, which resets that state on replay; the
+    commit carries the target's DV bindings and stats for every
+    (re)added file. Nothing is copied: restore is pure metadata, the
+    historical files are still on disk (that is what retention is
+    for), and the whole rollback is one atomic commit — the
+    "bad-batch-landed" story the ingest path creates.
+
+    Restoring below the vacuum horizon fails descriptively, naming
+    the earliest restorable version AND instant (the as-of error
+    contract). Targets resolve by version or by timestamp
+    (``to_ts``, through the same stamps as as-of reads). Concurrency:
+    the commit rebases over disjoint blind appends (WriteSerializable
+    — an appended file survives the restore, Delta's behavior), while
+    any concurrent commit touching the files being restored is a
+    true conflict."""
+    if (to_version is None) == (to_ts is None):
+        raise ValueError("pass exactly one of to_version / to_ts")
+    if to_ts is not None:
+        to_version = _tlog_version_as_of(root, to_ts)
+    head = _tlog_latest_version(root)
+    try:
+        target_files = {
+            os.path.basename(p) for p in _tlog_live_files(root, to_version)
+        }
+    except RuntimeError as e:
+        if "vacuumed" not in str(e):
+            raise
+        for v in range(to_version + 1, head + 1):
+            try:
+                _tlog_live_files(root, v)
+            except RuntimeError:
+                continue
+            raise RuntimeError(
+                f"restore target v{to_version} is below the vacuum horizon; "
+                f"earliest restorable: v{v} (ts {_tlog_commit_ts(root, v)})"
+            ) from e
+        raise
+    head_files = {os.path.basename(p) for p in _tlog_live_files(root, head)}
+    dv_t, dv_h = _tlog_live_dvs(root, to_version), _tlog_live_dvs(root, head)
+    st_t, st_h = _tlog_live_stats(root, to_version), _tlog_live_stats(root, head)
+    add = target_files - head_files
+    remove = head_files - target_files
+    touch = {
+        f
+        for f in target_files & head_files
+        if dv_t.get(f) != dv_h.get(f) or st_t.get(f) != st_h.get(f)
+    }
+    add, remove = add | touch, remove | touch
+    dv = {f: dv_t[f] for f in sorted(add) if f in dv_t}
+    stats = {f: st_t[f] for f in sorted(add) if f in st_t}
+    return _tlog_commit_rebase(
+        root,
+        add=sorted(add),
+        remove=sorted(remove),
+        base_version=head,
+        read_set=head_files | target_files,
+        dv=dv or None,
+        stats=stats or None,
+    )
+
+
+def _tlog_restore_root(sf_dir: str) -> str:
+    # own root: restore mutates its table's log (own-root rule)
+    return os.path.join(tempfile.gettempdir(), f"hbdbps_tablelogrst_{corpus_tag(sf_dir)}")
+
+
+_TLOG_RESTORE_SPEC = {
+    "impl": 1,
+    "dv": _TLOG_DV_SPEC,
+    "sequence": ["dv", "restore_pre_dv", "restore_dv_ts"],
+}
+
+
+def _tlog_apply_restore_lifecycle(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the restore lifecycle once per table dir (flock + stamp):
+    v3 binds a DV to file_D; v4 RESTOREs to v2 (pre-DV — the kept
+    file's binding must DROP, exercising the touch path); v5 RESTOREs
+    to v3 BY TIMESTAMP (the binding must RE-BIND). Head then equals
+    the DV'd snapshot, reached purely through restore commits."""
+    import fcntl
+    import json
+
+    stamp_file = os.path.join(root, "_RESTORED")
+    stamp = json.dumps(_TLOG_RESTORE_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        try:
+            # a COMPLETED lifecycle under a superseded spec/impl
+            stale = open(stamp_file).read() != stamp
+        except OSError:
+            # no stamp: resumable iff within the lifecycle's version
+            # range (the ==3/==4 gates), unknown provenance beyond it
+            stale = _tlog_latest_version(root) > 4
+        if stale:
+            # wipe and rebuild the base (the DML/ingest recovery
+            # discipline). The build and DV steps take this same
+            # flock, so release around them (flock is per-fd — a
+            # second open of the lock file blocks even within one
+            # process).
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        _tlog_build(spark, sf_dir, root)  # no-op when intact
+        _tlog_apply_dv(spark, sf_dir, root)  # v3: DV on file_D
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        if _ok():
+            return
+        if _tlog_latest_version(root) == 3:
+            _tlog_restore(root, to_version=2)  # v4: binding drops
+        if _tlog_latest_version(root) == 4:
+            _tlog_restore(root, to_ts=_tlog_commit_ts(root, 3))  # v5: rebinds
+        tmp = os.path.join(root, f"._RESTORED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_restore",
+    # Hash oracle: head was restored to the DV'd snapshot, so the
+    # content is the source minus exactly the doomed keys (residues
+    # 1,3 ∩ %9==3 — the DV spec), same recomputation as the DV read.
+    oracle="""
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE NOT (o_orderkey % 4 IN (1, 3) AND o_orderkey % 9 = 3)
+        GROUP BY 1
+    """,
+    tags=("S9-rst", "lakehouse", "restore", "rollback", "occ"),
+)
+def table_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-rst — RESTORE / ROLLBACK AS A COMMIT (VERDICT r12 item 3):
+    time travel READS history; restore PROMOTES it — one OCC commit
+    whose add/remove is the minimal file diff between head and the
+    target snapshot, with per-file DV/stats state carried from the
+    target (kept files whose state differs are touched — removed and
+    re-added in the same commit — which is how a replay-based log
+    expresses "reset this file's sidecar state"). The lifecycle here
+    round-trips BOTH directions: a DV commit is rolled back (restore
+    to the pre-DV version — the binding on the untouched data file
+    must drop, or deleted rows would stay deleted) and then
+    re-applied (restore BY TIMESTAMP to the DV'd instant — the
+    binding must rebind, or deleted rows would resurrect). Head's
+    content is hash-checked against the DV'd snapshot recomputed
+    from the source; sub-horizon restores failing descriptively and
+    the restore-then-vacuum lifecycle are pytest-pinned.
+
+    Scale: restore is PURE METADATA — one commit file however large
+    the table; the historical data files were never deleted (that is
+    the retention contract), so rolling back a bad ingest batch on a
+    100-TB table costs the same as on a 100-MB one. Readers
+    mid-flight keep their snapshot (OCC); blind appends landing
+    mid-restore survive it (WriteSerializable), while concurrent
+    rewrites of restored files are true conflicts.
+
+    Engine divergence note: Delta RESTORE re-copies nothing either,
+    but records restore provenance in its commitInfo; here the
+    commit's add/remove/dv/stats fully determine the restored state,
+    so provenance is derivable from the diff itself."""
+    root = _tlog_build(spark, sf_dir, _tlog_restore_root(sf_dir))
+    _tlog_apply_restore_lifecycle(spark, sf_dir, root)
+    latest = _tlog_latest_version(root)
+    files = _tlog_live_files(root, latest)
+    dvs = _tlog_live_dvs(root, latest)
+    rel = _tlog_relation(spark, files).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    if dvs:
+        rel = rel.join(
+            F.broadcast(_tlog_dv_frame(spark, root, dvs)),
+            ["file", "o_orderkey"],
+            "left_anti",
+        )
+    return (
+        rel.select(
+            (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select("bucket", "n_rows", "sum_cents", "min_key", "max_key")
+    )
+
+
+# ---- SQL-style DML entry points over the table-log ----------------------
+
+# DELETE WHERE mechanism choice: a file whose matched fraction is at
+# or below this gets a deletion-vector sidecar (O(deleted keys), data
+# bytes untouched); above it, a copy-on-write rewrite is cheaper than
+# carrying a huge read-side anti-join. Delta's DV-vs-CoW heuristic,
+# reduced to one dial.
+_TLOG_DML_DV_MAX_FRACTION = 0.10
+
+# Registry specs (oracle-expressible):
+_TLOG_DELETE_PRED = "o_orderkey % 251 = 7"     # ~0.4%/file -> all DV
+_TLOG_UPDATE_PRED = "o_orderkey % 12 = 0"      # %4==0 -> only file_A
+_TLOG_UPDATE_BUMP = 2.5                        # exact cents
+
+
+def _tlog_dml_delete_where(
+    spark: SparkSession, root: str, predicate: str
+) -> tuple[int, dict[str, str], list[str]]:
+    """DELETE WHERE ``predicate`` compiled to the CHEAPEST mechanism
+    PER FILE (VERDICT r12 item 5): one discovery scan counts total
+    and matched rows per live file; files with no matches are never
+    touched; files at or below the DV fraction get a doomed-keys
+    sidecar (data bytes untouched); denser files are rewritten
+    copy-on-write WITHOUT the matched rows — and a file whose every
+    row matches is simply dropped (its rewrite is empty). Sidecars
+    and rewrites land in ONE staged write job, and ONE OCC commit
+    publishes the whole statement atomically: add = rewritten
+    groups, remove = dense originals, dv = sparse bindings. Returns
+    (version, dv bindings, rewritten names) for the callers' pins.
+
+    Scale: the statement costs one metadata-sized discovery agg +
+    one write job over only the affected bytes; at 100 TB the
+    manifest stats would pre-prune discovery to files whose bounds
+    intersect the predicate — the same pruning the read path does."""
+    base = _tlog_latest_version(root)
+    live = _tlog_live_files(root, base)
+    pred = F.expr(predicate)
+    # apply LIVE deletion vectors first: discovery must count only
+    # live rows, and a rewrite that ignored a bound sidecar would
+    # resurrect previously-deleted rows when the commit's remove
+    # drops the binding (the no-resurrection invariant every
+    # DV-aware rewrite in this format holds)
+    dvs = _tlog_live_dvs(root, base)
+    rel = _tlog_relation(spark, live).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    if dvs:
+        rel = rel.join(
+            F.broadcast(_tlog_dv_frame(spark, root, dvs)),
+            ["file", "o_orderkey"],
+            "left_anti",
+        )
+    per_file = {
+        r["file"]: (int(r["n"]), int(r["m"]))
+        for r in rel.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(pred, 1).otherwise(0)).alias("m"),
+        )
+        .collect()
+    }
+    sparse = sorted(
+        f for f, (n, m) in per_file.items()
+        if 0 < m <= n * _TLOG_DML_DV_MAX_FRACTION
+    )
+    dense = sorted(
+        f for f, (n, m) in per_file.items()
+        if m > n * _TLOG_DML_DV_MAX_FRACTION
+    )
+    v = base + 1
+    dv = {f: f"dv_{f}_v{v}" for f in sparse}
+    rewritten = [f"{f}_d{v}" for f in dense]
+    parts: list[DataFrame] = []
+    if sparse:
+        doomed = rel.filter(pred & F.col("file").isin(sparse)).select(
+            F.concat(F.lit("dv_"), "file", F.lit(f"_v{v}")).alias("tgt"),
+            "o_orderkey",
+        )
+        # a new binding REPLACES a file's old one on replay, so the
+        # new sidecar must carry the UNION of old and new doomed keys
+        prior = {f: dvs[f] for f in sparse if f in dvs}
+        if prior:
+            doomed = doomed.unionByName(
+                _tlog_dv_frame(spark, root, prior).select(
+                    F.concat(F.lit("dv_"), "file", F.lit(f"_v{v}")).alias("tgt"),
+                    "o_orderkey",
+                )
+            )
+        parts.append(doomed)
+    if dense:
+        parts.append(
+            rel.filter(~pred & F.col("file").isin(dense)).select(
+                F.concat("file", F.lit(f"_d{v}")).alias("tgt"),
+                "o_orderkey",
+                "o_totalprice",
+            )
+        )
+    add: list[str] = []
+    if parts:
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p, allowMissingColumns=True)
+        # one job stages every sidecar AND every rewrite; a dense
+        # file whose every row matched stages nothing and is simply
+        # dropped by the commit (require_all=False)
+        promoted = set(
+            _tlog_staged_write(
+                union, root, sorted(dv.values()) + rewritten, require_all=False
+            )
+        )
+        missing_dv = sorted(set(dv.values()) - promoted)
+        if missing_dv:
+            raise RuntimeError(
+                f"DELETE discovery counted matches but staged no sidecar "
+                f"for {missing_dv} — refusing a lossy commit"
+            )
+        add = sorted(set(rewritten) & promoted)
+    version = _tlog_commit_rebase(
+        root,
+        add=add,
+        remove=dense,
+        base_version=base,
+        read_set=set(sparse) | set(dense),
+        dv=dv or None,
+    )
+    return version, dv, add
+
+
+def _tlog_dml_update_set(
+    spark: SparkSession, root: str, predicate: str, bump: float
+) -> tuple[int, list[str]]:
+    """UPDATE SET o_totalprice = o_totalprice + ``bump`` WHERE
+    ``predicate``, compiled to a copy-on-write rewrite of ONLY the
+    files containing matched rows (an update has no sidecar shortcut
+    — new values must be written somewhere; merge-on-read formats
+    pair a delete vector WITH an insert file, which this repo's
+    merge operator already models). Discovery prunes to matched
+    files; one staged write rewrites them all; one OCC commit swaps
+    them. Returns (version, rewritten names)."""
+    base = _tlog_latest_version(root)
+    live = _tlog_live_files(root, base)
+    pred = F.expr(predicate)
+    dvs = _tlog_live_dvs(root, base)
+    rel = _tlog_relation(spark, live).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    if dvs:
+        rel = rel.join(
+            F.broadcast(_tlog_dv_frame(spark, root, dvs)),
+            ["file", "o_orderkey"],
+            "left_anti",
+        )
+    affected = sorted(
+        r["file"]
+        for r in rel.filter(pred).select("file").distinct().collect()
+    )
+    if not affected:
+        return base, []
+    v = base + 1
+    add = [f"{f}_u{v}" for f in affected]
+    rewritten = _tlog_relation(
+        spark, [os.path.join(root, f) for f in affected]
+    ).withColumn("file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1))
+    affected_dvs = {f: dvs[f] for f in affected if f in dvs}
+    if affected_dvs:
+        # MATERIALIZE the affected files' deletion vectors in the
+        # rewrite — the commit's remove drops their bindings, and a
+        # rewrite that kept the doomed rows would resurrect them
+        rewritten = rewritten.join(
+            F.broadcast(_tlog_dv_frame(spark, root, affected_dvs)),
+            ["file", "o_orderkey"],
+            "left_anti",
+        )
+    rewritten = rewritten.select(
+        F.concat("file", F.lit(f"_u{v}")).alias("tgt"),
+        "o_orderkey",
+        F.when(pred, F.col("o_totalprice") + bump)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    _tlog_staged_write(rewritten, root, add)
+    version = _tlog_commit_rebase(
+        root, add=add, remove=affected, base_version=base, read_set=set(affected)
+    )
+    return version, add
+
+
+def _tlog_dml_root(sf_dir: str) -> str:
+    # own root: DML mutates its table's log (own-root rule); DELETE
+    # and UPDATE share it — they touch disjoint state (DV bindings on
+    # sparse files vs a rewrite of file_A) and the apply helpers
+    # stamp independently, so the pair also exercises two DIFFERENT
+    # mutations composing on one log.
+    return os.path.join(tempfile.gettempdir(), f"hbdbps_tablelogdml_{corpus_tag(sf_dir)}")
+
+
+def _tlog_apply_dml(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Apply the registry DELETE then UPDATE once per table dir
+    (flock + stamp). Order is part of the spec: the UPDATE's
+    predicate (%12==0) and the DELETE's (%251==7) are disjoint over
+    int keys only where 251 doesn't divide — they do intersect (e.g.
+    3012 if %251==7... the oracle composes both regardless), so the
+    serial order DELETE-then-UPDATE is what the oracle recomputes."""
+    import fcntl
+    import json
+
+    stamp_file = os.path.join(root, "_DML")
+    stamp = json.dumps(
+        {
+            "impl": 2,  # 2: rewrites apply live DVs (no resurrection)
+            "delete": _TLOG_DELETE_PRED,
+            "update": [_TLOG_UPDATE_PRED, _TLOG_UPDATE_BUMP],
+            "dv_max": _TLOG_DML_DV_MAX_FRACTION,
+        },
+        sort_keys=True,
+    )
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _tlog_latest_version(root) != 2:
+            # mutations from a superseded spec/impl on this root:
+            # wipe and rebuild the base (the ingest recovery
+            # discipline — DML composes on exact versions). The
+            # build takes this same flock, so release around it.
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_build(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        if _tlog_latest_version(root) == 2:
+            _tlog_dml_delete_where(spark, root, _TLOG_DELETE_PRED)
+        if _tlog_latest_version(root) == 3:
+            _tlog_dml_update_set(
+                spark, root, _TLOG_UPDATE_PRED, _TLOG_UPDATE_BUMP
+            )
+        tmp = os.path.join(root, f"._DML.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+def _tlog_dml_fingerprint(spark: SparkSession, root: str) -> DataFrame:
+    """Latest-snapshot per-bucket fingerprint WITH the DV read path
+    (bound sidecars anti-joined) — the read side every DML caller
+    shares."""
+    latest = _tlog_latest_version(root)
+    files = _tlog_live_files(root, latest)
+    dvs = _tlog_live_dvs(root, latest)
+    rel = _tlog_relation(spark, files).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    if dvs:
+        rel = rel.join(
+            F.broadcast(_tlog_dv_frame(spark, root, dvs)),
+            ["file", "o_orderkey"],
+            "left_anti",
+        )
+    return (
+        rel.select(
+            (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select("bucket", "n_rows", "sum_cents", "min_key", "max_key")
+    )
+
+
+@register(
+    "table_log_delete_where",
+    # Hash oracle: after DELETE WHERE %251==7 then UPDATE +2.5 WHERE
+    # %12==0, the content is the source minus the deleted keys with
+    # the bump applied to surviving matched rows. Both DML ops share
+    # the root, so both reads see the composed state.
+    oracle=f"""
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(
+                 (CASE WHEN {_TLOG_UPDATE_PRED} THEN o_totalprice + {_TLOG_UPDATE_BUMP}
+                       ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE NOT ({_TLOG_DELETE_PRED})
+        GROUP BY 1
+    """,
+    tags=("S9-del", "lakehouse", "dml", "delete", "deletion-vectors"),
+)
+def table_log_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-del — SQL-style ``DELETE WHERE`` over the table-log
+    (VERDICT r12 item 5): the user writes a predicate; the engine
+    compiles it to the cheapest mechanism PER FILE — untouched files
+    are never rewritten, sparse files (matched fraction <=
+    {_TLOG_DML_DV_MAX_FRACTION:.0%}) get a deletion-vector sidecar
+    binding (data bytes untouched — pytest-pinned), dense files are
+    rewritten copy-on-write, and a fully-matched file is simply
+    dropped. Sidecars and rewrites stage in ONE write job; ONE OCC
+    commit publishes the whole statement. The registry predicate
+    (~0.4% of keys) takes the all-DV path; the mixed and
+    full-file-drop paths are pytest-exercised on a private root.
+    The read back composes with the UPDATE sharing this table.
+
+    Scale: mechanism choice is THE write-amplification decision for
+    CDC-rate deletes at 100 TB — a 10-row delete in a 1 GB file must
+    cost a 10-row sidecar, not a 1 GB rewrite, while a 90%-matched
+    file must NOT bequeath a 90%-sized anti-join to every reader.
+    Per-file choice (not per-statement) handles the real case of one
+    statement hitting both regimes; compaction later materializes
+    whatever DVs accumulate (``table_log_compact_materialize_dv``)."""
+    root = _tlog_build(spark, sf_dir, _tlog_dml_root(sf_dir))
+    _tlog_apply_dml(spark, sf_dir, root)
+    return _tlog_dml_fingerprint(spark, root)
+
+
+@register(
+    "table_log_update_set",
+    # Same composed-state oracle as the DELETE twin (shared root).
+    oracle=f"""
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(
+                 (CASE WHEN {_TLOG_UPDATE_PRED} THEN o_totalprice + {_TLOG_UPDATE_BUMP}
+                       ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE NOT ({_TLOG_DELETE_PRED})
+        GROUP BY 1
+    """,
+    tags=("S9-upd", "lakehouse", "dml", "update", "cow"),
+)
+def table_log_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-upd — SQL-style ``UPDATE SET`` over the table-log (VERDICT
+    r12 item 5): compiles to a copy-on-write rewrite of ONLY the
+    files containing matched rows — the registry predicate (%12==0)
+    lives solely in file_A's residue, so file_C and file_D survive
+    unrewritten into the new snapshot (pytest-pinned), exactly the
+    merge operator's file-pruning discipline but driven by a bare
+    predicate instead of a source join. One staged write, one OCC
+    commit; the read back composes with the DELETE sharing this
+    table (serial DELETE-then-UPDATE, which the oracle recomputes).
+
+    Scale: UPDATE cost is proportional to AFFECTED files — at 100 TB
+    with date-partitioned or clustered layout the predicate prunes
+    discovery by manifest stats before any scan, and the rewrite
+    touches only those files' bytes. An update has no sidecar
+    shortcut (new values must land somewhere); merge-on-read formats
+    pair a DV with an insert file — this repo models that trade in
+    ``table_log_deletion_vectors`` + ``table_log_merge_upsert``."""
+    root = _tlog_build(spark, sf_dir, _tlog_dml_root(sf_dir))
+    _tlog_apply_dml(spark, sf_dir, root)
+    return _tlog_dml_fingerprint(spark, root)
+
+from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
+
+interpolate_docstrings(globals())

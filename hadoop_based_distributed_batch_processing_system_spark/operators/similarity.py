@@ -1781,9 +1781,13 @@ def sim_search_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return hits[0]
 
-    cent_rows = spark.read.parquet(_live_one("file_centroids")).orderBy("cluster").collect()
+    # generation prefixes (file_*_g<N>), NOT the bare family names:
+    # delta inverted-list commits (sim_search_ann_ivf_delta) add
+    # file_postings_delta_* groups beside the base generation — this
+    # op serves the BASE lists by contract (the delta twin unions)
+    cent_rows = spark.read.parquet(_live_one("file_centroids_g")).orderBy("cluster").collect()
     centroids = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
-    postings = spark.read.parquet(_live_one("file_postings")).select(
+    postings = spark.read.parquet(_live_one("file_postings_g")).select(
         "bucket", "side", "id", "v"
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1799,6 +1803,214 @@ def sim_search_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _ANN_K)
+
+# ---- incremental IVF maintenance: delta inverted-list commits -------
+
+_IVF_DELTA_MOD = 17  # delta batch = embeddings with vec_id % 17 == 3
+_IVF_DELTA_OFFSET = 10_000_000  # re-keyed ids, disjoint from the base corpus
+# delta rows / base rows above this triggers the full generation
+# retrain that already exists (the ingest→OPTIMIZE loop applied to
+# the index: appends stay cheap until drift justifies re-clustering)
+_IVF_DELTA_REBUILD_FRACTION = 0.5
+
+
+def _ivf_delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 'new vectors' batch: ~1/17 of the corpus
+    re-keyed into an id range disjoint from the base index."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _IVF_DELTA_MOD == 3)
+        .select(
+            (F.col("vec_id") + _IVF_DELTA_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+
+
+def _ivf_index_refresh(spark: SparkSession, sf_dir: str) -> str:
+    """Full-generation retrain: invalidate the build stamp and rerun
+    the builder — it commits add(new generation) + remove(ALL live
+    index files, deltas included) through the rebase protocol, so
+    readers mid-flight keep their snapshot and the delta debt resets
+    to zero (commit 51a47aa's machinery, triggered by the append
+    path's drift threshold instead of a spec change)."""
+    import os
+
+    root = _ivf_index_root(sf_dir)
+    for stamp in ("_BUILT", "_DELTA"):
+        try:
+            os.unlink(os.path.join(root, stamp))
+        except OSError:
+            pass
+    return _ivf_index_build(spark, sf_dir)
+
+
+def _ivf_index_append_delta(spark: SparkSession, sf_dir: str) -> str:
+    """APPEND a vector batch to the persisted IVF index as a DELTA
+    inverted-list commit (VERDICT r12 item 6): assign the new vectors
+    to the EXISTING centroids (no retrain — pytest-poisoned), write
+    their postings as one bucket-partitioned file group, and publish
+    it as a blind-append-shaped OCC commit whose read set is the
+    centroid file (a concurrent retrain that replaced the centroids
+    is a true conflict: the assignment would be stale). When the
+    accumulated delta fraction crosses ``_IVF_DELTA_REBUILD_FRACTION``
+    the full generation rebuild runs instead — the ingest→OPTIMIZE
+    loop applied to index maintenance."""
+    import fcntl
+    import json
+    import os
+
+    import numpy as np
+
+    root = _ivf_index_build(spark, sf_dir)
+    stamp_file = os.path.join(root, "_DELTA")
+    stamp = json.dumps(
+        {
+            "index": _ivf_index_stamp(sf_dir),
+            "mod": _IVF_DELTA_MOD,
+            "offset": _IVF_DELTA_OFFSET,
+            "rebuild_frac": _IVF_DELTA_REBUILD_FRACTION,
+        },
+        sort_keys=True,
+    )
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return root
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return root
+        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+            _tlog_commit_rebase,
+            _tlog_latest_version,
+            _tlog_live_files,
+        )
+
+        base = _tlog_latest_version(root)
+        live = {os.path.basename(p): p for p in _tlog_live_files(root, base)}
+        cent_name = next(n for n in live if n.startswith("file_centroids"))
+        gen = int(cent_name.rsplit("_g", 1)[1])
+        if f"file_postings_delta_g{gen}_b0" in live:
+            # log-level idempotence (the batch-id rule): this delta
+            # batch already committed against this generation — a
+            # lost stamp (crash between commit and stamp) must adopt,
+            # not stack a duplicate commit
+            tmp = os.path.join(root, f"._DELTA.{os.getpid()}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(stamp)
+            os.replace(tmp, stamp_file)
+            return root
+        delta = _ivf_delta_frame(spark, sf_dir)
+        n_delta, n_base = delta.count(), load_table(
+            spark, sf_dir, "embeddings"
+        ).count()
+        if n_delta > n_base * _IVF_DELTA_REBUILD_FRACTION:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)  # refresh takes this lock
+            return _ivf_index_refresh(spark, sf_dir)
+        cent_rows = (
+            spark.read.parquet(live[cent_name]).orderBy("cluster").collect()
+        )
+        centroids = np.stack(
+            [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+        )
+        delta_name = f"file_postings_delta_g{gen}_b0"
+        delta.mapInPandas(
+            _assign_emit_kernel(centroids),
+            "bucket int, side int, id long, v array<double>",
+        ).filter(F.col("side") == 0).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(root, delta_name))
+        _tlog_commit_rebase(
+            root,
+            add=[delta_name],
+            remove=[],
+            base_version=base,
+            read_set={cent_name},
+        )
+        tmp = os.path.join(root, f"._DELTA.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return root
+
+
+@register("sim_search_ann_ivf_delta", tags=("L3", "ann", "ivf", "index", "incremental"))  # rows-only: approximate by design
+def sim_search_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #2c — INCREMENTAL IVF MAINTENANCE (VERDICT r12
+    item 6): new vectors land in the persisted index as a DELTA
+    inverted-list commit — assigned to the EXISTING centroids (no
+    retrain; the trainer is pytest-poisoned on the append path),
+    written as one bucket-partitioned file group, published through
+    the same OCC commit log as the base generation. The QUERY path
+    unions base + delta postings (both bucket-partitioned, so a
+    selective probe set still prunes partitions across BOTH) and
+    serves the NEW vectors as the query batch — the freshness
+    contract incremental maintenance exists for: data appended a
+    commit ago is findable without an index rebuild. Past the
+    drift threshold ({_IVF_DELTA_REBUILD_FRACTION:.0%} of the base),
+    the append path triggers the full generation retrain instead
+    (pytest-pinned via a lowered threshold).
+
+    Scale: this is DiskANN/FAISS-style index freshness on lakehouse
+    plumbing — appends cost O(batch) assignment + one commit (never
+    a corpus re-cluster); queries pay one extra file group per
+    outstanding delta until the rebuild folds them in, the exact
+    small-file/compaction trade the table format already manages.
+    Assignment quality degrades only as the vector distribution
+    drifts from the trained centroids — which is what the rebuild
+    fraction bounds."""
+    import os
+
+    import numpy as np
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    root = _ivf_index_append_delta(spark, sf_dir)
+    live = {
+        os.path.basename(p): p
+        for p in _tlog_live_files(root, _tlog_latest_version(root))
+    }
+    cent_name = next(n for n in live if n.startswith("file_centroids"))
+    cent_rows = spark.read.parquet(live[cent_name]).orderBy("cluster").collect()
+    centroids = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )
+    posting_paths = sorted(
+        p for n, p in live.items() if n.startswith("file_postings")
+    )
+    # one relation per file group (each is its own bucket-partitioned
+    # root, so partition discovery can't merge them in one read);
+    # the union is bounded by the rebuild threshold — outstanding
+    # deltas fold into the next generation before the list grows
+    postings = None
+    for p in posting_paths:
+        part = spark.read.parquet(p).select("bucket", "side", "id", "v")
+        postings = part if postings is None else postings.unionByName(part)
+    probes = _ivf_delta_frame(spark, sf_dir).mapInPandas(
+        _assign_emit_kernel(centroids),
+        "bucket int, side int, id long, v array<double>",
+    ).filter(F.col("side") == 1)
+    scored = (
+        postings.unionByName(probes)
+        .groupBy("bucket")
+        .applyInPandas(_union_knn_kernel, "q_id long, n_id long, cosine double")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _ANN_K)
+
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
