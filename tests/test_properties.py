@@ -732,3 +732,68 @@ def test_tablelog_resolution_matches_model_replay(history):
                 } == model_live[v]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(history=_tlog_histories(), data=st.data())
+def test_restore_matches_model_at_any_target(history, data):
+    """RESTORE promoted to a property: against ANY commit history
+    (adds, removes, DV bindings, stats) and ANY target version, one
+    `_tlog_restore` commit must make head's ENTIRE replayed state —
+    live files, DV bindings, stats bounds — equal the target
+    snapshot's, and a second restore by TIMESTAMP back to the
+    pre-restore head must round-trip it. This is the touch-to-reset
+    discipline under adversarial state: a kept file whose sidecar
+    state differs in either direction must reset, identical state
+    must survive untouched."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_commit_ts,
+        _tlog_live_dvs,
+        _tlog_live_files,
+        _tlog_live_stats,
+        _tlog_restore,
+    )
+
+    root = tempfile.mkdtemp(prefix="hbdbps_restore_prop_")
+    try:
+        os.makedirs(os.path.join(root, "_log"))
+        model_live, model_dv, model_stats = [], [], []
+        live, dv, stats = set(), {}, {}
+        for v, c in enumerate(history):
+            _tlog_commit(
+                root, add=c["add"], remove=c["remove"], base_version=v - 1,
+                dv=c["dv"] or None, stats=c["stats"] or None,
+            )
+            live = (live - set(c["remove"])) | set(c["add"])
+            for f in c["remove"]:
+                dv.pop(f, None)
+                stats.pop(f, None)
+            dv.update(c["dv"])
+            stats.update(c["stats"])
+            model_live.append(set(live))
+            model_dv.append(dict(dv))
+            model_stats.append(dict(stats))
+        latest = len(history) - 1
+        target = data.draw(st.integers(min_value=0, max_value=latest))
+
+        def state(v):
+            return (
+                {os.path.basename(p) for p in _tlog_live_files(root, v)},
+                _tlog_live_dvs(root, v),
+                _tlog_live_stats(root, v),
+            )
+
+        v1 = _tlog_restore(root, to_version=target)
+        assert v1 == latest + 1
+        assert state(v1) == (model_live[target], model_dv[target], model_stats[target])
+        # round-trip BY TIMESTAMP back to the pre-restore head
+        v2 = _tlog_restore(root, to_ts=_tlog_commit_ts(root, latest))
+        assert v2 == v1 + 1
+        assert state(v2) == (model_live[latest], model_dv[latest], model_stats[latest])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
