@@ -934,10 +934,18 @@ def _tlog_commit(
     checkpoint when the commit count reaches the cadence."""
     import json
 
+    import threading
+
     v = base_version + 1
     logd = os.path.join(root, "_log")
     path = os.path.join(logd, f"{v:06d}.json")
-    tmp = os.path.join(logd, f".commit.{os.getpid()}.{v}.tmp")
+    # pid AND thread id: two threads of one driver process (a
+    # streaming drain + a maintenance commit) can race the same
+    # version — a pid-only temp name would have them write/unlink
+    # each other's temp file mid-commit
+    tmp = os.path.join(
+        logd, f".commit.{os.getpid()}.{threading.get_ident()}.{v}.tmp"
+    )
     payload = {"add": sorted(add), "remove": sorted(remove)}
     if dv:
         payload["dv"] = dict(sorted(dv.items()))  # file -> deletion-vector sidecar
@@ -968,7 +976,9 @@ def _tlog_commit(
         os.unlink(tmp)
     if (v + 1) % _TLOG_CHECKPOINT_EVERY == 0:
         live = [os.path.basename(p) for p in _tlog_live_files(root, v)]
-        ctmp = os.path.join(logd, f".ckpt.{os.getpid()}.{v}.tmp")
+        ctmp = os.path.join(
+            logd, f".ckpt.{os.getpid()}.{threading.get_ident()}.{v}.tmp"
+        )
         with open(ctmp, "w") as fh:
             # checkpoints fold ALL replayed state — live set, DV
             # bindings, manifest stats, batch ids, AND commit
@@ -1125,8 +1135,15 @@ def _tlog_staged_write(
     whose file lost every row) and the caller gets back the list of
     groups that actually materialized, to commit only those."""
     import shutil
+    import threading
 
-    staging = os.path.join(root, f".staging_{os.getpid()}")
+    # pid AND thread id: a streaming foreachBatch drain and a
+    # maintenance commit can stage concurrently from two threads of
+    # ONE driver process — a pid-only name would have them rmtree
+    # each other's staging mid-write
+    staging = os.path.join(
+        root, f".staging_{os.getpid()}_{threading.get_ident()}"
+    )
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").partitionBy("tgt").parquet(staging)
     staged = {d.split("=", 1)[1]: d for d in os.listdir(staging) if d.startswith("tgt=")}
