@@ -267,7 +267,14 @@ def main() -> None:
         sf_val = sf
     payload = {
         "metric": "headline_queries_total_warm_best3",
-        "value": round(sum(timings.values()), 4),
+        # the canary is a calibration row, not a query: including it
+        # in the total skewed round-over-round comparisons against
+        # pre-r13 artifacts (ADVICE r13) — it stays in queries/headline
+        # for normalization but never in the sum
+        "value": round(
+            sum(v for k, v in timings.items() if k != "calibration_jvm_canary"),
+            4,
+        ),
         "unit": "sec",
         "sf": sf_val,
         "queries": timings,
@@ -286,9 +293,24 @@ def main() -> None:
     # round, blinding round-over-round regression audits (VERDICT
     # r12 item 1a). Persist the COMPLETE per-query payload in the
     # repo so every row is comparable next round.
+    # Both the round-close (builder) run and the driver's per-round
+    # rerun are valuable — r13's driver rerun overwrote the committed
+    # builder payload (VERDICT r13 item 5). Never clobber: the first
+    # run of a round owns BENCH_LOCAL_rNN.json; later runs land beside
+    # it as .rerunK, and every payload carries provenance.
+    payload["provenance"] = {
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "shuffle_partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"),
+        "pid": os.getpid(),
+    }
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        local = os.path.join(here, f"BENCH_LOCAL_r{_next_round()}.json")
+        stem = os.path.join(here, f"BENCH_LOCAL_r{_next_round()}")
+        local = f"{stem}.json"
+        k = 1
+        while os.path.exists(local):
+            local = f"{stem}.rerun{k}.json"
+            k += 1
         with open(local, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError:

@@ -43,7 +43,11 @@ def load_queries(path: str) -> dict[str, float]:
         return {k: float(v) for k, v in doc["queries"].items()}
     if "tail" in doc:  # driver artifact: recover pairs from the tail
         pairs = re.findall(r'\\?"([a-z0-9_]+)\\?":\s*([0-9.]+)', doc["tail"])
-        return {k: float(v) for k, v in pairs}
+        # the tail also carries payload scalars ("value", "sf", ...);
+        # treating them as query rows polluted the shared-row set and
+        # the median (ADVICE r13)
+        scalars = {"value", "sf", "pid", "shuffle_partitions"}
+        return {k: float(v) for k, v in pairs if k not in scalars}
     raise SystemExit(f"{path}: neither a bench payload nor a driver artifact")
 
 
