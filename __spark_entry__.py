@@ -107,16 +107,14 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 13 state: the board is all-green (VERDICT r12), so
-    # the front is this round's four new operators — RESTORE as an
-    # OCC commit, the two SQL-style DML entry points, and
-    # incremental IVF delta maintenance. 4 new + 46 of the 50-row
-    # r06 block = the 50-slot window (the remaining 4 r06 rows
-    # spill to round 14 — VERDICT r12 item 2 allows exactly this).
-    "table_log_restore",
-    "table_log_delete_where",
-    "table_log_update_set",
-    "sim_search_ann_ivf_delta",
+    # --- ROUND 14 state: the board is all-green (VERDICT r13), so
+    # the front is this round's new operators — the DV-complete
+    # change feed attested on a table with real DML commits, and the
+    # replication composition through it. 2 new + the 4 r06
+    # leftovers + 44 of the 50-row r07 block = the 50-slot window
+    # (~6 r07 rows spill to round 15 — VERDICT r13 item 3).
+    "table_log_cdc_dml",
+    "stream_table_log_replicate_dml",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

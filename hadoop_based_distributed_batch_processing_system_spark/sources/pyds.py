@@ -234,26 +234,50 @@ class TableLogFeedStreamReader(SimpleDataSourceStreamReader):
 
     def _commit_rows(self, v: int):
         import glob
-        import json
         import os
 
         import pyarrow.parquet as pq
 
-        c = json.load(open(os.path.join(self.root, "_log", f"{v:06d}.json")))
+        # DV-complete change contract (VERDICT r13 item 1): commits
+        # are expanded to live-row transitions by the shared unit
+        # helper, so a DV-only commit emits its newly doomed keys as
+        # remove rows and a removed file's already-doomed rows are
+        # not re-removed
+        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+            _tlog_change_units,
+        )
+
+        def sidecar_keys(name):
+            if not name:
+                return None
+            ks: set = set()
+            for part in sorted(
+                glob.glob(os.path.join(self.root, name, "*.parquet"))
+            ):
+                ks.update(
+                    pq.read_table(part, columns=["o_orderkey"])
+                    .column("o_orderkey")
+                    .to_pylist()
+                )
+            return ks
+
         rows = []  # materialized: the simple-reader prefetch cache pickles
-        for side in ("add", "remove"):
-            for fname in sorted(c[side]):
-                for part in sorted(
-                    glob.glob(os.path.join(self.root, fname, "*.parquet"))
-                ):
-                    t = pq.read_table(part, columns=["o_orderkey", "o_totalprice"])
-                    rows.extend(
-                        (v, side, k, p)
-                        for k, p in zip(
-                            t.column("o_orderkey").to_pylist(),
-                            t.column("o_totalprice").to_pylist(),
-                        )
+        for side, fname, incl, excl in _tlog_change_units(self.root, v):
+            incl_keys = sidecar_keys(incl)
+            excl_keys = sidecar_keys(excl) or set()
+            for part in sorted(
+                glob.glob(os.path.join(self.root, fname, "*.parquet"))
+            ):
+                t = pq.read_table(part, columns=["o_orderkey", "o_totalprice"])
+                rows.extend(
+                    (v, side, k, p)
+                    for k, p in zip(
+                        t.column("o_orderkey").to_pylist(),
+                        t.column("o_totalprice").to_pylist(),
                     )
+                    if (incl_keys is None or k in incl_keys)
+                    and k not in excl_keys
+                )
         return rows
 
     def initialOffset(self):
@@ -295,12 +319,26 @@ def register_table_log_feed_source(spark: SparkSession) -> None:
 
 class TableLogFeedPartition(InputPartition):
     """One (commit version, side, file group) of the change feed —
-    the getSplits() unit: each becomes one executor task."""
+    the getSplits() unit: each becomes one executor task. DV-aware
+    (VERDICT r13 item 1): ``incl``/``excl`` carry sidecar paths whose
+    doomed-key sets gate the file's rows (include = a DV delta's
+    newly doomed keys; exclude = the file's prior binding, so
+    already-deleted rows are never re-emitted). Sidecars are
+    doomed-keys-sized, read executor-side beside the data file."""
 
-    def __init__(self, version: int, side: str, path: str):
+    def __init__(
+        self,
+        version: int,
+        side: str,
+        path: str,
+        incl: str | None = None,
+        excl: str | None = None,
+    ):
         self.version = version
         self.side = side
         self.path = path
+        self.incl = incl
+        self.excl = excl
 
 
 class TableLogFeedPartitionedReader(DataSourceStreamReader):
@@ -342,17 +380,24 @@ class TableLogFeedPartitionedReader(DataSourceStreamReader):
         return {"next": self._latest_commit() + 1}
 
     def partitions(self, start, end):
-        import json
         import os
+
+        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+            _tlog_change_units,
+        )
 
         parts = []
         for v in range(start["next"], end["next"]):
-            c = json.load(open(os.path.join(self.root, "_log", f"{v:06d}.json")))
-            for side in ("add", "remove"):
-                for fname in sorted(c[side]):
-                    parts.append(
-                        TableLogFeedPartition(v, side, os.path.join(self.root, fname))
+            for side, fname, incl, excl in _tlog_change_units(self.root, v):
+                parts.append(
+                    TableLogFeedPartition(
+                        v,
+                        side,
+                        os.path.join(self.root, fname),
+                        os.path.join(self.root, incl) if incl else None,
+                        os.path.join(self.root, excl) if excl else None,
                     )
+                )
         # an empty micro-batch still needs >= 1 partition in the API;
         # a sentinel with no path reads zero rows
         return parts or [TableLogFeedPartition(-1, "none", "")]
@@ -364,13 +409,28 @@ class TableLogFeedPartitionedReader(DataSourceStreamReader):
 
         import pyarrow.parquet as pq
 
+        def sidecar_keys(path):
+            if not path:
+                return None
+            ks = set()
+            for part in sorted(glob.glob(path + "/*.parquet")):
+                ks.update(
+                    pq.read_table(part, columns=["o_orderkey"])
+                    .column("o_orderkey")
+                    .to_pylist()
+                )
+            return ks
+
+        incl_keys = sidecar_keys(getattr(partition, "incl", None))
+        excl_keys = sidecar_keys(getattr(partition, "excl", None)) or set()
         for part in sorted(glob.glob(partition.path + "/*.parquet")):
             t = pq.read_table(part, columns=["o_orderkey", "o_totalprice"])
             for k, p in zip(
                 t.column("o_orderkey").to_pylist(),
                 t.column("o_totalprice").to_pylist(),
             ):
-                yield (partition.version, partition.side, k, p)
+                if (incl_keys is None or k in incl_keys) and k not in excl_keys:
+                    yield (partition.version, partition.side, k, p)
 
     def commit(self, end):
         # offsets are durable in the log itself; nothing to persist

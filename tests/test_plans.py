@@ -328,6 +328,7 @@ _PLAN_SWEEP_SKIP = {
     "table_log_time_travel_as_of",  # synthesizes the table dir + commit log on build
     "table_log_restore",  # runs the DV + double-restore lifecycle on build
     "table_log_delete_where", "table_log_update_set",  # run the DML commits on build
+    "table_log_cdc_dml",  # runs the DML commits on build (change-feed read of them)
     "sim_search_ann_ivf_delta",  # builds the index + appends the delta commit on call
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",

@@ -1176,6 +1176,110 @@ def test_update_set_rewrites_only_affected_files(spark, tlog_dir):
     assert after.count() == rel.count()
 
 
+def test_dv_only_commit_emits_change_rows(spark, tlog_dir):
+    """The DV-complete feed contract (VERDICT r13 item 1): a DV-only
+    commit (add=[], remove=[] — the default sparse DELETE WHERE
+    shape) must yield a NON-EMPTY change batch carrying exactly the
+    newly doomed keys on the remove side; before r14 the feed built
+    change membership from file lists only and emitted nothing, so
+    DELETE→feed→replica resurrected the deleted rows."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_change_units,
+        _tlog_commit_rebase,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        TableLogFeedStreamReader,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    target = spark.read.parquet(os.path.join(tlog_dir, "file_D"))
+    doomed = target.filter(F.col("o_orderkey") % 9 == 3).select("o_orderkey")
+    doomed_keys = {r["o_orderkey"] for r in doomed.collect()}
+    assert doomed_keys, "fixture must doom at least one key"
+    dv_name = f"dv_file_D_v{base + 1}"
+    doomed.write.mode("overwrite").parquet(os.path.join(tlog_dir, dv_name))
+    v = _tlog_commit_rebase(
+        tlog_dir, add=[], remove=[], base_version=base,
+        read_set={"file_D"}, dv={"file_D": dv_name},
+    )
+    assert _tlog_change_units(tlog_dir, v) == [
+        ("remove", "file_D", dv_name, None)
+    ]
+    rows, nxt = TableLogFeedStreamReader({"root": tlog_dir}).read({"next": v})
+    rows = list(rows)
+    assert rows, "DV-only commit emitted an empty change batch"
+    assert {(r[0], r[1]) for r in rows} == {(v, "remove")}
+    assert {r[2] for r in rows} == doomed_keys
+    assert nxt == {"next": v + 1}
+
+
+def test_feed_emits_each_logical_delete_exactly_once(spark, tlog_dir):
+    """Across a DV bind → DV re-bind → file remove lifecycle, every
+    logically deleted row appears on the feed exactly once: the
+    re-binding emits only NEWLY doomed keys (new sidecar minus
+    prior), and the eventual file remove emits only the rows still
+    live — never the already-reported deletes."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_change_units,
+        _tlog_commit_rebase,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        TableLogFeedPartitionedReader,
+        TableLogFeedStreamReader,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    target = spark.read.parquet(os.path.join(tlog_dir, "file_D"))
+    keys = lambda pred: {  # noqa: E731
+        r["o_orderkey"] for r in target.filter(pred).select("o_orderkey").collect()
+    }
+    first, extra = keys("o_orderkey % 9 = 3"), keys("o_orderkey % 9 = 5")
+    live_rest = keys("o_orderkey % 9 NOT IN (3, 5)")
+    assert first and extra and live_rest
+
+    dv3 = f"dv_file_D_v{base + 1}"
+    target.filter("o_orderkey % 9 = 3").select("o_orderkey").write.parquet(
+        os.path.join(tlog_dir, dv3)
+    )
+    v3 = _tlog_commit_rebase(
+        tlog_dir, add=[], remove=[], base_version=base,
+        read_set={"file_D"}, dv={"file_D": dv3},
+    )
+    dv4 = f"dv_file_D_v{v3 + 1}"
+    target.filter("o_orderkey % 9 IN (3, 5)").select("o_orderkey").write.parquet(
+        os.path.join(tlog_dir, dv4)
+    )
+    v4 = _tlog_commit_rebase(
+        tlog_dir, add=[], remove=[], base_version=v3,
+        read_set={"file_D"}, dv={"file_D": dv4},
+    )
+    v5 = _tlog_commit_rebase(
+        tlog_dir, add=[], remove=["file_D"], base_version=v4,
+        read_set={"file_D"},
+    )
+    # unit shapes: rebind carries include AND exclude; the remove
+    # excludes the binding it drops
+    assert _tlog_change_units(tlog_dir, v4) == [("remove", "file_D", dv4, dv3)]
+    assert _tlog_change_units(tlog_dir, v5) == [("remove", "file_D", None, dv4)]
+
+    reader = TableLogFeedStreamReader({"root": tlog_dir})
+    batch = lambda v: list(reader.read({"next": v})[0])  # noqa: E731
+    assert {r[2] for r in batch(v3)} == first
+    assert {r[2] for r in batch(v4)} == extra, "re-bind must emit ONLY new keys"
+    assert {r[2] for r in batch(v5)} == live_rest, (
+        "file remove must not re-emit DV-deleted rows"
+    )
+    # the executor-parallel twin plans the same change rows
+    preader = TableLogFeedPartitionedReader({"root": tlog_dir})
+    parts = preader.partitions({"next": v4}, {"next": v5})
+    got = {row[2] for p in parts for row in preader.read(p)}
+    assert got == extra
+
+
 # ---- live ingest-vs-compaction race (OCC end-to-end) ---------------------
 
 
