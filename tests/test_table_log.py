@@ -1077,6 +1077,104 @@ def test_restore_below_horizon_fails_descriptively(spark, tlog_dir):
     assert _tlog_restore(tlog_dir, to_version=3) == 4
 
 
+def test_restore_commutes_with_concurrent_blind_append(spark, tlog_dir, monkeypatch):
+    """The restore's conflict surface is the DIFF+TOUCH set, not
+    head|target (VERDICT r13 item 6): a blind append — and a DV bind
+    on a kept file the restore does not touch — landing between the
+    restore's snapshot resolution and its commit must COMMUTE
+    (rebase succeeds; final snapshot = restored content + the
+    appended file + the new binding), while a concurrent rewrite of
+    a file the restore diffs remains a true conflict."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators import scans
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_live_dvs,
+        _tlog_restore,
+    )
+
+    # v1 = {A,B,C}, v2 = {A,C,D}: restore to v1 diffs {file_B, file_D}
+    spark.createDataFrame(
+        [(999_999, 1.0)], "o_orderkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(os.path.join(tlog_dir, "file_sneak"))
+    spark.read.parquet(os.path.join(tlog_dir, "file_C")).filter(
+        F.col("o_orderkey") % 9 == 3
+    ).select("o_orderkey").write.parquet(os.path.join(tlog_dir, "dv_file_C_v9"))
+
+    real_rebase = scans._tlog_commit_rebase
+
+    def inject_then_commit(root, **kw):
+        # two commuting writers sneak in mid-restore: a blind append
+        # and a DV bind on kept file_C (in both snapshots, untouched)
+        base = _tlog_latest_version(root)
+        _tlog_commit(root, add=["file_sneak"], remove=[], base_version=base)
+        _tlog_commit(
+            root, add=[], remove=[], base_version=base + 1,
+            dv={"file_C": "dv_file_C_v9"},
+        )
+        return real_rebase(root, **kw)
+
+    monkeypatch.setattr(scans, "_tlog_commit_rebase", inject_then_commit)
+    v = _tlog_restore(tlog_dir, to_version=1)
+    monkeypatch.undo()
+    v1_files = {os.path.basename(p) for p in _tlog_live_files(tlog_dir, 1)}
+    live = {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)}
+    assert live == v1_files | {"file_sneak"}
+    assert _tlog_live_dvs(tlog_dir, v) == {"file_C": "dv_file_C_v9"}
+
+    # a mid-flight rewrite of a DIFFED file is a true conflict
+    def rewrite_then_commit(root, **kw):
+        base = _tlog_latest_version(root)
+        _tlog_commit(
+            root, add=["file_sneak"], remove=["file_B"], base_version=base
+        )
+        return real_rebase(root, **kw)
+
+    monkeypatch.setattr(scans, "_tlog_commit_rebase", rewrite_then_commit)
+    with pytest.raises(TableLogConflictError, match="true write conflict"):
+        _tlog_restore(tlog_dir, to_version=2)
+    monkeypatch.undo()
+
+
+def test_restore_refuses_dangling_dv_binding(spark, tlog_dir):
+    """ADVICE r13 (medium): a restore target whose DATA files survive
+    but whose DV SIDECAR was vacuumed (superseded by a later re-bind)
+    must fail with the same descriptive below-horizon error — not
+    commit a dangling binding that later reads trip over as a raw
+    parquet path-not-found."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_commit_ts,
+        _tlog_restore,
+        _tlog_vacuum,
+    )
+
+    target = spark.read.parquet(os.path.join(tlog_dir, "file_D"))
+    for v, residue in ((3, 3), (4, 5)):
+        target.filter(F.col("o_orderkey") % 9 == residue).select(
+            "o_orderkey"
+        ).write.parquet(os.path.join(tlog_dir, f"dv_file_D_v{v}"))
+        _tlog_commit(
+            tlog_dir, add=[], remove=[], base_version=v - 1,
+            dv={"file_D": f"dv_file_D_v{v}"},
+        )
+    # every LIVE data file of v3 is still referenced at v4, so vacuum
+    # deletes only the superseded v3 sidecar (plus file_B, dropped at
+    # v2 and below the horizon anyway)
+    deleted = _tlog_vacuum(tlog_dir, retain_version=4)
+    assert sorted(deleted) == ["dv_file_D_v3", "file_B"]
+    ts4 = _tlog_commit_ts(tlog_dir, 4)
+    with pytest.raises(
+        RuntimeError, match=rf"below the vacuum horizon.*v4 \(ts {ts4}\)"
+    ):
+        _tlog_restore(tlog_dir, to_version=3)
+    # the rebind version itself restores fine
+    assert _tlog_restore(tlog_dir, to_version=4) == 5
+
+
 # ---- SQL-style DML -------------------------------------------------------
 
 
@@ -1174,6 +1272,110 @@ def test_update_set_rewrites_only_affected_files(spark, tlog_dir):
     ).first()[0]
     assert cents_after - cents_before == 250 * n_matched
     assert after.count() == rel.count()
+
+
+def test_predicate_bounds_extraction_is_conservative():
+    """The DML pruning mini-compiler: derive per-column necessary
+    bounds ONLY from predicates it provably understands — anything
+    else must yield {} (no pruning), because a misread bound skips
+    files that contain matches."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_predicate_bounds as pb,
+    )
+
+    assert pb("o_orderkey BETWEEN 1000 AND 2999") == {"o_orderkey": (1000.0, 2999.0)}
+    assert pb("o_orderkey >= 10 AND o_orderkey <= 20") == {"o_orderkey": (10.0, 20.0)}
+    assert pb("k = 5") == {"k": (5.0, 5.0)}
+    assert pb("k > 3 AND p BETWEEN 1.5 AND 2.5") == {
+        "k": (3.0, float("inf")), "p": (1.5, 2.5),
+    }
+    # unsupported shapes: conservative {} — scanned in full
+    assert pb("o_orderkey % 251 = 7") == {}
+    assert pb("k = 1 OR k = 2") == {}
+    assert pb("NOT (k = 1)") == {}
+    assert pb("(k = 1)") == {}
+    assert pb("lower(s) = 'x'") == {}
+
+
+def test_dml_discovery_prunes_on_manifest_stats(spark):
+    """A key-range DELETE/UPDATE on a compacted (range-clustered)
+    table must never OPEN the provably disjoint file groups — the
+    discovery file set intersects the predicate with the log's
+    manifest stats driver-side (VERDICT r13 item 2). A committed
+    file WITHOUT stats is conservatively scanned even though its
+    content is disjoint."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators import scans
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_apply_compact,
+        _tlog_commit,
+        _tlog_dml_delete_where,
+        _tlog_dml_update_set,
+        _tlog_live_stats,
+    )
+
+    root = tempfile.mkdtemp(prefix="hbdbps_tlog_dmlprune_")
+    shutil.rmtree(root)
+    _tlog_build(spark, SF_SMOKE, root)
+    _tlog_apply_compact(spark, SF_SMOKE, root)
+    base = _tlog_latest_version(root)
+    stats = _tlog_live_stats(root, base)
+    lo, hi = 1000, 2999
+    live = {os.path.basename(p) for p in _tlog_live_files(root, base)}
+    disjoint = {
+        f for f in live
+        if f in stats
+        and (stats[f]["o_orderkey"][1] < lo or stats[f]["o_orderkey"][0] > hi)
+    }
+    assert disjoint, "compacted range groups must include disjoint ones"
+
+    # a stats-less file group (third-party writer): content disjoint
+    # from the range, but with no recorded bounds it MUST be scanned
+    spark.createDataFrame(
+        [(10**9, 1.0)], "o_orderkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(os.path.join(root, "file_nostats"))
+    _tlog_commit(root, add=["file_nostats"], remove=[], base_version=base)
+
+    scanned: list[str] = []
+    real = scans._tlog_relation
+
+    def recording(spark_, files):
+        scanned.extend(os.path.basename(p) for p in files)
+        return real(spark_, files)
+
+    def disjoint_from(rlo, rhi):
+        return {
+            f for f in live
+            if f in stats
+            and (stats[f]["o_orderkey"][1] < rlo or stats[f]["o_orderkey"][0] > rhi)
+        }
+
+    ulo, uhi = 500, 599  # below the delete range; its own disjoint set
+    assert disjoint_from(ulo, uhi), "update range must also skip >=1 group"
+    scans._tlog_relation = recording
+    try:
+        v, dv, rewritten = _tlog_dml_delete_where(
+            spark, root, f"o_orderkey BETWEEN {lo} AND {hi}"
+        )
+        assert not set(scanned) & disjoint, "DELETE discovery opened disjoint files"
+        assert "file_nostats" in scanned, "stats-less file must be conservatively scanned"
+        scanned.clear()
+        v2, add = _tlog_dml_update_set(
+            spark, root, f"o_orderkey BETWEEN {ulo} AND {uhi}", 1.0
+        )
+        assert not set(scanned) & disjoint_from(ulo, uhi), (
+            "UPDATE discovery opened disjoint files"
+        )
+    finally:
+        scans._tlog_relation = real
+    # and the statements were not vacuous no-ops
+    after = spark.read.parquet(*_tlog_live_files(root, _tlog_latest_version(root)))
+    assert v > base and after.filter(f"o_orderkey BETWEEN {lo} AND {hi}").count() == 0
+    assert v2 > v and add
+    survivors = after.filter(F.col("o_orderkey") == 10**9).count()
+    assert survivors == 1, "the stats-less file's content must survive untouched"
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def test_dv_only_commit_emits_change_rows(spark, tlog_dir):
