@@ -1814,47 +1814,63 @@ _IVF_DELTA_OFFSET = 10_000_000  # re-keyed ids, disjoint from the base corpus
 _IVF_DELTA_REBUILD_FRACTION = 0.5
 
 
-def _ivf_delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic 'new vectors' batch: ~1/17 of the corpus
-    re-keyed into an id range disjoint from the base index."""
+def _ivf_delta_frame(spark: SparkSession, sf_dir: str, batch: int = 0) -> DataFrame:
+    """Deterministic 'new vectors' batch ``batch``: ~1/17 of the
+    corpus per batch (residue 3+batch), re-keyed into an id range
+    disjoint from the base index AND from every other batch."""
     return (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % _IVF_DELTA_MOD == 3)
+        .filter(F.col("vec_id") % _IVF_DELTA_MOD == (3 + batch) % _IVF_DELTA_MOD)
         .select(
-            (F.col("vec_id") + _IVF_DELTA_OFFSET).alias("vec_id"), "embedding"
+            (F.col("vec_id") + (batch + 1) * _IVF_DELTA_OFFSET).alias("vec_id"),
+            "embedding",
         )
     )
 
 
 def _ivf_index_refresh(spark: SparkSession, sf_dir: str) -> str:
-    """Full-generation retrain: invalidate the build stamp and rerun
-    the builder — it commits add(new generation) + remove(ALL live
-    index files, deltas included) through the rebase protocol, so
-    readers mid-flight keep their snapshot and the delta debt resets
-    to zero (commit 51a47aa's machinery, triggered by the append
-    path's drift threshold instead of a spec change)."""
+    """Full-generation retrain: invalidate the build stamp (and every
+    per-batch delta stamp — the new generation starts delta-free) and
+    rerun the builder — it commits add(new generation) + remove(ALL
+    live index files, deltas included) through the rebase protocol,
+    so readers mid-flight keep their snapshot and the delta debt
+    resets to zero (commit 51a47aa's machinery, triggered by the
+    append path's drift threshold instead of a spec change)."""
+    import glob
     import os
 
     root = _ivf_index_root(sf_dir)
-    for stamp in ("_BUILT", "_DELTA"):
+    for stamp in [os.path.join(root, "_BUILT")] + glob.glob(
+        os.path.join(root, "_DELTA*")
+    ):
         try:
-            os.unlink(os.path.join(root, stamp))
+            os.unlink(stamp)
         except OSError:
             pass
     return _ivf_index_build(spark, sf_dir)
 
 
-def _ivf_index_append_delta(spark: SparkSession, sf_dir: str) -> str:
-    """APPEND a vector batch to the persisted IVF index as a DELTA
-    inverted-list commit (VERDICT r12 item 6): assign the new vectors
-    to the EXISTING centroids (no retrain — pytest-poisoned), write
-    their postings as one bucket-partitioned file group, and publish
-    it as a blind-append-shaped OCC commit whose read set is the
-    centroid file (a concurrent retrain that replaced the centroids
-    is a true conflict: the assignment would be stale). When the
-    accumulated delta fraction crosses ``_IVF_DELTA_REBUILD_FRACTION``
-    the full generation rebuild runs instead — the ingest→OPTIMIZE
-    loop applied to index maintenance."""
+def _ivf_index_append_delta(
+    spark: SparkSession, sf_dir: str, batch: int = 0, _fold: bool = False
+) -> str:
+    """APPEND vector batch ``batch`` to the persisted IVF index as a
+    DELTA inverted-list commit (VERDICT r12 item 6, multi-batch since
+    r14): assign the new vectors to the EXISTING centroids (no
+    retrain — pytest-poisoned), write their postings as one
+    bucket-partitioned file group ``..._b{batch}`` (each batch its
+    own idempotent commit — the batch-id rule), and publish it as a
+    blind-append-shaped OCC commit whose read set is the centroid
+    file (a concurrent retrain that replaced the centroids is a true
+    conflict: the assignment would be stale). When the ACCUMULATED
+    delta fraction (outstanding batches + this one) crosses
+    ``_IVF_DELTA_REBUILD_FRACTION`` the full generation rebuild runs
+    instead — and then FOLDS every outstanding batch plus this one
+    back in by re-appending against the new generation's centroids
+    (``_fold`` skips the drift check on those re-appends: they are
+    the rebuild's completion, not new drift — without this the
+    rebuilt index would silently DROP the appended vectors and, the
+    fraction being corpus-determined, every later append would
+    retrain again; ADVICE r13)."""
     import fcntl
     import json
     import os
@@ -1862,10 +1878,11 @@ def _ivf_index_append_delta(spark: SparkSession, sf_dir: str) -> str:
     import numpy as np
 
     root = _ivf_index_build(spark, sf_dir)
-    stamp_file = os.path.join(root, "_DELTA")
+    stamp_file = os.path.join(root, f"_DELTA_b{batch}")
     stamp = json.dumps(
         {
             "index": _ivf_index_stamp(sf_dir),
+            "batch": batch,
             "mod": _IVF_DELTA_MOD,
             "offset": _IVF_DELTA_OFFSET,
             "rebuild_frac": _IVF_DELTA_REBUILD_FRACTION,
@@ -1896,30 +1913,49 @@ def _ivf_index_append_delta(spark: SparkSession, sf_dir: str) -> str:
         live = {os.path.basename(p): p for p in _tlog_live_files(root, base)}
         cent_name = next(n for n in live if n.startswith("file_centroids"))
         gen = int(cent_name.rsplit("_g", 1)[1])
-        if f"file_postings_delta_g{gen}_b0" in live:
+        delta_name = f"file_postings_delta_g{gen}_b{batch}"
+        if delta_name in live:
             # log-level idempotence (the batch-id rule): this delta
             # batch already committed against this generation — a
             # lost stamp (crash between commit and stamp) must adopt,
             # not stack a duplicate commit
-            tmp = os.path.join(root, f"._DELTA.{os.getpid()}.tmp")
+            tmp = os.path.join(root, f"._DELTA_b{batch}.{os.getpid()}.tmp")
             with open(tmp, "w") as fh:
                 fh.write(stamp)
             os.replace(tmp, stamp_file)
             return root
-        delta = _ivf_delta_frame(spark, sf_dir)
+        delta = _ivf_delta_frame(spark, sf_dir, batch)
         n_delta, n_base = delta.count(), load_table(
             spark, sf_dir, "embeddings"
         ).count()
-        if n_delta > n_base * _IVF_DELTA_REBUILD_FRACTION:
-            fcntl.flock(lock_fh, fcntl.LOCK_UN)  # refresh takes this lock
-            return _ivf_index_refresh(spark, sf_dir)
+        outstanding = sorted(
+            int(n.rsplit("_b", 1)[1])
+            for n in live
+            if n.startswith(f"file_postings_delta_g{gen}_b")
+        )
+        if not _fold:
+            # drift = EVERYTHING the trained centroids never saw:
+            # rows already outstanding as deltas plus this batch
+            n_out = sum(
+                spark.read.parquet(
+                    live[f"file_postings_delta_g{gen}_b{b}"]
+                ).count()
+                for b in outstanding
+            )
+            if n_out + n_delta > n_base * _IVF_DELTA_REBUILD_FRACTION:
+                fcntl.flock(lock_fh, fcntl.LOCK_UN)  # refresh takes this lock
+                root = _ivf_index_refresh(spark, sf_dir)
+                # fold the outstanding batches AND this one into the
+                # new generation: re-assign against the NEW centroids
+                for b in outstanding + [batch]:
+                    _ivf_index_append_delta(spark, sf_dir, batch=b, _fold=True)
+                return root
         cent_rows = (
             spark.read.parquet(live[cent_name]).orderBy("cluster").collect()
         )
         centroids = np.stack(
             [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
         )
-        delta_name = f"file_postings_delta_g{gen}_b0"
         delta.mapInPandas(
             _assign_emit_kernel(centroids),
             "bucket int, side int, id long, v array<double>",
@@ -1933,7 +1969,7 @@ def _ivf_index_append_delta(spark: SparkSession, sf_dir: str) -> str:
             base_version=base,
             read_set={cent_name},
         )
-        tmp = os.path.join(root, f"._DELTA.{os.getpid()}.tmp")
+        tmp = os.path.join(root, f"._DELTA_b{batch}.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write(stamp)
         os.replace(tmp, stamp_file)
@@ -1968,6 +2004,18 @@ def sim_search_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment quality degrades only as the vector distribution
     drifts from the trained centroids — which is what the rebuild
     fraction bounds."""
+    root = _ivf_index_append_delta(spark, sf_dir)
+    return _ivf_serve_base_plus_delta(
+        spark, root, _ivf_delta_frame(spark, sf_dir)
+    )
+
+
+def _ivf_serve_base_plus_delta(
+    spark: SparkSession, root: str, queries: DataFrame
+) -> DataFrame:
+    """Serve ``queries`` against the persisted index's base + EVERY
+    outstanding delta file group (all bucket-partitioned, so a
+    selective probe set prunes partitions across all of them)."""
     import os
 
     import numpy as np
@@ -1977,7 +2025,6 @@ def sim_search_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tlog_live_files,
     )
 
-    root = _ivf_index_append_delta(spark, sf_dir)
     live = {
         os.path.basename(p): p
         for p in _tlog_live_files(root, _tlog_latest_version(root))
@@ -1998,7 +2045,7 @@ def sim_search_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in posting_paths:
         part = spark.read.parquet(p).select("bucket", "side", "id", "v")
         postings = part if postings is None else postings.unionByName(part)
-    probes = _ivf_delta_frame(spark, sf_dir).mapInPandas(
+    probes = queries.mapInPandas(
         _assign_emit_kernel(centroids),
         "bucket int, side int, id long, v array<double>",
     ).filter(F.col("side") == 1)

@@ -985,3 +985,108 @@ def test_ann_ivf_delta_drift_triggers_generation_rebuild(spark, monkeypatch):
     monkeypatch.setattr(sim, "_IVF_DELTA_REBUILD_FRACTION", 0.0)
     got = sim._ivf_index_append_delta(spark, SF_ORACLE)
     assert called.get("yes") and got == root
+
+
+def test_ann_ivf_delta_multibatch_and_rebuild_folds(spark, monkeypatch):
+    """Multi-batch delta maintenance (VERDICT r13 item 4 + ADVICE
+    r13): two distinct append batches land as their OWN idempotent
+    delta commits against one generation, both findable at rank 1;
+    a drift-triggered rebuild then retrains a new generation AND
+    FOLDS every outstanding batch back in against the new centroids
+    — the appended vectors must not vanish, and the maintenance loop
+    must converge (re-running the registry path after the rebuild
+    adopts the folded delta instead of retraining again)."""
+    import os
+    import shutil
+
+    import hadoop_based_distributed_batch_processing_system_spark.operators.similarity as sim
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    root = sim._ivf_index_root(SF_ORACLE)
+    shutil.rmtree(root, ignore_errors=True)
+    sim._ivf_index_build(spark, SF_ORACLE)
+
+    def _live():
+        return {
+            os.path.basename(p)
+            for p in _tlog_live_files(root, _tlog_latest_version(root))
+        }
+
+    def _gen(live):
+        return next(
+            int(n.rsplit("_g", 1)[1])
+            for n in live
+            if n.startswith("file_centroids")
+        )
+
+    def _poisoned(*a, **k):
+        raise AssertionError("delta append retrained the IVF index")
+
+    monkeypatch.setattr(sim, "_ivf_train_centroids", _poisoned)
+    sim._ivf_index_append_delta(spark, SF_ORACLE, batch=0)
+    sim._ivf_index_append_delta(spark, SF_ORACLE, batch=1)
+    live = _live()
+    gen = _gen(live)
+    assert {
+        f"file_postings_delta_g{gen}_b0",
+        f"file_postings_delta_g{gen}_b1",
+    } <= live
+    # idempotence per batch: a replayed append commits nothing
+    v_before = _tlog_latest_version(root)
+    os.unlink(os.path.join(root, "_DELTA_b1"))  # lost stamp: must adopt
+    sim._ivf_index_append_delta(spark, SF_ORACLE, batch=1)
+    assert _tlog_latest_version(root) == v_before
+    # batch 1's vectors are findable at rank 1 (freshness across batches)
+    top1 = (
+        sim._ivf_serve_base_plus_delta(
+            spark, root, sim._ivf_delta_frame(spark, SF_ORACLE, batch=1)
+        )
+        .filter("rk = 1")
+        .toPandas()
+        .set_index("q_id")
+    )
+    twins = (
+        (top1.index - 2 * sim._IVF_DELTA_OFFSET == top1.n_id)
+        | (top1.cosine > 0.999999)
+    ).mean()
+    assert twins == 1.0, f"batch-1 freshness degraded: twin@1 = {twins}"
+
+    # drift: a rebuild must retrain (poison lifted) and FOLD b0+b1+b2
+    monkeypatch.undo()
+    monkeypatch.setattr(sim, "_IVF_DELTA_REBUILD_FRACTION", 0.0)
+    sim._ivf_index_append_delta(spark, SF_ORACLE, batch=2)
+    live2 = _live()
+    gen2 = _gen(live2)
+    assert gen2 > gen, "drift must hand off to a full generation rebuild"
+    assert {
+        f"file_postings_delta_g{gen2}_b0",
+        f"file_postings_delta_g{gen2}_b1",
+        f"file_postings_delta_g{gen2}_b2",
+    } <= live2, "rebuild must fold every outstanding batch into the new generation"
+    assert not any(f"_g{gen}_" in n for n in live2), "old generation must be gone"
+    # convergence: the registry path (batch 0) now ADOPTS its folded
+    # delta — no retrain-per-invocation loop (trainer re-poisoned)
+    monkeypatch.setattr(sim, "_ivf_train_centroids", _poisoned)
+    v_after = _tlog_latest_version(root)
+    sim._ivf_index_append_delta(spark, SF_ORACLE, batch=0)
+    assert _tlog_latest_version(root) == v_after
+    # and batch 0 is still served, rank-1 fresh, through the new gen
+    top1 = (
+        sim._ivf_serve_base_plus_delta(
+            spark, root, sim._ivf_delta_frame(spark, SF_ORACLE, batch=0)
+        )
+        .filter("rk = 1")
+        .toPandas()
+        .set_index("q_id")
+    )
+    twins = (
+        (top1.index - sim._IVF_DELTA_OFFSET == top1.n_id)
+        | (top1.cosine > 0.999999)
+    ).mean()
+    assert twins == 1.0, f"fold lost appended vectors: twin@1 = {twins}"
+    # leave a clean root: later registry runs must not union this
+    # test's extra batches
+    shutil.rmtree(root, ignore_errors=True)
