@@ -1378,6 +1378,53 @@ def test_dml_discovery_prunes_on_manifest_stats(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_group_stats_cover_every_column_and_prune_third(spark):
+    """Rewrites record [min, max] for EVERY leaf column of the staged
+    groups (VERDICT r13 item 8): a predicate on a column no operator
+    was hand-wired for (``o_flag``) prunes groups off the recorded
+    bounds alone, and skipped groups are provably disjoint."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_live_stats,
+        _tlog_staged_write_with_stats,
+        _tlog_stats_prune,
+    )
+
+    root = tempfile.mkdtemp(prefix="hbdbps_tlog_stats3_")
+    os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+    df = spark.range(0, 300).select(
+        F.concat(
+            F.lit("file_s3_"), (F.col("id") / 100).cast("int")
+        ).alias("tgt"),
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") * 1.5).alias("o_totalprice"),
+        (F.col("id") + 1000).cast("int").alias("o_flag"),
+    )
+    expected = [f"file_s3_{i}" for i in range(3)]
+    promoted, stats = _tlog_staged_write_with_stats(df, root, expected)
+    assert sorted(promoted) == expected
+    for g in expected:
+        assert set(stats[g]) == {"o_orderkey", "o_totalprice", "o_flag"}
+    assert stats["file_s3_1"]["o_flag"] == [1100, 1199]
+    _tlog_commit(root, add=expected, remove=[], base_version=-1, stats=stats)
+    files = _tlog_live_files(root, 0)
+    st = _tlog_live_stats(root, 0)
+    surviving = _tlog_stats_prune(files, st, "o_flag", 1100, 1150)
+    assert [os.path.basename(p) for p in surviving] == ["file_s3_1"]
+    for p in set(files) - set(surviving):
+        lo, hi = st[os.path.basename(p)]["o_flag"]
+        assert hi < 1100 or lo > 1150
+    got = (
+        spark.read.parquet(*surviving)
+        .filter("o_flag BETWEEN 1100 AND 1150")
+        .count()
+    )
+    assert got == 51
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_dv_only_commit_emits_change_rows(spark, tlog_dir):
     """The DV-complete feed contract (VERDICT r13 item 1): a DV-only
     commit (add=[], remove=[] — the default sparse DELETE WHERE
