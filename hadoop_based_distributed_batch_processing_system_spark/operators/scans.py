@@ -1194,11 +1194,18 @@ def _tlog_staged_write_with_stats(
         df.observe(obs, *aggs), root, expected, require_all
     )
     m = obs.get  # blocks on the write action's completion
-    stats = {
-        g: {c: [m[f"{g}:{c}:lo"], m[f"{g}:{c}:hi"]] for c in columns}
-        for g in promoted
-        if m[f"{g}:{columns[0]}:lo"] is not None
-    }
+    stats = {}
+    for g in promoted:
+        # a column can be all-NULL within a group (e.g. a mixed write
+        # whose sidecar rows carry no price) — record only bounded
+        # columns; unknown stays unknown, readers scan conservatively
+        per_col = {
+            c: [m[f"{g}:{c}:lo"], m[f"{g}:{c}:hi"]]
+            for c in columns
+            if m[f"{g}:{c}:lo"] is not None
+        }
+        if per_col:
+            stats[g] = per_col
     return promoted, stats
 
 
@@ -1676,7 +1683,11 @@ def _tlog_apply_merge(spark: SparkSession, sf_dir: str, root: str) -> None:
             "o_totalprice",
         )
         add = sorted(f"{f}_m1" for f in affected) + ["file_I_m1"]
-        _tlog_staged_write(rewritten.unionByName(inserts), root, add)
+        # the rewrite records per-column stats in the same write job
+        # (r14): merged files stay prunable on clustered tables
+        _, stats = _tlog_staged_write_with_stats(
+            rewritten.unionByName(inserts), root, add
+        )
         # WriteSerializable isolation (Delta's default level): a
         # concurrent BLIND APPEND commutes with this merge and the
         # commit rebases over it; any commit touching the files the
@@ -1688,6 +1699,7 @@ def _tlog_apply_merge(spark: SparkSession, sf_dir: str, root: str) -> None:
             remove=list(affected),
             base_version=base,
             read_set=set(affected),
+            stats=stats or None,
         )
         tmp = os.path.join(root, f"._MERGED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
@@ -2318,14 +2330,21 @@ def _tlog_replicate(
                     )
                 )
                 add_files.append(f"file_add_{version}")
+            stats: dict[str, dict] = {}
             if parts:
                 union = parts[0]
                 for p in parts[1:]:
                     union = union.unionByName(p)
-                add_files = _tlog_staged_write(
+                # replica files record per-column stats in the same
+                # write (r14): the replica stays prunable like the
+                # source
+                add_files, stats = _tlog_staged_write_with_stats(
                     union, dst_root, add_files, require_all=False
                 )
-            _tlog_commit(dst_root, add=add_files, remove=remove_files, base_version=base)
+            _tlog_commit(
+                dst_root, add=add_files, remove=remove_files,
+                base_version=base, stats=stats or None,
+            )
 
         register_table_log_feed_source(spark)
         raw = spark.readStream.format("table_log_feed").option("root", src_root).load()
@@ -2416,6 +2435,7 @@ def _tlog_ingest_spec() -> str:
             "rows": _TLOG_INGEST_ROWS,
             "batch": _TLOG_INGEST_BATCH,
             "log_format": _tlog_spec_stamp(),
+            "stats_cols": 1,  # r14: batch commits carry per-column stats
         },
         sort_keys=True,
     )
@@ -2559,7 +2579,10 @@ def _tlog_apply_ingest(spark: SparkSession, root: str) -> None:
             if _tlog_batch_committed(root, batch_id):
                 return  # re-delivered batch: idempotent no-op
             name = f"file_ingest_b{batch_id}"
-            _tlog_staged_write(
+            # batch files carry per-column stats from the landing
+            # write itself (r14): a streaming-ingested table is
+            # key-range prunable without waiting for a compaction
+            _, stats = _tlog_staged_write_with_stats(
                 batch_df.select(
                     F.lit(name).alias("tgt"), "event_id", "bucket", "value"
                 ),
@@ -2573,7 +2596,7 @@ def _tlog_apply_ingest(spark: SparkSession, root: str) -> None:
             # a batch landing is a blind append: empty read set
             _tlog_commit_rebase(
                 root, add=[name], remove=[], base_version=base,
-                read_set=set(), batch=batch_id,
+                read_set=set(), batch=batch_id, stats=stats or None,
             )
 
         register_synthetic_stream_source(spark)
@@ -3575,18 +3598,19 @@ def _tlog_dml_delete_where(
             )
         )
     add: list[str] = []
+    stats: dict[str, dict] = {}
     if parts:
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p, allowMissingColumns=True)
-        # one job stages every sidecar AND every rewrite; a dense
-        # file whose every row matched stages nothing and is simply
-        # dropped by the commit (require_all=False)
-        promoted = set(
-            _tlog_staged_write(
-                union, root, sorted(dv.values()) + rewritten, require_all=False
-            )
+        # one job stages every sidecar AND every rewrite (per-column
+        # stats observed in the same pass); a dense file whose every
+        # row matched stages nothing and is simply dropped by the
+        # commit (require_all=False)
+        promoted_list, wstats = _tlog_staged_write_with_stats(
+            union, root, sorted(dv.values()) + rewritten, require_all=False
         )
+        promoted = set(promoted_list)
         missing_dv = sorted(set(dv.values()) - promoted)
         if missing_dv:
             raise RuntimeError(
@@ -3594,6 +3618,10 @@ def _tlog_dml_delete_where(
                 f"for {missing_dv} — refusing a lossy commit"
             )
         add = sorted(set(rewritten) & promoted)
+        # stats bind to DATA files the commit adds — a sidecar is not
+        # a data file, and an entry for one would linger in replay
+        # state forever (sidecars never pass through add/remove)
+        stats = {g: s for g, s in wstats.items() if g in set(add)}
     version = _tlog_commit_rebase(
         root,
         add=add,
@@ -3601,6 +3629,7 @@ def _tlog_dml_delete_where(
         base_version=base,
         read_set=set(sparse) | set(dense),
         dv=dv or None,
+        stats=stats or None,
     )
     return version, dv, add
 
@@ -3667,9 +3696,10 @@ def _tlog_dml_update_set(
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
-    _tlog_staged_write(rewritten, root, add)
+    _, stats = _tlog_staged_write_with_stats(rewritten, root, add)
     version = _tlog_commit_rebase(
-        root, add=add, remove=affected, base_version=base, read_set=set(affected)
+        root, add=add, remove=affected, base_version=base,
+        read_set=set(affected), stats=stats or None,
     )
     return version, add
 

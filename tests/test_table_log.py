@@ -722,7 +722,17 @@ def test_stream_ingest_replay_writes_nothing_and_crash_resumes(spark):
         _tlog_ingest_root,
     )
 
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_stats,
+    )
+
     _tlog_apply_ingest(spark, _tlog_ingest_root())
+    # every batch commit carries per-column stats from the landing
+    # write (r14): the ingested table is prunable without compaction
+    st = _tlog_live_stats(_tlog_ingest_root(), _tlog_latest_version(_tlog_ingest_root()))
+    for g, s in st.items():
+        assert {"event_id", "bucket", "value"} <= s.keys(), g
+    assert len(st) == 4
     clone = tempfile.mkdtemp(prefix="hbdbps_tlog_ingest_clone_")
     try:
         shutil.rmtree(clone)
@@ -1423,6 +1433,27 @@ def test_group_stats_cover_every_column_and_prune_third(spark):
     )
     assert got == 51
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rewrites_record_per_column_stats(spark, tlog_dir):
+    """Every rewrite path binds per-column manifest stats to the data
+    files it adds (r14): MERGE rewrites and DML UPDATE rewrites leave
+    their new file groups prunable on any column."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_dml_update_set,
+        _tlog_live_stats,
+    )
+
+    _tlog_apply_merge(spark, SF_SMOKE, tlog_dir)
+    v = _tlog_latest_version(tlog_dir)
+    st = _tlog_live_stats(tlog_dir, v)
+    for g in ("file_A_m1", "file_C_m1", "file_I_m1"):
+        assert {"o_orderkey", "o_totalprice"} <= st.get(g, {}).keys(), g
+    v2, add = _tlog_dml_update_set(spark, tlog_dir, "o_orderkey % 12 = 0", 2.5)
+    st2 = _tlog_live_stats(tlog_dir, v2)
+    assert add
+    for g in add:
+        assert {"o_orderkey", "o_totalprice"} <= st2.get(g, {}).keys(), g
 
 
 def test_dv_only_commit_emits_change_rows(spark, tlog_dir):
