@@ -110,11 +110,13 @@ _PRIORITY_WINDOW = [
     # --- ROUND 14 state: the board is all-green (VERDICT r13), so
     # the front is this round's new operators — the DV-complete
     # change feed attested on a table with real DML commits, and the
-    # replication composition through it. 2 new + the 4 r06
-    # leftovers + 44 of the 50-row r07 block = the 50-slot window
-    # (~6 r07 rows spill to round 15 — VERDICT r13 item 3).
+    # replication composition through it, plus the rollback's feed.
+    # 3 new + the 4 r06 leftovers + 43 of the 50-row r07 block =
+    # the 50-slot window (~7 r07 rows spill to round 15 — VERDICT
+    # r13 item 3).
     "table_log_cdc_dml",
     "stream_table_log_replicate_dml",
+    "table_log_cdc_restore",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

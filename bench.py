@@ -145,6 +145,10 @@ HEADLINE = [
     "table_log_delete_where",  # predicate -> per-file DV-vs-CoW mechanism choice
     "table_log_update_set",  # predicate -> CoW rewrite of only affected files
     "sim_search_ann_ivf_delta",  # delta inverted-list commit, base+delta probe join
+    # --- round-14 rows
+    "table_log_cdc_dml",  # DV-complete change feed over the DML lifecycle
+    "stream_table_log_replicate_dml",  # replication through a DV-only DELETE commit
+    "table_log_cdc_restore",  # rollback's row-level change feed (touch pairs)
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -4037,6 +4037,79 @@ def stream_table_log_replicate_dml(spark: SparkSession, sf_dir: str) -> DataFram
     return _tlog_latest_fingerprint(spark, dst_root)
 
 
+@register(
+    "table_log_cdc_restore",
+    # Hash oracle: the restore lifecycle's full change feed recomputed
+    # from the source — v3 binds a DV to file_D (doomed keys on the
+    # remove side); v4 RESTOREs to the pre-DV snapshot, expressed as a
+    # touch pair over file_D (remove its LIVE rows under the old
+    # binding, add ALL its rows — net resurrection); v5 RESTOREs by
+    # timestamp to the DV'd instant (remove all, add minus doomed —
+    # net re-deletion).
+    oracle=f"""
+        WITH chg AS (
+          SELECT 1 AS version, 'add' AS side, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 = 2
+          UNION ALL
+          SELECT 2, 'add', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (1, 3)
+          UNION ALL
+          SELECT 2, 'remove', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 = 1
+          UNION ALL
+          SELECT 3, 'remove', o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_orderkey % 4 IN (1, 3)
+            AND o_orderkey % {_TLOG_DV_SPEC["del_mod"]} = {_TLOG_DV_SPEC["del_residue"]}
+          UNION ALL
+          SELECT 4, 'remove', o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_orderkey % 4 IN (1, 3)
+            AND o_orderkey % {_TLOG_DV_SPEC["del_mod"]} <> {_TLOG_DV_SPEC["del_residue"]}
+          UNION ALL
+          SELECT 4, 'add', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (1, 3)
+          UNION ALL
+          SELECT 5, 'remove', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (1, 3)
+          UNION ALL
+          SELECT 5, 'add', o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_orderkey % 4 IN (1, 3)
+            AND o_orderkey % {_TLOG_DV_SPEC["del_mod"]} <> {_TLOG_DV_SPEC["del_residue"]}
+        )
+        SELECT version, side,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM chg GROUP BY version, side
+    """,
+    tags=("S9-cdf'", "lakehouse", "cdc", "restore", "deletion-vectors"),
+)
+def table_log_cdc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cdf' — the CHANGE FEED OF A ROLLBACK: restore is one
+    metadata commit, but a downstream CDC consumer must still see its
+    row-level effect — otherwise a replica diverges the moment an
+    upstream bad-batch rollback happens. The restore lifecycle's
+    state-reset TOUCH (a kept file removed and re-added in one commit
+    with a different DV binding) expands on the feed to a remove/add
+    pair under the respective bindings: restoring to the pre-DV
+    snapshot nets a RESURRECTION of the doomed rows (v4), restoring
+    by timestamp to the DV'd instant nets their re-deletion (v5), and
+    the DV commit itself (v3) emits exactly the doomed keys. Every
+    commit is fingerprinted per (version, side) and hash-checked
+    against recomputing the change sets from the source.
+
+    Scale: the touch pair costs the feed one re-read of the touched
+    file (change-proportional: only files whose STATE the restore
+    reset — untouched kept files emit nothing); consumers need no
+    restore-specific logic, which is the point of normalizing every
+    commit to row transitions."""
+    root = _tlog_build(spark, sf_dir, _tlog_restore_root(sf_dir))
+    _tlog_apply_restore_lifecycle(spark, sf_dir, root)
+    return _tlog_changes_fingerprint(spark, root)
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -329,6 +329,7 @@ _PLAN_SWEEP_SKIP = {
     "table_log_restore",  # runs the DV + double-restore lifecycle on build
     "table_log_delete_where", "table_log_update_set",  # run the DML commits on build
     "table_log_cdc_dml",  # runs the DML commits on build (change-feed read of them)
+    "table_log_cdc_restore",  # runs the DV + double-restore lifecycle on build
     "sim_search_ann_ivf_delta",  # builds the index + appends the delta commit on call
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
