@@ -1390,6 +1390,17 @@ def _tlog_change_units(
       restore touch pattern: remove at the old binding + add at the
       new one nets the resurrection or re-deletion).
 
+    Contract with writers: a plain DV (re)bind only GROWS its doomed
+    set (the delete_where no-resurrection rule — re-deletes union
+    prior doomed keys), so include-minus-exclude is exactly the new
+    deletes; a binding SHRINK (resurrection) must travel as a
+    state-reset TOUCH pair (remove+add of the kept file, restore's
+    mechanism), which this expansion represents in full. The
+    feed-replay hypothesis property
+    (tests/test_properties.py::test_feed_replay_reconstructs_every_snapshot)
+    pins that replaying these transitions reconstructs every
+    snapshot's live content under any writer-legal history.
+
     Pure metadata: one commit JSON read + two checkpoint-aware DV
     replays; sidecar/data bytes are the CONSUMER's to read (change-
     sized, and executor-side on the partitioned feed)."""
