@@ -1873,3 +1873,108 @@ def test_live_stream_drain_races_compaction_commit(spark):
     want = sum(round(round(math.sqrt(i + 1.0), 6) * 1e6) for i in range(rows))
     assert got == want
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_wap_failed_audit_leaves_main_untouched(spark, tlog_dir):
+    """WRITE-AUDIT-PUBLISH isolation: a staged candidate that fails
+    its audit (CHECK constraint, NULL keys, lying manifest stats) is
+    discarded — main's version, live set, and bytes never change, and
+    the branch ref plus the staged data group are reclaimed."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_branch_path,
+        _tlog_wap_abort,
+        _tlog_wap_audit,
+        _tlog_wap_publish,
+        _tlog_wap_stage,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    before = _tlog_live_files(tlog_dir, base)
+    bad = _tlog_wap_stage(
+        spark.read.parquet(os.path.join(tlog_dir, "file_A"))
+        .select("o_orderkey", (-F.col("o_totalprice")).alias("o_totalprice")),
+        tlog_dir,
+        "file_wap_bad",
+    )
+    failures = _tlog_wap_audit(spark, tlog_dir, bad)
+    assert any("CHECK" in f for f in failures)
+    # an audited-red branch must refuse to publish
+    with pytest.raises(RuntimeError, match="refusing to publish"):
+        _tlog_wap_publish(spark, tlog_dir, bad)
+    _tlog_wap_abort(tlog_dir, bad)
+    assert _tlog_latest_version(tlog_dir) == base
+    assert _tlog_live_files(tlog_dir, base) == before
+    assert not os.path.exists(_tlog_branch_path(tlog_dir, "audit", base + 1))
+    assert not os.path.exists(os.path.join(tlog_dir, "file_wap_bad"))
+
+    # a tampered manifest (stats disagree with the data) also fails
+    good = _tlog_wap_stage(
+        spark.read.parquet(os.path.join(tlog_dir, "file_A"))
+        .select("o_orderkey", "o_totalprice"),
+        tlog_dir,
+        "file_wap_tamper",
+    )
+    good["stats"]["file_wap_tamper"]["o_orderkey"] = [0, 1]
+    failures = _tlog_wap_audit(spark, tlog_dir, good)
+    assert any("manifest stats disagree" in f for f in failures)
+    _tlog_wap_abort(tlog_dir, good)
+
+
+def test_wap_staged_branch_invisible_then_publish(spark, tlog_dir):
+    """The staged snapshot resolves ONLY through the branch ref: main
+    readers never see the group until publish, which promotes it via
+    one OCC commit; a re-publish of the same branch payload is
+    idempotent (live-set short-circuit)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_wap_publish,
+        _tlog_wap_stage,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    payload = _tlog_wap_stage(
+        spark.read.parquet(os.path.join(tlog_dir, "file_C"))
+        .select("o_orderkey", "o_totalprice"),
+        tlog_dir,
+        "file_wap_ok",
+    )
+    # staged but unpublished: invisible to every main snapshot
+    assert _tlog_latest_version(tlog_dir) == base
+    assert all(
+        "file_wap_ok" not in p for p in _tlog_live_files(tlog_dir, base)
+    )
+    v = _tlog_wap_publish(spark, tlog_dir, payload)
+    assert v == base + 1
+    live = {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)}
+    assert "file_wap_ok" in live
+    # idempotent re-publish (crash between commit and ref retire)
+    assert _tlog_wap_publish(spark, tlog_dir, payload) == v
+    assert _tlog_latest_version(tlog_dir) == v
+
+
+def test_wap_publish_rebases_over_concurrent_append(spark, tlog_dir):
+    """A main commit landing between stage and publish commutes: the
+    publish is a blind append (empty read set), so the OCC rebase
+    retries on the new base and both changes land."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_wap_publish,
+        _tlog_wap_stage,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    payload = _tlog_wap_stage(
+        spark.read.parquet(os.path.join(tlog_dir, "file_C"))
+        .select("o_orderkey", "o_totalprice"),
+        tlog_dir,
+        "file_wap_race",
+    )
+    # a concurrent writer appends on main while the audit runs
+    spark.createDataFrame(
+        [(777_777, 1.0)], "o_orderkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(os.path.join(tlog_dir, "file_sneak"))
+    _tlog_commit(tlog_dir, add=["file_sneak"], remove=[], base_version=base)
+    v = _tlog_wap_publish(spark, tlog_dir, payload)
+    assert v == base + 2
+    live = {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)}
+    assert {"file_sneak", "file_wap_race"} <= live
