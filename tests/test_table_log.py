@@ -1978,3 +1978,44 @@ def test_wap_publish_rebases_over_concurrent_append(spark, tlog_dir):
     assert v == base + 2
     live = {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)}
     assert {"file_sneak", "file_wap_race"} <= live
+
+
+def test_cdc_images_cancel_pure_rewrites_and_guard_duplicates(spark, tlog_dir):
+    """Row-level image derivation: a commit that only MOVES rows (a
+    compaction-style rewrite with identical content) emits ZERO
+    images — its add/remove rows cancel per key; and a commit whose
+    side holds a duplicate key raises the unique-key guard instead of
+    emitting ambiguous images."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_cdc_images,
+    )
+
+    # v3: pure rewrite — copy file_C's content to a new group, drop file_C
+    spark.read.parquet(os.path.join(tlog_dir, "file_C")).coalesce(1).write.parquet(
+        os.path.join(tlog_dir, "file_C_moved")
+    )
+    base = _tlog_latest_version(tlog_dir)
+    v = _tlog_commit(
+        tlog_dir, add=["file_C_moved"], remove=["file_C"], base_version=base
+    )
+    imgs = {
+        (r["version"], r["change_type"]): r["n_rows"]
+        for r in _tlog_cdc_images(spark, tlog_dir).collect()
+    }
+    assert not any(ver == v for ver, _t in imgs), (
+        f"pure rewrite at v{v} leaked images: {imgs}"
+    )
+    # the base history still shows as logical inserts (v1 add, v2 net-add)
+    assert imgs[(1, "insert")] > 0 and imgs[(2, "insert")] > 0
+    assert not any(t != "insert" for _v, t in imgs)
+
+    # v4: a side with a duplicated key must raise, not guess
+    dup = spark.read.parquet(os.path.join(tlog_dir, "file_A")).limit(1)
+    dup.union(dup.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)).coalesce(
+        1
+    ).write.parquet(os.path.join(tlog_dir, "file_dupkey"))
+    _tlog_commit(tlog_dir, add=["file_dupkey"], remove=[], base_version=v)
+    with pytest.raises(Exception, match="unique key per commit side"):
+        _tlog_cdc_images(spark, tlog_dir).collect()
