@@ -38,12 +38,16 @@ from hadoop_based_distributed_batch_processing_system_spark.operators.scans impo
     _tlog_build,
     _tlog_change_units,
     _tlog_commit_rebase,
+    _tlog_commit_ts,
     _tlog_dml_fingerprint,
     _tlog_dml_root,
     _tlog_latest_version,
+    _tlog_live_dvs,
     _tlog_live_files,
     _tlog_relation,
+    _tlog_root,
     _tlog_staged_write_with_stats,
+    _tlog_version_as_of,
 )
 
 
@@ -529,6 +533,213 @@ def table_log_cdc_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tlog_build(spark, sf_dir, _tlog_dml_root(sf_dir))
     _tlog_apply_dml(spark, sf_dir, root)
     return _tlog_cdc_images(spark, root)
+
+
+# --- Consistent cross-table as-of reads (S9-masof) -------------------------
+
+
+def _tlog_dv_snapshot_fingerprints(
+    spark: SparkSession, root: str, labeled: list[tuple[int, int]], tbl: str
+) -> DataFrame:
+    """Fingerprint several snapshots of ONE table in one pass, DV-
+    aware: files WITHOUT a sidecar binding at a label combine through
+    per-file partial aggregates and a broadcast (label, file)
+    membership join (each distinct file scans once however many
+    snapshots share it — the manifest-stats shape); files WITH a
+    binding take a row-level half (the anti-join against the sidecar
+    needs rows), tagged by the same membership mechanism. The halves
+    union into per-label totals. ``labeled`` is (label, version)."""
+    plain: list[tuple[int, str]] = []
+    dvd: list[tuple[int, str, str]] = []
+    for label, v in labeled:
+        dvs = _tlog_live_dvs(root, v)
+        for p in _tlog_live_files(root, v):
+            f = os.path.basename(p)
+            if f in dvs:
+                dvd.append((label, f, dvs[f]))
+            else:
+                plain.append((label, f))
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    halves: list[DataFrame] = []
+    if plain:
+        files = sorted({os.path.join(root, f) for _l, f in plain})
+        partials = (
+            _tlog_relation(spark, files)
+            .withColumn(
+                "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+            )
+            .groupBy("file")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                cents.alias("pc"),
+                F.min("o_orderkey").cast("long").alias("pmin"),
+                F.max("o_orderkey").cast("long").alias("pmax"),
+            )
+        )
+        mem = spark.createDataFrame(plain, "label int, file string")
+        halves.append(
+            partials.join(F.broadcast(mem), "file")
+            .groupBy("label")
+            .agg(
+                F.sum("pn").alias("n"),
+                F.sum("pc").alias("c"),
+                F.min("pmin").alias("mn"),
+                F.max("pmax").alias("mx"),
+            )
+        )
+    if dvd:
+        files = sorted({os.path.join(root, f) for _l, f, _s in dvd})
+        rows = (
+            _tlog_relation(spark, files)
+            .withColumn(
+                "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+            )
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        dvd, "label int, file string, sidecar string"
+                    )
+                ),
+                "file",
+            )
+        )
+        sidecars = sorted({s for _l, _f, s in dvd})
+        sc = _tlog_relation(
+            spark, [os.path.join(root, s) for s in sidecars]
+        ).select(
+            F.regexp_extract(
+                F.input_file_name(), r"/(dv_[A-Za-z0-9_]+)/", 1
+            ).alias("sidecar"),
+            "o_orderkey",
+            F.lit(1).alias("_doomed"),
+        )
+        rows = rows.join(
+            F.broadcast(sc), ["sidecar", "o_orderkey"], "left"
+        ).filter(F.col("_doomed").isNull())
+        halves.append(
+            rows.groupBy("label").agg(
+                F.count(F.lit(1)).alias("n"),
+                cents.alias("c"),
+                F.min("o_orderkey").cast("long").alias("mn"),
+                F.max("o_orderkey").cast("long").alias("mx"),
+            )
+        )
+    merged = halves[0]
+    for h in halves[1:]:
+        merged = merged.unionByName(h)
+    return (
+        merged.groupBy("label")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("c").alias("sum_cents"),
+            F.min("mn").alias("min_key"),
+            F.max("mx").alias("max_key"),
+        )
+        .select(
+            F.col("label").alias("instant"),
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            "sum_cents",
+            "min_key",
+            "max_key",
+        )
+    )
+
+
+@register(
+    "table_log_multi_asof",
+    # Hash oracle: both tables' snapshots at each shared instant,
+    # recomputed from the source. Instant 1 predates the third base
+    # commit (both tables at v1: residues 0,1,2); instant 2 is the
+    # DML table's DELETE commit (base full, dml minus deleted);
+    # instant 3 is after its UPDATE (base full, dml with the bump).
+    oracle=f"""
+        WITH snap AS (
+          SELECT 1 AS instant, 'base' AS tbl, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+          UNION ALL
+          SELECT 1, 'dml', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+          UNION ALL
+          SELECT 2, 'base', o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 2, 'dml', o_orderkey, o_totalprice
+          FROM orders WHERE NOT ({_TLOG_DELETE_PRED})
+          UNION ALL
+          SELECT 3, 'base', o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 3, 'dml', o_orderkey,
+                 CASE WHEN {_TLOG_UPDATE_PRED}
+                      THEN o_totalprice + {_TLOG_UPDATE_BUMP}
+                      ELSE o_totalprice END
+          FROM orders WHERE NOT ({_TLOG_DELETE_PRED})
+        )
+        SELECT instant, tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM snap GROUP BY 1, 2
+    """,
+    tags=("S9-masof", "lakehouse", "time-travel", "as-of", "multi-table"),
+)
+def table_log_multi_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-masof — CONSISTENT CROSS-TABLE AS-OF READS (SURVEY §7
+    candidate (a)): "every table as of instant T" — the reproducibility
+    primitive a training-data pipeline needs to rebuild yesterday's
+    exact inputs across a whole warehouse, not one table at a time.
+    Each table's log resolves the SAME instant independently through
+    its commit timestamps (``_tlog_version_as_of``); because all
+    stamps come from one clock (production: the wall clock; here: the
+    deterministic logical clock), the resolved snapshot set is
+    mutually consistent — no table shows state from after T. Three
+    instants are read across two tables (the shared read table and
+    the DML'd table): one mid-history (both at v1), one at the DML
+    table's DELETE commit (versions diverge: base v2, dml v3 — skewed
+    last-commit times are the normal case), one after its UPDATE.
+    Every resolution is asserted against the expected version, then
+    all six snapshots fingerprint through a DV-aware two-half plan
+    (partial aggregates for unbound files, row-level anti-join for
+    DV-bound ones).
+
+    Scale: resolution is N driver-side metadata lookups for N tables
+    — no coordination, no lock, no data read; the consistency comes
+    from timestamps alone, which is exactly how Delta/Iceberg
+    multi-table reproduction works (each table resolves
+    independently against the shared clock). The fingerprint plan
+    scans each distinct file once across all snapshots that share
+    it.
+
+    Engine divergence note: this is read-side consistency (one
+    instant, N independent logs) — not multi-table TRANSACTIONS
+    (atomic commits spanning logs), which no single-log format
+    provides and this repo does not claim."""
+    base_root = _tlog_build(spark, sf_dir, _tlog_root(sf_dir))
+    dml_root = _tlog_build(spark, sf_dir, _tlog_dml_root(sf_dir))
+    _tlog_apply_dml(spark, sf_dir, dml_root)
+    instants = [
+        (1, _tlog_commit_ts(dml_root, 1)),
+        (2, _tlog_commit_ts(dml_root, 3)),
+        (3, _tlog_commit_ts(dml_root, 4) + 1),
+    ]
+    expected = {"base": {1: 1, 2: 2, 3: 2}, "dml": {1: 1, 2: 3, 3: 4}}
+    parts: list[DataFrame] = []
+    for tbl, root in (("base", base_root), ("dml", dml_root)):
+        labeled = []
+        for label, ts in instants:
+            v = _tlog_version_as_of(root, ts)
+            if v != expected[tbl][label]:
+                raise RuntimeError(
+                    f"cross-table as-of drifted: {tbl} at instant {label} "
+                    f"(ts {ts}) resolved to v{v}, expected "
+                    f"v{expected[tbl][label]}"
+                )
+            labeled.append((label, v))
+        parts.append(_tlog_dv_snapshot_fingerprints(spark, root, labeled, tbl))
+    return parts[0].unionByName(parts[1]).select(
+        "instant", "tbl", "n_rows", "sum_cents", "min_key", "max_key"
+    )
 
 
 interpolate_docstrings(globals())

@@ -2019,3 +2019,26 @@ def test_cdc_images_cancel_pure_rewrites_and_guard_duplicates(spark, tlog_dir):
     _tlog_commit(tlog_dir, add=["file_dupkey"], remove=[], base_version=v)
     with pytest.raises(Exception, match="unique key per commit side"):
         _tlog_cdc_images(spark, tlog_dir).collect()
+
+
+def test_multi_asof_shared_clock_premise(spark):
+    """The cross-table as-of read rests on all logs sharing one clock:
+    the deterministic stamp is a pure function of commit content, so
+    two tables built from the same genesis spec carry IDENTICAL stamps
+    for their common history — the logical-clock stand-in for 'all
+    commit timestamps come from the same wall clock'. If this drifts,
+    table_log_multi_asof raises at resolution time; this pin makes the
+    premise itself visible."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_commit_ts,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_dml_root,
+        _tlog_root,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = _tlog_build(spark, SF_SMOKE, _tlog_root(SF_SMOKE))
+    dml = _tlog_build(spark, SF_SMOKE, _tlog_dml_root(SF_SMOKE))
+    for v in range(len(_TLOG_COMMITS)):
+        assert _tlog_commit_ts(base, v) == _tlog_commit_ts(dml, v)
