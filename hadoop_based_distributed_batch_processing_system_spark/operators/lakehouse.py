@@ -742,4 +742,253 @@ def table_log_multi_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Metadata-driven compaction trigger (S9-ctr) ---------------------------
+
+_TLOG_TRG_THRESHOLD = 4  # live file groups at/above this fire a compaction
+_TLOG_TRG_MERGE_K = 2    # merge this many smallest groups per firing
+_TLOG_TRG_PRED = "o_orderkey % 100 = 55"  # the lifecycle's small append
+
+
+def _tlog_trg_root(sf_dir: str) -> str:
+    # own root: the trigger commits compactions on its table (own-root rule)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tablelogtrg_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_group_bytes(root: str, group: str) -> int:
+    """A file group's on-disk size — the manifest metadata real formats
+    record at write time (Delta's `size`, Iceberg's file_size_in_bytes);
+    this log keeps data files self-describing, so the trigger reads the
+    same number from the storage layer, still driver-side and
+    data-plane-free."""
+    d = os.path.join(root, group)
+    return sum(e.stat().st_size for e in os.scandir(d) if e.is_file())
+
+
+def _tlog_compact_trigger(
+    spark: SparkSession,
+    root: str,
+    threshold: int = _TLOG_TRG_THRESHOLD,
+    k: int = _TLOG_TRG_MERGE_K,
+) -> dict:
+    """Evaluate the compaction trigger and maybe fire it: the DECISION
+    is pure metadata — live group count from the log, group sizes from
+    the manifests — so a maintenance scheduler can poll it across
+    thousands of tables without touching the data plane. Below the
+    threshold nothing happens (no commit, no job). At or above it, the
+    ``k`` smallest groups (size, then name — deterministic) rewrite
+    into one through the staged-write kernel, applying any live DV
+    bindings (a compaction that ignored sidecars would resurrect
+    deleted rows), and ONE OCC rebase commit publishes the merge.
+    Returns the decision record."""
+    base = _tlog_latest_version(root)
+    live = [os.path.basename(p) for p in _tlog_live_files(root, base)]
+    if len(live) < threshold:
+        return {
+            "fired": 0, "live_before": len(live), "live_after": len(live),
+            "version": base,
+        }
+    sizes = {g: _tlog_group_bytes(root, g) for g in live}
+    victims = sorted(live, key=lambda g: (sizes[g], g))[:k]
+    merged = f"file_ctr_{base + 1}"
+    dvs = {
+        f: s for f, s in _tlog_live_dvs(root, base).items() if f in set(victims)
+    }
+    rel = _tlog_relation(
+        spark, [os.path.join(root, g) for g in victims]
+    ).withColumn("file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1))
+    if dvs:
+        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+            _tlog_dv_frame,
+        )
+
+        rel = rel.join(
+            F.broadcast(_tlog_dv_frame(spark, root, dvs)),
+            ["file", "o_orderkey"],
+            "left_anti",
+        )
+    promoted, stats = _tlog_staged_write_with_stats(
+        rel.select("o_orderkey", "o_totalprice").withColumn("tgt", F.lit(merged)),
+        root,
+        [merged],
+    )
+    v = _tlog_commit_rebase(
+        root,
+        add=promoted,
+        remove=victims,
+        base_version=base,
+        read_set=set(victims),
+        stats=stats,
+    )
+    return {
+        "fired": 1, "live_before": len(live),
+        "live_after": len(live) - len(victims) + 1, "version": v,
+    }
+
+
+_TLOG_TRG_SPEC = {
+    "impl": 1,
+    "threshold": _TLOG_TRG_THRESHOLD,
+    "k": _TLOG_TRG_MERGE_K,
+    "pred": _TLOG_TRG_PRED,
+}
+
+
+def _tlog_apply_trigger(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the trigger lifecycle once per table dir (flock + stamp):
+    evaluate at 3 live groups (must SKIP — no commit), append a small
+    slice (4 groups), evaluate again (must FIRE — merge the two
+    smallest). Decision records persist beside the stamp for the
+    registry read."""
+    import fcntl
+    import json
+
+    stamp_file = os.path.join(root, "_TRIGGER")
+    stamp = json.dumps(_TLOG_TRG_SPEC, sort_keys=True)
+    decisions_file = os.path.join(root, "_TRIGGER_DECISIONS")
+
+    def _ok() -> bool:
+        try:
+            return (
+                open(stamp_file).read() == stamp
+                and os.path.exists(decisions_file)
+            )
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _tlog_latest_version(root) != 2:
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_build(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        decisions = []
+        d1 = _tlog_compact_trigger(spark, root)
+        if d1["fired"] or _tlog_latest_version(root) != 2:
+            raise RuntimeError(
+                f"trigger fired below threshold: {d1} at "
+                f"v{_tlog_latest_version(root)}"
+            )
+        decisions.append({"step": 1, **d1})
+        slice_df = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.expr(_TLOG_TRG_PRED))
+            .select("o_orderkey", "o_totalprice")
+        )
+        promoted, stats = _tlog_staged_write_with_stats(
+            slice_df.withColumn("tgt", F.lit("file_trg_small")),
+            root,
+            ["file_trg_small"],
+        )
+        _tlog_commit_rebase(
+            root, add=promoted, remove=[], base_version=2, read_set=set(),
+            stats=stats,
+        )
+        d2 = _tlog_compact_trigger(spark, root)
+        if not d2["fired"]:
+            raise RuntimeError(f"trigger failed to fire at threshold: {d2}")
+        decisions.append({"step": 2, **d2})
+        tmp = os.path.join(root, f"._TRGDEC.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(decisions, fh)
+        os.replace(tmp, decisions_file)
+        tmp = os.path.join(root, f"._TRIGGER.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_compact_trigger",
+    # Hash oracle: the decision trail is deterministic (skip at 3
+    # groups, fire at 4, merging 2), and each step's post-state
+    # content is recomputed from the source — step 1 the bare table,
+    # step 2 the table plus the appended slice (compaction preserves
+    # content BY CONSTRUCTION; a lost or duplicated row shifts the
+    # fingerprint).
+    oracle=f"""
+        WITH s1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+          FROM orders
+        ),
+        s2 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+          FROM (
+            SELECT o_totalprice FROM orders
+            UNION ALL
+            SELECT o_totalprice FROM orders WHERE {_TLOG_TRG_PRED}
+          )
+        )
+        SELECT 1 AS step, 0 AS fired, 3 AS live_before, 3 AS live_after,
+               n_rows, sum_cents FROM s1
+        UNION ALL
+        SELECT 2, 1, 4, 3, n_rows, sum_cents FROM s2
+    """,
+    tags=("S9-ctr", "lakehouse", "compaction", "maintenance", "trigger"),
+)
+def table_log_compact_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-ctr — the COMPACTION TRIGGER (SURVEY §7 candidate (e)):
+    maintenance as a METADATA-DRIVEN DECISION, not a scheduled habit.
+    The trigger polls the log — live group count, manifest sizes —
+    and compacts only when the small-file census crosses the
+    threshold, merging the k smallest groups through the staged-write
+    kernel (live DVs applied) and one OCC commit. The lifecycle
+    exercises both sides on the registry table: at 3 groups it must
+    SKIP (no commit, no data read — pytest-poisoned), after a small
+    append crosses to 4 it must FIRE (4 → 3 groups, content
+    preserved). Output = the decision trail joined to each step's
+    post-state fingerprint.
+
+    Scale: a 1000-table lakehouse cannot afford scheduled blind
+    OPTIMIZE jobs — the skip path must cost metadata only (here: one
+    log replay + a stat() per group, no Spark job), so a scheduler
+    can sweep every table cheaply and spend compute exactly where
+    small files accumulate. The fire path's cost is the k merged
+    groups' bytes, never the table. Size-ascending victim choice
+    maximizes files-removed-per-byte-rewritten (the standard bin-
+    packing greedy, reduced to k smallest)."""
+    import json
+
+    root = _tlog_build(spark, sf_dir, _tlog_trg_root(sf_dir))
+    _tlog_apply_trigger(spark, sf_dir, root)
+    decisions = json.load(open(os.path.join(root, "_TRIGGER_DECISIONS")))
+    fps = _tlog_dv_snapshot_fingerprints(
+        spark, root, [(d["step"], d["version"]) for d in decisions], "t"
+    )
+    ddf = spark.createDataFrame(
+        [
+            (d["step"], d["fired"], d["live_before"], d["live_after"])
+            for d in decisions
+        ],
+        "step int, fired int, live_before int, live_after int",
+    )
+    return (
+        fps.select(F.col("instant").alias("step"), "n_rows", "sum_cents")
+        .join(F.broadcast(ddf), "step")
+        .select("step", "fired", "live_before", "live_after", "n_rows", "sum_cents")
+    )
+
+
 interpolate_docstrings(globals())

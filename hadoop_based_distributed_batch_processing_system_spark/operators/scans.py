@@ -2749,7 +2749,21 @@ def _tlog_dv_frame(spark: SparkSession, root: str, dvs: dict[str, str]) -> DataF
     the number of bound files — VERDICT r11 missing #3). The target
     file each doomed key binds to is recovered from the sidecar's
     own path (``dv_<target>_v<N>``), so no driver-side mapping rides
-    into the plan."""
+    into the plan. That recovery makes the naming convention
+    LOAD-BEARING: a binding whose sidecar name doesn't encode its
+    target would extract an empty file tag, the anti-join would
+    match nothing, and the deleted rows would silently resurrect —
+    so malformed bindings fail here, driver-side, for free."""
+    import re
+
+    for f, s in sorted(dvs.items()):
+        if not re.fullmatch(rf"dv_{re.escape(f)}_v\d+", s):
+            raise RuntimeError(
+                f"deletion-vector binding {f!r} -> {s!r} violates the "
+                "dv_<target>_v<N> sidecar naming convention the read "
+                "path recovers targets from — applying it would "
+                "silently resurrect the deleted rows"
+            )
     return (
         _tlog_relation(
             spark, sorted(os.path.join(root, dv) for dv in dvs.values())

@@ -2042,3 +2042,97 @@ def test_multi_asof_shared_clock_premise(spark):
     dml = _tlog_build(spark, SF_SMOKE, _tlog_dml_root(SF_SMOKE))
     for v in range(len(_TLOG_COMMITS)):
         assert _tlog_commit_ts(base, v) == _tlog_commit_ts(dml, v)
+
+
+def test_compact_trigger_skip_is_metadata_only_and_fire_preserves(spark, tlog_dir, monkeypatch):
+    """The trigger's SKIP path costs metadata only — below threshold
+    it must decide without any data-plane read (relation poisoned);
+    the FIRE path merges exactly the k smallest groups, preserves
+    content, and materializes any DV binding on a victim."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators import (
+        lakehouse,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_compact_trigger,
+    )
+
+    def _poisoned(*_a, **_k):
+        raise AssertionError("trigger skip path touched the data plane")
+
+    monkeypatch.setattr(lakehouse, "_tlog_relation", _poisoned)
+    d = _tlog_compact_trigger(spark, tlog_dir, threshold=99)
+    monkeypatch.undo()
+    assert d == {
+        "fired": 0, "live_before": 3, "live_after": 3, "version": 2,
+    }
+    assert _tlog_latest_version(tlog_dir) == 2  # no commit on skip
+
+    # bind a DV to one victim-to-be, then fire at threshold 3
+    total_before = spark.read.parquet(
+        *_tlog_live_files(tlog_dir, 2)
+    ).count()
+    victims_expected = sorted(
+        (os.path.basename(p) for p in _tlog_live_files(tlog_dir, 2)),
+        key=lambda g: (
+            sum(
+                e.stat().st_size
+                for e in os.scandir(os.path.join(tlog_dir, g))
+                if e.is_file()
+            ),
+            g,
+        ),
+    )[:2]
+    doomed_src = os.path.join(tlog_dir, victims_expected[0])
+    doomed = (
+        spark.read.parquet(doomed_src)
+        .filter(F.col("o_orderkey") % 17 == 3)
+        .select("o_orderkey")
+    )
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    sidecar = f"dv_{victims_expected[0]}_v3"  # dv_<target>_v<N> naming is
+    # load-bearing: _tlog_dv_frame recovers the bound file from the path
+    doomed.coalesce(1).write.parquet(os.path.join(tlog_dir, sidecar))
+    _tlog_commit(
+        tlog_dir, add=[], remove=[], base_version=2,
+        dv={victims_expected[0]: sidecar},
+    )
+    d = _tlog_compact_trigger(spark, tlog_dir, threshold=3, k=2)
+    assert d["fired"] == 1 and d["live_before"] == 3 and d["live_after"] == 2
+    v = d["version"]
+    live = {os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)}
+    assert len(live) == 2 and any(g.startswith("file_ctr_") for g in live)
+    assert not (set(victims_expected) & live)
+    # content preserved minus the materialized DV rows; binding gone
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_dvs,
+    )
+
+    assert _tlog_live_dvs(tlog_dir, v) == {}
+    total_after = spark.read.parquet(*_tlog_live_files(tlog_dir, v)).count()
+    assert total_after == total_before - n_doomed
+
+
+def test_malformed_dv_binding_fails_instead_of_resurrecting(spark, tlog_dir):
+    """The dv_<target>_v<N> sidecar naming convention is load-bearing
+    (the read path recovers each doomed key's target file from the
+    sidecar path): a binding that violates it must fail driver-side,
+    not silently anti-join nothing and resurrect the deleted rows."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_dv_frame,
+    )
+
+    spark.read.parquet(os.path.join(tlog_dir, "file_C")).filter(
+        F.col("o_orderkey") % 17 == 3
+    ).select("o_orderkey").coalesce(1).write.parquet(
+        os.path.join(tlog_dir, "dv_oops")
+    )
+    with pytest.raises(RuntimeError, match="naming convention"):
+        _tlog_dv_frame(spark, tlog_dir, {"file_C": "dv_oops"})
+    # a mismatched target (right shape, wrong file) also fails
+    with pytest.raises(RuntimeError, match="naming convention"):
+        _tlog_dv_frame(spark, tlog_dir, {"file_A": "dv_file_C_v9"})
