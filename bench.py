@@ -149,6 +149,11 @@ HEADLINE = [
     "table_log_cdc_dml",  # DV-complete change feed over the DML lifecycle
     "stream_table_log_replicate_dml",  # replication through a DV-only DELETE commit
     "table_log_cdc_restore",  # rollback's row-level change feed (touch pairs)
+    # --- round-14 extension rows (SURVEY §7 candidate queue (a,b,d,e))
+    "table_log_wap_publish",  # branch-staged append, audited then published
+    "table_log_cdc_images",  # row-level pre/post images, rewrite noise cancelled
+    "table_log_multi_asof",  # cross-table consistent as-of, DV-aware snapshots
+    "table_log_compact_trigger",  # metadata-only skip/fire maintenance decision
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
