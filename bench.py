@@ -154,6 +154,8 @@ HEADLINE = [
     "table_log_cdc_images",  # row-level pre/post images, rewrite noise cancelled
     "table_log_multi_asof",  # cross-table consistent as-of, DV-aware snapshots
     "table_log_compact_trigger",  # metadata-only skip/fire maintenance decision
+    "stream_events_table_ingest",  # real events file-stream -> commit per batch
+    "table_log_rollup_incremental",  # change-feed-maintained daily rollup (MV)
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -342,25 +342,33 @@ def table_log_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Row-level CDC pre/post images (S9-cdf'') -----------------------------
 
 
-def _tlog_change_rows(spark: SparkSession, root: str) -> DataFrame:
-    """ROW-LEVEL change frame of every post-bootstrap commit:
-    (version, side, o_orderkey, o_totalprice) under the DV-complete
-    contract of ``_tlog_change_units`` — the same units the feed
-    fingerprint aggregates, materialized as rows so downstream logic
-    (image pairing) can reason per key. Change-sized: one scan of the
-    union of change files joined to a broadcast unit membership, with
-    broadcast include/exclude semi-filters against the (doomed-keys-
-    sized) sidecar relation."""
-    latest = _tlog_latest_version(root)
+def _tlog_change_rows_for(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    cols: list[str],
+    versions: list[int] | None = None,
+) -> DataFrame:
+    """ROW-LEVEL change frame, schema-agnostic: (version, side,
+    *cols) for the given commit ``versions`` (default: every
+    post-bootstrap commit) under the DV-complete contract of
+    ``_tlog_change_units``. ``key`` is the column DV sidecars store
+    (their doomed-keys list), so include/exclude filters join on it.
+    Change-sized: one scan of the union of change files joined to a
+    broadcast unit membership, with broadcast include/exclude
+    semi-filters against the (doomed-keys-sized) sidecar relation."""
+    if versions is None:
+        versions = list(range(1, _tlog_latest_version(root) + 1))
     units = [
         (v, side, f, incl, excl)
-        for v in range(1, latest + 1)
+        for v in versions
         for side, f, incl, excl in _tlog_change_units(root, v)
     ]
     if not units:
         raise RuntimeError(
-            f"table log at {root} has no post-bootstrap commits — stale "
-            "or partially-built dir? delete it to force a clean rebuild"
+            f"table log at {root} has no change units for versions "
+            f"{versions} — stale or partially-built dir? delete it to "
+            "force a clean rebuild"
         )
     files = sorted({os.path.join(root, f) for _v, _s, f, _i, _e in units})
     rel = _tlog_relation(spark, files).withColumn(
@@ -381,29 +389,36 @@ def _tlog_change_rows(spark: SparkSession, root: str) -> DataFrame:
             F.regexp_extract(
                 F.input_file_name(), r"/(dv_[A-Za-z0-9_]+)/", 1
             ).alias("sc_name"),
-            "o_orderkey",
+            key,
         )
         rows = rows.join(
             F.broadcast(
                 sc.select(
-                    F.col("sc_name").alias("incl"), "o_orderkey",
-                    F.lit(1).alias("_in"),
+                    F.col("sc_name").alias("incl"), key, F.lit(1).alias("_in")
                 )
             ),
-            ["incl", "o_orderkey"],
+            ["incl", key],
             "left",
         ).filter(F.col("incl").isNull() | F.col("_in").isNotNull())
         rows = rows.join(
             F.broadcast(
                 sc.select(
-                    F.col("sc_name").alias("excl"), "o_orderkey",
-                    F.lit(1).alias("_ex"),
+                    F.col("sc_name").alias("excl"), key, F.lit(1).alias("_ex")
                 )
             ),
-            ["excl", "o_orderkey"],
+            ["excl", key],
             "left",
         ).filter(F.col("_ex").isNull())
-    return rows.select("version", "side", "o_orderkey", "o_totalprice")
+    return rows.select("version", "side", *cols)
+
+
+def _tlog_change_rows(spark: SparkSession, root: str) -> DataFrame:
+    """The orders-schema change frame the CDC image pairing consumes:
+    (version, side, o_orderkey, o_totalprice) for every post-bootstrap
+    commit."""
+    return _tlog_change_rows_for(
+        spark, root, "o_orderkey", ["o_orderkey", "o_totalprice"]
+    )
 
 
 def _tlog_cdc_images(spark: SparkSession, root: str) -> DataFrame:
@@ -988,6 +1003,478 @@ def table_log_compact_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps.select(F.col("instant").alias("step"), "n_rows", "sum_cents")
         .join(F.broadcast(ddf), "step")
         .select("step", "fired", "live_before", "live_after", "n_rows", "sum_cents")
+    )
+
+
+# --- Streaming ingest of the REAL events table + incremental rollup -------
+# (SURVEY §7 candidate (c): file-stream source -> table-log commits ->
+# a downstream consumer maintaining a daily materialized rollup from
+# the change feed, never re-scanning the table.)
+
+_TLOG_EV_SRC_FILES = 8       # staged multi-file source layout
+_TLOG_EV_PER_TRIGGER = 3     # maxFilesPerTrigger -> >=3 micro-batches
+_TLOG_EV_ROLLUP_BUCKETS = 4  # rollup file groups, keyed by day
+
+
+def _tlog_ev_src_dir(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_evsrc_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_ev_root(sf_dir: str) -> str:
+    # own root: the ingest commits into its table's log (own-root rule)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogev_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_ev_rollup_root(sf_dir: str) -> str:
+    # own root: the rollup consumer commits into ITS table's log
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogevru_{corpus_tag(sf_dir)}"
+    )
+
+
+_TLOG_EV_SCHEMA = (
+    "event_id long, ts timestamp, event_type string, value double"
+)
+_TLOG_EV_SPEC = {
+    "impl": 1,
+    "files": _TLOG_EV_SRC_FILES,
+    "per_trigger": _TLOG_EV_PER_TRIGGER,
+}
+
+
+def _tlog_ev_stage_source(spark: SparkSession, sf_dir: str) -> str:
+    """Export the REAL events table as a multi-file parquet directory
+    — the landing zone a file-stream ingest tails in production
+    (flock + stamp, hash-partitioned on event_id so every file's
+    content is deterministic)."""
+    import fcntl
+    import json
+
+    src = _tlog_ev_src_dir(sf_dir)
+    stamp_file = os.path.join(src, "_STAGED")
+    stamp = json.dumps(_TLOG_EV_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return src
+    os.makedirs(src, exist_ok=True)
+    lock_fh = open(os.path.join(src, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return src
+        data = os.path.join(src, "data")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "event_type", "value")
+            .repartition(_TLOG_EV_SRC_FILES, F.col("event_id"))
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+        tmp = os.path.join(src, f"._STAGED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return src
+
+
+def _tlog_apply_ev_ingest(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Drain the staged events directory into a table-log table via a
+    REAL Structured Streaming file source (``maxFilesPerTrigger``
+    bounds each micro-batch), one atomic commit per batch keyed by
+    batch id (the stream_table_log_ingest exactly-once discipline, on
+    the package's real corpus table). Batch BOUNDARIES are the
+    engine's business — only the drained CONTENT is contracted — but
+    the per-trigger cap guarantees a multi-batch history for the
+    downstream incremental consumer."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_batch_committed,
+    )
+
+    stamp_file = os.path.join(root, "_INGESTED")
+    spec = json.dumps(_TLOG_EV_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == spec
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    src = _tlog_ev_stage_source(spark, sf_dir)
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        spec_file = os.path.join(root, "_INGEST_SPEC")
+        stale = False
+        try:
+            stale = open(spec_file).read() != spec
+        except OSError:
+            stale = os.path.isdir(os.path.join(root, "_log")) and any(
+                f.endswith(".json")
+                for f in os.listdir(os.path.join(root, "_log"))
+            )
+        if stale:
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+        if not os.path.exists(spec_file):
+            tmp = os.path.join(root, f"._SPEC.{os.getpid()}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(spec)
+            os.replace(tmp, spec_file)
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if _tlog_batch_committed(root, batch_id):
+                return  # re-delivered batch: idempotent no-op
+            name = f"file_evb{batch_id}"
+            _, stats = _tlog_staged_write_with_stats(
+                batch_df.withColumn("tgt", F.lit(name)), root, [name]
+            )
+            try:
+                base = _tlog_latest_version(root)
+            except RuntimeError:
+                base = -1
+            _tlog_commit_rebase(
+                root, add=[name], remove=[], base_version=base,
+                read_set=set(), batch=batch_id, stats=stats or None,
+            )
+
+        query = (
+            spark.readStream.schema(_TLOG_EV_SCHEMA)
+            .option("maxFilesPerTrigger", _TLOG_EV_PER_TRIGGER)
+            .parquet(os.path.join(src, "data"))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(root, ".ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        n_commits = _tlog_latest_version(root) + 1
+        if n_commits < 2:
+            raise RuntimeError(
+                f"events ingest drained {n_commits} commit(s) — the "
+                "per-trigger cap should force a multi-batch history"
+            )
+        got = _tlog_relation(
+            spark, _tlog_live_files(root, n_commits - 1)
+        ).count()
+        want = load_table(spark, sf_dir, "events").count()
+        if got != want:
+            raise RuntimeError(
+                f"events ingest landed {got} rows, source has {want} — "
+                "a batch was lost or double-applied"
+            )
+        tmp = os.path.join(root, f"._INGESTED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(spec)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "stream_events_table_ingest",
+    # Hash oracle: the drained table's content is the events table
+    # (whatever the batch boundaries were) — per-type exact-integer
+    # fingerprints straight from the source.
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_micros,
+               CAST(MIN(event_id) AS BIGINT) AS min_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_id
+        FROM events GROUP BY 1
+    """,
+    tags=("S9-in'", "stream", "lakehouse", "ingest", "events"),
+)
+def stream_events_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-in' — STREAMING INGEST OF THE REAL EVENTS TABLE (SURVEY §7
+    candidate (c), first half): the corpus events table, exported as
+    a multi-file landing directory, drains into the table format
+    through a REAL Structured Streaming file source with
+    ``maxFilesPerTrigger`` bounding each micro-batch — one atomic
+    commit per batch, batch-id idempotent (the
+    ``stream_table_log_ingest`` exactly-once discipline, now on real
+    data through the production source type instead of a synthetic
+    generator). Every batch commit carries per-column manifest stats
+    from the landing write itself — including the event timestamp as
+    ISO-string bounds — so the ingested table is time-range and
+    key-range prunable from the first commit. Batch boundaries are
+    the engine's business; the contract is the drained content
+    (hash-checked per event type) plus a multi-batch history for the
+    downstream incremental consumer (``table_log_rollup_incremental``).
+
+    Scale: the file-stream + commit-per-batch pair is the standard
+    object-store ingest topology (S3 landing bucket → Delta/Iceberg
+    table): listing cost is bounded by the trigger cap, readers stay
+    consistent at any ingest rate, and retries are free via the
+    batch-id key."""
+    root = _tlog_ev_root(sf_dir)
+    _tlog_apply_ev_ingest(spark, sf_dir, root)
+    files = _tlog_live_files(root, _tlog_latest_version(root))
+    return (
+        _tlog_relation(spark, files)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                "sum_micros"
+            ),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+        .select("event_type", "n_rows", "sum_micros", "min_id", "max_id")
+    )
+
+
+def _tlog_rollup_consume(
+    spark: SparkSession, rollup_root: str, ev_root: str, version: int
+) -> None:
+    """Consume ONE source commit into the rollup table: the commit's
+    SIGNED change rows (add = +1, remove/DV-delete = -1, via the
+    DV-complete change units) aggregate to per-(day, event_type)
+    count/sum deltas — self-maintainable aggregates, so deletes
+    decrement without recomputation — and merge into only the rollup
+    file groups whose day-bucket the delta touches. One staged write,
+    one OCC commit keyed by the source version (idempotent replay).
+    MIN/MAX are deliberately absent: they are not self-maintainable
+    under deletes (a delete of the current max forces a rescan), the
+    textbook materialized-view-maintenance boundary."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_batch_committed,
+    )
+
+    if _tlog_batch_committed(rollup_root, version):
+        return  # replayed source commit: idempotent no-op
+    sign = F.when(F.col("side") == "add", F.lit(1)).otherwise(F.lit(-1))
+    micros = F.round(F.col("value") * 1000000).cast("long")
+    bucket = (F.dayofmonth("day") % _TLOG_EV_ROLLUP_BUCKETS).cast("int")
+    delta = (
+        _tlog_change_rows_for(
+            spark, ev_root, "event_id", ["ts", "event_type", "value"],
+            versions=[version],
+        )
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            sign.alias("sg"),
+            (sign * micros).alias("dm"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.sum("sg").alias("n"), F.sum("dm").alias("sum_micros"))
+        .withColumn("bucket", bucket)
+    )
+    touched = sorted(
+        int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
+    )
+    if not touched:
+        return  # an empty change set (nothing to fold)
+    try:
+        base = _tlog_latest_version(rollup_root)
+        live = {
+            os.path.basename(p)
+            for p in _tlog_live_files(rollup_root, base)
+        }
+    except (RuntimeError, OSError):  # no log yet: bootstrap consume
+        base, live = -1, set()
+    # copy-on-write purity: rewritten buckets land under NEW versioned
+    # group names (rollup_b<bucket>_v<version>) — reusing a live name
+    # would mutate a file the relation memo and historical snapshots
+    # still reference
+    import re
+
+    live_by_bucket = {
+        int(m.group(1)): g
+        for g in live
+        if (m := re.fullmatch(r"rollup_b(\d+)_v\d+", g))
+    }
+    groups = [f"rollup_b{b}_v{base + 1}" for b in touched]
+    existing = [live_by_bucket[b] for b in touched if b in live_by_bucket]
+    merged = delta.select("day", "event_type", "n", "sum_micros", "bucket")
+    if existing:
+        old = _tlog_relation(
+            spark, [os.path.join(rollup_root, g) for g in existing]
+        )
+        merged = merged.unionByName(old.withColumn("bucket", bucket))
+    merged = (
+        merged.groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_micros").alias("sum_micros"),
+            F.first("bucket").alias("bucket"),
+        )
+        .filter(F.col("n") > 0)  # a fully-deleted key drops out
+        .withColumn(
+            "tgt",
+            F.concat(
+                F.lit("rollup_b"),
+                F.col("bucket").cast("string"),
+                F.lit(f"_v{base + 1}"),
+            ),
+        )
+        .drop("bucket")
+    )
+    promoted, stats = _tlog_staged_write_with_stats(
+        merged, rollup_root, groups, require_all=False
+    )
+    os.makedirs(os.path.join(rollup_root, "_log"), exist_ok=True)
+    _tlog_commit_rebase(
+        rollup_root,
+        add=promoted,
+        remove=existing,
+        base_version=base,
+        read_set=set(existing),
+        batch=version,
+        stats=stats or None,
+    )
+
+
+def _tlog_apply_ev_rollup(
+    spark: SparkSession, sf_dir: str, rollup_root: str, ev_root: str
+) -> None:
+    """Run the incremental consumer over every source commit once
+    (flock + stamp folding the source spec and its latest version):
+    version-by-version, exactly the cadence a scheduled materialized-
+    view refresh runs — each step reads ONLY that commit's change
+    files. Crash-resumable: consumed versions are batch-keyed commits,
+    so a resume applies only the missing ones."""
+    import fcntl
+    import json
+    import shutil
+
+    ev_latest = _tlog_latest_version(ev_root)
+    stamp_file = os.path.join(rollup_root, "_ROLLED")
+    spec = json.dumps(
+        {
+            "impl": 1,
+            "buckets": _TLOG_EV_ROLLUP_BUCKETS,
+            "src": _TLOG_EV_SPEC,
+            "through": ev_latest,
+        },
+        sort_keys=True,
+    )
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == spec
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(rollup_root, exist_ok=True)
+    lock_fh = open(os.path.join(rollup_root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        spec_file = os.path.join(rollup_root, "_ROLLUP_SPEC")
+        stale = False
+        try:
+            stale = open(spec_file).read() != spec
+        except OSError:
+            stale = os.path.isdir(os.path.join(rollup_root, "_log")) and any(
+                f.endswith(".json")
+                for f in os.listdir(os.path.join(rollup_root, "_log"))
+            )
+        if stale:
+            for entry in os.listdir(rollup_root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(rollup_root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(rollup_root, "_log"), exist_ok=True)
+        if not os.path.exists(spec_file):
+            tmp = os.path.join(rollup_root, f"._SPEC.{os.getpid()}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(spec)
+            os.replace(tmp, spec_file)
+        for v in range(ev_latest + 1):
+            _tlog_rollup_consume(spark, rollup_root, ev_root, v)
+        tmp = os.path.join(rollup_root, f"._ROLLED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(spec)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_rollup_incremental",
+    # Hash oracle: the materialized rollup equals the batch-computed
+    # daily aggregate over the source events table — however many
+    # micro-batches the ingest cut and in whatever order the consumer
+    # folded them (exact-integer sums are merge-order-independent).
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_micros
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("S9-mv", "lakehouse", "cdc", "rollup", "materialized-view"),
+)
+def table_log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-mv — INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (SURVEY §7
+    candidate (c), second half): a daily (day, event_type) rollup
+    table maintained FROM THE CHANGE FEED of the stream-ingested
+    events table — per source commit, the consumer reads only that
+    commit's change files, aggregates SIGNED deltas (add = +1,
+    remove/DV-delete = -1 via the DV-complete change units — so the
+    same consumer decrements under deletes, pytest-pinned), and
+    merges them into only the rollup file groups whose day-bucket is
+    touched, one OCC commit per source version with batch-id replay
+    idempotence. The final rollup is hash-checked against the batch
+    recomputation from the source — the defining materialized-view
+    equation (incremental ≡ full recompute).
+
+    Scale: this is the continuous-aggregate pattern (TimescaleDB
+    rollups, Delta Live Tables, Materialize): refresh cost is
+    change-sized, never table-sized, because COUNT/SUM are
+    self-maintainable; the rollup's day-bucketed file groups bound
+    write amplification the way day-partitioned MV tables do (a
+    day's late data rewrites one bucket, not the view). MIN/MAX are
+    deliberately out of scope — not self-maintainable under deletes
+    (the textbook boundary); a view needing them recomputes affected
+    groups from the base table instead."""
+    ev_root = _tlog_ev_root(sf_dir)
+    _tlog_apply_ev_ingest(spark, sf_dir, ev_root)
+    rollup_root = _tlog_ev_rollup_root(sf_dir)
+    _tlog_apply_ev_rollup(spark, sf_dir, rollup_root, ev_root)
+    files = _tlog_live_files(rollup_root, _tlog_latest_version(rollup_root))
+    return _tlog_relation(spark, files).select(
+        "day", "event_type", "n", "sum_micros"
     )
 
 

@@ -1194,13 +1194,22 @@ def _tlog_staged_write_with_stats(
         df.observe(obs, *aggs), root, expected, require_all
     )
     m = obs.get  # blocks on the write action's completion
+
+    def _cell(v):
+        # stats ride in the commit JSON: temporal bounds serialize as
+        # ISO strings (readers compare lexicographically = temporally);
+        # numerics/strings pass through
+        import datetime
+
+        return v.isoformat() if isinstance(v, (datetime.datetime, datetime.date)) else v
+
     stats = {}
     for g in promoted:
         # a column can be all-NULL within a group (e.g. a mixed write
         # whose sidecar rows carry no price) — record only bounded
         # columns; unknown stays unknown, readers scan conservatively
         per_col = {
-            c: [m[f"{g}:{c}:lo"], m[f"{g}:{c}:hi"]]
+            c: [_cell(m[f"{g}:{c}:lo"]), _cell(m[f"{g}:{c}:hi"])]
             for c in columns
             if m[f"{g}:{c}:lo"] is not None
         }

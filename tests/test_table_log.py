@@ -2136,3 +2136,113 @@ def test_malformed_dv_binding_fails_instead_of_resurrecting(spark, tlog_dir):
     # a mismatched target (right shape, wrong file) also fails
     with pytest.raises(RuntimeError, match="naming convention"):
         _tlog_dv_frame(spark, tlog_dir, {"file_A": "dv_file_C_v9"})
+
+
+def test_rollup_consumer_decrements_under_deletes_and_is_idempotent(spark, tmp_path):
+    """The incremental rollup consumer maintains COUNT/SUM from SIGNED
+    change rows: inserts increment, a DV-only DELETE decrements, and a
+    (day, type) key whose count reaches zero drops out of the view;
+    replaying a consumed source version is a no-op (batch-id key);
+    the merge rewrites only touched day-buckets under new versioned
+    group names (copy-on-write — old snapshots stay readable)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_rollup_consume,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_relation,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev_root = str(tmp_path / "ev")
+    ru_root = str(tmp_path / "ru")
+    os.makedirs(os.path.join(ev_root, "_log"))
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    for b in (0, 1):
+        events.filter(F.col("event_id") % 2 == b).write.parquet(
+            os.path.join(ev_root, f"file_evb{b}")
+        )
+        _tlog_commit_rebase(
+            ev_root, add=[f"file_evb{b}"], remove=[], base_version=b - 1,
+            read_set=set(), batch=b,
+        )
+    for v in (0, 1):
+        _tlog_rollup_consume(spark, ru_root, ev_root, v)
+
+    def rollup_now():
+        files = _tlog_live_files(ru_root, _tlog_latest_version(ru_root))
+        return {
+            (r["day"], r["event_type"]): (r["n"], r["sum_micros"])
+            for r in _tlog_relation(spark, files).collect()
+        }
+
+    def batch_recompute(df):
+        return {
+            (r["day"], r["event_type"]): (r["n"], r["sum_micros"])
+            for r in df.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                    "sum_micros"
+                ),
+            )
+            .collect()
+        }
+
+    assert rollup_now() == batch_recompute(events)
+
+    # replaying a consumed version writes nothing
+    v_before = _tlog_latest_version(ru_root)
+    _tlog_rollup_consume(spark, ru_root, ev_root, 1)
+    assert _tlog_latest_version(ru_root) == v_before
+
+    # DV-only DELETE on the source: doom ALL of day 2 (both files) so
+    # the rollup must both decrement and DROP the day-2 keys
+    doomed_pred = F.dayofmonth(F.date_trunc("day", "ts")) == 2
+    for b in (0, 1):
+        doomed = (
+            spark.read.parquet(os.path.join(ev_root, f"file_evb{b}"))
+            .filter(doomed_pred)
+            .select("event_id")
+        )
+        assert doomed.count() > 0
+        doomed.coalesce(1).write.parquet(
+            os.path.join(ev_root, f"dv_file_evb{b}_v2")
+        )
+    _tlog_commit_rebase(
+        ev_root,
+        add=[],
+        remove=[],
+        base_version=1,
+        read_set=set(),
+        dv={f"file_evb{b}": f"dv_file_evb{b}_v2" for b in (0, 1)},
+    )
+    _tlog_rollup_consume(spark, ru_root, ev_root, 2)
+    survivors = events.filter(~doomed_pred)
+    now = rollup_now()
+    assert now == batch_recompute(survivors)
+    assert not any(
+        d.day == 2 for d, _t in now
+    ), "fully-deleted day-2 keys must drop from the view"
+    # copy-on-write: every live group name is versioned; the delete
+    # touched only day-2's bucket (2 % 4), so other buckets' groups
+    # survive from earlier versions
+    import re
+
+    live = {
+        os.path.basename(p)
+        for p in _tlog_live_files(ru_root, _tlog_latest_version(ru_root))
+    }
+    assert all(re.fullmatch(r"rollup_b\d+_v\d+", g) for g in live)
+    assert any(g.endswith("_v1") for g in live), (
+        f"untouched buckets were rewritten: {live}"
+    )
