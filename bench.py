@@ -156,6 +156,8 @@ HEADLINE = [
     "table_log_compact_trigger",  # metadata-only skip/fire maintenance decision
     "stream_events_table_ingest",  # real events file-stream -> commit per batch
     "table_log_rollup_incremental",  # change-feed-maintained daily rollup (MV)
+    "table_log_clone_shallow",  # zero-copy clone + local DV on a borrowed file
+    "table_log_ts_pruned_read",  # time-clustered rewrite + ISO-bound file pruning
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -44,9 +44,12 @@ from hadoop_based_distributed_batch_processing_system_spark.operators.scans impo
     _tlog_latest_version,
     _tlog_live_dvs,
     _tlog_live_files,
+    _tlog_dv_frame,
+    _tlog_live_stats,
     _tlog_relation,
     _tlog_root,
     _tlog_staged_write_with_stats,
+    _tlog_vacuumed,
     _tlog_version_as_of,
 )
 
@@ -1275,6 +1278,8 @@ def _tlog_rollup_consume(
 
     if _tlog_batch_committed(rollup_root, version):
         return  # replayed source commit: idempotent no-op
+    if not _tlog_change_units(ev_root, version):
+        return  # dataChange=false rearrangement: no logical change
     sign = F.when(F.col("side") == "add", F.lit(1)).otherwise(F.lit(-1))
     micros = F.round(F.col("value") * 1000000).cast("long")
     bucket = (F.dayofmonth("day") % _TLOG_EV_ROLLUP_BUCKETS).cast("int")
@@ -1475,6 +1480,424 @@ def table_log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = _tlog_live_files(rollup_root, _tlog_latest_version(rollup_root))
     return _tlog_relation(spark, files).select(
         "day", "event_type", "n", "sum_micros"
+    )
+
+
+# --- Zero-copy shallow clone (S9-cln) --------------------------------------
+
+_TLOG_CLN_ADD_PRED = "o_orderkey % 10 = 7"  # the clone's local append
+_TLOG_CLN_DV_MOD, _TLOG_CLN_DV_RESIDUE = 9, 3  # local delete on borrowed file_D
+
+
+def _tlog_clone_root(sf_dir: str) -> str:
+    # own root: the clone's log is its own table (that's the point)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcln_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_clone_shallow(src_root: str, clone_root: str, src_version: int) -> int:
+    """CLONE as one metadata commit: the clone's bootstrap commit
+    references the source snapshot's data files BY RELATIVE PATH —
+    zero data bytes copied, however large the table — and carries the
+    source's DV bindings and manifest stats for those files, so the
+    clone reads (and stats-prunes) identically from birth. From then
+    on the two logs evolve independently: clone commits never appear
+    in the source and vice versa."""
+    import threading
+
+    rel = os.path.relpath(src_root, clone_root)
+    borrowed = [
+        os.path.join(rel, os.path.basename(p))
+        for p in _tlog_live_files(src_root, src_version)
+    ]
+    dvs = {
+        os.path.join(rel, f): os.path.join(rel, s)
+        for f, s in _tlog_live_dvs(src_root, src_version).items()
+    }
+    stats = {
+        os.path.join(rel, f): st
+        for f, st in _tlog_live_stats(src_root, src_version).items()
+        if os.path.join(rel, f) in set(borrowed)
+    }
+    os.makedirs(os.path.join(clone_root, "_log"), exist_ok=True)
+    return _tlog_commit_rebase(
+        clone_root,
+        add=borrowed,
+        remove=[],
+        base_version=-1,
+        read_set=set(),
+        dv=dvs or None,
+        stats=stats or None,
+    )
+
+
+def _tlog_clone_live_files(clone_root: str) -> list[str]:
+    """The clone's live file set with the SOURCE-VACUUM hazard made
+    descriptive: a borrowed file whose source table vacuumed it (the
+    clone's reference is invisible to the source's retention sweep —
+    the documented shallow-clone hazard in every production format)
+    fails naming both tables, instead of a raw parquet
+    path-not-found mid-query."""
+    files = _tlog_live_files(clone_root, _tlog_latest_version(clone_root))
+    for p in files:
+        src_root = os.path.dirname(os.path.normpath(p))
+        if src_root == os.path.normpath(clone_root):
+            continue  # local group — the clone's own vacuum governs it
+        name = os.path.basename(p)
+        if name in _tlog_vacuumed(src_root):
+            raise RuntimeError(
+                f"shallow clone at {clone_root} borrows {name} from "
+                f"{src_root}, which VACUUMED it — the source's retention "
+                "sweep cannot see clone references (the shallow-clone "
+                "hazard); re-clone from a retained snapshot or deep-copy "
+                "the borrowed files"
+            )
+    return files
+
+
+_TLOG_CLN_SPEC = {
+    "impl": 1,
+    "add": _TLOG_CLN_ADD_PRED,
+    "dv": [_TLOG_CLN_DV_MOD, _TLOG_CLN_DV_RESIDUE],
+}
+
+
+def _tlog_apply_clone(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the clone lifecycle once per dir (flock + stamp): v0 clones
+    the shared base table's head (3 borrowed groups), v1 appends a
+    LOCAL group, v2 binds a LOCAL deletion vector to a BORROWED file —
+    the clone diverges in both directions without the source changing
+    by a byte (asserted)."""
+    import fcntl
+    import json
+    import shutil
+
+    stamp_file = os.path.join(root, "_CLONED")
+    stamp = json.dumps(_TLOG_CLN_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    src_root = _tlog_build(spark, sf_dir, _tlog_root(sf_dir))
+    src_latest = _tlog_latest_version(src_root)
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if os.path.isdir(os.path.join(root, "_log")):
+            # stamped-stale or unknown-provenance dir: rebuild
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        _tlog_clone_shallow(src_root, root, src_latest)
+        slice_df = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.expr(_TLOG_CLN_ADD_PRED))
+            .select("o_orderkey", "o_totalprice")
+        )
+        promoted, stats = _tlog_staged_write_with_stats(
+            slice_df.withColumn("tgt", F.lit("file_cln_add")),
+            root,
+            ["file_cln_add"],
+        )
+        _tlog_commit_rebase(
+            root, add=promoted, remove=[], base_version=0, read_set=set(),
+            stats=stats,
+        )
+        # local DV on the borrowed file_D: the clone deletes rows the
+        # source keeps — the sidecar lives in the CLONE
+        rel = os.path.relpath(src_root, root)
+        target = os.path.join(rel, "file_D")
+        doomed = (
+            _tlog_relation(spark, [os.path.join(src_root, "file_D")])
+            .filter(
+                F.col("o_orderkey") % _TLOG_CLN_DV_MOD == _TLOG_CLN_DV_RESIDUE
+            )
+            .select("o_orderkey")
+        )
+        doomed.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "dv_file_D_v2")
+        )
+        _tlog_commit_rebase(
+            root, add=[], remove=[], base_version=1, read_set=set(),
+            dv={target: "dv_file_D_v2"},
+        )
+        if _tlog_latest_version(src_root) != src_latest:
+            raise RuntimeError(
+                "clone lifecycle mutated the SOURCE log — isolation broken"
+            )
+        tmp = os.path.join(root, f"._CLONED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_clone_shallow",
+    # Hash oracle: the clone's head = the source content, minus the
+    # clone-local delete on borrowed file_D's residues, plus the
+    # clone-local append — none of which exists in the source (whose
+    # own oracle rows stay untouched in the same run).
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE NOT (o_orderkey % 4 IN (1, 3)
+                     AND o_orderkey % {_TLOG_CLN_DV_MOD} = {_TLOG_CLN_DV_RESIDUE})
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CLN_ADD_PRED}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM t GROUP BY 1
+    """,
+    tags=("S9-cln", "lakehouse", "clone", "zero-copy"),
+)
+def table_log_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cln — ZERO-COPY SHALLOW CLONE: a new table whose bootstrap
+    commit references the source snapshot's files by relative path —
+    no data movement however large the table (the dev/test-sandbox
+    and what-if-experiment primitive: clone prod, mutate freely,
+    throw away). The clone carries the source's DV bindings and
+    manifest stats at birth, then diverges independently: the
+    lifecycle appends a LOCAL group and binds a LOCAL deletion vector
+    to a BORROWED file (the clone deletes rows the source keeps)
+    while the source log is asserted byte-untouched. The borrowed-
+    file read path, local-DV-on-borrowed-file semantics, and
+    clone-vs-source isolation are hash-checked; zero-copy (no
+    borrowed bytes under the clone root) and the SOURCE-VACUUM hazard
+    failing descriptively are pytest-pinned.
+
+    Scale: clone cost is one commit file at any table size — the
+    whole point. The known liability is retention: the source's
+    vacuum cannot see clone references (true in Delta shallow clones
+    too), so a vacuumed borrowed file turns the clone's read into an
+    error — made DESCRIPTIVE here (``_tlog_clone_live_files`` names
+    both tables and the remedy) instead of a mid-query parquet
+    path-not-found.
+
+    Engine divergence note: Delta CLONE records provenance in
+    commitInfo and supports deep clones; here the bootstrap commit's
+    relative-path entries ARE the provenance, and a deep clone is
+    just the replica operator (``stream_table_log_replicate``)."""
+    root = _tlog_clone_root(sf_dir)
+    _tlog_apply_clone(spark, sf_dir, root)
+    files = _tlog_clone_live_files(root)
+    latest = _tlog_latest_version(root)
+    dvs = _tlog_live_dvs(root, latest)
+    rel = _tlog_relation(spark, files).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    if dvs:
+        rel = rel.join(
+            F.broadcast(_tlog_dv_frame(spark, root, dvs)),
+            ["file", "o_orderkey"],
+            "left_anti",
+        )
+    return (
+        rel.select(
+            (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select("bucket", "n_rows", "sum_cents", "min_key", "max_key")
+    )
+
+
+# --- Time-clustering + timestamp-range pruned read (S9-tsp) ----------------
+
+_TLOG_EV_WEEKS = 4  # cluster the ingested month into 8-day groups
+_TLOG_EV_TSP_LO = "2024-01-09 00:00:00"  # the pruned query's range:
+_TLOG_EV_TSP_HI = "2024-01-17 00:00:00"  # exactly week group 1
+
+
+def _tlog_apply_ev_cluster(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Re-cluster the stream-ingested events table BY TIME: the ingest
+    batches are arrival-ordered (hash-split here — the worst case:
+    every batch spans the whole month), so a time-range query prunes
+    nothing; one OPTIMIZE-style rewrite into 8-day groups gives every
+    group a TIGHT ts bound in the manifest stats. The commit carries
+    ``dataChange: false`` — live content is identical, so change-feed
+    consumers (the rollup, the stream feeds) skip it instead of
+    netting a table-sized add/remove pair to zero (Delta's OPTIMIZE
+    flag). Flock + stamp idempotent."""
+    import fcntl
+    import json
+
+    stamp_file = os.path.join(root, "_CLUSTERED")
+    stamp = json.dumps(
+        {"impl": 1, "weeks": _TLOG_EV_WEEKS, "src": _TLOG_EV_SPEC},
+        sort_keys=True,
+    )
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        base = _tlog_latest_version(root)
+        live = [
+            os.path.basename(p) for p in _tlog_live_files(root, base)
+        ]
+        week = F.floor((F.dayofmonth("ts") - 1) / 8).cast("int")
+        groups = [f"file_evw{w}_v{base + 1}" for w in range(_TLOG_EV_WEEKS)]
+        clustered = (
+            _tlog_relation(spark, [os.path.join(root, g) for g in live])
+            .withColumn(
+                "tgt",
+                F.concat(
+                    F.lit("file_evw"), week.cast("string"),
+                    F.lit(f"_v{base + 1}"),
+                ),
+            )
+        )
+        promoted, stats = _tlog_staged_write_with_stats(
+            clustered, root, groups, require_all=False
+        )
+        _tlog_commit_rebase(
+            root,
+            add=promoted,
+            remove=live,
+            base_version=base,
+            read_set=set(live),
+            stats=stats,
+            data_change=False,
+        )
+        tmp = os.path.join(root, f"._CLUSTERED.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+def _tlog_ts_prune(
+    root: str, version: int, lo_iso: str, hi_iso: str, col: str = "ts"
+) -> tuple[list[str], list[str]]:
+    """Driver-side timestamp-range pruning over the log's manifest
+    stats: keep a live file iff its recorded [min, max] ISO-string
+    bounds intersect [lo, hi) — lexicographic comparison of ISO-8601
+    strings IS temporal comparison, which is why the staged-write
+    kernel records temporal bounds in that form. Files without a
+    bound for ``col`` are kept conservatively. Returns (kept,
+    skipped) file-group names."""
+    stats = _tlog_live_stats(root, version)
+    kept, skipped = [], []
+    for p in _tlog_live_files(root, version):
+        g = os.path.basename(p)
+        bounds = stats.get(g, {}).get(col)
+        if bounds is None:
+            kept.append(g)  # unknown: scan conservatively
+            continue
+        glo, ghi = str(bounds[0]), str(bounds[1])
+        # ISO 'T' separator vs the spec's space: normalize both sides
+        glo, ghi = glo.replace("T", " "), ghi.replace("T", " ")
+        if ghi >= lo_iso and glo < hi_iso:
+            kept.append(g)
+        else:
+            skipped.append(g)
+    return kept, skipped
+
+
+@register(
+    "table_log_ts_pruned_read",
+    # Hash oracle: the time-range query's result straight from the
+    # source — pruning must be invisible to the answer.
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_micros
+        FROM events
+        WHERE ts >= TIMESTAMP '{_TLOG_EV_TSP_LO}'
+          AND ts <  TIMESTAMP '{_TLOG_EV_TSP_HI}'
+        GROUP BY 1
+    """,
+    tags=("S9-tsp", "lakehouse", "pruning", "time-range", "optimize"),
+)
+def table_log_ts_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-tsp — TIMESTAMP-RANGE PRUNED READ over the stream-ingested
+    events table, completing the ingest→OPTIMIZE→pruned-query
+    pipeline: the arrival-ordered ingest batches (hash-split — the
+    worst case for time queries) are re-clustered into 8-day groups
+    by a ``dataChange: false`` rewrite (live content identical, so
+    every change-feed consumer skips the commit — Delta's OPTIMIZE
+    flag, pytest-pinned on the rollup consumer), whose manifest
+    stats then give each group a TIGHT ts bound as ISO strings
+    (lexicographic = temporal). An 8-day range query prunes to ONE
+    group driver-side before any footer is read; at least one group
+    provably skipped, and the skipped groups' files are never opened
+    (poison-pinned). The answer is hash-checked against the source —
+    pruning must be invisible to results.
+
+    Scale: time-range pruning is THE dominant access pattern on
+    event tables ("yesterday's events" on a year of history must
+    read 1/365th of the bytes); it requires the layout to correlate
+    time with files — which ingest order usually provides and this
+    op's deliberately hash-split source denies — making the
+    clustering rewrite the step that turns retention-shaped storage
+    into query-shaped storage."""
+    root = _tlog_ev_root(sf_dir)
+    _tlog_apply_ev_ingest(spark, sf_dir, root)
+    _tlog_apply_ev_cluster(spark, sf_dir, root)
+    latest = _tlog_latest_version(root)
+    kept, skipped = _tlog_ts_prune(
+        root, latest, _TLOG_EV_TSP_LO, _TLOG_EV_TSP_HI
+    )
+    if not skipped:
+        raise RuntimeError(
+            "ts-range pruning skipped nothing on the clustered table — "
+            "stats bounds are broken or the clustering did not run"
+        )
+    return (
+        _tlog_relation(spark, [os.path.join(root, g) for g in kept])
+        .filter(
+            (F.col("ts") >= F.lit(_TLOG_EV_TSP_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_TLOG_EV_TSP_HI).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                "sum_micros"
+            ),
+        )
+        .select("event_type", "n_rows", "sum_micros")
     )
 
 

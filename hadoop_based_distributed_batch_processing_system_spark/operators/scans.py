@@ -919,6 +919,7 @@ def _tlog_commit(
     dv: dict[str, str] | None = None,
     stats: dict[str, dict] | None = None,
     batch: int | None = None,
+    data_change: bool = True,
 ) -> int:
     """OPTIMISTIC-CONCURRENCY commit: version ``base_version + 1`` is
     claimed by an atomic hard-link of a fully-written temp file onto
@@ -953,6 +954,12 @@ def _tlog_commit(
         payload["stats"] = dict(sorted(stats.items()))  # file -> column min/max
     if batch is not None:
         payload["batch"] = batch  # idempotent-sink key (streaming ingest)
+    if not data_change:
+        # Delta's OPTIMIZE flag: this commit REARRANGES bytes without
+        # changing live content (compaction/clustering with no DV
+        # materialization) — change-feed consumers skip it entirely
+        # instead of netting a table-sized add/remove pair to zero
+        payload["dataChange"] = False
     # deterministic monotonic commit stamp — the "time" axis for
     # as-of reads and retention horizons (computed over the payload
     # BEFORE the stamp itself, so two writers racing identical
@@ -1010,6 +1017,7 @@ def _tlog_commit_rebase(
     dv: dict[str, str] | None = None,
     stats: dict[str, dict] | None = None,
     batch: int | None = None,
+    data_change: bool = True,
     max_rebases: int = 16,
 ) -> int:
     """OCC commit WITH REBASE — the full protocol the commit
@@ -1035,13 +1043,16 @@ def _tlog_commit_rebase(
         try:
             return _tlog_commit(
                 root, add=add, remove=remove, base_version=base_version, dv=dv,
-                stats=stats, batch=batch,
+                stats=stats, batch=batch, data_change=data_change,
             )
         except TableLogConflictError:
             winner = json.load(
                 open(os.path.join(root, "_log", f"{base_version + 1:06d}.json"))
             )
-            if _tlog_same_commit(winner, add, remove, dv=dv, stats=stats, batch=batch):
+            if _tlog_same_commit(
+                winner, add, remove, dv=dv, stats=stats, batch=batch,
+                data_change=data_change,
+            ):
                 return base_version + 1  # identical content: adopt
             latest = _tlog_latest_version(root)
             for v in range(base_version + 1, latest + 1):
@@ -1073,6 +1084,7 @@ def _tlog_same_commit(
     dv: dict[str, str] | None = None,
     stats: dict[str, dict] | None = None,
     batch: int | None = None,
+    data_change: bool = True,
 ) -> bool:
     """True iff a race-winning commit carries the SAME logical change
     we lost trying to write (identical-content adoption: another
@@ -1087,6 +1099,7 @@ def _tlog_same_commit(
         and winner.get("dv") == (dict(sorted(dv.items())) if dv else None)
         and winner.get("batch") == batch
         and winner.get("stats") == (dict(sorted(stats.items())) if stats else None)
+        and winner.get("dataChange") == (None if data_change else False)
     )
 
 
@@ -1416,6 +1429,15 @@ def _tlog_change_units(
     import json
 
     c = json.load(open(os.path.join(root, "_log", f"{version:06d}.json")))
+    if c.get("dataChange") is False:
+        # a pure byte-rearrangement (OPTIMIZE-style commit): live
+        # content is identical on both sides — emitting its add/remove
+        # pair would cost consumers a table-sized read that nets to
+        # zero; the flag is the WRITER'S promise, valid only because
+        # every flagged path in this package rewrites content-
+        # preservingly (DV materialization included: those rows were
+        # already logically dead)
+        return []
     dv_prev = _tlog_live_dvs(root, version - 1) if version > 0 else {}
     dv_now = _tlog_live_dvs(root, version)
     units: list[tuple[str, str, str | None, str | None]] = []
@@ -2766,7 +2788,12 @@ def _tlog_dv_frame(spark: SparkSession, root: str, dvs: dict[str, str]) -> DataF
     import re
 
     for f, s in sorted(dvs.items()):
-        if not re.fullmatch(rf"dv_{re.escape(f)}_v\d+", s):
+        # compare basenames: a shallow clone binds local sidecars to
+        # BORROWED files referenced by relative path ("../src/file_D"),
+        # and the read-side join matches on the extracted name tags
+        if not re.fullmatch(
+            rf"dv_{re.escape(os.path.basename(f))}_v\d+", os.path.basename(s)
+        ):
             raise RuntimeError(
                 f"deletion-vector binding {f!r} -> {s!r} violates the "
                 "dv_<target>_v<N> sidecar naming convention the read "

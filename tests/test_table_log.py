@@ -2246,3 +2246,119 @@ def test_rollup_consumer_decrements_under_deletes_and_is_idempotent(spark, tmp_p
     assert any(g.endswith("_v1") for g in live), (
         f"untouched buckets were rewritten: {live}"
     )
+
+
+def test_clone_is_zero_copy_and_vacuum_hazard_is_descriptive(spark, tlog_dir, tmp_path):
+    """Shallow clone: the bootstrap commit borrows the source's files
+    by relative path — zero data bytes under the clone root, source
+    mtimes untouched, and source commits after the clone never change
+    the clone's content. A source VACUUM of a borrowed file turns the
+    clone's read into a DESCRIPTIVE error naming both tables."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_clone_live_files,
+        _tlog_clone_shallow,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_relation,
+        _tlog_vacuum,
+    )
+
+    clone = str(tmp_path / "clone")
+    src_mtimes = {
+        g: os.stat(os.path.join(tlog_dir, g, "_SUCCESS")).st_mtime_ns
+        for g in ("file_A", "file_C", "file_D")
+    }
+    v = _tlog_clone_shallow(tlog_dir, clone, 2)
+    assert v == 0
+    files = _tlog_clone_live_files(clone)
+    n0 = _tlog_relation(spark, files).count()
+    assert n0 == spark.read.parquet(
+        *(os.path.join(tlog_dir, g) for g in ("file_A", "file_C", "file_D"))
+    ).count()
+    # zero-copy: nothing but the log under the clone root
+    assert not any(
+        e.startswith(("file_", "dv_")) for e in os.listdir(clone)
+    )
+    assert src_mtimes == {
+        g: os.stat(os.path.join(tlog_dir, g, "_SUCCESS")).st_mtime_ns
+        for g in ("file_A", "file_C", "file_D")
+    }
+    # source evolves AFTER the clone: the clone's snapshot is pinned
+    spark.createDataFrame(
+        [(424_242, 1.0)], "o_orderkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(os.path.join(tlog_dir, "file_src_more"))
+    _tlog_commit(
+        tlog_dir, add=["file_src_more"], remove=["file_A"], base_version=2
+    )
+    assert _tlog_relation(spark, _tlog_clone_live_files(clone)).count() == n0
+
+    # the source vacuums file_A (unreferenced at its OWN head) — the
+    # clone still references it; its read must fail descriptively
+    _tlog_vacuum(tlog_dir, retain_version=3)
+    with pytest.raises(RuntimeError, match="shallow clone.*VACUUMED|VACUUMED"):
+        _tlog_clone_live_files(clone)
+
+
+def test_ev_cluster_is_datachange_false_and_ts_prunes(spark):
+    """The clustering rewrite of the ingested events table: (a) its
+    commit carries dataChange=false, so the change feed emits NOTHING
+    for it and the rollup consumer skips it without a commit; (b) its
+    per-group ISO ts bounds prune an 8-day range query to ONE group
+    at smoke scale, and the pruned read equals the full scan."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_EV_TSP_HI,
+        _TLOG_EV_TSP_LO,
+        _tlog_apply_ev_cluster,
+        _tlog_apply_ev_ingest,
+        _tlog_ev_root,
+        _tlog_rollup_consume,
+        _tlog_ts_prune,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_change_units,
+        _tlog_relation,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = _tlog_ev_root(SF_SMOKE)
+    _tlog_apply_ev_ingest(spark, SF_SMOKE, root)
+    _tlog_apply_ev_cluster(spark, SF_SMOKE, root)
+    latest = _tlog_latest_version(root)
+    import json
+
+    c = json.load(open(os.path.join(root, "_log", f"{latest:06d}.json")))
+    assert c.get("dataChange") is False and c["add"] and c["remove"]
+    assert _tlog_change_units(root, latest) == []
+
+    # the rollup consumer skips it without committing
+    ru = os.path.join(root, "ru_probe")
+    _tlog_rollup_consume(spark, ru, root, 0)  # a real batch commits
+    v_before = _tlog_latest_version(ru)
+    _tlog_rollup_consume(spark, ru, root, latest)  # the rearrangement
+    assert _tlog_latest_version(ru) == v_before
+    import shutil
+
+    shutil.rmtree(ru, ignore_errors=True)
+
+    kept, skipped = _tlog_ts_prune(root, latest, _TLOG_EV_TSP_LO, _TLOG_EV_TSP_HI)
+    assert len(kept) == 1 and len(skipped) >= 2, (kept, skipped)
+    rng = (F.col("ts") >= F.lit(_TLOG_EV_TSP_LO).cast("timestamp")) & (
+        F.col("ts") < F.lit(_TLOG_EV_TSP_HI).cast("timestamp")
+    )
+    pruned = (
+        _tlog_relation(spark, [os.path.join(root, g) for g in kept])
+        .filter(rng)
+        .count()
+    )
+    full = (
+        _tlog_relation(
+            spark, _tlog_live_files(root, latest)
+        )
+        .filter(rng)
+        .count()
+    )
+    assert pruned == full > 0
