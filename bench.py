@@ -158,6 +158,7 @@ HEADLINE = [
     "table_log_rollup_incremental",  # change-feed-maintained daily rollup (MV)
     "table_log_clone_shallow",  # zero-copy clone + local DV on a borrowed file
     "table_log_ts_pruned_read",  # time-clustered rewrite + ISO-bound file pruning
+    "table_log_check_constraint",  # CHECK as replayed log state, write-job enforced
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

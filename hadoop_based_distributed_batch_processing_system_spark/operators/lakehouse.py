@@ -1901,4 +1901,203 @@ def table_log_ts_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CHECK constraints as table metadata (S9-chk) --------------------------
+
+_TLOG_CHK_PRED = "o_totalprice > 0"   # the registered constraint
+_TLOG_CHK_ADD_PRED = "o_orderkey % 10 = 1"  # the post-constraint append
+
+
+def _tlog_chk_root(sf_dir: str) -> str:
+    # own root: the constraint lifecycle commits on its table
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogchk_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_add_constraint(
+    spark: SparkSession, root: str, name: str, pred: str
+) -> int:
+    """ADD CONSTRAINT: validate the EXISTING data first (Delta's rule
+    — a constraint the table already violates must be rejected, or
+    readers could never trust it), then commit the name -> predicate
+    mapping as replayed log metadata. Validation is one agg over the
+    live files, applying live DVs; the commit is metadata-sized."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_constraints,
+    )
+
+    base = _tlog_latest_version(root)
+    files = _tlog_live_files(root, base)
+    dvs = _tlog_live_dvs(root, base)
+    rel = _tlog_relation(spark, files).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    if dvs:
+        rel = rel.join(
+            F.broadcast(_tlog_dv_frame(spark, root, dvs)),
+            ["file", "o_orderkey"],
+            "left_anti",
+        )
+    bad = rel.filter(~F.coalesce(F.expr(pred), F.lit(True))).count()
+    if bad:
+        raise RuntimeError(
+            f"cannot ADD CONSTRAINT {name}: {bad} existing rows violate "
+            f"({pred}) — fix the data or the predicate first"
+        )
+    existing = _tlog_live_constraints(root, base)
+    if existing.get(name) == pred:
+        return base  # idempotent re-add
+    return _tlog_commit_rebase(
+        root, add=[], remove=[], base_version=base, read_set=set(),
+        constraints={name: pred},
+    )
+
+
+_TLOG_CHK_SPEC = {
+    "impl": 1,
+    "constraint": _TLOG_CHK_PRED,
+    "add": _TLOG_CHK_ADD_PRED,
+}
+
+
+def _tlog_apply_chk(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the constraint lifecycle once per dir (flock + stamp):
+    v3 ADDs the CHECK (existing data validated); an unsatisfiable
+    constraint and a violating append are both REJECTED (asserted);
+    v4 is a clean append through the enforcing write path."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_constraints,
+    )
+
+    stamp_file = os.path.join(root, "_CHK")
+    stamp = json.dumps(_TLOG_CHK_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _tlog_latest_version(root) != 2:
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_build(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        if _tlog_latest_version(root) == 2:
+            # a constraint the data already violates must be rejected
+            try:
+                _tlog_add_constraint(spark, root, "tiny_keys", "o_orderkey < 100")
+            except RuntimeError as e:
+                if "existing rows violate" not in str(e):
+                    raise
+            else:
+                raise RuntimeError("unsatisfiable constraint was accepted")
+            _tlog_add_constraint(spark, root, "price_positive", _TLOG_CHK_PRED)
+        if _tlog_latest_version(root) == 3:
+            live_cons = _tlog_live_constraints(root, 3)
+            slice_df = (
+                load_table(spark, sf_dir, "orders")
+                .filter(F.expr(_TLOG_CHK_ADD_PRED))
+                .select("o_orderkey", "o_totalprice")
+            )
+            # a violating append must FAIL IN THE WRITE JOB, before
+            # any group promotes or commits
+            try:
+                _tlog_staged_write_with_stats(
+                    slice_df.withColumn("o_totalprice", -F.col("o_totalprice"))
+                    .withColumn("tgt", F.lit("file_chk_bad")),
+                    root,
+                    ["file_chk_bad"],
+                    constraints=live_cons,
+                )
+            except Exception as e:  # noqa: BLE001 — Spark wraps the error
+                if "price_positive" not in str(e):
+                    raise
+            else:
+                raise RuntimeError("constraint-violating append was written")
+            if _tlog_latest_version(root) != 3:
+                raise RuntimeError("rejected append mutated the log")
+            promoted, stats = _tlog_staged_write_with_stats(
+                slice_df.withColumn("tgt", F.lit("file_chk_add")),
+                root,
+                ["file_chk_add"],
+                constraints=live_cons,
+            )
+            _tlog_commit_rebase(
+                root, add=promoted, remove=[], base_version=3,
+                read_set=set(), stats=stats,
+            )
+        tmp = os.path.join(root, f"._CHK.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_check_constraint",
+    # Hash oracle: head = source + the clean append; nothing from the
+    # rejected candidates (whose negated prices would shift the sum).
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders WHERE {_TLOG_CHK_ADD_PRED}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM t GROUP BY 1
+    """,
+    tags=("S9-chk", "lakehouse", "constraints", "dql"),
+)
+def table_log_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-chk — CHECK CONSTRAINTS AS TABLE METADATA: a name -> SQL
+    predicate map carried in commits and replayed like every other
+    piece of log state (checkpoint-folded), so every future writer
+    sees the live constraint set and enforces it IN ITS OWN WRITE JOB
+    (``_tlog_constrained`` rides the staged-write choke point — a
+    violating row fails the job before any group promotes; zero extra
+    passes). ADD CONSTRAINT validates existing data first and rejects
+    an already-violated predicate (Delta's rule). The lifecycle
+    exercises every gate on the registry table: an unsatisfiable
+    constraint rejected at ADD, a violating append rejected mid-job
+    with the log untouched, a clean append landing — and the WAP
+    operator's audit remains the STAGING-side twin of the same idea
+    (gate at the branch) where this gates at the write.
+
+    Scale: enforcement costs nothing extra — the predicate evaluates
+    in the same codegen stage as the write; validation-at-ADD is one
+    bounded agg. Constraints-as-log-state is what makes the guarantee
+    durable: a new engine session, or another writer entirely,
+    replays the same constraint set instead of trusting application
+    code to remember it."""
+    root = _tlog_build(spark, sf_dir, _tlog_chk_root(sf_dir))
+    _tlog_apply_chk(spark, sf_dir, root)
+    return _tlog_dml_fingerprint(spark, root)
+
+
 interpolate_docstrings(globals())

@@ -920,6 +920,7 @@ def _tlog_commit(
     stats: dict[str, dict] | None = None,
     batch: int | None = None,
     data_change: bool = True,
+    constraints: dict[str, str | None] | None = None,
 ) -> int:
     """OPTIMISTIC-CONCURRENCY commit: version ``base_version + 1`` is
     claimed by an atomic hard-link of a fully-written temp file onto
@@ -960,6 +961,11 @@ def _tlog_commit(
         # materialization) — change-feed consumers skip it entirely
         # instead of netting a table-sized add/remove pair to zero
         payload["dataChange"] = False
+    if constraints:
+        # ADD/DROP CHECK constraints: name -> SQL predicate (None
+        # drops). Replayed like the other log state; writers enforce
+        # the live set in the staged-write job itself.
+        payload["constraints"] = dict(sorted(constraints.items()))
     # deterministic monotonic commit stamp — the "time" axis for
     # as-of reads and retention horizons (computed over the payload
     # BEFORE the stamp itself, so two writers racing identical
@@ -1001,6 +1007,7 @@ def _tlog_commit(
                     "stats": _tlog_live_stats(root, v),
                     "batches": _tlog_committed_batches(root, v),
                     "ts": _tlog_ts_stamps(root, v),
+                    "constraints": _tlog_live_constraints(root, v),
                 },
                 fh,
             )
@@ -1018,6 +1025,7 @@ def _tlog_commit_rebase(
     stats: dict[str, dict] | None = None,
     batch: int | None = None,
     data_change: bool = True,
+    constraints: dict[str, str | None] | None = None,
     max_rebases: int = 16,
 ) -> int:
     """OCC commit WITH REBASE — the full protocol the commit
@@ -1044,6 +1052,7 @@ def _tlog_commit_rebase(
             return _tlog_commit(
                 root, add=add, remove=remove, base_version=base_version, dv=dv,
                 stats=stats, batch=batch, data_change=data_change,
+                constraints=constraints,
             )
         except TableLogConflictError:
             winner = json.load(
@@ -1051,7 +1060,7 @@ def _tlog_commit_rebase(
             )
             if _tlog_same_commit(
                 winner, add, remove, dv=dv, stats=stats, batch=batch,
-                data_change=data_change,
+                data_change=data_change, constraints=constraints,
             ):
                 return base_version + 1  # identical content: adopt
             latest = _tlog_latest_version(root)
@@ -1085,6 +1094,7 @@ def _tlog_same_commit(
     stats: dict[str, dict] | None = None,
     batch: int | None = None,
     data_change: bool = True,
+    constraints: dict[str, str | None] | None = None,
 ) -> bool:
     """True iff a race-winning commit carries the SAME logical change
     we lost trying to write (identical-content adoption: another
@@ -1100,6 +1110,8 @@ def _tlog_same_commit(
         and winner.get("batch") == batch
         and winner.get("stats") == (dict(sorted(stats.items())) if stats else None)
         and winner.get("dataChange") == (None if data_change else False)
+        and winner.get("constraints")
+        == (dict(sorted(constraints.items())) if constraints else None)
     )
 
 
@@ -1129,6 +1141,63 @@ def _tlog_relation(spark: SparkSession, files: list[str]) -> DataFrame:
 
 
 _TLOG_FILE_RE = r"/(file_[A-Za-z0-9_]+)/"
+
+
+def _tlog_live_constraints(root: str, version: int) -> dict[str, str]:
+    """The CHECK constraints live at ``version``: fold each commit's
+    ``constraints`` map (name -> SQL predicate; None drops) from the
+    newest checkpoint that folded the key, else a full replay — the
+    same cadence bound as every other piece of replayed state."""
+    import json
+
+    logd = os.path.join(root, "_log")
+    out: dict[str, str] = {}
+    start = 0
+    for v in range(version, -1, -1):
+        cp = os.path.join(logd, f"{v:06d}.checkpoint.json")
+        if os.path.exists(cp):
+            c = json.load(open(cp))
+            if "constraints" in c:
+                out = dict(c["constraints"])
+                start = v + 1
+            break
+    for v in range(start, version + 1):
+        try:
+            c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        except OSError:
+            continue  # severed pre-checkpoint history
+        for name, pred in c.get("constraints", {}).items():
+            if pred is None:
+                out.pop(name, None)
+            else:
+                out[name] = pred
+    return out
+
+
+def _tlog_constrained(df: DataFrame, constraints: dict[str, str]) -> DataFrame:
+    """Wrap a write-bound frame so every CHECK constraint is enforced
+    IN THE WRITE JOB itself: a violating row fails the job before any
+    group promotes (atomicity preserved by the commit protocol — a
+    failed staging is invisible), costing zero extra passes. The
+    guard rides the first data column's expression, so any plan that
+    MATERIALIZES the columns evaluates it — every staged write does
+    (all columns are written); a bare count() over the wrapped frame
+    may column-prune it, which is why enforcement lives at the write
+    choke point and not in ad-hoc reads. NULL predicate results pass
+    (the SQL CHECK rule)."""
+    if not constraints:
+        return df
+    c0 = next(c for c in df.columns if c != "tgt")
+    dtype = df.schema[c0].dataType.simpleString()
+    expr = F.col(c0)
+    for name, pred in sorted(constraints.items()):
+        expr = F.when(
+            ~F.coalesce(F.expr(pred), F.lit(True)),
+            F.raise_error(
+                f"CHECK constraint {name} violated by a written row: {pred}"
+            ).cast(dtype),
+        ).otherwise(expr)
+    return df.withColumn(c0, expr)
 
 
 def _tlog_staged_write(
@@ -1181,7 +1250,11 @@ def _tlog_staged_write(
 
 
 def _tlog_staged_write_with_stats(
-    df: DataFrame, root: str, expected: list[str], require_all: bool = True
+    df: DataFrame,
+    root: str,
+    expected: list[str],
+    require_all: bool = True,
+    constraints: dict[str, str] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Staged write + per-group [min, max] manifest stats for EVERY
     data column, observed in the SAME write job (VERDICT r13 item 8
@@ -1193,6 +1266,10 @@ def _tlog_staged_write_with_stats(
     (promoted groups, stats keyed by group then column)."""
     from pyspark.sql import Observation
 
+    if constraints:
+        # the single choke point: any writer passing the table's live
+        # constraints gets them enforced in this same write job
+        df = _tlog_constrained(df, constraints)
     columns = [c for c in df.columns if c != "tgt"]
     obs = Observation("group_stats")
     aggs = []

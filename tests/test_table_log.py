@@ -2233,6 +2233,8 @@ def test_rollup_consumer_decrements_under_deletes_and_is_idempotent(spark, tmp_p
     assert not any(
         d.day == 2 for d, _t in now
     ), "fully-deleted day-2 keys must drop from the view"
+
+
     # copy-on-write: every live group name is versioned; the delete
     # touched only day-2's bucket (2 % 4), so other buckets' groups
     # survive from earlier versions
@@ -2246,6 +2248,20 @@ def test_rollup_consumer_decrements_under_deletes_and_is_idempotent(spark, tmp_p
     assert any(g.endswith("_v1") for g in live), (
         f"untouched buckets were rewritten: {live}"
     )
+
+    # the nastiest transition: a state-reset TOUCH pair (restore's
+    # mechanism) RESURRECTS file_evb0's doomed rows — the feed emits
+    # remove-at-old-binding + add-unbound, and the signed fold must
+    # net the day-2 keys back INTO the view
+    _tlog_commit_rebase(
+        ev_root, add=["file_evb0"], remove=["file_evb0"], base_version=2,
+        read_set={"file_evb0"},
+    )
+    _tlog_rollup_consume(spark, ru_root, ev_root, 3)
+    resurrected = events.filter(
+        ~doomed_pred | (F.col("event_id") % 2 == 0)
+    )
+    assert rollup_now() == batch_recompute(resurrected)
 
 
 def test_clone_is_zero_copy_and_vacuum_hazard_is_descriptive(spark, tlog_dir, tmp_path):
@@ -2362,3 +2378,52 @@ def test_ev_cluster_is_datachange_false_and_ts_prunes(spark):
         .count()
     )
     assert pruned == full > 0
+
+
+def test_check_constraints_replay_fold_and_null_semantics(spark, tlog_dir):
+    """CHECK constraints are replayed log state: commits ADD and DROP
+    them, checkpoints fold them, and enforcement follows the SQL CHECK
+    rule (a NULL predicate result passes). An already-violated
+    predicate is rejected at ADD time."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_add_constraint,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_constrained,
+        _tlog_live_constraints,
+        _TLOG_CHECKPOINT_EVERY,
+    )
+
+    v = _tlog_add_constraint(spark, tlog_dir, "pp", "o_totalprice > 0")
+    assert _tlog_live_constraints(tlog_dir, v) == {"pp": "o_totalprice > 0"}
+    with pytest.raises(RuntimeError, match="existing rows violate"):
+        _tlog_add_constraint(spark, tlog_dir, "nope", "o_orderkey < 0")
+    # idempotent re-add commits nothing
+    assert _tlog_add_constraint(spark, tlog_dir, "pp", "o_totalprice > 0") == v
+    # DROP via a null mapping, then commits past the checkpoint cadence
+    v2 = _tlog_commit(
+        tlog_dir, add=[], remove=[], base_version=v, constraints={"pp": None}
+    )
+    assert _tlog_live_constraints(tlog_dir, v2) == {}
+    v3 = _tlog_add_constraint(spark, tlog_dir, "pp2", "o_totalprice > 1")
+    for _ in range(_TLOG_CHECKPOINT_EVERY):
+        v3 = _tlog_commit(tlog_dir, add=[], remove=[], base_version=v3)
+    cp = os.path.join(tlog_dir, "_log")
+    assert any(f.endswith(".checkpoint.json") for f in os.listdir(cp))
+    assert _tlog_live_constraints(tlog_dir, v3) == {"pp2": "o_totalprice > 1"}
+
+    # NULL predicate result passes (SQL CHECK), violation raises
+    ok = spark.createDataFrame(
+        [(1, 5.0), (2, None)], "o_orderkey long, o_totalprice double"
+    )
+    # collect(), not count(): the guard rides the first data column,
+    # so only plans that MATERIALIZE the columns evaluate it — true of
+    # every staged write (all columns written), not of count()
+    assert len(_tlog_constrained(ok, {"pp": "o_totalprice > 0"}).collect()) == 2
+    bad = spark.createDataFrame(
+        [(1, -5.0)], "o_orderkey long, o_totalprice double"
+    )
+    with pytest.raises(Exception, match="pp violated|CHECK constraint"):
+        _tlog_constrained(bad, {"pp": "o_totalprice > 0"}).collect()
