@@ -331,6 +331,14 @@ _PLAN_SWEEP_SKIP = {
     "table_log_cdc_dml",  # runs the DML commits on build (change-feed read of them)
     "table_log_cdc_restore",  # runs the DV + double-restore lifecycle on build
     "sim_search_ann_ivf_delta",  # builds the index + appends the delta commit on call
+    "table_log_wap_publish",  # runs the stage/audit/publish lifecycle on build
+    "table_log_cdc_images",  # runs the DML lifecycle on build (image read of it)
+    "table_log_multi_asof",  # builds both tables + the DML lifecycle on build
+    "table_log_compact_trigger",  # appends + fires the compaction on build
+    "table_log_rollup_incremental",  # drains the ingest + consumes the feed on build
+    "table_log_clone_shallow",  # clones + appends + binds the local DV on build
+    "table_log_ts_pruned_read",  # drains the ingest + clusters on build
+    "table_log_check_constraint",  # adds the constraint + appends on build
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",

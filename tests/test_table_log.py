@@ -2427,3 +2427,41 @@ def test_check_constraints_replay_fold_and_null_semantics(spark, tlog_dir):
     )
     with pytest.raises(Exception, match="pp violated|CHECK constraint"):
         _tlog_constrained(bad, {"pp": "o_totalprice > 0"}).collect()
+
+
+def test_lakehouse_read_plans(spark):
+    """Plan shapes of the round-14-extension read paths: broadcast
+    membership/sidecar joins (never a shuffle on the file key), no
+    cartesian anywhere, the ts-pruned read's range predicate pushed to
+    the (single-group) scan, and the CDC image pairing shuffling on
+    exactly one (version, key) grouping."""
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    REG = load_all()
+    for name in (
+        "table_log_wap_publish",
+        "table_log_cdc_images",
+        "table_log_multi_asof",
+        "table_log_clone_shallow",
+        "table_log_check_constraint",
+    ):
+        plan = physical_plan(REG[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested loop"
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan"
+        if "Join" in plan:
+            assert "BroadcastHashJoin" in plan, f"{name}: join not broadcast"
+
+    plan = physical_plan(REG["table_log_ts_pruned_read"].fn(spark, SF_SMOKE))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("ts" in p for p in pushed), (
+        f"ts-pruned read: range predicate not pushed: {pushed}"
+    )
+    # exactly one 8-day group survives the driver-side prune at smoke
+    locations = re.findall(r"file_evw\d+", plan)
+    assert len(set(locations)) == 1, f"pruned scan reads {set(locations)}"
