@@ -157,9 +157,27 @@ def _tlog_wap_audit(spark: SparkSession, root: str, payload: dict) -> list[str]:
 def _tlog_wap_abort(root: str, payload: dict, branch: str = _TLOG_WAP_BRANCH) -> None:
     """A failed audit DISCARDS the branch: the branch ref is dropped
     and the staged (never-referenced) data groups are reclaimed. Main
-    was never touched — that is the entire point of WAP."""
+    was never touched — that is the entire point of WAP. Aborting an
+    ALREADY-PUBLISHED payload is refused: its groups are live data,
+    and reclaiming them would corrupt every snapshot that references
+    them (the retire path for published work is vacuum, not abort)."""
     import shutil
 
+    try:
+        live = {
+            os.path.basename(p)
+            for p in _tlog_live_files(root, _tlog_latest_version(root))
+        }
+    except (RuntimeError, OSError):
+        live = set()
+    published = sorted(set(payload["add"]) & live)
+    if published:
+        raise RuntimeError(
+            f"refusing to abort branch {branch!r}: groups {published} are "
+            "LIVE at main's head (the payload was already published) — "
+            "aborting would delete referenced data; use restore/vacuum to "
+            "retire published commits"
+        )
     bpath = _tlog_branch_path(root, branch, payload["base"] + 1)
     if os.path.exists(bpath):
         os.unlink(bpath)
@@ -1352,15 +1370,28 @@ def _tlog_rollup_consume(
         merged, rollup_root, groups, require_all=False
     )
     os.makedirs(os.path.join(rollup_root, "_log"), exist_ok=True)
-    _tlog_commit_rebase(
-        rollup_root,
-        add=promoted,
-        remove=existing,
-        base_version=base,
-        read_set=set(existing),
-        batch=version,
-        stats=stats or None,
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        TableLogConflictError,
     )
+
+    try:
+        _tlog_commit_rebase(
+            rollup_root,
+            add=promoted,
+            remove=existing,
+            base_version=base,
+            read_set=set(existing),
+            batch=version,
+            stats=stats or None,
+        )
+    except TableLogConflictError:
+        # two consumers raced the same source version outside the
+        # lifecycle lock: if the winner already folded THIS batch the
+        # loser's work is redundant, not conflicting — adopt and move
+        # on (the staged groups it promoted are unreferenced and fall
+        # to vacuum); any other conflict is real
+        if not _tlog_batch_committed(rollup_root, version):
+            raise
 
 
 def _tlog_apply_ev_rollup(
@@ -1883,6 +1914,12 @@ def table_log_ts_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "ts-range pruning skipped nothing on the clustered table — "
             "stats bounds are broken or the clustering did not run"
+        )
+    if not kept:
+        # a range matching no file: the correct answer is empty, and
+        # no scan at all is the correct plan
+        return spark.createDataFrame(
+            [], "event_type string, n_rows long, sum_micros long"
         )
     return (
         _tlog_relation(spark, [os.path.join(root, g) for g in kept])

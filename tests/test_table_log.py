@@ -2465,3 +2465,82 @@ def test_lakehouse_read_plans(spark):
     # exactly one 8-day group survives the driver-side prune at smoke
     locations = re.findall(r"file_evw\d+", plan)
     assert len(set(locations)) == 1, f"pruned scan reads {set(locations)}"
+
+
+def test_wap_abort_refuses_published_payload(spark, tlog_dir):
+    """Aborting a branch whose payload already published must be
+    refused — its groups are live data; deleting them would corrupt
+    every snapshot referencing them."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_wap_abort,
+        _tlog_wap_publish,
+        _tlog_wap_stage,
+    )
+
+    payload = _tlog_wap_stage(
+        spark.read.parquet(os.path.join(tlog_dir, "file_C"))
+        .select("o_orderkey", "o_totalprice"),
+        tlog_dir,
+        "file_wap_pub",
+    )
+    v = _tlog_wap_publish(spark, tlog_dir, payload)
+    with pytest.raises(RuntimeError, match="refusing to abort"):
+        _tlog_wap_abort(tlog_dir, payload)
+    assert os.path.exists(os.path.join(tlog_dir, "file_wap_pub"))
+    assert "file_wap_pub" in {
+        os.path.basename(p) for p in _tlog_live_files(tlog_dir, v)
+    }
+
+
+def test_rollup_consume_adopts_when_raced(spark, tmp_path, monkeypatch):
+    """Two consumers racing one source version outside the lifecycle
+    lock: the loser detects the winner folded the batch and adopts
+    instead of raising a conflict."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators import (
+        lakehouse,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_rollup_consume,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_relation,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev_root = str(tmp_path / "ev")
+    ru_root = str(tmp_path / "ru")
+    os.makedirs(os.path.join(ev_root, "_log"))
+    load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    ).limit(50).write.parquet(os.path.join(ev_root, "file_evb0"))
+    _tlog_commit_rebase(
+        ev_root, add=["file_evb0"], remove=[], base_version=-1,
+        read_set=set(), batch=0,
+    )
+    # consumer B sneaks its commit in while A is mid-consume: patch
+    # the rebase to first let a rival consume the same version
+    real_rebase = lakehouse._tlog_commit_rebase
+    raced = {"done": False}
+
+    def rival_then_commit(root, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            _tlog_rollup_consume(spark, ru_root, ev_root, 0)  # the rival wins
+        return real_rebase(root, **kw)
+
+    monkeypatch.setattr(lakehouse, "_tlog_commit_rebase", rival_then_commit)
+    _tlog_rollup_consume(spark, ru_root, ev_root, 0)  # must adopt, not raise
+    monkeypatch.undo()
+    assert _tlog_latest_version(ru_root) == 0  # exactly one fold
+    n = (
+        _tlog_relation(
+            spark, _tlog_live_files(ru_root, 0)
+        ).agg(F.sum("n")).collect()[0][0]
+    )
+    assert n == 50
