@@ -1599,6 +1599,243 @@ def stream_table_log_feed_partitioned(spark: SparkSession, sf_dir: str) -> DataF
     result = _run_to_memory(agg, "hbdbps_stream_tlog_feed_part", "complete")
     return result.filter(F.col("version") >= 1)  # drop the empty-batch sentinel if any
 
+# --- Live materialized view over the DML'd table's change feed ------------
+
+
+def _mv_live_root(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogmvl_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_mv_live_drain(
+    spark: SparkSession, src_root: str, mv_root: str
+) -> None:
+    """Maintain a per-bucket COUNT/SUM view of the DML'd table as a
+    LIVE Structured Streaming job over its change feed: bootstrap the
+    view from the v0 snapshot, then each micro-batch (exactly one
+    source commit's row transitions, DV-complete) folds SIGNED deltas
+    into the view — one transactional view commit per source commit,
+    batch-keyed for replay idempotence. Flock + stamp with the
+    replica's recovery discipline (wipe a stamp-less nonempty view
+    and re-drain; the drain is change-sized)."""
+    import fcntl
+    import json
+    import os
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        TableLogConflictError,
+        _TLOG_FILE_RE,
+        _tlog_batch_committed,
+        _tlog_commit,
+        _tlog_commit_rebase,
+        _tlog_dml_spec_json,
+        _tlog_latest_version,
+        _tlog_live_files,
+        _tlog_relation,
+        _tlog_spec_stamp,
+        _tlog_staged_write_with_stats,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        register_table_log_feed_source,
+    )
+
+    stamp_file = os.path.join(mv_root, "_MV_LIVE")
+    base_spec = {"impl": 2, "spec": _tlog_spec_stamp(), "src": _tlog_dml_spec_json()}
+    stamp = json.dumps(
+        {**base_spec, "through": _tlog_latest_version(src_root)},
+        sort_keys=True,
+    )
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(os.path.join(mv_root, "_log"), exist_ok=True)
+    lock_fh = open(os.path.join(mv_root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        # a view whose SPEC matches but whose "through" lags the
+        # source RESUMES from its stream checkpoint (the incremental
+        # catch-up production MVs run on a schedule); anything else
+        # nonempty is unknown provenance — wipe and re-drain
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        resume = False
+        try:
+            old = json.loads(open(stamp_file).read())
+            resume = {k: old.get(k) for k in base_spec} == base_spec
+        except (OSError, ValueError):
+            resume = False
+        has_log = any(
+            f.endswith(".json")
+            for f in os.listdir(os.path.join(mv_root, "_log"))
+        )
+        if has_log and not resume:
+            for entry in os.listdir(mv_root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(mv_root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            os.makedirs(os.path.join(mv_root, "_log"), exist_ok=True)
+            has_log = False
+        if not has_log:
+            boot = (
+                _tlog_relation(spark, _tlog_live_files(src_root, 0))
+                .groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents"))
+                .withColumn("tgt", F.lit("file_mv_v0"))
+            )
+            promoted, stats = _tlog_staged_write_with_stats(
+                boot, mv_root, ["file_mv_v0"]
+            )
+            try:
+                _tlog_commit(
+                    mv_root, add=promoted, remove=[], base_version=-1, batch=0,
+                    stats=stats or None,
+                )
+            except TableLogConflictError:
+                pass  # a concurrent drain bootstrapped identically
+
+        def fold(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            version = batch_df.agg(F.max("version")).collect()[0][0]
+            if _tlog_batch_committed(mv_root, version):
+                return  # replayed source commit: idempotent no-op
+            sign = F.when(F.col("side") == "add", F.lit(1)).otherwise(F.lit(-1))
+            delta = (
+                batch_df.groupBy(
+                    (F.col("o_orderkey") % 4).cast("int").alias("bucket")
+                )
+                .agg(
+                    F.sum(sign).alias("n"),
+                    F.sum(sign * cents).alias("sum_cents"),
+                )
+            )
+            base = _tlog_latest_version(mv_root)
+            current = [
+                os.path.basename(p) for p in _tlog_live_files(mv_root, base)
+            ]
+            merged = (
+                _tlog_relation(
+                    spark, [os.path.join(mv_root, g) for g in current]
+                )
+                .unionByName(delta)
+                .groupBy("bucket")
+                .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+                .filter(F.col("n") > 0)
+                .withColumn("tgt", F.lit(f"file_mv_v{base + 1}"))
+            )
+            promoted, stats = _tlog_staged_write_with_stats(
+                merged, mv_root, [f"file_mv_v{base + 1}"], require_all=False
+            )
+            try:
+                _tlog_commit_rebase(
+                    mv_root, add=promoted, remove=current, base_version=base,
+                    read_set=set(current), batch=version, stats=stats or None,
+                )
+            except TableLogConflictError:
+                if not _tlog_batch_committed(mv_root, version):
+                    raise  # a real conflict; a raced fold is adoption
+
+        register_table_log_feed_source(spark)
+        query = (
+            spark.readStream.format("table_log_feed")
+            .option("root", src_root)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(mv_root, ".ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        want = _tlog_latest_version(src_root)
+        got = _tlog_latest_version(mv_root)
+        if got != want:
+            raise RuntimeError(
+                f"live MV drained {got} view commits for {want} source "
+                "commits — a fold was lost or double-applied"
+            )
+        tmp = os.path.join(mv_root, f"._MV_LIVE.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "stream_table_log_mv_live",
+    # Hash oracle: the live view after draining the DML'd table's
+    # full feed = the composed DELETE+UPDATE state aggregated per
+    # bucket, recomputed from the source (the same composed state the
+    # DML reads attest, reached through STREAMING VIEW MAINTENANCE).
+    oracle="""
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(
+                 (CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 2.5
+                       ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM orders
+        WHERE NOT (o_orderkey % 251 = 7)
+        GROUP BY 1
+    """,
+    tags=("S9-mv'", "stream", "lakehouse", "cdc", "materialized-view"),
+)
+def stream_table_log_mv_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-mv' — the LIVE streaming twin of the incremental rollup
+    (``table_log_rollup_incremental``): a per-bucket COUNT/SUM view of
+    the DML'd orders table maintained by a REAL Structured Streaming
+    job over the commit-version change feed. The view bootstraps from
+    the v0 snapshot, then every micro-batch — one source commit's
+    DV-complete row transitions — folds signed deltas into one
+    transactional view commit (batch-keyed replay idempotence, raced
+    folds adopt). The drained feed includes an append, a compaction
+    (whose carried rows cancel in the signed fold), a DV-only DELETE
+    (decrements — the composition that silently resurrected rows
+    before the DV-complete contract), and a CoW UPDATE (whose
+    pre/post pair nets the bump); the final view is hash-checked
+    against the composed state recomputed from the source.
+
+    Scale: this is the deployment shape of continuous aggregates —
+    the view's refresh latency is one micro-batch behind the source,
+    refresh cost is change-sized (COUNT/SUM self-maintainability),
+    and the view is itself a table-log table: snapshot-isolated
+    readers, time travel over view history, OCC against other
+    writers. MIN/MAX stay out of scope (not self-maintainable under
+    deletes)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_apply_dml,
+        _tlog_build,
+        _tlog_dml_root,
+        _tlog_latest_version,
+        _tlog_live_files,
+        _tlog_relation,
+    )
+
+    src_root = _tlog_build(spark, sf_dir, _tlog_dml_root(sf_dir))
+    _tlog_apply_dml(spark, sf_dir, src_root)
+    mv_root = _mv_live_root(sf_dir)
+    _tlog_mv_live_drain(spark, src_root, mv_root)
+    files = _tlog_live_files(mv_root, _tlog_latest_version(mv_root))
+    return _tlog_relation(spark, files).select(
+        "bucket", F.col("n").alias("n_rows"), "sum_cents"
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -97,3 +97,86 @@ def test_stream_topk_mg_bounds_and_determinism(spark):
         heavy = set(grp[grp["n"] > totals[et] / _SMG_SLOTS]["user_id"])
         present = set(one[one["event_type"] == et]["user_id"])
         assert heavy <= present, (et, heavy - present)
+
+
+def test_mv_live_catches_up_on_new_source_commits(spark, tmp_path):
+    """The live MV's second drain RESUMES from its stream checkpoint:
+    a DV DELETE landing on the source after the first drain folds
+    into the view incrementally (one new view commit, the bootstrap
+    and earlier folds untouched), and the view decrements exactly."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_build,
+        _tlog_commit,
+        _tlog_latest_version,
+        _tlog_live_files,
+        _tlog_relation,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.streaming.stream_jobs import (
+        _tlog_mv_live_drain,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = tempfile.mkdtemp(prefix="hbdbps_mvl_src_")
+    shutil.rmtree(src)
+    mv = str(tmp_path / "mv")
+    try:
+        _tlog_build(spark, SF_SMOKE, src)  # 3 commits, no DML
+        _tlog_mv_live_drain(spark, src, mv)
+        assert _tlog_latest_version(mv) == 2
+        before = {
+            r["bucket"]: (r["n"], r["sum_cents"])
+            for r in _tlog_relation(
+                spark, _tlog_live_files(mv, 2)
+            ).collect()
+        }
+        boot_mtime = os.stat(
+            os.path.join(mv, "file_mv_v0", "_SUCCESS")
+        ).st_mtime_ns
+
+        # a DELETE lands on the source AFTER the first drain
+        doomed = (
+            spark.read.parquet(os.path.join(src, "file_D"))
+            .filter(F.col("o_orderkey") % 9 == 3)
+            .select("o_orderkey")
+        )
+        n_doomed = doomed.count()
+        cents_doomed = (
+            spark.read.parquet(os.path.join(src, "file_D"))
+            .filter(F.col("o_orderkey") % 9 == 3)
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        doomed.coalesce(1).write.parquet(os.path.join(src, "dv_file_D_v3"))
+        _tlog_commit(
+            src, add=[], remove=[], base_version=2,
+            dv={"file_D": "dv_file_D_v3"},
+        )
+        _tlog_mv_live_drain(spark, src, mv)  # resumes, folds only v3
+        assert _tlog_latest_version(mv) == 3
+        assert (
+            os.stat(os.path.join(mv, "file_mv_v0", "_SUCCESS")).st_mtime_ns
+            == boot_mtime
+        ), "resume re-ran the bootstrap"
+        after = {
+            r["bucket"]: (r["n"], r["sum_cents"])
+            for r in _tlog_relation(
+                spark, _tlog_live_files(mv, 3)
+            ).collect()
+        }
+        # the doomed keys live in file_D's residues (1, 3)
+        lost_n = sum(before[b][0] - after.get(b, (0, 0))[0] for b in before)
+        lost_c = sum(before[b][1] - after.get(b, (0, 0))[1] for b in before)
+        assert lost_n == n_doomed and lost_c == cents_doomed
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
