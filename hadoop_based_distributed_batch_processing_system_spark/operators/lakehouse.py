@@ -1,8 +1,12 @@
 """Lakehouse workflow operators over the table-log format
 (SURVEY.md §2.1 S9 family, round-14 extension): WRITE-AUDIT-PUBLISH
 staging branches, row-level CDC pre/post images, consistent
-cross-table as-of reads, and the metadata-driven compaction trigger —
-the SURVEY §7 round-13 candidate queue items (a), (b), (d), (e).
+cross-table as-of reads, the metadata-driven compaction trigger
+(SURVEY §7 round-13 candidate queue items (a), (b), (d), (e)),
+streaming ingest of the real events table + the incrementally
+maintained daily rollup (item (c)), zero-copy shallow clones,
+timestamp-range pruning over a time-clustering rewrite, and CHECK
+constraints as replayed table metadata.
 
 The commit-log kernel (OCC protocol, staged writes, DV replay,
 manifest stats, change units) lives in ``operators/scans.py``; this
