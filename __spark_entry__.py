@@ -112,12 +112,13 @@ _PRIORITY_WINDOW = [
     # change feed attested on a table with real DML commits, and the
     # replication composition through it, plus the rollback's feed.
     # Round-14 extension adds the lakehouse workflow ops (SURVEY §7
-    # candidate queue (a)-(e), all five, + shallow clone, the
-    # time-clustered pruned read, CHECK constraints, and the live
-    # streaming MV): 13 new + the 4 r06 leftovers + 33 of the 50-row
-    # r07 block = the 50-slot window (~17 r07 rows spill to round 15
-    # — a never-attested operator is worth more than a stale-row
-    # refresh; the r13-item-3 drain continues next round).
+    # candidate queue (a)-(e) all five, plus shallow clone, the
+    # time-clustered pruned read, CHECK constraints, the live
+    # streaming MV, and row lineage): 14 new + the 4 r06 leftovers +
+    # 32 of the 50-row r07 block = the 50-slot window (~18 r07 rows
+    # spill to round 15 — a never-attested operator is worth more
+    # than a stale-row refresh; the r13-item-3 drain continues next
+    # round).
     "table_log_cdc_dml",
     "stream_table_log_replicate_dml",
     "table_log_cdc_restore",
@@ -131,6 +132,7 @@ _PRIORITY_WINDOW = [
     "table_log_ts_pruned_read",
     "table_log_check_constraint",
     "stream_table_log_mv_live",
+    "table_log_cdc_images_lineage",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

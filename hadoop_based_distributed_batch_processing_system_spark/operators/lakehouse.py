@@ -2141,4 +2141,257 @@ def table_log_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tlog_dml_fingerprint(spark, root)
 
 
+# --- Row lineage: stable row ids through key-changing rewrites (S9-rid) ----
+
+_TLOG_RID_REKEY_PRED = "o_orderkey % 20 = 0"  # the key-changing update
+_TLOG_RID_REKEY_SHIFT = 10_000_000
+_TLOG_RID_REKEY_BUMP = 1.0
+
+
+def _tlog_rid_root(sf_dir: str) -> str:
+    # own root: the lineage lifecycle commits on its table
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogrid_{corpus_tag(sf_dir)}"
+    )
+
+
+_TLOG_RID_SPEC = {
+    "impl": 1,
+    "rekey": [_TLOG_RID_REKEY_PRED, _TLOG_RID_REKEY_SHIFT, _TLOG_RID_REKEY_BUMP],
+}
+
+
+def _tlog_apply_rid(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Build the ROW-TRACKED table once per dir (flock + stamp): the
+    base history mirrors the shared table's three commits, but every
+    row carries ``_rid`` — a stable row id MINTED AT INSERT (here a
+    deterministic hash of the insert-time key, per the repo's
+    determinism discipline; production formats mint from (commit,
+    file, position)) — and v3 is a KEY-CHANGING copy-on-write UPDATE
+    of file_A (re-key + price bump) that CARRIES ``_rid`` through the
+    rewrite. Carrying the id is the entire feature: it is what lets
+    downstream consumers recognize the re-keyed row as the same row."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _TLOG_COMMITS,
+        _TLOG_SLICES,
+        _tlog_commit,
+    )
+
+    stamp_file = os.path.join(root, "_RID")
+    stamp = json.dumps(_TLOG_RID_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        for entry in os.listdir(root):
+            if entry == ".lock":
+                continue
+            p = os.path.join(root, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(root, "_log"))
+        rows = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.xxhash64(F.col("o_orderkey")).alias("_rid"),  # insert-time mint
+        )
+        for name, residues in _TLOG_SLICES.items():
+            rows.filter((F.col("o_orderkey") % 4).isin(*residues)).write.parquet(
+                os.path.join(root, f"file_{name}")
+            )
+            open(os.path.join(root, f"file_{name}", "_SUCCESS"), "a").close()
+        for v, c in enumerate(_TLOG_COMMITS):
+            _tlog_commit(
+                root, add=c["add"], remove=c["remove"], base_version=v - 1
+            )
+        # v3: the key-changing UPDATE — CoW rewrite of file_A carrying
+        # _rid; matched rows get a NEW business key and a price bump
+        matched = F.expr(_TLOG_RID_REKEY_PRED)
+        rewritten = (
+            _tlog_relation(spark, [os.path.join(root, "file_A")])
+            .select(
+                F.when(
+                    matched, F.col("o_orderkey") + _TLOG_RID_REKEY_SHIFT
+                )
+                .otherwise(F.col("o_orderkey"))
+                .alias("o_orderkey"),
+                F.when(
+                    matched, F.col("o_totalprice") + _TLOG_RID_REKEY_BUMP
+                )
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+                "_rid",
+            )
+            .withColumn("tgt", F.lit("file_A_rekeyed"))
+        )
+        promoted, _stats = _tlog_staged_write_with_stats(
+            rewritten, root, ["file_A_rekeyed"]
+        )
+        _tlog_commit_rebase(
+            root, add=promoted, remove=["file_A"], base_version=2,
+            read_set={"file_A"},
+        )
+        tmp = os.path.join(root, f"._RID.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+def _tlog_cdc_images_by(
+    spark: SparkSession, root: str, pair_key: str
+) -> DataFrame:
+    """CDC image derivation pairing on an arbitrary column — the
+    row-lineage twin of ``_tlog_cdc_images``: pairing on ``_rid``
+    recognizes a KEY-CHANGING update as one row's update pair (with
+    the business key itself part of the change payload), where
+    key-based pairing degrades to a spurious delete + insert. A row
+    changes when its (key, cents) tuple differs between sides; both
+    the key sums and the cents sums travel in the output so the
+    oracle can verify the re-key itself. Same unique-per-side guard,
+    same one-shuffle plan (keyed by (version, pair_key))."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    paired = (
+        _tlog_change_rows_for(
+            spark, root, pair_key, [pair_key, "o_orderkey", "o_totalprice"]
+        )
+        .select(
+            "version", pair_key, "side",
+            F.col("o_orderkey").alias("k"), cents.alias("cents"),
+        )
+        .groupBy("version", pair_key)
+        .agg(
+            F.sum(F.when(F.col("side") == "add", 1).otherwise(0)).alias("n_add"),
+            F.sum(F.when(F.col("side") == "remove", 1).otherwise(0)).alias("n_rm"),
+            F.max(F.when(F.col("side") == "add", F.col("cents"))).alias("add_cents"),
+            F.max(F.when(F.col("side") == "remove", F.col("cents"))).alias("rm_cents"),
+            F.max(F.when(F.col("side") == "add", F.col("k"))).alias("add_k"),
+            F.max(F.when(F.col("side") == "remove", F.col("k"))).alias("rm_k"),
+        )
+    )
+
+    def _one(kind: str, c, k) -> F.Column:
+        return F.array(
+            F.struct(
+                F.lit(kind).alias("change_type"),
+                c.alias("cents"),
+                k.alias("k"),
+            )
+        )
+
+    empty = "array<struct<change_type:string,cents:bigint,k:bigint>>"
+    images = (
+        F.when(
+            (F.col("n_add") > 1) | (F.col("n_rm") > 1),
+            F.raise_error(
+                f"CDC image derivation requires a unique {pair_key} per "
+                "commit side"
+            ).cast(empty),
+        )
+        .when(
+            (F.col("n_add") > 0) & (F.col("n_rm") == 0),
+            _one("insert", F.col("add_cents"), F.col("add_k")),
+        )
+        .when(
+            (F.col("n_rm") > 0) & (F.col("n_add") == 0),
+            _one("delete", F.col("rm_cents"), F.col("rm_k")),
+        )
+        .when(
+            (F.col("add_cents") != F.col("rm_cents"))
+            | (F.col("add_k") != F.col("rm_k")),
+            F.concat(
+                _one("update_preimage", F.col("rm_cents"), F.col("rm_k")),
+                _one("update_postimage", F.col("add_cents"), F.col("add_k")),
+            ),
+        )
+        .otherwise(F.array().cast(empty))
+    )
+    return (
+        paired.select("version", F.explode(images).alias("img"))
+        .select("version", "img.change_type", "img.cents", "img.k")
+        .groupBy("version", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("k").alias("sum_keys"),
+        )
+        .select("version", "change_type", "n_rows", "sum_cents", "sum_keys")
+    )
+
+
+@register(
+    "table_log_cdc_images_lineage",
+    # Hash oracle: rid-paired images of the row-tracked lifecycle —
+    # v1/v2 net inserts; v3's key-changing update emits ONE pre/post
+    # pair per matched row, the pre side under the OLD keys and the
+    # post side under the NEW keys (sum_keys proves the re-key
+    # itself); unmatched carried rows cancel.
+    oracle=f"""
+        WITH img AS (
+          SELECT 1 AS version, 'insert' AS change_type,
+                 o_orderkey AS k, o_totalprice AS price
+          FROM orders WHERE o_orderkey % 4 = 2
+          UNION ALL
+          SELECT 2, 'insert', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 = 3
+          UNION ALL
+          SELECT 3, 'update_preimage', o_orderkey, o_totalprice
+          FROM orders WHERE {_TLOG_RID_REKEY_PRED}
+          UNION ALL
+          SELECT 3, 'update_postimage',
+                 o_orderkey + {_TLOG_RID_REKEY_SHIFT},
+                 o_totalprice + {_TLOG_RID_REKEY_BUMP}
+          FROM orders WHERE {_TLOG_RID_REKEY_PRED}
+        )
+        SELECT version, change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(SUM(k) AS BIGINT) AS sum_keys
+        FROM img GROUP BY 1, 2
+    """,
+    tags=("S9-rid", "lakehouse", "row-lineage", "cdc", "images"),
+)
+def table_log_cdc_images_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-rid — ROW LINEAGE (r15 queue (e) pulled forward): stable row
+    ids minted at insert and CARRIED through copy-on-write rewrites,
+    Delta row tracking / Iceberg row lineage reduced to one column
+    plus a writer rule. The payoff is CDC under KEY CHANGES: v3
+    re-keys a slice of rows (business key += shift, price bump) in a
+    CoW rewrite that preserves ``_rid``; pairing the change feed on
+    ``_rid`` recognizes each re-keyed row as ONE update (pre-image
+    under the old key, post-image under the new — the key sums are
+    hash-checked), where business-key pairing degrades to a spurious
+    delete + insert (pytest-pinned side by side). Unchanged carried
+    rows cancel exactly as in the key-paired op.
+
+    Scale: the id column costs 8 bytes/row and nothing at query time;
+    the writer rule (rewrites SELECT the column through, never
+    re-mint) is enforced by construction in every rewrite path built
+    on the staged-write kernel. Deterministic mint note: this repo
+    hashes the insert-time key (its determinism discipline bans
+    nondeterministic ids); production formats mint from (commit,
+    file, position) at commit time — consumers are agnostic either
+    way, which is the point of the column."""
+    root = _tlog_rid_root(sf_dir)
+    _tlog_apply_rid(spark, sf_dir, root)
+    return _tlog_cdc_images_by(spark, root, "_rid")
+
+
 interpolate_docstrings(globals())

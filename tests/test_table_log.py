@@ -2544,3 +2544,46 @@ def test_rollup_consume_adopts_when_raced(spark, tmp_path, monkeypatch):
         ).agg(F.sum("n")).collect()[0][0]
     )
     assert n == 50
+
+
+def test_row_lineage_pairs_key_changing_updates(spark):
+    """Row lineage's payoff, side by side: on the same key-changing
+    rewrite commit, pairing by the carried ``_rid`` yields one
+    update pre/post pair per re-keyed row, while pairing by the
+    business key degrades to a spurious delete + insert of equal
+    size — and both derivations cancel the carried unchanged rows."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_rid,
+        _tlog_cdc_images_by,
+        _tlog_rid_root,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = _tlog_rid_root(SF_SMOKE)
+    _tlog_apply_rid(spark, SF_SMOKE, root)
+
+    def by(col):
+        return {
+            (r["version"], r["change_type"]): (r["n_rows"], r["sum_keys"])
+            for r in _tlog_cdc_images_by(spark, root, col).collect()
+        }
+
+    rid, key = by("_rid"), by("o_orderkey")
+    # v3 through the lineage lens: update pairs only
+    assert (3, "update_preimage") in rid and (3, "update_postimage") in rid
+    assert (3, "delete") not in rid and (3, "insert") not in rid
+    n_pairs = rid[(3, "update_preimage")][0]
+    assert rid[(3, "update_postimage")][0] == n_pairs > 0
+    # the post side carries the NEW keys: shifted by 10M per row
+    assert (
+        rid[(3, "update_postimage")][1] - rid[(3, "update_preimage")][1]
+        == n_pairs * 10_000_000
+    )
+    # v3 through the business-key lens: the same rows as spurious churn
+    assert key[(3, "delete")][0] == n_pairs
+    assert key[(3, "insert")][0] == n_pairs
+    assert (3, "update_preimage") not in key
+    # both lenses agree on the insert-only history and cancel carries
+    for v in (1, 2):
+        assert rid[(v, "insert")] == key[(v, "insert")]
+        assert not any(t != "insert" for (vv, t) in rid if vv == v)
