@@ -161,12 +161,25 @@ def _tlog_wap_audit(spark: SparkSession, root: str, payload: dict) -> list[str]:
 def _tlog_wap_abort(root: str, payload: dict, branch: str = _TLOG_WAP_BRANCH) -> None:
     """A failed audit DISCARDS the branch: the branch ref is dropped
     and the staged (never-referenced) data groups are reclaimed. Main
-    was never touched — that is the entire point of WAP. Aborting an
-    ALREADY-PUBLISHED payload is refused: its groups are live data,
-    and reclaiming them would corrupt every snapshot that references
-    them (the retire path for published work is vacuum, not abort)."""
+    was never touched — that is the entire point of WAP. Aborting a
+    PUBLISHED payload is refused through two independent gates: the
+    branch ref must still EXIST (publish retires it, so its absence
+    means published-or-already-aborted — a head-only liveness check
+    would wrongly pass once a later compaction rewrote the published
+    groups out of the head while history still references them), and
+    the payload's groups must not be live at head (the crash window
+    between a publish's commit and its ref retire). The retire path
+    for published work is restore/vacuum, never abort."""
     import shutil
 
+    bpath = _tlog_branch_path(root, branch, payload["base"] + 1)
+    if not os.path.exists(bpath):
+        raise RuntimeError(
+            f"refusing to abort branch {branch!r} at base "
+            f"v{payload['base']}: no staged ref on disk — the payload was "
+            "already published (or aborted); published data is retired "
+            "via restore/vacuum, never abort"
+        )
     try:
         live = {
             os.path.basename(p)
@@ -182,9 +195,7 @@ def _tlog_wap_abort(root: str, payload: dict, branch: str = _TLOG_WAP_BRANCH) ->
             "aborting would delete referenced data; use restore/vacuum to "
             "retire published commits"
         )
-    bpath = _tlog_branch_path(root, branch, payload["base"] + 1)
-    if os.path.exists(bpath):
-        os.unlink(bpath)
+    os.unlink(bpath)
     for g in payload["add"]:
         shutil.rmtree(os.path.join(root, g), ignore_errors=True)
 
@@ -602,29 +613,20 @@ def _tlog_dv_snapshot_fingerprints(
     cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     halves: list[DataFrame] = []
     if plain:
-        files = sorted({os.path.join(root, f) for _l, f in plain})
-        partials = (
-            _tlog_relation(spark, files)
-            .withColumn(
-                "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
-            )
-            .groupBy("file")
-            .agg(
-                F.count(F.lit(1)).alias("pn"),
-                cents.alias("pc"),
-                F.min("o_orderkey").cast("long").alias("pmin"),
-                F.max("o_orderkey").cast("long").alias("pmax"),
-            )
+        # the DV-less half IS the existing one-scan membership plan —
+        # delegate to it (labels ride its version column) so the two
+        # fingerprint paths cannot drift apart
+        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+            _tlog_snapshot_fingerprints,
         )
-        mem = spark.createDataFrame(plain, "label int, file string")
+
         halves.append(
-            partials.join(F.broadcast(mem), "file")
-            .groupBy("label")
-            .agg(
-                F.sum("pn").alias("n"),
-                F.sum("pc").alias("c"),
-                F.min("pmin").alias("mn"),
-                F.max("pmax").alias("mx"),
+            _tlog_snapshot_fingerprints(spark, root, plain).select(
+                F.col("version").alias("label"),
+                F.col("n_rows").alias("n"),
+                F.col("sum_cents").alias("c"),
+                F.col("min_key").alias("mn"),
+                F.col("max_key").alias("mx"),
             )
         )
     if dvd:
@@ -839,10 +841,6 @@ def _tlog_compact_trigger(
         spark, [os.path.join(root, g) for g in victims]
     ).withColumn("file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1))
     if dvs:
-        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
-            _tlog_dv_frame,
-        )
-
         rel = rel.join(
             F.broadcast(_tlog_dv_frame(spark, root, dvs)),
             ["file", "o_orderkey"],
@@ -1319,11 +1317,16 @@ def _tlog_rollup_consume(
         .groupBy("day", "event_type")
         .agg(F.sum("sg").alias("n"), F.sum("dm").alias("sum_micros"))
         .withColumn("bucket", bucket)
+        # consumed TWICE (touched-bucket collect + the merge write):
+        # uncached, the change-file scan + aggregation would run twice
+        # per consumed commit (the round-6 multi-consumer lesson)
+        .cache()
     )
     touched = sorted(
         int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
     )
     if not touched:
+        delta.unpersist()
         return  # an empty change set (nothing to fold)
     try:
         base = _tlog_latest_version(rollup_root)
@@ -1396,6 +1399,8 @@ def _tlog_rollup_consume(
         # to vacuum); any other conflict is real
         if not _tlog_batch_committed(rollup_root, version):
             raise
+    finally:
+        delta.unpersist()
 
 
 def _tlog_apply_ev_rollup(
@@ -1550,10 +1555,14 @@ def _tlog_clone_shallow(src_root: str, clone_root: str, src_version: int) -> int
         os.path.join(rel, f): os.path.join(rel, s)
         for f, s in _tlog_live_dvs(src_root, src_version).items()
     }
+    # stats key by BASENAME: every prune helper looks bounds up by the
+    # live path's basename, so relative-path keys would never be
+    # consulted and the clone would silently lose its pruning (the DV
+    # map, by contrast, must keep the full entry names — its replay
+    # drops bindings by commit add/remove name)
     stats = {
-        os.path.join(rel, f): st
+        os.path.basename(f): st
         for f, st in _tlog_live_stats(src_root, src_version).items()
-        if os.path.join(rel, f) in set(borrowed)
     }
     os.makedirs(os.path.join(clone_root, "_log"), exist_ok=True)
     return _tlog_commit_rebase(
@@ -1592,7 +1601,7 @@ def _tlog_clone_live_files(clone_root: str) -> list[str]:
 
 
 _TLOG_CLN_SPEC = {
-    "impl": 1,
+    "impl": 2,  # 2: carried stats key by basename (prunable)
     "add": _TLOG_CLN_ADD_PRED,
     "dv": [_TLOG_CLN_DV_MOD, _TLOG_CLN_DV_RESIDUE],
 }
@@ -2156,7 +2165,7 @@ def _tlog_rid_root(sf_dir: str) -> str:
 
 
 _TLOG_RID_SPEC = {
-    "impl": 1,
+    "impl": 2,  # 2: the rewrite commit records its manifest stats
     "rekey": [_TLOG_RID_REKEY_PRED, _TLOG_RID_REKEY_SHIFT, _TLOG_RID_REKEY_BUMP],
 }
 
@@ -2238,12 +2247,12 @@ def _tlog_apply_rid(spark: SparkSession, sf_dir: str, root: str) -> None:
             )
             .withColumn("tgt", F.lit("file_A_rekeyed"))
         )
-        promoted, _stats = _tlog_staged_write_with_stats(
+        promoted, stats = _tlog_staged_write_with_stats(
             rewritten, root, ["file_A_rekeyed"]
         )
         _tlog_commit_rebase(
             root, add=promoted, remove=["file_A"], base_version=2,
-            read_set={"file_A"},
+            read_set={"file_A"}, stats=stats or None,
         )
         tmp = os.path.join(root, f"._RID.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:

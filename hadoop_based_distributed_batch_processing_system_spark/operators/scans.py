@@ -1079,6 +1079,25 @@ def _tlog_commit_rebase(
                         f"touched {sorted(touched & ours)} which this change "
                         "derives from — re-run the derivation on the new base"
                     ) from None
+                # a METADATA CHANGE (ADD/DROP CONSTRAINT) invalidates
+                # any concurrent data-adding transaction in either
+                # direction (the Delta rule): our staged rows were
+                # written under the OLD constraint set, so rebasing
+                # them past a new constraint could commit violating
+                # rows; and our new constraint validated the OLD data,
+                # so rows landing mid-flight are unvalidated
+                if c.get("constraints") and add:
+                    raise TableLogConflictError(
+                        f"constraint change at v{v} invalidates this "
+                        "data-adding transaction — re-read the live "
+                        "constraint set, re-stage, and retry"
+                    ) from None
+                if constraints and c["add"]:
+                    raise TableLogConflictError(
+                        f"data commit at v{v} landed while this constraint "
+                        "change was validating — re-validate against the "
+                        "new base and retry"
+                    ) from None
             base_version = latest  # disjoint history: rebase and retry
     raise TableLogConflictError(
         f"gave up after {max_rebases} rebases — writer livelock; "
@@ -1164,8 +1183,17 @@ def _tlog_live_constraints(root: str, version: int) -> dict[str, str]:
     for v in range(start, version + 1):
         try:
             c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
-        except OSError:
-            continue  # severed pre-checkpoint history
+        except OSError as e:
+            # fail-loud like the ts replay (ADVICE r12 discipline): a
+            # severed commit inside the replay range could carry an
+            # ADD/DROP — silently skipping would let writers enforce a
+            # WRONG constraint set and checkpoints fold it permanently
+            raise RuntimeError(
+                f"commit {v:06d}.json at {root} is unreadable and no "
+                "checkpoint folds its constraints — the live constraint "
+                "set cannot be resolved; rebuild the table or restore "
+                "the log"
+            ) from e
         for name, pred in c.get("constraints", {}).items():
             if pred is None:
                 out.pop(name, None)

@@ -2288,6 +2288,15 @@ def test_clone_is_zero_copy_and_vacuum_hazard_is_descriptive(spark, tlog_dir, tm
     }
     v = _tlog_clone_shallow(tlog_dir, clone, 2)
     assert v == 0
+    # carried stats key by BASENAME so the prune helpers (which look
+    # bounds up by the live path's basename) actually consult them
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_stats,
+    )
+
+    cstats = _tlog_live_stats(clone, 0)
+    assert cstats and all("/" not in k for k in cstats)
+    assert "o_orderkey" in next(iter(cstats.values()))
     files = _tlog_clone_live_files(clone)
     n0 = _tlog_relation(spark, files).count()
     assert n0 == spark.read.parquet(
@@ -2587,3 +2596,39 @@ def test_row_lineage_pairs_key_changing_updates(spark):
     for v in (1, 2):
         assert rid[(v, "insert")] == key[(v, "insert")]
         assert not any(t != "insert" for (vv, t) in rid if vv == v)
+
+
+def test_constraint_changes_conflict_with_data_commits_both_ways(spark, tlog_dir):
+    """The metadata-change rule (Delta semantics): an ADD CONSTRAINT
+    landing mid-flight invalidates a concurrent data-adding rebase
+    (its rows were staged under the old constraint set), and a data
+    commit landing mid-validation invalidates a concurrent constraint
+    change (its rows were never validated)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_add_constraint,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+    )
+
+    base = _tlog_latest_version(tlog_dir)
+    v = _tlog_add_constraint(spark, tlog_dir, "pp", "o_totalprice > 0")
+    # a writer that resolved `base` before the constraint landed
+    with pytest.raises(TableLogConflictError, match="constraint change"):
+        _tlog_commit_rebase(
+            tlog_dir, add=["file_late"], remove=[], base_version=base,
+            read_set=set(),
+        )
+    # the mirror: a data commit lands while a constraint validates
+    _tlog_commit(tlog_dir, add=["file_mid"], remove=[], base_version=v)
+    with pytest.raises(TableLogConflictError, match="data commit"):
+        _tlog_commit_rebase(
+            tlog_dir, add=[], remove=[], base_version=v, read_set=set(),
+            constraints={"big": "o_totalprice > 1"},
+        )
+    # disjoint non-constraint commits still commute as before
+    v2 = _tlog_commit_rebase(
+        tlog_dir, add=["file_other"], remove=[], base_version=v,
+        read_set=set(),
+    )
+    assert v2 == v + 2
