@@ -966,3 +966,64 @@ def test_feed_replay_reconstructs_every_snapshot(history, data):
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_constraint_replay_matches_model_across_checkpoints(data):
+    """CHECK constraints as replayed log state, as a property: for ANY
+    sequence of commits carrying add/drop constraint maps (interleaved
+    with plain data commits, crossing checkpoint boundaries), the
+    resolved live set equals a dict fold — and resolution starting
+    from a checkpoint that folded the key agrees with the full
+    replay. Pure metadata: no Spark."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _TLOG_CHECKPOINT_EVERY,
+        _tlog_commit,
+        _tlog_live_constraints,
+    )
+
+    root = tempfile.mkdtemp(prefix="hbdbps_chk_prop_")
+    try:
+        os.makedirs(os.path.join(root, "_log"))
+        names = ["a", "b", "c"]
+        preds = ["x > 0", "x > 1", "y IS NOT NULL"]
+        n = data.draw(st.integers(min_value=1, max_value=3 * _TLOG_CHECKPOINT_EVERY))
+        model: dict[str, str] = {}
+        models = []
+        for v in range(n):
+            kind = data.draw(st.sampled_from(["data", "add", "drop"]))
+            cons = None
+            if kind == "add":
+                nm = data.draw(st.sampled_from(names))
+                cons = {nm: data.draw(st.sampled_from(preds))}
+            elif kind == "drop" and model:
+                cons = {data.draw(st.sampled_from(sorted(model))): None}
+            _tlog_commit(
+                root,
+                add=[f"file_p{v}"] if kind == "data" else [],
+                remove=[],
+                base_version=v - 1,
+                constraints=cons,
+            )
+            for nm, pred in (cons or {}).items():
+                if pred is None:
+                    model.pop(nm, None)
+                else:
+                    model[nm] = pred
+            models.append(dict(model))
+        for v in range(n):
+            assert _tlog_live_constraints(root, v) == models[v], f"v{v}"
+        # checkpoints that folded the key agree with the full replay
+        logd = os.path.join(root, "_log")
+        for f in os.listdir(logd):
+            if f.endswith(".checkpoint.json"):
+                cp = json.load(open(os.path.join(logd, f)))
+                assert cp["constraints"] == models[cp["version"]]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
