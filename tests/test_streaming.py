@@ -180,3 +180,78 @@ def test_mv_live_catches_up_on_new_source_commits(spark, tmp_path):
         assert lost_n == n_doomed and lost_c == cents_doomed
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_mv_live_folds_commits_landing_mid_drain(spark, tmp_path, monkeypatch):
+    """The r15-queue's remaining half of the live-MV item: a source
+    DELETE committed WHILE the drain is processing (injected after the
+    first fold commit, before processAllAvailable returns) must be
+    picked up by the same drain — the stream sees the new offset and
+    folds the decrement; the final view equals the composed state."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators import scans
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_build,
+        _tlog_commit,
+        _tlog_latest_version,
+        _tlog_live_files,
+        _tlog_relation,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.streaming.stream_jobs import (
+        _tlog_mv_live_drain,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = tempfile.mkdtemp(prefix="hbdbps_mvrace_src_")
+    shutil.rmtree(src)
+    mv = str(tmp_path / "mv")
+    try:
+        _tlog_build(spark, SF_SMOKE, src)  # 3 commits
+        doomed = (
+            spark.read.parquet(os.path.join(src, "file_C"))
+            .filter(F.col("o_orderkey") % 13 == 5)
+            .select("o_orderkey")
+        )
+        n_doomed = doomed.count()
+        assert n_doomed > 0
+        doomed.coalesce(1).write.parquet(os.path.join(src, "dv_file_C_v3"))
+
+        real = scans._tlog_commit_rebase
+        state = {"injected": False}
+
+        def inject_after_first_fold(root, **kw):
+            v = real(root, **kw)
+            if not state["injected"] and root == mv:
+                state["injected"] = True
+                # a concurrent writer lands a DV DELETE on the SOURCE
+                # while the drain is mid-flight
+                _tlog_commit(
+                    src, add=[], remove=[], base_version=2,
+                    dv={"file_C": "dv_file_C_v3"},
+                )
+            return v
+
+        monkeypatch.setattr(scans, "_tlog_commit_rebase", inject_after_first_fold)
+        _tlog_mv_live_drain(spark, src, mv)
+        monkeypatch.undo()
+        assert state["injected"], "the race never fired"
+        assert _tlog_latest_version(mv) == 3  # boot + 2 base folds + the DELETE
+        total = (
+            _tlog_relation(spark, _tlog_live_files(mv, 3))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        want = (
+            spark.read.parquet(
+                *(os.path.join(src, g) for g in ("file_A", "file_C", "file_D"))
+            ).count()
+            - n_doomed
+        )
+        assert total == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
