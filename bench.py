@@ -161,6 +161,7 @@ HEADLINE = [
     "table_log_check_constraint",  # CHECK as replayed log state, write-job enforced
     "stream_table_log_mv_live",  # live streaming MV folding the DML'd feed
     "table_log_cdc_images_lineage",  # rid-paired images across a key-changing rewrite
+    "table_log_partition_evolution",  # spec change as metadata, cross-layout pruning
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

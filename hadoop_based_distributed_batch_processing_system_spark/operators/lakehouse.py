@@ -2403,4 +2403,200 @@ def table_log_cdc_images_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tlog_cdc_images_by(spark, root, "_rid")
 
 
+# --- Partition-spec evolution (S9-pev) -------------------------------------
+
+_TLOG_PEV_Q_LO = "2024-01-05 00:00:00"  # the cross-layout range query:
+_TLOG_PEV_Q_HI = "2024-01-21 00:00:00"  # day files 05-16 + week 17-24
+
+
+def _tlog_pev_root(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogpev_{corpus_tag(sf_dir)}"
+    )
+
+
+_TLOG_PEV_SPEC = {"impl": 1, "q": [_TLOG_PEV_Q_LO, _TLOG_PEV_Q_HI]}
+
+
+def _tlog_pev_write_under_spec(
+    spark: SparkSession, root: str, df: DataFrame, base: int
+) -> int:
+    """Append a batch of event rows under the table's LIVE partition
+    spec — the writer consults ``_tlog_live_partitioning`` and groups
+    rows by the rule it names (day(ts) or week(ts)); per-column stats
+    record in the same write either way, which is what keeps readers
+    layout-agnostic."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_partitioning,
+    )
+
+    spec = _tlog_live_partitioning(root, base) or {"spec_id": 0, "rule": "day(ts)"}
+    if spec["rule"] == "day(ts)":
+        tgt = F.concat(
+            F.lit("file_d"),
+            F.lpad(F.dayofmonth("ts").cast("string"), 2, "0"),
+            F.lit(f"_v{base + 1}"),
+        )
+    elif spec["rule"] == "week(ts)":
+        tgt = F.concat(
+            F.lit("file_w"),
+            F.floor((F.dayofmonth("ts") - 1) / 8).cast("string"),
+            F.lit(f"_v{base + 1}"),
+        )
+    else:
+        raise RuntimeError(f"unknown partition rule {spec['rule']!r}")
+    staged = df.withColumn("tgt", tgt)
+    expected = sorted(
+        r["tgt"] for r in staged.select("tgt").distinct().collect()
+    )
+    promoted, stats = _tlog_staged_write_with_stats(staged, root, expected)
+    return _tlog_commit_rebase(
+        root, add=promoted, remove=[], base_version=base, read_set=set(),
+        stats=stats,
+    )
+
+
+def _tlog_apply_pev(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the partition-evolution lifecycle once per dir (flock +
+    stamp): v0 declares spec 0 = day(ts) and lands days 1-8 as day
+    files; v1 appends days 9-16 under the same spec; v2 EVOLVES the
+    spec to week(ts) — metadata only, not one data byte moves; v3
+    appends days 17+ as week files. The table ends with BOTH layouts
+    live at once."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_live_partitioning,
+    )
+
+    stamp_file = os.path.join(root, "_PEV")
+    stamp = json.dumps(_TLOG_PEV_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        for entry in os.listdir(root):
+            if entry == ".lock":
+                continue
+            p = os.path.join(root, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(root, "_log"))
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        day = F.dayofmonth("ts")
+        # v0: declare spec 0 and land days 1-8 (one commit: spec +
+        # first data — a table is born partitioned)
+        staged = events.filter(day <= 8).withColumn(
+            "tgt",
+            F.concat(
+                F.lit("file_d"), F.lpad(day.cast("string"), 2, "0"), F.lit("_v0")
+            ),
+        )
+        expected = sorted(
+            r["tgt"] for r in staged.select("tgt").distinct().collect()
+        )
+        promoted, stats = _tlog_staged_write_with_stats(staged, root, expected)
+        _tlog_commit(
+            root, add=promoted, remove=[], base_version=-1, stats=stats,
+            partitioning={"spec_id": 0, "rule": "day(ts)"},
+        )
+        # v1: append days 9-16 under the LIVE spec (still daily)
+        _tlog_pev_write_under_spec(
+            spark, root, events.filter((day >= 9) & (day <= 16)), 0
+        )
+        # v2: EVOLVE the spec — pure metadata, zero data movement
+        _tlog_commit(
+            root, add=[], remove=[], base_version=1,
+            partitioning={"spec_id": 1, "rule": "week(ts)"},
+        )
+        if _tlog_live_partitioning(root, 2)["spec_id"] != 1:
+            raise RuntimeError("spec change did not replay")
+        # v3: append the rest under the NEW spec (week files)
+        _tlog_pev_write_under_spec(spark, root, events.filter(day >= 17), 2)
+        tmp = os.path.join(root, f"._PEV.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_partition_evolution",
+    # Hash oracle: the cross-layout range query's answer straight
+    # from the source — the spec change and the mixed layout must be
+    # invisible to results.
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_micros
+        FROM events
+        WHERE ts >= TIMESTAMP '{_TLOG_PEV_Q_LO}'
+          AND ts <  TIMESTAMP '{_TLOG_PEV_Q_HI}'
+        GROUP BY 1
+    """,
+    tags=("S9-pev", "lakehouse", "partition-evolution", "pruning"),
+)
+def table_log_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-pev — PARTITION-SPEC EVOLUTION (r15 queue (b) pulled
+    forward): the layout rule is REPLAYED LOG METADATA
+    ({{spec_id, rule}} in commits, checkpoint-folded) that writers
+    consult at append time — the lifecycle lands 16 daily files under
+    spec 0, evolves to week(ts) in a METADATA-ONLY commit (not one
+    data byte moves, mtime-pinned), then lands week files under spec
+    1, leaving BOTH layouts live in one table. A 16-day range query
+    then prunes across both at once through per-file ts stats —
+    day files 05-16 plus one week group open; days 1-4 and the last
+    week skip — and the answer hash-matches the source.
+
+    Scale: this design makes partition evolution FREE at read time —
+    because pruning is per-file-STATS-based, not partition-VALUE-
+    based, readers never branch on which spec wrote a file (Iceberg
+    must version specs per file and plan per-spec residual
+    expressions for exactly this reason; Delta cannot repartition
+    without rewriting). Evolution cost = one metadata commit; the
+    old layout compacts into the new one opportunistically
+    (``table_log_compact_trigger``), not as a migration."""
+    root = _tlog_pev_root(sf_dir)
+    _tlog_apply_pev(spark, sf_dir, root)
+    latest = _tlog_latest_version(root)
+    kept, skipped = _tlog_ts_prune(root, latest, _TLOG_PEV_Q_LO, _TLOG_PEV_Q_HI)
+    if not skipped:
+        raise RuntimeError(
+            "cross-layout pruning skipped nothing — stats bounds broken"
+        )
+    return (
+        _tlog_relation(spark, [os.path.join(root, g) for g in kept])
+        .filter(
+            (F.col("ts") >= F.lit(_TLOG_PEV_Q_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_TLOG_PEV_Q_HI).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                "sum_micros"
+            ),
+        )
+        .select("event_type", "n_rows", "sum_micros")
+    )
+
+
 interpolate_docstrings(globals())

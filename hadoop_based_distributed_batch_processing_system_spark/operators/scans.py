@@ -921,6 +921,7 @@ def _tlog_commit(
     batch: int | None = None,
     data_change: bool = True,
     constraints: dict[str, str | None] | None = None,
+    partitioning: dict | None = None,
 ) -> int:
     """OPTIMISTIC-CONCURRENCY commit: version ``base_version + 1`` is
     claimed by an atomic hard-link of a fully-written temp file onto
@@ -966,6 +967,12 @@ def _tlog_commit(
         # drops). Replayed like the other log state; writers enforce
         # the live set in the staged-write job itself.
         payload["constraints"] = dict(sorted(constraints.items()))
+    if partitioning:
+        # PARTITION SPEC evolution: the layout rule FUTURE writes
+        # follow ({"spec_id": n, "rule": ...}) — metadata-only, no
+        # data movement; readers stay layout-agnostic because pruning
+        # is per-file-stats-based, not partition-value-based
+        payload["partitioning"] = partitioning
     # deterministic monotonic commit stamp — the "time" axis for
     # as-of reads and retention horizons (computed over the payload
     # BEFORE the stamp itself, so two writers racing identical
@@ -1008,6 +1015,7 @@ def _tlog_commit(
                     "batches": _tlog_committed_batches(root, v),
                     "ts": _tlog_ts_stamps(root, v),
                     "constraints": _tlog_live_constraints(root, v),
+                    "partitioning": _tlog_live_partitioning(root, v),
                 },
                 fh,
             )
@@ -1026,6 +1034,7 @@ def _tlog_commit_rebase(
     batch: int | None = None,
     data_change: bool = True,
     constraints: dict[str, str | None] | None = None,
+    partitioning: dict | None = None,
     max_rebases: int = 16,
 ) -> int:
     """OCC commit WITH REBASE — the full protocol the commit
@@ -1052,7 +1061,7 @@ def _tlog_commit_rebase(
             return _tlog_commit(
                 root, add=add, remove=remove, base_version=base_version, dv=dv,
                 stats=stats, batch=batch, data_change=data_change,
-                constraints=constraints,
+                constraints=constraints, partitioning=partitioning,
             )
         except TableLogConflictError:
             winner = json.load(
@@ -1061,6 +1070,7 @@ def _tlog_commit_rebase(
             if _tlog_same_commit(
                 winner, add, remove, dv=dv, stats=stats, batch=batch,
                 data_change=data_change, constraints=constraints,
+                partitioning=partitioning,
             ):
                 return base_version + 1  # identical content: adopt
             latest = _tlog_latest_version(root)
@@ -1114,6 +1124,7 @@ def _tlog_same_commit(
     batch: int | None = None,
     data_change: bool = True,
     constraints: dict[str, str | None] | None = None,
+    partitioning: dict | None = None,
 ) -> bool:
     """True iff a race-winning commit carries the SAME logical change
     we lost trying to write (identical-content adoption: another
@@ -1131,6 +1142,7 @@ def _tlog_same_commit(
         and winner.get("dataChange") == (None if data_change else False)
         and winner.get("constraints")
         == (dict(sorted(constraints.items())) if constraints else None)
+        and winner.get("partitioning") == (partitioning or None)
     )
 
 
@@ -1199,6 +1211,38 @@ def _tlog_live_constraints(root: str, version: int) -> dict[str, str]:
                 out.pop(name, None)
             else:
                 out[name] = pred
+    return out
+
+
+def _tlog_live_partitioning(root: str, version: int) -> dict | None:
+    """The PARTITION SPEC live at ``version``: the newest commit's
+    ``partitioning`` value (spec changes replace, never merge), from
+    the newest checkpoint that folded the key, else replay. None on a
+    table that never declared one."""
+    import json
+
+    logd = os.path.join(root, "_log")
+    out = None
+    start = 0
+    for v in range(version, -1, -1):
+        cp = os.path.join(logd, f"{v:06d}.checkpoint.json")
+        if os.path.exists(cp):
+            c = json.load(open(cp))
+            if "partitioning" in c:
+                out = c["partitioning"]
+                start = v + 1
+            break
+    for v in range(start, version + 1):
+        try:
+            c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        except OSError as e:
+            raise RuntimeError(
+                f"commit {v:06d}.json at {root} is unreadable and no "
+                "checkpoint folds its partition spec — the live spec "
+                "cannot be resolved; rebuild the table or restore the log"
+            ) from e
+        if c.get("partitioning") is not None:
+            out = c["partitioning"]
     return out
 
 

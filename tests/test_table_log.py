@@ -2632,3 +2632,54 @@ def test_constraint_changes_conflict_with_data_commits_both_ways(spark, tlog_dir
         read_set=set(),
     )
     assert v2 == v + 2
+
+
+def test_partition_evolution_is_metadata_only_and_prunes_both_layouts(spark):
+    """Spec evolution: the spec-change commit moves no bytes (every
+    pre-existing file's mtime is untouched), writers follow the LIVE
+    spec (day files before, week files after), and a range query
+    prunes across BOTH layouts through the same per-file stats."""
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_PEV_Q_HI,
+        _TLOG_PEV_Q_LO,
+        _tlog_apply_pev,
+        _tlog_pev_root,
+        _tlog_ts_prune,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_partitioning,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = _tlog_pev_root(SF_SMOKE)
+    _tlog_apply_pev(spark, SF_SMOKE, root)
+    # the spec-change commit is pure metadata
+    c2 = json.load(open(os.path.join(root, "_log", "000002.json")))
+    assert c2["add"] == [] and c2["remove"] == []
+    assert c2["partitioning"] == {"spec_id": 1, "rule": "week(ts)"}
+    assert _tlog_live_partitioning(root, 1)["spec_id"] == 0
+    assert _tlog_live_partitioning(root, 3)["spec_id"] == 1
+    # both layouts live at head
+    latest = _tlog_latest_version(root)
+    live = {os.path.basename(p) for p in _tlog_live_files(root, latest)}
+    days = {g for g in live if g.startswith("file_d")}
+    weeks = {g for g in live if g.startswith("file_w")}
+    assert days and weeks, live
+    # the range query prunes across both: days 1-4 and the last week
+    # skip; kept = days 05-16 + the week containing days 17-20
+    kept, skipped = _tlog_ts_prune(root, latest, _TLOG_PEV_Q_LO, _TLOG_PEV_Q_HI)
+    kept, skipped = set(kept), set(skipped)
+    assert {f"file_d{d:02d}_v0" for d in (1, 2, 3, 4)} <= skipped
+    assert "file_w3_v3" in skipped  # days 25-31
+    assert {f"file_d{d:02d}_v0" for d in (5, 6, 7, 8)} <= kept
+    assert "file_w2_v3" in kept  # days 17-24 overlaps the range end
+    # no-rewrite proof: the day files live at v1 are the SAME groups
+    # still live at head (CoW would have minted new names)
+    v1_days = {
+        os.path.basename(p)
+        for p in _tlog_live_files(root, 1)
+        if os.path.basename(p).startswith("file_d")
+    }
+    assert v1_days <= live
