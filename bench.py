@@ -162,6 +162,7 @@ HEADLINE = [
     "stream_table_log_mv_live",  # live streaming MV folding the DML'd feed
     "table_log_cdc_images_lineage",  # rid-paired images across a key-changing rewrite
     "table_log_partition_evolution",  # spec change as metadata, cross-layout pruning
+    "table_log_multi_table_txn",  # coordinator-driven all-or-nothing 2-table publish
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -2599,4 +2599,279 @@ def table_log_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- Multi-table transactions: all-or-nothing publish (S9-txn) -------------
+
+_TLOG_TXN_A_PRED = "o_orderkey % 10 = 9"  # txn 1's table-A append
+_TLOG_TXN_B_PRED = "o_orderkey % 10 = 4"  # txn 1's table-B append
+_TLOG_TXN2_A_PRED = "o_orderkey % 10 = 6"  # txn 2's VALID A-side (must abort anyway)
+
+
+def _tlog_txn_roots(sf_dir: str) -> tuple[str, str, str]:
+    tag = corpus_tag(sf_dir)
+    return (
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogtxa_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogtxb_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogtxc_{tag}"),
+    )
+
+
+def _tlog_txn_prepare(coord_root: str, txn_id: str, legs: list[tuple[str, dict]]) -> str:
+    """PREPARE: durably record the transaction's legs — (table root,
+    staged branch payload) pairs — in ONE atomically-written
+    coordinator file. From this point the transaction survives a
+    coordinator crash: recovery replays the file and drives every leg
+    to the same outcome (publish is idempotent per table)."""
+    import json
+
+    os.makedirs(coord_root, exist_ok=True)
+    path = os.path.join(coord_root, f"{txn_id}.json")
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump([{"root": r, "payload": p} for r, p in legs], fh)
+    os.replace(tmp, path)
+    return path
+
+
+def _tlog_txn_commit(spark: SparkSession, coord_path: str) -> dict[str, int]:
+    """COMMIT: audit EVERY leg first — one failed audit aborts the
+    WHOLE transaction (all staged branches dropped, no table touched)
+    — then publish leg by leg and retire the coordinator file. A
+    crash mid-publish leaves the coordinator on disk; re-running
+    this commit (recovery) is safe because each leg's publish is
+    idempotent (live-set short-circuit + same-commit adoption), so
+    every replay converges on all-legs-published.
+
+    Isolation caveat, stated honestly: this is atomicity of OUTCOME
+    (all legs eventually commit, or none ever does), not of
+    VISIBILITY — a reader can observe table A's new snapshot before
+    table B's lands, because each table's log is its own consensus
+    point. True cross-table snapshot isolation needs a shared log or
+    a catalog-level pointer swap; consumers needing a consistent view
+    read "every table as of instant T" (``table_log_multi_asof``)
+    at a T before the transaction."""
+    import json
+
+    legs = [
+        (leg["root"], leg["payload"]) for leg in json.load(open(coord_path))
+    ]
+    failures: list[str] = []
+    for root, payload in legs:
+        live = set()
+        try:
+            live = {
+                os.path.basename(p)
+                for p in _tlog_live_files(root, _tlog_latest_version(root))
+            }
+        except (RuntimeError, OSError):
+            pass
+        if set(payload["add"]) <= live:
+            continue  # this leg already published (recovery replay)
+        failures += [
+            f"{os.path.basename(root)}: {f}"
+            for f in _tlog_wap_audit(spark, root, payload)
+        ]
+    if failures:
+        for root, payload in legs:
+            _tlog_wap_abort(root, payload)
+        os.unlink(coord_path)
+        raise RuntimeError(
+            "multi-table transaction aborted — audit failures: "
+            + "; ".join(failures)
+        )
+    out = {}
+    for root, payload in legs:
+        out[root] = _tlog_wap_publish(spark, root, payload)
+    os.unlink(coord_path)
+    return out
+
+
+def _tlog_txn_recover(spark: SparkSession, coord_root: str) -> int:
+    """Recovery sweep: re-drive every coordinator file left by a
+    crashed commit. Returns the number of transactions completed."""
+    import glob
+
+    n = 0
+    for path in sorted(glob.glob(os.path.join(coord_root, "*.json"))):
+        _tlog_txn_commit(spark, path)
+        n += 1
+    return n
+
+
+_TLOG_TXN_SPEC = {
+    "impl": 1,
+    "t1": [_TLOG_TXN_A_PRED, _TLOG_TXN_B_PRED],
+    "t2": _TLOG_TXN2_A_PRED,
+}
+
+
+def _tlog_apply_txn(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run the transaction lifecycle once (flock + stamp on the
+    coordinator root): txn 1 stages appends on BOTH tables and
+    commits all-or-nothing (both land); txn 2 stages a VALID append
+    on A and a constraint-violating one on B — the whole transaction
+    aborts and NEITHER table changes (A's staged branch is dropped
+    despite auditing clean)."""
+    import fcntl
+    import json
+    import shutil
+
+    root_a, root_b, coord = _tlog_txn_roots(sf_dir)
+    stamp_file = os.path.join(coord, "_TXN")
+    stamp = json.dumps(_TLOG_TXN_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return root_a, root_b
+    os.makedirs(coord, exist_ok=True)
+    lock_fh = open(os.path.join(coord, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return root_a, root_b
+        for entry in os.listdir(coord):
+            if entry == ".lock":
+                continue
+            p = os.path.join(coord, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        for r in (root_a, root_b):
+            if os.path.isdir(r) and _tlog_latest_version_safe(r) != 2:
+                shutil.rmtree(r)
+        _tlog_build(spark, sf_dir, root_a)
+        _tlog_build(spark, sf_dir, root_b)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        # txn 1: appends to BOTH tables, one outcome
+        legs = [
+            (
+                root_a,
+                _tlog_wap_stage(
+                    orders.filter(F.expr(_TLOG_TXN_A_PRED)), root_a,
+                    "file_txn1_a",
+                ),
+            ),
+            (
+                root_b,
+                _tlog_wap_stage(
+                    orders.filter(F.expr(_TLOG_TXN_B_PRED)), root_b,
+                    "file_txn1_b",
+                ),
+            ),
+        ]
+        path = _tlog_txn_prepare(coord, "txn1", legs)
+        _tlog_txn_commit(spark, path)
+        # txn 2: B's leg violates the CHECK — the WHOLE txn aborts
+        legs2 = [
+            (
+                root_a,
+                _tlog_wap_stage(
+                    orders.filter(F.expr(_TLOG_TXN2_A_PRED)), root_a,
+                    "file_txn2_a",
+                ),
+            ),
+            (
+                root_b,
+                _tlog_wap_stage(
+                    orders.filter(F.expr(_TLOG_TXN_B_PRED)).withColumn(
+                        "o_totalprice", -F.col("o_totalprice")
+                    ),
+                    root_b,
+                    "file_txn2_b",
+                ),
+            ),
+        ]
+        path2 = _tlog_txn_prepare(coord, "txn2", legs2)
+        try:
+            _tlog_txn_commit(spark, path2)
+        except RuntimeError as e:
+            if "transaction aborted" not in str(e):
+                raise
+        else:
+            raise RuntimeError("a violating transaction committed")
+        for r, group in ((root_a, "file_txn2_a"), (root_b, "file_txn2_b")):
+            if os.path.exists(os.path.join(r, group)):
+                raise RuntimeError(f"aborted leg left data: {r}/{group}")
+        tmp = os.path.join(coord, f"._TXN.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return root_a, root_b
+
+
+def _tlog_latest_version_safe(root: str) -> int:
+    try:
+        return _tlog_latest_version(root)
+    except (RuntimeError, OSError):
+        return -2
+
+
+@register(
+    "table_log_multi_table_txn",
+    # Hash oracle: both tables' heads after the lifecycle — table A =
+    # source + txn 1's A-slice, table B = source + txn 1's B-slice,
+    # and NOTHING from the aborted txn 2 on either table (its A-slice
+    # or negated B-prices would shift the sums).
+    oracle=f"""
+        WITH two_tables AS (
+          SELECT 'a' AS tbl, o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'a', o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_TXN_A_PRED}
+          UNION ALL
+          SELECT 'b', o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'b', o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_TXN_B_PRED}
+        )
+        SELECT tbl,
+               CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM two_tables GROUP BY 1, 2
+    """,
+    tags=("S9-txn", "lakehouse", "multi-table", "transaction", "wap"),
+)
+def table_log_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-txn — MULTI-TABLE TRANSACTIONS (r15 queue (d) pulled
+    forward): appends staged on TWO tables' branch refs publish
+    all-or-nothing through a durable coordinator — PREPARE records
+    every leg in one atomically-written file, COMMIT audits ALL legs
+    before publishing ANY (one violating leg aborts the whole
+    transaction, dropping even the legs that audited clean —
+    exercised on the registry tables), and a crash mid-publish is
+    driven to completion by a recovery sweep because each leg's
+    publish is idempotent (crash-injection pytest). The isolation
+    caveat is stated, not papered over: this is atomicity of OUTCOME,
+    not of VISIBILITY — each table's log is its own consensus point,
+    so a reader can see leg A before leg B lands; consumers needing a
+    consistent cross-table view read "every table as of T"
+    (``table_log_multi_asof``) at a pre-transaction instant. That is
+    the same contract multi-statement transactions in lakehouse
+    engines provide without a shared log.
+
+    Scale: the coordinator file is legs-sized metadata; commit cost =
+    the legs' own publish cost (one OCC commit each); recovery is a
+    directory sweep. The audit-all-before-publish-any ordering is
+    what bounds the abort path to metadata + staged bytes — no
+    published work ever needs undoing."""
+    root_a, root_b = _tlog_apply_txn(spark, sf_dir)
+    parts = []
+    for tbl, root in (("a", root_a), ("b", root_b)):
+        parts.append(
+            _tlog_dml_fingerprint(spark, root)
+            .withColumn("tbl", F.lit(tbl))
+            .select("tbl", "bucket", "n_rows", "sum_cents")
+        )
+    return parts[0].unionByName(parts[1])
+
+
 interpolate_docstrings(globals())

@@ -2683,3 +2683,76 @@ def test_partition_evolution_is_metadata_only_and_prunes_both_layouts(spark):
         if os.path.basename(p).startswith("file_d")
     }
     assert v1_days <= live
+
+
+def test_multi_table_txn_recovers_from_mid_publish_crash(spark, tmp_path, monkeypatch):
+    """A crash between leg publishes leaves the coordinator file on
+    disk; the recovery sweep re-drives the transaction — the already-
+    published leg short-circuits, the missing leg lands, and the
+    coordinator retires. Outcome atomicity survives the crash."""
+    import shutil
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators import (
+        lakehouse,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_txn_commit,
+        _tlog_txn_prepare,
+        _tlog_txn_recover,
+        _tlog_wap_stage,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root_a = tempfile.mkdtemp(prefix="hbdbps_txr_a_")
+    root_b = tempfile.mkdtemp(prefix="hbdbps_txr_b_")
+    for r in (root_a, root_b):
+        shutil.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    coord = str(tmp_path / "coord")
+    try:
+        legs = [
+            (
+                r,
+                _tlog_wap_stage(
+                    spark.read.parquet(os.path.join(r, "file_C")).select(
+                        "o_orderkey", "o_totalprice"
+                    ),
+                    r,
+                    f"file_leg_{i}",
+                ),
+            )
+            for i, r in enumerate((root_a, root_b))
+        ]
+        path = _tlog_txn_prepare(coord, "crashy", legs)
+
+        real_publish = lakehouse._tlog_wap_publish
+        calls = {"n": 0}
+
+        def crash_after_first(spark_, root, payload, **kw):
+            v = real_publish(spark_, root, payload, **kw)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash between leg publishes")
+            return v
+
+        monkeypatch.setattr(lakehouse, "_tlog_wap_publish", crash_after_first)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _tlog_txn_commit(spark, path)
+        monkeypatch.undo()
+        # torn so far: A published, B still staged, coordinator on disk
+        assert _tlog_latest_version(root_a) == 3
+        assert _tlog_latest_version(root_b) == 2
+        assert os.path.exists(path)
+        assert _tlog_txn_recover(spark, coord) == 1
+        assert _tlog_latest_version(root_b) == 3
+        assert not os.path.exists(path)
+        live_b = {
+            os.path.basename(p) for p in _tlog_live_files(root_b, 3)
+        }
+        assert "file_leg_1" in live_b
+        # replaying recovery on an empty coordinator dir is a no-op
+        assert _tlog_txn_recover(spark, coord) == 0
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
