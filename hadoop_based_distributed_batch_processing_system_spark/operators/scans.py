@@ -1338,6 +1338,21 @@ def _tlog_staged_write_with_stats(
     (promoted groups, stats keyed by group then column)."""
     from pyspark.sql import Observation
 
+    if constraints is None:
+        # DEFAULT: every staged write enforces the table's LIVE
+        # constraint set — the durable-guarantee half of S9-chk (a
+        # constraint that only the ADD path honored would be
+        # advisory). Resolution is checkpoint-bounded metadata; a
+        # root with no log yet (ingest bootstrap) has none. Callers
+        # that already resolved the set pass it through; an explicit
+        # {} opts out (for writes whose rows provably come from
+        # already-validated data, e.g. a pure compaction).
+        try:
+            constraints = _tlog_live_constraints(
+                root, _tlog_latest_version(root)
+            )
+        except (RuntimeError, OSError):
+            constraints = {}
     if constraints:
         # the single choke point: any writer passing the table's live
         # constraints gets them enforced in this same write job

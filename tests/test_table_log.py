@@ -2756,3 +2756,31 @@ def test_multi_table_txn_recovers_from_mid_publish_crash(spark, tmp_path, monkey
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
+
+
+def test_dml_update_enforces_live_constraints_by_default(spark, tlog_dir):
+    """The durable-guarantee half of CHECK constraints: a writer that
+    never heard of them — the UPDATE's CoW rewrite — is gated anyway,
+    because the staged-write choke point resolves the table's live
+    set by default. An UPDATE driving prices negative on a
+    constrained table fails in the write job with the log untouched;
+    the same UPDATE on an unconstrained table lands."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_add_constraint,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_dml_update_set,
+    )
+
+    _tlog_add_constraint(spark, tlog_dir, "pp", "o_totalprice > 0")
+    base = _tlog_latest_version(tlog_dir)
+    with pytest.raises(Exception, match="pp violated|CHECK constraint"):
+        _tlog_dml_update_set(
+            spark, tlog_dir, "o_orderkey % 4 = 0", -1_000_000.0
+        )
+    assert _tlog_latest_version(tlog_dir) == base, "rejected UPDATE committed"
+    # a conforming UPDATE passes the same gate
+    v = _tlog_dml_update_set(spark, tlog_dir, "o_orderkey % 4 = 0", 2.0)
+    assert v[0] == base + 1
