@@ -114,9 +114,10 @@ _PRIORITY_WINDOW = [
     # Round-14 extension adds the lakehouse workflow ops (SURVEY §7
     # candidate queue (a)-(e) all five, plus shallow clone, the
     # time-clustered pruned read, CHECK constraints, the live
-    # streaming MV, row lineage, partition evolution, and multi-table
-    # transactions): 16 new + the 4 r06 leftovers + 30 of the 50-row
-    # r07 block = the 50-slot window (~20 r07 rows
+    # streaming MV, row lineage, partition evolution, multi-table
+    # transactions, and mid-stream schema widening): 17 new + the 4
+    # r06 leftovers + 29 of the 50-row r07 block = the 50-slot
+    # window (~21 r07 rows
     # spill to round 15 — a never-attested operator is worth more
     # than a stale-row refresh; the r13-item-3 drain continues next
     # round).
@@ -136,6 +137,7 @@ _PRIORITY_WINDOW = [
     "table_log_cdc_images_lineage",
     "table_log_partition_evolution",
     "table_log_multi_table_txn",
+    "stream_ingest_schema_evolution",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

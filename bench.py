@@ -163,6 +163,7 @@ HEADLINE = [
     "table_log_cdc_images_lineage",  # rid-paired images across a key-changing rewrite
     "table_log_partition_evolution",  # spec change as metadata, cross-layout pruning
     "table_log_multi_table_txn",  # coordinator-driven all-or-nothing 2-table publish
+    "stream_ingest_schema_evolution",  # mid-stream widening, checkpoint-resumed drain
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -342,6 +342,7 @@ _PLAN_SWEEP_SKIP = {
     "table_log_cdc_images_lineage",  # builds the row-tracked lifecycle on build
     "table_log_partition_evolution",  # lands both layouts + the spec change on build
     "table_log_multi_table_txn",  # runs both transactions on build
+    "stream_ingest_schema_evolution",  # runs the two-phase drain on build
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",

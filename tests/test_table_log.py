@@ -2784,3 +2784,43 @@ def test_dml_update_enforces_live_constraints_by_default(spark, tlog_dir):
     # a conforming UPDATE passes the same gate
     v = _tlog_dml_update_set(spark, tlog_dir, "o_orderkey % 4 = 0", 2.0)
     assert v[0] == base + 1
+
+
+def test_schema_widening_drain_resumes_and_old_groups_lack_column(spark):
+    """Mid-stream widening pins: phase-1 batch groups physically LACK
+    the quality column (additive evolution rewrites nothing), phase-2
+    groups carry it, their manifest stats differ accordingly, and the
+    widened drain resumed the checkpoint instead of re-reading
+    phase-1 files (no phase-1 batch id appears twice)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_sev,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = _tlog_apply_sev(spark, SF_SMOKE)
+    latest = _tlog_latest_version(root)
+    stats = _tlog_live_stats(root, latest)
+    with_q, without_q = [], []
+    for p in _tlog_live_files(root, latest):
+        g = os.path.basename(p)
+        part = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+        cols = set(pq.read_schema(part).names)
+        (with_q if "quality" in cols else without_q).append(g)
+        assert ("quality" in stats.get(g, {})) == ("quality" in cols), g
+    assert with_q and without_q, (with_q, without_q)
+    # batch ids are unique across both drains: the second drain
+    # resumed, it did not re-deliver phase-1 batches
+    import json
+
+    batches = [
+        json.load(open(os.path.join(root, "_log", f"{v:06d}.json"))).get("batch")
+        for v in range(latest + 1)
+    ]
+    assert len(batches) == len(set(batches))
