@@ -340,7 +340,14 @@ def bucketed_rank_cumsum(
             out = out.withColumn("__cum", F.lit(None).cast("double"))
         return out, 0, 0.0
     span = float(hi) - float(lo)
-    width = (span / n_buckets) if span > 0 else 1.0
+    # guard width, not span: a SUBNORMAL span (≈5e-324) divided by
+    # n_buckets underflows to 0.0 even though span > 0, and a zero
+    # width turns the bucket expression into a division by zero
+    # (hypothesis-found). width 1.0 degrades to one bucket — correct,
+    # just unparallel, exactly like the all-equal-values case.
+    width = span / n_buckets
+    if width <= 0:
+        width = 1.0
     if descending:
         raw = (F.lit(float(hi)) - F.col(order_col)) / F.lit(width)
     else:

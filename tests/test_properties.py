@@ -140,7 +140,12 @@ def test_bucketed_rank_recipe_matches_global_sort(vals, n_buckets, descending):
     items = list(enumerate(vals))  # key = index (unique tiebreak)
     lo, hi = min(vals), max(vals)
     span = float(hi) - float(lo)
-    width = (span / n_buckets) if span > 0 else 1.0
+    # mirror the operator's subnormal guard: span/n can underflow to
+    # 0.0 while span > 0 (hypothesis-found) — a zero width divides by
+    # zero; 1.0 degrades to one bucket, which stays correct
+    width = span / n_buckets
+    if width <= 0:
+        width = 1.0
 
     def bkt(v):
         raw = (float(hi) - v) / width if descending else (v - float(lo)) / width
