@@ -1347,12 +1347,21 @@ def _tlog_staged_write_with_stats(
         # that already resolved the set pass it through; an explicit
         # {} opts out (for writes whose rows provably come from
         # already-validated data, e.g. a pure compaction).
-        try:
-            constraints = _tlog_live_constraints(
-                root, _tlog_latest_version(root)
-            )
-        except (RuntimeError, OSError):
-            constraints = {}
+        # ONLY the no-log-yet bootstrap resolves to {}: a log that
+        # EXISTS but whose constraint set cannot be replayed (severed
+        # commit, no checkpoint fold) must abort the write — the old
+        # blanket except committed unvalidated rows on exactly the
+        # damaged log _tlog_live_constraints fail-louds on (ADVICE
+        # r14 medium).
+        logd = os.path.join(root, "_log")
+        has_log = os.path.isdir(logd) and any(
+            f.endswith(".json") for f in os.listdir(logd)
+        )
+        constraints = (
+            _tlog_live_constraints(root, _tlog_latest_version(root))
+            if has_log
+            else {}
+        )
     if constraints:
         # the single choke point: any writer passing the table's live
         # constraints gets them enforced in this same write job

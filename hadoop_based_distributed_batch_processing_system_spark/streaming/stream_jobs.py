@@ -1760,12 +1760,27 @@ def _tlog_mv_live_drain(
         )
         query.processAllAvailable()
         query.stop()
-        want = _tlog_latest_version(src_root)
+        # completion = one view commit per source commit THAT EMITS
+        # CHANGE ROWS: a dataChange:false commit (OPTIMIZE-style
+        # rewrite) yields zero change units, the feed emits an empty
+        # batch, and the fold correctly skips — counting raw source
+        # versions would spuriously flag that skip as a lost fold
+        # (ADVICE r14)
+        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+            _tlog_change_units,
+        )
+
+        want = sum(
+            1
+            for v in range(1, _tlog_latest_version(src_root) + 1)
+            if _tlog_change_units(src_root, v)
+        )
         got = _tlog_latest_version(mv_root)
         if got != want:
             raise RuntimeError(
-                f"live MV drained {got} view commits for {want} source "
-                "commits — a fold was lost or double-applied"
+                f"live MV drained {got} view commits for {want} "
+                "change-bearing source commits — a fold was lost or "
+                "double-applied"
             )
         tmp = os.path.join(mv_root, f"._MV_LIVE.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:

@@ -2758,6 +2758,155 @@ def test_multi_table_txn_recovers_from_mid_publish_crash(spark, tmp_path, monkey
         shutil.rmtree(root_b, ignore_errors=True)
 
 
+def test_multi_table_txn_recovery_is_presumed_commit(spark, tmp_path, monkeypatch):
+    """VERDICT r14 #1: once ANY leg has published, the transaction is
+    committed — recovery drives the remaining legs forward even when
+    table state changed between crash and recovery in a way that
+    flips a re-audit. Concretely: leg A publishes, the process
+    crashes, a CHECK constraint that leg B's payload violates is
+    added to table B, recovery runs — BOTH legs must end published
+    (the transaction's own audit point governs), never
+    A-committed/B-aborted."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators import (
+        lakehouse,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_add_constraint,
+        _tlog_txn_commit,
+        _tlog_txn_prepare,
+        _tlog_txn_recover,
+        _tlog_wap_audit,
+        _tlog_wap_stage,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root_a = tempfile.mkdtemp(prefix="hbdbps_txp_a_")
+    root_b = tempfile.mkdtemp(prefix="hbdbps_txp_b_")
+    for r in (root_a, root_b):
+        shutil.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    coord = str(tmp_path / "coord")
+    try:
+        base = spark.read.parquet(os.path.join(root_a, "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        leg_a = (root_a, _tlog_wap_stage(base, root_a, "file_leg_a"))
+        # leg B's rows carry prices far above any real order — legal
+        # at stage time, violating the constraint added post-crash
+        leg_b = (
+            root_b,
+            _tlog_wap_stage(
+                base.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(5.0e7)
+                ),
+                root_b,
+                "file_leg_b",
+            ),
+        )
+        path = _tlog_txn_prepare(coord, "presume", [leg_a, leg_b])
+
+        real_publish = lakehouse._tlog_wap_publish
+        calls = {"n": 0}
+
+        def crash_after_first(spark_, root, payload, **kw):
+            v = real_publish(spark_, root, payload, **kw)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash between leg publishes")
+            return v
+
+        monkeypatch.setattr(lakehouse, "_tlog_wap_publish", crash_after_first)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _tlog_txn_commit(spark, path)
+        monkeypatch.undo()
+        assert _tlog_latest_version(root_a) == 3  # A published
+        assert _tlog_latest_version(root_b) == 2  # B still staged
+        # between crash and recovery, table B grows a CHECK its
+        # existing rows satisfy but leg B's staged payload violates
+        _tlog_add_constraint(
+            spark, root_b, "price_cap", "o_totalprice < 10000000.0"
+        )
+        assert _tlog_wap_audit(spark, root_b, leg_b[1])  # re-audit DOES flip
+        assert _tlog_txn_recover(spark, coord) == 1
+        # presumed commit: BOTH legs published, coordinator retired
+        assert not os.path.exists(path)
+        live_b = {
+            os.path.basename(p)
+            for p in _tlog_live_files(root_b, _tlog_latest_version(root_b))
+        }
+        assert "file_leg_b" in live_b
+        live_a = {
+            os.path.basename(p)
+            for p in _tlog_live_files(root_a, _tlog_latest_version(root_a))
+        }
+        assert "file_leg_a" in live_a
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
+
+
+def test_multi_table_txn_abort_redrive_finishes_after_partial_abort(
+    spark, tmp_path
+):
+    """ADVICE r14: a crash MID-ABORT (one leg's branch ref and staged
+    groups already retired, the coordinator still on disk) must not
+    livelock — the re-drive records the retired leg, aborts the
+    remaining legs, and retires the coordinator file."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_txn_commit,
+        _tlog_txn_prepare,
+        _tlog_txn_recover,
+        _tlog_wap_abort,
+        _tlog_wap_stage,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root_a = tempfile.mkdtemp(prefix="hbdbps_txl_a_")
+    root_b = tempfile.mkdtemp(prefix="hbdbps_txl_b_")
+    for r in (root_a, root_b):
+        shutil.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    coord = str(tmp_path / "coord")
+    try:
+        base = spark.read.parquet(os.path.join(root_a, "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        # leg A violates the hardcoded price audit — the txn must abort
+        leg_a = (
+            root_a,
+            _tlog_wap_stage(
+                base.withColumn("o_totalprice", -F.col("o_totalprice")),
+                root_a,
+                "file_leg_a",
+            ),
+        )
+        leg_b = (root_b, _tlog_wap_stage(base, root_b, "file_leg_b"))
+        path = _tlog_txn_prepare(coord, "torn_abort", [leg_a, leg_b])
+        # simulate the prior crashed abort: leg B already fully retired
+        _tlog_wap_abort(root_b, leg_b[1])
+        # the re-drive must abort cleanly, not livelock on leg B
+        with pytest.raises(RuntimeError, match="transaction aborted"):
+            _tlog_txn_commit(spark, path)
+        assert not os.path.exists(path)  # coordinator retired
+        assert not os.path.isdir(os.path.join(root_a, "file_leg_a"))
+        assert _tlog_latest_version(root_a) == 2  # neither table touched
+        assert _tlog_latest_version(root_b) == 2
+        assert _tlog_txn_recover(spark, coord) == 0
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
+
+
 def test_dml_update_enforces_live_constraints_by_default(spark, tlog_dir):
     """The durable-guarantee half of CHECK constraints: a writer that
     never heard of them — the UPDATE's CoW rewrite — is gated anyway,
