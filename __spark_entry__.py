@@ -107,37 +107,15 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 14 state: the board is all-green (VERDICT r13), so
-    # the front is this round's new operators — the DV-complete
-    # change feed attested on a table with real DML commits, and the
-    # replication composition through it, plus the rollback's feed.
-    # Round-14 extension adds the lakehouse workflow ops (SURVEY §7
-    # candidate queue (a)-(e) all five, plus shallow clone, the
-    # time-clustered pruned read, CHECK constraints, the live
-    # streaming MV, row lineage, partition evolution, multi-table
-    # transactions, and mid-stream schema widening): 17 new + the 4
-    # r06 leftovers + 29 of the 50-row r07 block = the 50-slot
-    # window (~21 r07 rows
-    # spill to round 15 — a never-attested operator is worth more
-    # than a stale-row refresh; the r13-item-3 drain continues next
-    # round).
-    "table_log_cdc_dml",
-    "stream_table_log_replicate_dml",
-    "table_log_cdc_restore",
-    "table_log_wap_publish",
-    "table_log_cdc_images",
-    "table_log_multi_asof",
-    "table_log_compact_trigger",
-    "stream_events_table_ingest",
-    "table_log_rollup_incremental",
-    "table_log_clone_shallow",
-    "table_log_ts_pruned_read",
-    "table_log_check_constraint",
-    "stream_table_log_mv_live",
-    "table_log_cdc_images_lineage",
-    "table_log_partition_evolution",
-    "table_log_multi_table_txn",
-    "stream_ingest_schema_evolution",
+    # --- ROUND 15 state: the r14 window went 50/50 green, so the
+    # front is this round's two new operators — column mapping
+    # (RENAME/DROP as metadata, VERDICT r14 #3) and the shallow-clone
+    # deep-copy repair (VERDICT r14 #5). Everything after them is the
+    # VERDICT-mandated attestation drain: the verified back is
+    # ordered stalest-first, so the remaining 48 slots pick up the 19
+    # r07 rows and the 29 oldest r08 rows automatically.
+    "table_log_column_mapping",
+    "table_log_clone_deepen",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

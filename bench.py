@@ -164,6 +164,9 @@ HEADLINE = [
     "table_log_partition_evolution",  # spec change as metadata, cross-layout pruning
     "table_log_multi_table_txn",  # coordinator-driven all-or-nothing 2-table publish
     "stream_ingest_schema_evolution",  # mid-stream widening, checkpoint-resumed drain
+    # --- round-15 rows (VERDICT r14 #3 and #5)
+    "table_log_column_mapping",  # RENAME/DROP as metadata, binding-cohort read
+    "table_log_clone_deepen",  # still-retained borrowed bytes re-homed, one commit
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

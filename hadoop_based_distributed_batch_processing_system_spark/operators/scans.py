@@ -922,6 +922,8 @@ def _tlog_commit(
     data_change: bool = True,
     constraints: dict[str, str | None] | None = None,
     partitioning: dict | None = None,
+    column_mapping: dict | None = None,
+    colphys: dict[str, dict] | None = None,
 ) -> int:
     """OPTIMISTIC-CONCURRENCY commit: version ``base_version + 1`` is
     claimed by an atomic hard-link of a fully-written temp file onto
@@ -973,6 +975,18 @@ def _tlog_commit(
         # data movement; readers stay layout-agnostic because pruning
         # is per-file-stats-based, not partition-value-based
         payload["partitioning"] = partitioning
+    if column_mapping:
+        # COLUMN MAPPING evolution (Iceberg field IDs / Delta column
+        # mapping): the live LOGICAL schema as {"fields": [{"id",
+        # "name"}, ...]} — replace-folded like the partition spec.
+        # RENAME updates a field's name; DROP removes the field; the
+        # data files are never touched.
+        payload["column_mapping"] = column_mapping
+    if colphys:
+        # per-file-group field-id -> PHYSICAL column name bindings
+        # (merge-folded like stats/dv): how each immutable file spells
+        # the logical fields, fixed at write time forever
+        payload["colphys"] = dict(sorted(colphys.items()))
     # deterministic monotonic commit stamp — the "time" axis for
     # as-of reads and retention horizons (computed over the payload
     # BEFORE the stamp itself, so two writers racing identical
@@ -1016,6 +1030,8 @@ def _tlog_commit(
                     "ts": _tlog_ts_stamps(root, v),
                     "constraints": _tlog_live_constraints(root, v),
                     "partitioning": _tlog_live_partitioning(root, v),
+                    "column_mapping": _tlog_live_colmap(root, v),
+                    "colphys": _tlog_replay_map(root, v, "colphys"),
                 },
                 fh,
             )
@@ -1243,6 +1259,40 @@ def _tlog_live_partitioning(root: str, version: int) -> dict | None:
             ) from e
         if c.get("partitioning") is not None:
             out = c["partitioning"]
+    return out
+
+
+def _tlog_live_colmap(root: str, version: int) -> dict | None:
+    """The COLUMN MAPPING live at ``version``: the newest commit's
+    ``column_mapping`` value ({"fields": [{"id", "name"}, ...]} —
+    mapping changes replace, never merge), from the newest checkpoint
+    that folded the key, else replay. None on a table that never
+    enabled mapping (readers use physical names directly)."""
+    import json
+
+    logd = os.path.join(root, "_log")
+    out = None
+    start = 0
+    for v in range(version, -1, -1):
+        cp = os.path.join(logd, f"{v:06d}.checkpoint.json")
+        if os.path.exists(cp):
+            c = json.load(open(cp))
+            if "column_mapping" in c:
+                out = c["column_mapping"]
+                start = v + 1
+            break
+    for v in range(start, version + 1):
+        try:
+            c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        except OSError as e:
+            raise RuntimeError(
+                f"commit {v:06d}.json at {root} is unreadable and no "
+                "checkpoint folds its column mapping — the live logical "
+                "schema cannot be resolved; rebuild the table or restore "
+                "the log"
+            ) from e
+        if c.get("column_mapping") is not None:
+            out = c["column_mapping"]
     return out
 
 

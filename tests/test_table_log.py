@@ -2973,3 +2973,153 @@ def test_schema_widening_drain_resumes_and_old_groups_lack_column(spark):
         for v in range(latest + 1)
     ]
     assert len(batches) == len(set(batches))
+
+
+def test_column_mapping_rename_drop_are_pure_metadata(spark, tmp_path):
+    """S9-cmap pins: (a) RENAME and DROP move zero data bytes — every
+    parquet part's mtime is identical across the whole mapping
+    lifecycle; (b) time travel resolves the mapping AT the read
+    version (v3 shows old names, v5 shows channel, head shows the
+    rename without channel); (c) stats pruning translates a LOGICAL
+    predicate to each group's PHYSICAL spelling, so pre-rename
+    manifest stats keep pruning."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_cmap,
+        _tlog_colmap_prune,
+        _tlog_colmap_read,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "cmap")
+    _tlog_build(spark, SF_SMOKE, root)
+    mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for g in ("file_A", "file_C", "file_D")
+        for p in glob.glob(os.path.join(root, g, "*.parquet"))
+    }
+    assert mtimes
+    _tlog_apply_cmap(spark, SF_SMOKE, root)
+    # (a) not one pre-existing data byte moved, and the three schema
+    # commits (enable, rename, drop) are all metadata-only
+    assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
+    for v in (3, 4, 6):
+        c = json.load(open(os.path.join(root, "_log", f"{v:06d}.json")))
+        assert c["add"] == [] and c["remove"] == [], f"v{v} moved data"
+    # (b) the mapping resolves at the READ version
+    assert _tlog_colmap_read(spark, root, 3).columns == [
+        "o_orderkey", "o_totalprice",
+    ]
+    assert _tlog_colmap_read(spark, root, 5).columns == [
+        "o_orderkey", "price_usd", "channel",
+    ]
+    head = _tlog_colmap_read(spark, root, 6)
+    assert head.columns == ["o_orderkey", "price_usd"]
+    # pre-rename rows and post-rename rows serve ONE logical column
+    n_base = spark.read.parquet(
+        *(os.path.join(root, g) for g in ("file_A", "file_C", "file_D"))
+    ).count()
+    n_new = spark.read.parquet(os.path.join(root, "file_F")).count()
+    assert head.count() == n_base + n_new
+    # dropped channel: bytes still in file_F, unreachable at head
+    assert "channel" in spark.read.parquet(
+        os.path.join(root, "file_F")
+    ).columns
+    # (c) pruning on the LOGICAL name consults PHYSICAL stats: a
+    # range below every price skips all groups; a full range keeps
+    kept, skipped = _tlog_colmap_prune(root, 6, "price_usd", -2.0, -1.0)
+    assert kept == [] and len(skipped) == 4
+    kept, skipped = _tlog_colmap_prune(root, 6, "price_usd", 0.0, 1e12)
+    assert skipped == [] and len(kept) == 4
+    # an unmapped logical name keeps everything, conservatively
+    kept, skipped = _tlog_colmap_prune(root, 6, "no_such_col", 0, 1)
+    assert skipped == []
+
+
+def test_clone_deepen_repairs_vacuum_hazard_all_or_nothing(spark, tlog_dir, tmp_path):
+    """S9-cln' pins: (a) deepen re-homes every borrowed group in ONE
+    dataChange:false commit, re-binding borrowed-file DVs to the
+    local names, with content identical before/after; (b) after the
+    source vacuums the borrowed bytes, the deepened clone reads on
+    while an un-deepened sibling clone fails descriptively; (c) a
+    deepen attempted AFTER the bytes are gone fails all-or-nothing
+    with the restore/re-clone remedy and copies nothing."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_clone_deepen,
+        _tlog_clone_live_files,
+        _tlog_clone_shallow,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_dvs,
+        _tlog_live_stats,
+        _tlog_relation,
+        _tlog_vacuum,
+    )
+
+    deep = str(tmp_path / "deep")
+    shallow = str(tmp_path / "shallow")
+    _tlog_clone_shallow(tlog_dir, deep, 2)
+    _tlog_clone_shallow(tlog_dir, shallow, 2)
+    rel = os.path.relpath(tlog_dir, deep)
+    # local DV on the borrowed file_D
+    doomed = (
+        spark.read.parquet(os.path.join(tlog_dir, "file_D"))
+        .filter(F.col("o_orderkey") % 7 == 2)
+        .select("o_orderkey")
+    )
+    doomed.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(deep, "dv_file_D_v1")
+    )
+    _tlog_commit(
+        deep, add=[], remove=[], base_version=0,
+        dv={os.path.join(rel, "file_D"): "dv_file_D_v1"},
+    )
+    before = sorted(
+        map(tuple, _tlog_relation(spark, _tlog_clone_live_files(deep))
+            .groupBy((F.col("o_orderkey") % 4).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    )
+    v = _tlog_clone_deepen(deep)
+    assert v == 2
+    c = json.load(open(os.path.join(deep, "_log", "000002.json")))
+    assert c.get("dataChange") is False
+    # every live group is local now; the DV re-bound to the local name
+    files = _tlog_clone_live_files(deep)
+    assert all(
+        os.path.dirname(os.path.normpath(p)) == os.path.normpath(deep)
+        for p in files
+    )
+    assert _tlog_live_dvs(deep, 2) == {"file_D": "dv_file_D_v1"}
+    # stats survive the re-homing (keyed by basename all along)
+    assert "file_D" in _tlog_live_stats(deep, 2)
+    # deepen is idempotent on an already-deep clone
+    assert _tlog_clone_deepen(deep) == 2
+    # the source retires file_D and vacuums it: borrowed bytes GONE
+    spark.read.parquet(os.path.join(tlog_dir, "file_D")).write.parquet(
+        os.path.join(tlog_dir, "file_D2")
+    )
+    _tlog_commit(
+        tlog_dir, add=["file_D2"], remove=["file_D"], base_version=2,
+        data_change=False,
+    )
+    assert "file_D" in _tlog_vacuum(tlog_dir, retain_version=3)
+    # (b) deepened clone reads on; the shallow sibling fails loudly
+    after = sorted(
+        map(tuple, _tlog_relation(spark, _tlog_clone_live_files(deep))
+            .groupBy((F.col("o_orderkey") % 4).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    )
+    assert after == before
+    with pytest.raises(RuntimeError, match="VACUUMED"):
+        _tlog_clone_live_files(shallow)
+    # (c) deepening the broken sibling: all-or-nothing descriptive
+    with pytest.raises(RuntimeError, match="already gone|re-clone"):
+        _tlog_clone_deepen(shallow)
+    assert not any(
+        e.startswith("file_") for e in os.listdir(shallow)
+    ), "failed deepen must copy nothing"
