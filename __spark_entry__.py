@@ -116,6 +116,11 @@ _PRIORITY_WINDOW = [
     # r07 rows and the 29 oldest r08 rows automatically.
     "table_log_column_mapping",
     "table_log_clone_deepen",
+    # VERDICT r14 #8: the DECIMAL/DST edge corpus (SURVEY §1.2
+    # gotcha 3 becomes a tested boundary)
+    "agg_decimal_exact",
+    "agg_decimal_revenue_mul",
+    "window_dst_boundary",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

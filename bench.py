@@ -164,9 +164,11 @@ HEADLINE = [
     "table_log_partition_evolution",  # spec change as metadata, cross-layout pruning
     "table_log_multi_table_txn",  # coordinator-driven all-or-nothing 2-table publish
     "stream_ingest_schema_evolution",  # mid-stream widening, checkpoint-resumed drain
-    # --- round-15 rows (VERDICT r14 #3 and #5)
+    # --- round-15 rows (VERDICT r14 #3, #5, #8)
     "table_log_column_mapping",  # RENAME/DROP as metadata, binding-cohort read
     "table_log_clone_deepen",  # still-retained borrowed bytes re-homed, one commit
+    "agg_decimal_exact",  # DECIMAL(18,2) parquet round-trip, exact grouped sums
+    "window_dst_boundary",  # civil-time bucketing across both 2024 DST jumps
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

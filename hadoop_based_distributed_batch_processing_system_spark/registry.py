@@ -122,6 +122,7 @@ def load_all() -> dict[str, QuerySpec]:
         "hadoop_based_distributed_batch_processing_system_spark.operators.features",
         "hadoop_based_distributed_batch_processing_system_spark.operators.graph",
         "hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse",
+        "hadoop_based_distributed_batch_processing_system_spark.operators.edge_types",
         "hadoop_based_distributed_batch_processing_system_spark.mr_compat",
         "hadoop_based_distributed_batch_processing_system_spark.functions.scalar",
         "hadoop_based_distributed_batch_processing_system_spark.streaming.event_time",

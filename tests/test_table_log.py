@@ -3123,3 +3123,183 @@ def test_clone_deepen_repairs_vacuum_hazard_all_or_nothing(spark, tlog_dir, tmp_
     assert not any(
         e.startswith("file_") for e in os.listdir(shallow)
     ), "failed deepen must copy nothing"
+
+
+def _race_txn_append_worker(args):
+    """Pure-filesystem concurrent writer (no Spark in the subprocess):
+    lands pre-staged blind-append batch commits on ONE of the txn's
+    leg tables while the main process drives PREPARE -> COMMIT."""
+    root, batches = args
+    import time
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_batch_committed,
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+    )
+
+    done = []
+    for i in batches:
+        if _tlog_batch_committed(root, i):
+            continue
+        _tlog_commit_rebase(
+            root, add=[f"file_txg_{i}"], remove=[],
+            base_version=_tlog_latest_version(root), read_set=set(), batch=i,
+        )
+        done.append(i)
+        time.sleep(0.01)
+    return ("append", done)
+
+
+def test_txn_interleaves_with_concurrent_single_table_commits(
+    spark, tmp_path
+):
+    """VERDICT r14 #7 — txn coordinator vs concurrent writers on a
+    leg's table between PREPARE and COMMIT, both deterministic orders
+    plus a live two-OS-process race:
+    (a) a blind append lands between prepare and commit -> the leg's
+        publish REBASES over it (disjoint writers commute), both legs
+        land, content = serial schedule;
+    (b) a CHECK constraint the leg's payload violates lands between
+        prepare and commit (zero legs published) -> the whole txn
+        ABORTS cleanly, neither table changed, no staged debris;
+    (c) live race: a subprocess drains blind appends on table A while
+        the main process runs prepare+commit -> every append lands
+        exactly once AND both legs land; final content equals the
+        serial schedule, whatever the interleaving."""
+    import multiprocessing as mp
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_add_constraint,
+        _tlog_txn_commit,
+        _tlog_txn_prepare,
+        _tlog_wap_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_live_files,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root_a = tempfile.mkdtemp(prefix="hbdbps_txi_a_")
+    root_b = tempfile.mkdtemp(prefix="hbdbps_txi_b_")
+    for r in (root_a, root_b):
+        shutil.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    coord = str(tmp_path / "coord")
+    try:
+        base = spark.read.parquet(os.path.join(root_a, "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        dtype = dict(base.dtypes)["o_totalprice"]
+
+        def stage_pair(tag):
+            return [
+                (
+                    r,
+                    _tlog_wap_stage(base, r, f"file_txn_{tag}_{i}"),
+                )
+                for i, r in enumerate((root_a, root_b))
+            ]
+
+        # (a) blind append lands between PREPARE and COMMIT
+        legs = stage_pair("a")
+        path = _tlog_txn_prepare(coord, "interleave_a", legs)
+        spark.range(0, 50).select(
+            (-F.col("id") - 1).alias("o_orderkey"),
+            (F.col("id") + 0.25).cast(dtype).alias("o_totalprice"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root_a, "file_mid")
+        )
+        _tlog_commit_rebase(
+            root_a, add=["file_mid"], remove=[],
+            base_version=_tlog_latest_version(root_a), read_set=set(),
+        )
+        _tlog_txn_commit(spark, path)  # must rebase over file_mid
+        live_a = {
+            os.path.basename(p)
+            for p in _tlog_live_files(root_a, _tlog_latest_version(root_a))
+        }
+        assert {"file_mid", "file_txn_a_0"} <= live_a
+        live_b = {
+            os.path.basename(p)
+            for p in _tlog_live_files(root_b, _tlog_latest_version(root_b))
+        }
+        assert "file_txn_a_1" in live_b
+
+        # (b) constraint the payload violates lands mid-txn -> clean
+        # abort: the B leg's prices sit far above every real order, so
+        # the cap added below passes existing data but fails the leg
+        legs = [
+            (root_a, _tlog_wap_stage(base, root_a, "file_txn_b_0")),
+            (
+                root_b,
+                _tlog_wap_stage(
+                    base.withColumn(
+                        "o_totalprice",
+                        (F.col("o_totalprice") + F.lit(5.0e7)).cast(dtype),
+                    ),
+                    root_b,
+                    "file_txn_b_1",
+                ),
+            ),
+        ]
+        path = _tlog_txn_prepare(coord, "interleave_b", legs)
+        va, vb = _tlog_latest_version(root_a), _tlog_latest_version(root_b)
+        _tlog_add_constraint(
+            spark, root_b, "neg_only", "o_totalprice < 10000000.0"
+        )
+        with pytest.raises(RuntimeError, match="transaction aborted"):
+            _tlog_txn_commit(spark, path)
+        assert _tlog_latest_version(root_a) == va  # untouched
+        assert _tlog_latest_version(root_b) == vb + 1  # only the ADD
+        assert not os.path.exists(os.path.join(root_a, "file_txn_b_0"))
+        assert not os.path.exists(os.path.join(root_b, "file_txn_b_1"))
+        assert not os.path.exists(path)
+        # drop it (None mapping) so (c)'s legs audit clean
+        _tlog_commit(
+            root_b, add=[], remove=[],
+            base_version=_tlog_latest_version(root_b),
+            constraints={"neg_only": None},
+        )
+
+        # (c) live two-process race on table A
+        batches = list(range(6))
+        for i in batches:
+            spark.range(i * 100, i * 100 + 100).select(
+                (-1000 - F.col("id")).alias("o_orderkey"),
+                (F.col("id") % 50 + 0.25).cast(dtype).alias("o_totalprice"),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(root_a, f"file_txg_{i}")
+            )
+        pre_rows = spark.read.parquet(
+            *_tlog_live_files(root_a, _tlog_latest_version(root_a))
+        ).count()
+        legs = stage_pair("c")
+        with mp.get_context("spawn").Pool(1) as pool:
+            fut = pool.apply_async(
+                _race_txn_append_worker, [(root_a, batches)]
+            )
+            path = _tlog_txn_prepare(coord, "interleave_c", legs)
+            _tlog_txn_commit(spark, path)
+            append_res = fut.get(timeout=120)
+        assert append_res[0] == "append" and append_res[1] == batches
+        live_a = {
+            os.path.basename(p)
+            for p in _tlog_live_files(root_a, _tlog_latest_version(root_a))
+        }
+        assert "file_txn_c_0" in live_a
+        assert {f"file_txg_{i}" for i in batches} <= live_a
+        final = spark.read.parquet(
+            *_tlog_live_files(root_a, _tlog_latest_version(root_a))
+        ).count()
+        # serial schedule: pre-race rows + 600 appended + the leg
+        assert final == pre_rows + 600 + base.count()
+        assert not os.path.exists(path)
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
