@@ -121,6 +121,10 @@ _PRIORITY_WINDOW = [
     "agg_decimal_exact",
     "agg_decimal_revenue_mul",
     "window_dst_boundary",
+    # the SURVEY §7 r15 fresh-queue items: visibility-atomic catalog
+    # swap and the index family's generation-aware vacuum
+    "table_log_catalog_txn",
+    "sim_search_ann_ivf_vacuumed",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -169,6 +169,8 @@ HEADLINE = [
     "table_log_clone_deepen",  # still-retained borrowed bytes re-homed, one commit
     "agg_decimal_exact",  # DECIMAL(18,2) parquet round-trip, exact grouped sums
     "window_dst_boundary",  # civil-time bucketing across both 2024 DST jumps
+    "table_log_catalog_txn",  # visibility-atomic multi-table txn via pointer swap
+    "sim_search_ann_ivf_vacuumed",  # index retrain + retention sweep, served after
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

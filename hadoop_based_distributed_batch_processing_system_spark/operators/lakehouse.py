@@ -34,6 +34,7 @@ from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
     load_table,
 )
 from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+    TableLogConflictError,
     _TLOG_DELETE_PRED,
     _TLOG_FILE_RE,
     _TLOG_UPDATE_BUMP,
@@ -3181,6 +3182,249 @@ def stream_ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
             "sum_quality_micros",
         )
     )
+
+
+# --- Catalog pointer swap: VISIBILITY-atomic multi-table txn (S9-txn'') ----
+
+_TLOG_CTX_A_PRED = "o_orderkey % 10 = 8"  # catalog txn's table-A append
+_TLOG_CTX_B_PRED = "o_orderkey % 10 = 2"  # catalog txn's table-B append
+
+
+def _tlog_ctx_roots(sf_dir: str) -> tuple[str, str, str]:
+    tag = corpus_tag(sf_dir)
+    return (
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogctxa_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogctxb_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogctxc_{tag}"),
+    )
+
+
+def _tlog_catalog_commit(cat_root: str, tables: dict[str, dict], base: int) -> int:
+    """Commit a new CATALOG version: one JSON file mapping table name
+    -> {root, version} snapshot PINS, claimed by the same atomic
+    hard-link put-if-absent as every table commit. The catalog is the
+    single consensus point the per-table logs are not: a pointer map
+    swaps in one filesystem op, so no reader can ever observe half a
+    swap."""
+    import json
+    import threading
+
+    v = base + 1
+    logd = os.path.join(cat_root, "_catalog")
+    os.makedirs(logd, exist_ok=True)
+    path = os.path.join(logd, f"{v:06d}.json")
+    tmp = os.path.join(logd, f".cat.{os.getpid()}.{threading.get_ident()}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"tables": tables}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise TableLogConflictError(
+            f"catalog commit v{v} lost the race: another writer swapped "
+            "the catalog first; re-read the head and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def _tlog_catalog_latest(cat_root: str) -> int:
+    import re
+
+    logd = os.path.join(cat_root, "_catalog")
+    vs = [
+        int(m.group(1))
+        for f in os.listdir(logd)
+        if (m := re.fullmatch(r"(\d{6})\.json", f))
+    ]
+    if not vs:
+        raise RuntimeError(f"catalog at {cat_root} holds no versions")
+    return max(vs)
+
+
+def _tlog_catalog_read(cat_root: str, version: int | None = None) -> dict[str, dict]:
+    """Resolve a catalog snapshot: table name -> {root, version} pins.
+    Reading the database THROUGH a catalog version is what makes
+    cross-table visibility atomic — the pins only move in a swap."""
+    import json
+
+    if version is None:
+        version = _tlog_catalog_latest(cat_root)
+    path = os.path.join(cat_root, "_catalog", f"{version:06d}.json")
+    return json.load(open(path))["tables"]
+
+
+def _tlog_catalog_fingerprint(
+    spark: SparkSession, tables: dict[str, dict]
+) -> DataFrame:
+    """Per-bucket fingerprint of every catalog table AT ITS PINNED
+    VERSION (time-travel reads — the pin, not the table head, decides
+    what a catalog reader sees)."""
+    parts = []
+    for name in sorted(tables):
+        pin = tables[name]
+        files = _tlog_live_files(pin["root"], pin["version"])
+        parts.append(
+            _tlog_relation(spark, files)
+            .groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            .select(F.lit(name).alias("tbl"), "bucket", "n_rows", "sum_cents")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_TLOG_CTX_SPEC = {
+    "impl": 1,
+    "preds": [_TLOG_CTX_A_PRED, _TLOG_CTX_B_PRED],
+}
+
+
+def _tlog_apply_ctx(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Run the catalog-txn lifecycle once (flock + stamp on the
+    catalog root): catalog v0 pins both tables at their build heads;
+    the transaction stages AND PUBLISHES appends on both logs (table
+    heads move — but catalog readers still resolve the old pins:
+    published-yet-invisible, the catalog's WAP gap); ONE catalog swap
+    commit then flips both pins together. Mid-swap invisibility and
+    the never-mixed property are pytest-pinned."""
+    import fcntl
+    import json
+    import shutil
+
+    root_a, root_b, cat = _tlog_ctx_roots(sf_dir)
+    stamp_file = os.path.join(cat, "_CTX")
+    stamp = json.dumps(_TLOG_CTX_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return root_a, root_b, cat
+    os.makedirs(cat, exist_ok=True)
+    lock_fh = open(os.path.join(cat, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return root_a, root_b, cat
+        for entry in os.listdir(cat):
+            if entry == ".lock":
+                continue
+            p = os.path.join(cat, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        for r in (root_a, root_b):
+            if os.path.isdir(r) and _tlog_latest_version_safe(r) != 2:
+                shutil.rmtree(r)
+        _tlog_build(spark, sf_dir, root_a)
+        _tlog_build(spark, sf_dir, root_b)
+        # catalog v0: pin both tables at their current heads
+        _tlog_catalog_commit(
+            cat,
+            {
+                "a": {"root": root_a, "version": 2},
+                "b": {"root": root_b, "version": 2},
+            },
+            base=-1,
+        )
+        # the transaction: publish appends on BOTH logs (outcome
+        # atomicity via the coordinator machinery is S9-txn's job;
+        # here both publishes succeed and VISIBILITY is the subject)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        versions = {}
+        for name, r, pred in (
+            ("a", root_a, _TLOG_CTX_A_PRED),
+            ("b", root_b, _TLOG_CTX_B_PRED),
+        ):
+            payload = _tlog_wap_stage(
+                orders.filter(F.expr(pred)), r, f"file_ctx_{name}"
+            )
+            versions[name] = _tlog_wap_publish(spark, r, payload)
+        # the SWAP: one commit flips both pins — the only moment any
+        # catalog reader's view changes, and it changes both at once
+        _tlog_catalog_commit(
+            cat,
+            {
+                "a": {"root": root_a, "version": versions["a"]},
+                "b": {"root": root_b, "version": versions["b"]},
+            },
+            base=0,
+        )
+        tmp = os.path.join(cat, f"._CTX.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return root_a, root_b, cat
+
+
+@register(
+    "table_log_catalog_txn",
+    # Hash oracle: both tables resolved through the catalog HEAD =
+    # source + each table's published slice; the swap must be
+    # invisible to values and atomic in visibility (the pytest pins
+    # the mid-swap view).
+    oracle=f"""
+        WITH two_tables AS (
+          SELECT 'a' AS tbl, o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'a', o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CTX_A_PRED}
+          UNION ALL
+          SELECT 'b', o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'b', o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CTX_B_PRED}
+        )
+        SELECT tbl,
+               CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM two_tables GROUP BY 1, 2
+    """,
+    tags=("S9-txn''", "lakehouse", "catalog", "multi-table", "isolation"),
+)
+def table_log_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-txn'' — VISIBILITY-ATOMIC multi-table transactions via a
+    CATALOG POINTER SWAP (the r15 fresh-queue item S9-txn's isolation
+    caveat pointed at): the catalog is one versioned pointer map
+    (table name -> {root, version} snapshot pins) committed through
+    the same atomic put-if-absent protocol as table commits. Readers
+    resolve "the database" through ONE catalog version, reading every
+    table AT ITS PIN (time travel), so per-table publishes are
+    PUBLISHED-YET-INVISIBLE until a single swap commit flips all the
+    pins together — a reader sees both legs old or both legs new,
+    NEVER mixed (pytest pins the mid-swap view on both sides of the
+    swap). This upgrades S9-txn's atomicity of OUTCOME to atomicity
+    of VISIBILITY, which is exactly what a catalog-level commit adds
+    in production (Iceberg catalog multi-table commits / Unity's
+    multi-statement transactions): the shared consensus point the
+    per-table logs deliberately don't have.
+
+    Scale: the catalog file is tables-sized metadata; the swap is one
+    hard-link; reads add one JSON resolve before planning. Pinned
+    versions mean catalog readers are immune to concurrent table
+    churn — the same property that makes the multi-asof read
+    (S9-masof) consistent, made transactional here."""
+    root_a, root_b, cat = _tlog_apply_ctx(spark, sf_dir)
+    tables = _tlog_catalog_read(cat)
+    return _tlog_catalog_fingerprint(spark, tables)
 
 
 # --- Deep-copy repair for shallow clones (S9-cln') -------------------------

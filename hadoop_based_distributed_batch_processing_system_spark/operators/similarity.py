@@ -1652,7 +1652,9 @@ def _ivf_index_stamp(sf_dir: str) -> str:
     )
 
 
-def _ivf_index_build(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_index_build(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> str:
     """BUILD-once step for the persisted IVF index (VERDICT r10 item
     6): train centroids, materialize the index as TWO parquet tables —
     ``file_centroids_g<N>`` (cluster, centroid) and
@@ -1671,7 +1673,7 @@ def _ivf_index_build(spark: SparkSession, sf_dir: str) -> str:
     import json
     import os
 
-    root = _ivf_index_root(sf_dir)
+    root = root or _ivf_index_root(sf_dir)
     built = os.path.join(root, "_BUILT")
 
     def _ok() -> bool:
@@ -1828,7 +1830,9 @@ def _ivf_delta_frame(spark: SparkSession, sf_dir: str, batch: int = 0) -> DataFr
     )
 
 
-def _ivf_index_refresh(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_index_refresh(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> str:
     """Full-generation retrain: invalidate the build stamp (and every
     per-batch delta stamp — the new generation starts delta-free) and
     rerun the builder — it commits add(new generation) + remove(ALL
@@ -1839,7 +1843,7 @@ def _ivf_index_refresh(spark: SparkSession, sf_dir: str) -> str:
     import glob
     import os
 
-    root = _ivf_index_root(sf_dir)
+    root = root or _ivf_index_root(sf_dir)
     for stamp in [os.path.join(root, "_BUILT")] + glob.glob(
         os.path.join(root, "_DELTA*")
     ):
@@ -1847,7 +1851,7 @@ def _ivf_index_refresh(spark: SparkSession, sf_dir: str) -> str:
             os.unlink(stamp)
         except OSError:
             pass
-    return _ivf_index_build(spark, sf_dir)
+    return _ivf_index_build(spark, sf_dir, root)
 
 
 def _ivf_index_append_delta(
@@ -2057,6 +2061,72 @@ def _ivf_serve_base_plus_delta(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _ANN_K)
+
+
+# ---- generation-aware vacuum for the index's commit log -------------
+
+
+def _ivf_vacuum_root(sf_dir: str) -> str:
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        corpus_tag,
+    )
+
+    import os
+    import tempfile
+
+    # own root: this lifecycle retrains AND vacuums its index — doing
+    # that on the shared index root would delete the generation
+    # history other operators' snapshots may still be timed against
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_ivfvac_{corpus_tag(sf_dir)}"
+    )
+
+
+@register(
+    "sim_search_ann_ivf_vacuumed",
+    tags=("L3", "ann", "ivf", "index", "vacuum", "maintenance"),
+)  # rows-only: approximate by design (the recall pin lives in pytest)
+def sim_search_ann_ivf_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #2d — GENERATION-AWARE VACUUM for the persisted
+    IVF index (the r15 fresh-queue item): retrains commit
+    add(new generation) + remove(old) through the index's commit log,
+    which makes refresh snapshot-safe — but leaves every superseded
+    generation's centroids and inverted lists ON DISK forever. This
+    op closes the loop with the table-format's own retention sweep:
+    build g0, force one retrain (g1 supersedes g0 — the drift
+    rebuild's commit shape), then ``_tlog_vacuum`` at the head
+    horizon reclaims g0's bytes while everything the head references
+    survives untouched. The served result is pinned EQUAL to the
+    plain persisted op's (training is deterministic, so both roots
+    learn identical centroids — vacuum must be invisible to answers),
+    and time travel below the horizon fails with the vacuum's
+    descriptive error, not a parquet path-not-found (pytest).
+
+    Scale: an index that retrains daily doubles its storage every
+    cycle without this sweep; vacuum cost is a directory listing plus
+    the deleted bytes, and the referenced-set rule (every group any
+    retained snapshot references survives) is the same guarantee the
+    data tables get — the index IS a table, so it inherits the
+    machinery for free."""
+    import os
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_vacuum,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    root = _ivf_vacuum_root(sf_dir)
+    _ivf_index_build(spark, sf_dir, root)
+    if _tlog_latest_version(root) == 0:
+        # force the second generation exactly once per corpus: the
+        # refresh restamps _BUILT, so re-runs adopt the g1 snapshot
+        _ivf_index_refresh(spark, sf_dir, root)
+    _tlog_vacuum(root, retain_version=_tlog_latest_version(root))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _ivf_serve_base_plus_delta(spark, root, emb)
 
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings

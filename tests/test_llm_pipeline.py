@@ -1090,3 +1090,50 @@ def test_ann_ivf_delta_multibatch_and_rebuild_folds(spark, monkeypatch):
     # leave a clean root: later registry runs must not union this
     # test's extra batches
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_ivf_vacuum_reclaims_superseded_generation(spark):
+    """Generation-aware index vacuum (r15): after the forced retrain,
+    only generation 1 is live; g0's bytes are gone and recorded in
+    _VACUUMED; time travel below the horizon fails with the vacuum's
+    descriptive error; and the served result equals the plain
+    persisted op's (deterministic training -> identical centroids on
+    both roots — vacuum must be invisible to answers)."""
+    import os
+
+    import pytest
+
+    import hadoop_based_distributed_batch_processing_system_spark.operators.similarity as sim
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.registry import (
+        load_all,
+    )
+
+    registry = load_all()
+    got = sorted(
+        map(
+            tuple,
+            registry["sim_search_ann_ivf_vacuumed"].fn(spark, SF_ORACLE).collect(),
+        )
+    )
+    root = sim._ivf_vacuum_root(SF_ORACLE)
+    latest = _tlog_latest_version(root)
+    assert latest == 1
+    live = {os.path.basename(p) for p in _tlog_live_files(root, 1)}
+    assert live == {"file_centroids_g1", "file_postings_g1"}
+    on_disk = {d for d in os.listdir(root) if d.startswith("file_")}
+    assert on_disk == live  # superseded generation bytes reclaimed
+    vac = set(open(os.path.join(root, "_VACUUMED")).read().split())
+    assert vac == {"file_centroids_g0", "file_postings_g0"}
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        _tlog_live_files(root, 0)
+    want = sorted(
+        map(
+            tuple,
+            registry["sim_search_ann_ivf_persisted"].fn(spark, SF_ORACLE).collect(),
+        )
+    )
+    assert got == want

@@ -3303,3 +3303,82 @@ def test_txn_interleaves_with_concurrent_single_table_commits(
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
+
+
+def test_catalog_swap_is_visibility_atomic_and_occ(spark, tmp_path):
+    """S9-txn'' pins: a catalog reader resolving through a catalog
+    version sees each table AT ITS PIN — per-table publishes are
+    published-yet-invisible until the single swap commit, so the view
+    is both-old or both-new, NEVER mixed; and two racing swaps on the
+    same base resolve to exactly one winner (put-if-absent OCC)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+        _tlog_wap_publish,
+        _tlog_wap_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        TableLogConflictError,
+        _tlog_live_files,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root_a = tempfile.mkdtemp(prefix="hbdbps_cat_a_")
+    root_b = tempfile.mkdtemp(prefix="hbdbps_cat_b_")
+    for r in (root_a, root_b):
+        shutil.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    cat = str(tmp_path / "cat")
+    try:
+        pins0 = {
+            "a": {"root": root_a, "version": 2},
+            "b": {"root": root_b, "version": 2},
+        }
+        assert _tlog_catalog_commit(cat, pins0, base=-1) == 0
+
+        def counts(tables):
+            return {
+                n: spark.read.parquet(
+                    *_tlog_live_files(p["root"], p["version"])
+                ).count()
+                for n, p in tables.items()
+            }
+
+        before = counts(_tlog_catalog_read(cat))
+        base = spark.read.parquet(os.path.join(root_a, "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        extra = base.count()
+        # publish leg A only: table A's HEAD moves, the catalog pin
+        # does not — a catalog reader still sees both tables pre-txn
+        pa = _tlog_wap_stage(base, root_a, "file_cat_a")
+        va = _tlog_wap_publish(spark, root_a, pa)
+        mid = counts(_tlog_catalog_read(cat))
+        assert mid == before, "published leg leaked through the catalog pin"
+        # publish leg B: still invisible through catalog v0
+        pb = _tlog_wap_stage(base, root_b, "file_cat_b")
+        vb = _tlog_wap_publish(spark, root_b, pb)
+        assert counts(_tlog_catalog_read(cat)) == before
+        # the swap: both flips in ONE commit
+        pins1 = {
+            "a": {"root": root_a, "version": va},
+            "b": {"root": root_b, "version": vb},
+        }
+        assert _tlog_catalog_commit(cat, pins1, base=0) == 1
+        after = counts(_tlog_catalog_read(cat))
+        assert after == {n: c + extra for n, c in before.items()}
+        # old catalog versions keep resolving the old consistent view
+        assert counts(_tlog_catalog_read(cat, 0)) == before
+        # OCC: a second swap from the same base loses the race
+        with pytest.raises(TableLogConflictError, match="catalog"):
+            _tlog_catalog_commit(cat, pins0, base=0)
+        assert _tlog_catalog_latest(cat) == 1
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
