@@ -108,12 +108,12 @@ def _verified_past_rounds() -> list[str]:
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
     # --- ROUND 15 state: the r14 window went 50/50 green, so the
-    # front is this round's two new operators — column mapping
-    # (RENAME/DROP as metadata, VERDICT r14 #3) and the shallow-clone
-    # deep-copy repair (VERDICT r14 #5). Everything after them is the
+    # front is this round's eight new operators (VERDICT r14 #3/#5/#8
+    # plus both SURVEY §7 r15 fresh-queue items and the r16 queue's
+    # DESCRIBE HISTORY pulled forward). Everything after them is the
     # VERDICT-mandated attestation drain: the verified back is
-    # ordered stalest-first, so the remaining 48 slots pick up the 19
-    # r07 rows and the 29 oldest r08 rows automatically.
+    # ordered stalest-first, so the remaining 42 slots pick up all 19
+    # r07 rows and the 23 oldest r08 rows automatically.
     "table_log_column_mapping",
     "table_log_clone_deepen",
     # VERDICT r14 #8: the DECIMAL/DST edge corpus (SURVEY §1.2
@@ -125,6 +125,8 @@ _PRIORITY_WINDOW = [
     # swap and the index family's generation-aware vacuum
     "table_log_catalog_txn",
     "sim_search_ann_ivf_vacuumed",
+    # r16 queue (d) pulled forward: the log as a queryable DataFrame
+    "table_log_history",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -171,6 +171,7 @@ HEADLINE = [
     "window_dst_boundary",  # civil-time bucketing across both 2024 DST jumps
     "table_log_catalog_txn",  # visibility-atomic multi-table txn via pointer swap
     "sim_search_ann_ivf_vacuumed",  # index retrain + retention sweep, served after
+    "table_log_history",  # DESCRIBE HISTORY: commit metadata + one-pass content
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -3184,6 +3184,77 @@ def stream_ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- DESCRIBE HISTORY: the log as a queryable DataFrame (S9-hist) ----------
+
+
+@register(
+    "table_log_history",
+    # Hash oracle: the per-version metadata columns are the commit
+    # spec itself (VALUES) and the visibility metrics recompute from
+    # `orders` by residue set — the Spark side must derive BOTH from
+    # the real log (commit JSON + time-travel reads), so the hash
+    # proves log introspection agrees with ground truth.
+    oracle="""
+        SELECT v.version, v.n_added, v.n_removed,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM (VALUES (0, 2, 0), (1, 1, 0), (2, 1, 1))
+             v(version, n_added, n_removed)
+        JOIN orders o
+          ON (v.version = 0 AND o.o_orderkey % 4 IN (0, 1))
+          OR (v.version = 1 AND o.o_orderkey % 4 IN (0, 1, 2))
+          OR (v.version = 2)
+        GROUP BY 1, 2, 3
+    """,
+    tags=("S9-hist", "lakehouse", "introspection", "history"),
+)
+def table_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-hist — DESCRIBE HISTORY (r16 queue (d) pulled forward): the
+    commit log surfaced as a queryable DataFrame — one row per
+    version carrying the commit's file-churn metadata (files
+    added/removed, read straight from the commit JSON) joined with
+    each snapshot's CONTENT metrics (row count and cents sum via the
+    shared one-pass multi-snapshot fingerprint — every live file
+    scanned once, snapshots combined through a broadcast membership
+    join). This is Delta's ``DESCRIBE HISTORY`` / Iceberg's
+    ``snapshots`` metadata table: the observability surface every
+    table format grows, because "what changed, when, and how big"
+    is the first question any incident review asks of a table.
+
+    Scale: the metadata half is log-sized driver work (bounded by
+    checkpoint cadence in a deep log — here the log is 3 commits);
+    the content half costs ONE scan of the distinct live files
+    across all versions, not one scan per version — the same
+    manifest-stats trick the time-travel reads share. In production
+    the content metrics would come from the manifests themselves
+    (zero data reads); recomputing them here is what lets the oracle
+    hash-check introspection against ground truth."""
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_snapshot_fingerprints,
+    )
+
+    root = _tlog_build(spark, sf_dir, _tlog_root(sf_dir))
+    latest = _tlog_latest_version(root)
+    meta = []
+    membership = []
+    for v in range(latest + 1):
+        c = json.load(open(os.path.join(root, "_log", f"{v:06d}.json")))
+        meta.append((v, len(c["add"]), len(c["remove"])))
+        membership += [
+            (v, os.path.basename(p)) for p in _tlog_live_files(root, v)
+        ]
+    meta_df = spark.createDataFrame(
+        meta, "version int, n_added int, n_removed int"
+    )
+    fps = _tlog_snapshot_fingerprints(spark, root, membership)
+    return fps.join(F.broadcast(meta_df), "version").select(
+        "version", "n_added", "n_removed", "n_rows", "sum_cents"
+    )
+
+
 # --- Catalog pointer swap: VISIBILITY-atomic multi-table txn (S9-txn'') ----
 
 _TLOG_CTX_A_PRED = "o_orderkey % 10 = 8"  # catalog txn's table-A append

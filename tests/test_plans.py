@@ -343,6 +343,11 @@ _PLAN_SWEEP_SKIP = {
     "table_log_partition_evolution",  # lands both layouts + the spec change on build
     "table_log_multi_table_txn",  # runs both transactions on build
     "stream_ingest_schema_evolution",  # runs the two-phase drain on build
+    "table_log_history",  # synthesizes the table dir + commit log on build
+    "table_log_column_mapping",  # runs the rename/drop lifecycle on build
+    "table_log_clone_deepen",  # clones, deepens, and vacuums the source on build
+    "table_log_catalog_txn",  # publishes both legs + the catalog swap on build
+    "sim_search_ann_ivf_vacuumed",  # trains two index generations + vacuums on call
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",
     "sql_parameterized", "catalog_managed_table_roundtrip",
