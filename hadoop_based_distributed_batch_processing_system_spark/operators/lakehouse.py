@@ -3354,8 +3354,121 @@ def _tlog_catalog_fingerprint(
     return out
 
 
+def _tlog_catalog_txn_prepare(
+    coord_root: str,
+    txn_id: str,
+    cat_root: str,
+    cat_base: int,
+    legs: list[tuple[str, str, dict]],
+) -> str:
+    """PREPARE a catalog transaction: durably record the legs (table
+    name, root, staged branch payload) AND the catalog swap intent
+    (catalog root + the base version the swap must land on) in one
+    atomically-written coordinator file. From here the transaction is
+    recoverable to SWAP-OR-NOTHING: publishes are idempotent and the
+    swap is OCC'd on ``cat_base``, so every replay converges."""
+    import json
+
+    os.makedirs(coord_root, exist_ok=True)
+    path = os.path.join(coord_root, f"{txn_id}.json")
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "cat": cat_root,
+                "cat_base": cat_base,
+                "legs": [
+                    {"name": n, "root": r, "payload": p} for n, r, p in legs
+                ],
+            },
+            fh,
+        )
+    os.replace(tmp, path)
+    return path
+
+
+def _tlog_catalog_txn_commit(spark: SparkSession, coord_path: str) -> int:
+    """COMMIT a catalog transaction: audit every leg, publish every
+    leg (presumed-commit rules inherited from the table coordinator:
+    once any leg is published, remaining legs are driven forward
+    under the transaction's own audit snapshot), then SWAP the
+    catalog — one commit flipping every pin to the legs' landed
+    versions. A crash anywhere replays to the same outcome: publishes
+    short-circuit when live, and a swap that lost its OCC race is
+    ADOPTED when the winning catalog commit carries our exact pins
+    (two sessions driving the same recovery), else it is a true
+    conflict. Visibility contract: catalog readers see NOTHING until
+    the swap lands — swap-or-nothing, the catalog-level upgrade of
+    the table coordinator's all-or-nothing."""
+    import json
+
+    c = json.load(open(coord_path))
+    cat, cat_base = c["cat"], c["cat_base"]
+    legs = [(leg["name"], leg["root"], leg["payload"]) for leg in c["legs"]]
+    published, pending = [], []
+    for name, root, payload in legs:
+        live = set()
+        try:
+            live = {
+                os.path.basename(p)
+                for p in _tlog_live_files(root, _tlog_latest_version(root))
+            }
+        except (RuntimeError, OSError):
+            pass
+        (published if set(payload["add"]) <= live else pending).append(
+            (name, root, payload)
+        )
+    failures = []
+    for name, root, payload in pending:
+        failures += [
+            f"{name}: {f}" for f in _tlog_wap_audit(spark, root, payload)
+        ]
+    if failures and not published:
+        for name, root, payload in legs:
+            try:
+                _tlog_wap_abort(root, payload)
+            except RuntimeError:
+                pass  # already retired by a prior crashed abort
+        os.unlink(coord_path)
+        raise RuntimeError(
+            "catalog transaction aborted — audit failures: "
+            + "; ".join(failures)
+        )
+    versions = {}
+    for name, root, payload in published:
+        versions[name] = _tlog_wap_publish(spark, root, payload)
+    for name, root, payload in pending:
+        versions[name] = _tlog_wap_publish(spark, root, payload, audited=True)
+    pins = {
+        name: {"root": root, "version": versions[name]}
+        for name, root, _ in legs
+    }
+    try:
+        v = _tlog_catalog_commit(cat, pins, base=cat_base)
+    except TableLogConflictError:
+        winner = _tlog_catalog_read(cat, cat_base + 1)
+        if winner != pins:
+            raise  # a foreign swap took our slot: true conflict
+        v = cat_base + 1  # identical pins: a twin recovery won — adopt
+    os.unlink(coord_path)
+    return v
+
+
+def _tlog_catalog_txn_recover(spark: SparkSession, coord_root: str) -> int:
+    """Recovery sweep for catalog transactions: re-drive every
+    coordinator file to swap-or-nothing. Returns transactions
+    completed."""
+    import glob
+
+    n = 0
+    for path in sorted(glob.glob(os.path.join(coord_root, "*.json"))):
+        _tlog_catalog_txn_commit(spark, path)
+        n += 1
+    return n
+
+
 _TLOG_CTX_SPEC = {
-    "impl": 1,
+    "impl": 2,  # 2: commits route through the durable coordinator
     "preds": [_TLOG_CTX_A_PRED, _TLOG_CTX_B_PRED],
 }
 
@@ -3409,31 +3522,29 @@ def _tlog_apply_ctx(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
             },
             base=-1,
         )
-        # the transaction: publish appends on BOTH logs (outcome
-        # atomicity via the coordinator machinery is S9-txn's job;
-        # here both publishes succeed and VISIBILITY is the subject)
+        # the transaction, through the DURABLE coordinator: stage both
+        # legs, PREPARE (legs + swap intent in one atomic file), then
+        # COMMIT — publish both logs and flip both pins in one swap.
+        # A crash anywhere replays to swap-or-nothing (crash-injection
+        # pytest drives recovery through the same entry point).
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"
         )
-        versions = {}
-        for name, r, pred in (
-            ("a", root_a, _TLOG_CTX_A_PRED),
-            ("b", root_b, _TLOG_CTX_B_PRED),
-        ):
-            payload = _tlog_wap_stage(
-                orders.filter(F.expr(pred)), r, f"file_ctx_{name}"
+        legs = [
+            (
+                name,
+                r,
+                _tlog_wap_stage(
+                    orders.filter(F.expr(pred)), r, f"file_ctx_{name}"
+                ),
             )
-            versions[name] = _tlog_wap_publish(spark, r, payload)
-        # the SWAP: one commit flips both pins — the only moment any
-        # catalog reader's view changes, and it changes both at once
-        _tlog_catalog_commit(
-            cat,
-            {
-                "a": {"root": root_a, "version": versions["a"]},
-                "b": {"root": root_b, "version": versions["b"]},
-            },
-            base=0,
-        )
+            for name, r, pred in (
+                ("a", root_a, _TLOG_CTX_A_PRED),
+                ("b", root_b, _TLOG_CTX_B_PRED),
+            )
+        ]
+        path = _tlog_catalog_txn_prepare(cat, "ctx1", cat, 0, legs)
+        _tlog_catalog_txn_commit(spark, path)
         tmp = os.path.join(cat, f"._CTX.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             fh.write(stamp)
@@ -3486,7 +3597,13 @@ def table_log_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     of VISIBILITY, which is exactly what a catalog-level commit adds
     in production (Iceberg catalog multi-table commits / Unity's
     multi-statement transactions): the shared consensus point the
-    per-table logs deliberately don't have.
+    per-table logs deliberately don't have. The lifecycle routes
+    through a DURABLE coordinator (PREPARE records legs + swap intent
+    atomically; COMMIT publishes then swaps), so a crash anywhere —
+    including between the last publish and the swap — replays to
+    SWAP-OR-NOTHING: publishes short-circuit, a twin recovery's
+    winning swap with identical pins is adopted, and a foreign swap
+    in the slot is a true conflict (crash-injection pytest).
 
     Scale: the catalog file is tables-sized metadata; the swap is one
     hard-link; reads add one JSON resolve before planning. Pinned

@@ -3382,3 +3382,105 @@ def test_catalog_swap_is_visibility_atomic_and_occ(spark, tmp_path):
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
+
+
+def test_catalog_txn_crash_recovers_to_swap_or_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """Catalog-coordinator recovery: a crash BETWEEN the last leg's
+    publish and the catalog swap leaves both logs advanced but the
+    catalog unswapped — readers still see the old consistent view
+    (nothing). The recovery sweep re-drives the coordinator: publishes
+    short-circuit, the swap lands, readers see everything. Replaying
+    recovery is a no-op, and a twin recovery's identical swap is
+    adopted, not conflicted."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators import (
+        lakehouse,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+        _tlog_catalog_txn_commit,
+        _tlog_catalog_txn_prepare,
+        _tlog_catalog_txn_recover,
+        _tlog_wap_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_files,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root_a = tempfile.mkdtemp(prefix="hbdbps_ctr_a_")
+    root_b = tempfile.mkdtemp(prefix="hbdbps_ctr_b_")
+    for r in (root_a, root_b):
+        shutil.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    cat = str(tmp_path / "cat")
+    coord = str(tmp_path / "coord")
+    try:
+        _tlog_catalog_commit(
+            cat,
+            {
+                "a": {"root": root_a, "version": 2},
+                "b": {"root": root_b, "version": 2},
+            },
+            base=-1,
+        )
+
+        def counts(tables):
+            return {
+                n: spark.read.parquet(
+                    *_tlog_live_files(p["root"], p["version"])
+                ).count()
+                for n, p in tables.items()
+            }
+
+        before = counts(_tlog_catalog_read(cat))
+        base = spark.read.parquet(os.path.join(root_a, "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        legs = [
+            (n, r, _tlog_wap_stage(base, r, f"file_ct_{n}"))
+            for n, r in (("a", root_a), ("b", root_b))
+        ]
+        path = _tlog_catalog_txn_prepare(coord, "crashy", cat, 0, legs)
+        # crash AFTER both publishes, BEFORE the swap
+        real_swap = lakehouse._tlog_catalog_commit
+
+        def crash_before_swap(*a, **kw):
+            raise RuntimeError("injected crash before catalog swap")
+
+        monkeypatch.setattr(lakehouse, "_tlog_catalog_commit", crash_before_swap)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _tlog_catalog_txn_commit(spark, path)
+        monkeypatch.undo()
+        # both logs advanced, catalog NOT swapped: readers see nothing
+        assert _tlog_latest_version(root_a) == 3
+        assert _tlog_latest_version(root_b) == 3
+        assert _tlog_catalog_latest(cat) == 0
+        assert counts(_tlog_catalog_read(cat)) == before
+        assert os.path.exists(path)
+        # recovery drives the swap; both pins flip at once
+        assert _tlog_catalog_txn_recover(spark, coord) == 1
+        assert not os.path.exists(path)
+        assert _tlog_catalog_latest(cat) == 1
+        extra = base.count()
+        assert counts(_tlog_catalog_read(cat)) == {
+            n: c + extra for n, c in before.items()
+        }
+        # replay on an empty coordinator dir is a no-op
+        assert _tlog_catalog_txn_recover(spark, coord) == 0
+        # a twin recovery that lost the swap race ADOPTS identical pins
+        path2 = _tlog_catalog_txn_prepare(coord, "twin", cat, 0, legs)
+        assert _tlog_catalog_txn_commit(spark, path2) == 1
+        assert not os.path.exists(path2)
+        assert _tlog_catalog_latest(cat) == 1
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)

@@ -27,6 +27,20 @@ sys.path.insert(0, HERE)
 from bench import ACTION, _next_round, jvm_canary, run_action  # noqa: E402
 
 
+# Documented ground-truth BRUTE-FORCE baselines whose design scale is
+# the 500-doc corpus (sf0.001/sf0.01): at sf0.1 documents grows to
+# 5000 rows and the exact O(n^2) pair shapes (nested-loop theta joins
+# by contract — they exist as oracles for the LSH/prefix-filter scale
+# paths) take hours. The sweep runs them at their design scale and
+# RECORDS the substitution in the artifact — no silent caps.
+SWEEP_SF_OVERRIDE = {
+    "dedup_ngram_jaccard": "/root/testdata/sf0.01",
+    "dedup_connected_components": "/root/testdata/sf0.01",
+    "dedup_cluster_keep_best": "/root/testdata/sf0.01",
+    "dedup_cross_source_matrix": "/root/testdata/sf0.01",
+}
+
+
 def family(name: str) -> str:
     # coarse grouping for the outlier report: table_log_* and
     # stream_* are their own cost regimes; otherwise the leading token
@@ -58,10 +72,11 @@ def main() -> None:
     timings["calibration_jvm_canary"] = round(time.perf_counter() - t0, 4)
     for name, spec in registry.items():
         action = ACTION.get(name, "collect")
+        q_sf = SWEEP_SF_OVERRIDE.get(name, sf_dir)
         try:
-            run_action(spec.fn(spark, sf_dir), action)  # warm-up
+            run_action(spec.fn(spark, q_sf), action)  # warm-up
             t0 = time.perf_counter()
-            run_action(spec.fn(spark, sf_dir), action)
+            run_action(spec.fn(spark, q_sf), action)
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # record, keep sweeping
             errors[name] = f"{type(e).__name__}: {e}"[:300]
@@ -100,6 +115,9 @@ def main() -> None:
         "n_queries": len(timings) - 1,
         "n_errors": len(errors),
         "errors": errors,
+        "sf_overrides": {
+            n: d for n, d in sorted(SWEEP_SF_OVERRIDE.items()) if n in timings
+        },
         "family_median_sec": {f: round(m, 4) for f, m in sorted(med.items())},
         "outliers_over_2x_family_median": dict(
             sorted(outliers.items(), key=lambda kv: -kv[1]["ratio"])
