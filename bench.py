@@ -182,7 +182,18 @@ HEADLINE = [
 # lets Catalyst prune unused window/projection work and so measures
 # different plans for different formulations of the same query. The
 # matching baseline row is measured with the noop sink too.
-ACTION = {"timeseries_resample_locf": "noop"}
+ACTION = {
+    "timeseries_resample_locf": "noop",
+    # Same caveat, found by the r15 full-registry sweep: each returns
+    # a table-sized frame (0.15M-1M rows x up to 12 cols), so collect()
+    # times Py4J transport, not the plan. The noop sink computes every
+    # output column with zero transport.
+    "timeseries_interpolate_linear": "noop",  # users x hours dense grid
+    "scan_projected": "noop",  # full-table 2-column projection
+    "fn_math": "noop",  # 600k rows x 12 computed columns
+    "fn_conversions": "noop",  # 150k rows x 6
+    "fn_datetime": "noop",  # 150k rows x 9
+}
 
 # The 10 BASELINE.md headline rows (TPC-H shapes + the original core
 # set). The driver's BENCH artifact keeps only the LAST 2000 chars of
