@@ -127,6 +127,8 @@ _PRIORITY_WINDOW = [
     "sim_search_ann_ivf_vacuumed",
     # r16 queue (d) pulled forward: the log as a queryable DataFrame
     "table_log_history",
+    # r16 queue (c) pulled forward: RENAME lands mid-stream
+    "stream_ingest_column_mapping",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -172,6 +172,7 @@ HEADLINE = [
     "table_log_catalog_txn",  # visibility-atomic multi-table txn via pointer swap
     "sim_search_ann_ivf_vacuumed",  # index retrain + retention sweep, served after
     "table_log_history",  # DESCRIBE HISTORY: commit metadata + one-pass content
+    "stream_ingest_column_mapping",  # rename between micro-batches, zero disruption
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -4195,4 +4195,210 @@ def table_log_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RENAME lands mid-stream: column mapping x streaming (S9-cmap') --------
+
+_TLOG_SCM_PER_TRIGGER = 2
+
+
+def _tlog_scm_dirs(sf_dir: str) -> tuple[str, str]:
+    tag = corpus_tag(sf_dir)
+    return (
+        os.path.join(tempfile.gettempdir(), f"hbdbps_scmsrc_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogscm_{tag}"),
+    )
+
+
+_TLOG_SCM_SPEC = {"impl": 1, "per_trigger": _TLOG_SCM_PER_TRIGGER}
+_TLOG_SCM_SCHEMA = "o_orderkey long, o_totalprice double"
+
+
+def _tlog_apply_scm(spark: SparkSession, sf_dir: str) -> str:
+    """Run the rename-mid-stream lifecycle once (flock + stamp): a
+    file-source stream drains the even-keyed half of orders into a
+    MAPPED table (every batch commit binds its group's physical
+    names); a RENAME commit lands between micro-batches — the stream
+    is not restarted, not redeployed, not even reconfigured (the
+    producer still ships the OLD physical spelling; the declared
+    stream schema never changes); the odd-keyed half then drains
+    through the SAME checkpoint. Post-rename batches still land
+    physical ``o_totalprice`` — the mapping, not a rewrite, serves
+    them under ``price_usd``."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_batch_committed,
+        _tlog_commit,
+    )
+
+    src, root = _tlog_scm_dirs(sf_dir)
+    stamp_file = os.path.join(root, "_SCM")
+    stamp = json.dumps(_TLOG_SCM_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return root
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return root
+        for d in (root, src):
+            for entry in os.listdir(d) if os.path.isdir(d) else []:
+                if entry == ".lock":
+                    continue
+                p = os.path.join(d, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        data = os.path.join(src, "data")
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .repartition(4, F.col("o_orderkey"))
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+        # v0: the table is BORN MAPPED — fields get ids before any data
+        _tlog_commit(
+            root, add=[], remove=[], base_version=-1,
+            column_mapping={
+                "fields": [
+                    {"id": 1, "name": "o_orderkey"},
+                    {"id": 2, "name": "o_totalprice"},
+                ]
+            },
+        )
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if _tlog_batch_committed(root, batch_id):
+                return
+            name = f"file_scmb{batch_id}"
+            _, stats = _tlog_staged_write_with_stats(
+                batch_df.withColumn("tgt", F.lit(name)), root, [name]
+            )
+            # the WRITER records its physical binding per field id —
+            # whatever the logical names say at commit time, the bytes
+            # spell o_totalprice (the producer never heard of renames)
+            _tlog_commit(
+                root, add=[name], remove=[],
+                base_version=_tlog_latest_version(root), batch=batch_id,
+                stats=stats or None,
+                colphys={name: {"1": "o_orderkey", "2": "o_totalprice"}},
+            )
+
+        def drain() -> None:
+            q = (
+                spark.readStream.schema(_TLOG_SCM_SCHEMA)
+                .option("maxFilesPerTrigger", _TLOG_SCM_PER_TRIGGER)
+                .parquet(data)
+                .writeStream.foreachBatch(land)
+                .option("checkpointLocation", os.path.join(root, ".ckpt"))
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        drain()
+        phase1_latest = _tlog_latest_version(root)
+        # RENAME between micro-batches: one metadata commit, the
+        # pipeline untouched
+        _tlog_commit(
+            root, add=[], remove=[], base_version=phase1_latest,
+            column_mapping={
+                "fields": [
+                    {"id": 1, "name": "o_orderkey"},
+                    {"id": 2, "name": "price_usd"},
+                ]
+            },
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .repartition(4, F.col("o_orderkey"))
+            .write.mode("append")
+            .parquet(data)
+        )
+        drain()  # same checkpoint, same declared schema, same code
+        if _tlog_latest_version(root) <= phase1_latest + 1:
+            raise RuntimeError("post-rename drain processed no new files")
+        got = _tlog_colmap_read(
+            spark, root, _tlog_latest_version(root)
+        ).count()
+        want = orders.count()
+        if got != want:
+            raise RuntimeError(
+                f"rename-mid-stream ingest landed {got} rows, source has "
+                f"{want} — a batch was lost, double-applied, or re-read"
+            )
+        tmp = os.path.join(root, f"._SCM.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return root
+
+
+@register(
+    "stream_ingest_column_mapping",
+    # Hash oracle: the full drained table read under the RENAMED
+    # logical schema = all of orders with prices under price_usd —
+    # the rename and the phase split must be invisible to values.
+    oracle="""
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM orders GROUP BY 1
+    """,
+    tags=("S9-cmap'", "stream", "lakehouse", "column-mapping", "rename"),
+)
+def stream_ingest_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap' — RENAME LANDS MID-STREAM (r16 queue (c) pulled into
+    r15): the composition S9-cmap and S9-sev each prove half of.
+    A file-source stream drains into a mapped table; a RENAME commit
+    lands between micro-batches — and NOTHING about the pipeline
+    changes: not the declared stream schema, not the checkpoint, not
+    the producer (which keeps shipping the old physical spelling),
+    not even a redeploy (S9-sev needed one for widening; a rename
+    needs zero). Post-rename batch groups record the same physical
+    binding their bytes carry; the mapping serves every batch — both
+    phases — under the new logical name. Batch-id idempotence and
+    row conservation are asserted in the lifecycle; the head read is
+    hash-checked against the source.
+
+    Scale: this is why production formats made rename METADATA — on
+    a table fed by a 24/7 firehose there is no moment to stop the
+    world for a rewrite, and with field-id mapping there is nothing
+    to stop: the rename is one commit racing the ingest commits
+    under ordinary OCC, and every reader and writer stays correct
+    through it."""
+    root = _tlog_apply_scm(spark, sf_dir)
+    rel = _tlog_colmap_read(spark, root, _tlog_latest_version(root))
+    if "o_totalprice" in rel.columns:
+        raise RuntimeError("rename did not reach the read path")
+    return (
+        rel.groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("price_usd") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("bucket", "n_rows", "sum_cents")
+    )
+
+
 interpolate_docstrings(globals())

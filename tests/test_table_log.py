@@ -3484,3 +3484,67 @@ def test_catalog_txn_crash_recovers_to_swap_or_nothing(
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
+
+
+def test_rename_mid_stream_serves_both_phases_under_new_name(spark):
+    """S9-cmap' pins: (a) post-rename batch groups still physically
+    spell o_totalprice (the producer never heard of the rename — a
+    parquet footer check); (b) time travel to the pre-rename version
+    shows the OLD logical names; (c) the head read shows the new name
+    over ALL batches with full row conservation; (d) every batch
+    commit carries a physical binding for its group."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_scm,
+        _tlog_colmap_read,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = _tlog_apply_scm(spark, SF_SMOKE)
+    latest = _tlog_latest_version(root)
+    # locate the rename commit: the one metadata-only commit whose
+    # mapping renames field 2 (commit 0 is the mapping bootstrap)
+    rename_v = next(
+        v
+        for v in range(1, latest + 1)
+        if (c := json.load(open(os.path.join(root, "_log", f"{v:06d}.json"))))
+        and c["add"] == []
+        and c.get("column_mapping")
+    )
+    assert 1 < rename_v < latest  # batches landed on BOTH sides
+    # (b) mapping resolves at the read version
+    assert [f["name"] for f in _tlog_live_colmap(root, rename_v - 1)["fields"]] == [
+        "o_orderkey", "o_totalprice",
+    ]
+    assert _tlog_colmap_read(spark, root, rename_v - 1).columns == [
+        "o_orderkey", "o_totalprice",
+    ]
+    head = _tlog_colmap_read(spark, root, latest)
+    assert head.columns == ["o_orderkey", "price_usd"]
+    # (a) + (d): every live batch group is bound, and a post-rename
+    # group's parquet footer still spells the OLD physical name
+    phys = _tlog_replay_map(root, latest, "colphys")
+    live = [os.path.basename(p) for p in _tlog_live_files(root, latest)]
+    assert live and all(g in phys for g in live)
+    post = next(
+        v for v in range(rename_v + 1, latest + 1)
+        if json.load(open(os.path.join(root, "_log", f"{v:06d}.json")))["add"]
+    )
+    c = json.load(open(os.path.join(root, "_log", f"{post:06d}.json")))
+    gdir = os.path.join(root, c["add"][0])
+    part = next(
+        os.path.join(gdir, f) for f in os.listdir(gdir) if f.endswith(".parquet")
+    )
+    assert "o_totalprice" in pq.read_schema(part).names
+    # (c) row conservation across the rename
+    n_orders = spark.read.parquet(
+        os.path.join(SF_SMOKE, "orders.parquet")
+    ).count()
+    assert head.count() == n_orders
