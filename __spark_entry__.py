@@ -129,6 +129,8 @@ _PRIORITY_WINDOW = [
     "table_log_history",
     # r16 queue (c) pulled forward: RENAME lands mid-stream
     "stream_ingest_column_mapping",
+    # r16 queue (b) pulled forward: database-level as-of via catalog
+    "table_log_catalog_asof",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

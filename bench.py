@@ -173,6 +173,7 @@ HEADLINE = [
     "sim_search_ann_ivf_vacuumed",  # index retrain + retention sweep, served after
     "table_log_history",  # DESCRIBE HISTORY: commit metadata + one-pass content
     "stream_ingest_column_mapping",  # rename between micro-batches, zero disruption
+    "table_log_catalog_asof",  # whole-database historical read through one pin set
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

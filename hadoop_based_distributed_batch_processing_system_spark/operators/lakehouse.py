@@ -3615,6 +3615,54 @@ def table_log_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tlog_catalog_fingerprint(spark, tables)
 
 
+@register(
+    "table_log_catalog_asof",
+    # Hash oracle: the DATABASE as of catalog v0 = both tables'
+    # PRE-TRANSACTION content (plain orders), even though both logs
+    # have long since advanced — the pins, not the heads, decide.
+    oracle="""
+        WITH two_tables AS (
+          SELECT 'a' AS tbl, o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'b', o_orderkey, o_totalprice FROM orders
+        )
+        SELECT tbl,
+               CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM two_tables GROUP BY 1, 2
+    """,
+    tags=("S9-txn'''", "lakehouse", "catalog", "as-of", "reproducibility"),
+)
+def table_log_catalog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-txn''' — DATABASE-LEVEL AS-OF through the catalog (r16
+    queue (b) pulled forward): reading an OLD catalog version
+    resolves EVERY table at the pin that version recorded — one
+    number reproduces the whole database, not one table. Here the
+    catalog transaction (S9-txn'') has long since advanced both
+    tables and swapped the pins; reading catalog v0 still returns
+    both tables' pre-transaction content, hash-checked. This is the
+    reproducible-training-run primitive at the database level: "the
+    corpus as of catalog v" pins every input table at once, closing
+    the gap S9-masof's shared-clock instant closes per-table — the
+    catalog version is coarser (it only moves on swaps) and
+    therefore the better artifact to stamp into a training manifest:
+    no clock skew, no per-table resolution, one integer.
+
+    Scale: resolution cost is one JSON read regardless of table
+    count or size; the pinned snapshots are immune to concurrent
+    churn by the same immutability that powers per-table time
+    travel. Retention interplay is the same contract as every
+    snapshot: vacuum below a pin breaks it loudly (the vacuum
+    machinery's descriptive error), so catalog pins define the
+    retention floor a production deployment must keep."""
+    root_a, root_b, cat = _tlog_apply_ctx(spark, sf_dir)
+    if _tlog_catalog_latest(cat) < 1:
+        raise RuntimeError("catalog txn lifecycle left no swap to look past")
+    return _tlog_catalog_fingerprint(spark, _tlog_catalog_read(cat, 0))
+
+
 # --- Deep-copy repair for shallow clones (S9-cln') -------------------------
 
 _TLOG_CDEEP_ADD_PRED = "o_orderkey % 10 = 1"  # the clone's local append

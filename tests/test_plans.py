@@ -347,6 +347,7 @@ _PLAN_SWEEP_SKIP = {
     "table_log_column_mapping",  # runs the rename/drop lifecycle on build
     "table_log_clone_deepen",  # clones, deepens, and vacuums the source on build
     "table_log_catalog_txn",  # publishes both legs + the catalog swap on build
+    "table_log_catalog_asof",  # shares the catalog-txn lifecycle on build
     "sim_search_ann_ivf_vacuumed",  # trains two index generations + vacuums on call
     "observe_query_metrics", "mr_wordcount",
     "mr_grep_map_only", "upsert_cdc_apply", "sql_catalog_query",

@@ -3548,3 +3548,65 @@ def test_rename_mid_stream_serves_both_phases_under_new_name(spark):
         os.path.join(SF_SMOKE, "orders.parquet")
     ).count()
     assert head.count() == n_orders
+
+
+def test_catalog_txn_three_legs_swap_together(spark, tmp_path):
+    """The catalog coordinator is leg-count-agnostic: a 3-table
+    transaction publishes three logs and flips three pins in ONE swap
+    — all-new under the new catalog version, all-old under the old."""
+    import shutil
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_read,
+        _tlog_catalog_txn_commit,
+        _tlog_catalog_txn_prepare,
+        _tlog_wap_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_files,
+    )
+    from tests.conftest import SF_SMOKE
+
+    roots = {}
+    for n in ("a", "b", "c"):
+        r = tempfile.mkdtemp(prefix=f"hbdbps_c3_{n}_")
+        shutil.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+        roots[n] = r
+    cat = str(tmp_path / "cat")
+    coord = str(tmp_path / "coord")
+    try:
+        _tlog_catalog_commit(
+            cat,
+            {n: {"root": r, "version": 2} for n, r in roots.items()},
+            base=-1,
+        )
+
+        def counts(tables):
+            return {
+                n: spark.read.parquet(
+                    *_tlog_live_files(p["root"], p["version"])
+                ).count()
+                for n, p in tables.items()
+            }
+
+        before = counts(_tlog_catalog_read(cat))
+        base = spark.read.parquet(
+            os.path.join(roots["a"], "file_C")
+        ).select("o_orderkey", "o_totalprice")
+        legs = [
+            (n, r, _tlog_wap_stage(base, r, f"file_c3_{n}"))
+            for n, r in roots.items()
+        ]
+        path = _tlog_catalog_txn_prepare(coord, "three", cat, 0, legs)
+        assert _tlog_catalog_txn_commit(spark, path) == 1
+        extra = base.count()
+        assert counts(_tlog_catalog_read(cat)) == {
+            n: c + extra for n, c in before.items()
+        }
+        assert counts(_tlog_catalog_read(cat, 0)) == before
+    finally:
+        for r in roots.values():
+            shutil.rmtree(r, ignore_errors=True)
