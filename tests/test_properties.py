@@ -1032,3 +1032,118 @@ def test_constraint_replay_matches_model_across_checkpoints(data):
                 assert cp["constraints"] == models[cp["version"]]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- column-mapping fold vs a pure-python model ---------------------------
+
+_CMAP_OPS = st.lists(
+    st.one_of(
+        # rename field 1 or 2 to a fresh name drawn from a small pool
+        st.tuples(
+            st.just("rename"),
+            st.integers(min_value=1, max_value=3),
+            st.sampled_from(["k", "price", "amount", "qty", "v2"]),
+        ),
+        # drop a field id (no-op if absent)
+        st.tuples(st.just("drop"), st.integers(min_value=1, max_value=3), st.none()),
+        # add a data group carrying a physical binding for fields 1..3
+        st.tuples(st.just("add"), st.integers(min_value=1, max_value=3), st.none()),
+        # remove the most recently added live group (no-op if none)
+        st.tuples(st.just("remove"), st.just(0), st.none()),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ops=_CMAP_OPS)
+def test_colmap_fold_matches_model_across_checkpoints(ops):
+    """The column-mapping replay (`_tlog_live_colmap`, replace-fold)
+    and the physical-binding replay (`colphys` via `_tlog_replay_map`,
+    merge-fold with remove-drops) must agree with a pure-python model
+    AT EVERY VERSION, through whatever checkpoints the commit cadence
+    writes mid-sequence (every 4th commit folds both keys). Random
+    interleavings of rename/drop/add/remove explore fold orders the
+    single-lifecycle pytest cannot."""
+    import json
+    import os
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    root = tempfile.mkdtemp(prefix="hbdbps_cmprop_")
+    try:
+        os.makedirs(os.path.join(root, "_log"))
+        # v0: bootstrap mapping with fields 1 and 2
+        fields = {1: "a", 2: "b"}
+        _tlog_commit(
+            root, add=[], remove=[], base_version=-1,
+            column_mapping={"fields": [
+                {"id": i, "name": n} for i, n in sorted(fields.items())
+            ]},
+        )
+        model_fields = [dict(fields)]  # per-version snapshots
+        model_phys: list[dict] = [{}]
+        live: list[str] = []
+        next_g = 0
+        v = 0
+        for op, fid, name in ops:
+            fields = dict(fields)
+            phys = dict(model_phys[-1])
+            add, remove, cm, cp = [], [], None, None
+            if op == "rename" and fid in fields:
+                fields[fid] = name
+                cm = True
+            elif op == "drop" and fid in fields:
+                del fields[fid]
+                cm = True
+            elif op == "add":
+                g = f"file_p{next_g}"
+                next_g += 1
+                binding = {str(i): f"phys_{fields.get(i, i)}" for i in (1, 2, 3)}
+                add, cp = [g], {g: binding}
+                phys[g] = binding
+                live.append(g)
+            elif op == "remove" and live:
+                g = live.pop()
+                remove = [g]
+                phys.pop(g, None)
+            else:
+                continue  # structurally a no-op: commit nothing
+            # the data dirs need not exist for fold-replay purposes,
+            # but the checkpoint writer resolves live files; keep the
+            # dirs real so _tlog_live_files can stat them
+            for g in add:
+                os.makedirs(os.path.join(root, g), exist_ok=True)
+                open(os.path.join(root, g, "_SUCCESS"), "w").close()
+            _tlog_commit(
+                root, add=add, remove=remove, base_version=v,
+                column_mapping=(
+                    {"fields": [
+                        {"id": i, "name": n} for i, n in sorted(fields.items())
+                    ]}
+                    if cm
+                    else None
+                ),
+                colphys=cp,
+            )
+            v += 1
+            model_fields.append(dict(fields))
+            model_phys.append(phys)
+        # verify EVERY version against the model (checkpoints at
+        # v=3,7,11 fold the keys; versions after them replay deltas)
+        for ver in range(v + 1):
+            got = _tlog_live_colmap(root, ver)
+            want = model_fields[ver]
+            assert got is not None
+            assert {f["id"]: f["name"] for f in got["fields"]} == want, ver
+            assert _tlog_replay_map(root, ver, "colphys") == model_phys[ver], ver
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
