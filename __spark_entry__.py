@@ -131,6 +131,8 @@ _PRIORITY_WINDOW = [
     "stream_ingest_column_mapping",
     # r16 queue (b) pulled forward: database-level as-of via catalog
     "table_log_catalog_asof",
+    # the write side of column mapping: logical-name DELETE
+    "table_log_colmap_delete",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -174,6 +174,7 @@ HEADLINE = [
     "table_log_history",  # DESCRIBE HISTORY: commit metadata + one-pass content
     "stream_ingest_column_mapping",  # rename between micro-batches, zero disruption
     "table_log_catalog_asof",  # whole-database historical read through one pin set
+    "table_log_colmap_delete",  # logical-name DELETE doomed across both spellings
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -4243,6 +4243,278 @@ def table_log_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DML under column mapping: logical-name DELETE (S9-cmap'') -------------
+
+# delete band on the RENAMED column, exact-integer so both engines
+# agree bit-for-bit on membership
+_TLOG_CMD_PRED = "CAST(ROUND(price_usd * 100) AS BIGINT) % 11 = 3"
+
+
+def _tlog_cmd_root(sf_dir: str) -> str:
+    # own root: the delete mutates its table's log (own-root rule);
+    # the shared cmap table stays read-only for its operator
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcmd_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_colmap_translate(pred: str, fields: list[dict], binding: dict) -> str:
+    """Rewrite a LOGICAL-name predicate into one file cohort's
+    PHYSICAL spelling: every field whose logical name differs from
+    the cohort's physical column is word-boundary-substituted. Only
+    identifier renames are handled — exactly the indirection column
+    mapping introduces; the predicate's structure is untouched."""
+    import re
+
+    out = pred
+    for f in fields:
+        phys = binding.get(str(f["id"]))
+        if phys is not None and phys != f["name"]:
+            out = re.sub(rf"\b{re.escape(f['name'])}\b", phys, out)
+    return out
+
+
+def _tlog_colmap_delete(
+    spark: SparkSession, root: str, logical_pred: str
+) -> tuple[int, dict[str, str]]:
+    """DELETE WHERE <logical predicate> on a COLUMN-MAPPED table,
+    compiled to MERGE-ON-READ deletion vectors: the predicate is
+    translated per file cohort into that cohort's physical spelling
+    (``_tlog_colmap_translate``), doomed keys are collected across
+    every cohort in one staged write, and ONE OCC commit binds every
+    sidecar — statement-atomic across cohorts. The mechanism is
+    DV-only BY DESIGN under mapping: a sidecar references ROWS (by
+    key), never column spellings, so it is immune to the physical-
+    schema divergence that makes a copy-on-write rewrite under
+    mapping subtle (a rewrite must re-spell and re-bind; production
+    formats pair column mapping with merge-on-read deletes for this
+    exact reason — compaction materializes the DVs later under one
+    spelling). Prior bindings union into the new sidecars (replay's
+    latest-binding-wins rule). Returns (version, new bindings)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    base = _tlog_latest_version(root)
+    cmap = _tlog_live_colmap(root, base)
+    if cmap is None:
+        raise RuntimeError("logical-name DELETE requires an active mapping")
+    phys = _tlog_replay_map(root, base, "colphys")
+    dvs = _tlog_live_dvs(root, base)
+    cohorts: dict[tuple, list[str]] = {}
+    for p in _tlog_live_files(root, base):
+        g = os.path.basename(p)
+        cohorts.setdefault(tuple(sorted(phys[g].items())), []).append(p)
+    v = base + 1
+    parts = []
+    for key, paths in sorted(cohorts.items()):
+        binding = dict(key)
+        tpred = _tlog_colmap_translate(logical_pred, cmap["fields"], binding)
+        rel = _tlog_relation(spark, paths).withColumn(
+            "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+        )
+        cohort_dvs = {
+            f: s for f, s in dvs.items()
+            if f in {os.path.basename(p) for p in paths}
+        }
+        if cohort_dvs:
+            rel = rel.join(
+                F.broadcast(_tlog_dv_frame(spark, root, cohort_dvs)),
+                ["file", "o_orderkey"],
+                "left_anti",
+            )
+        parts.append(
+            rel.filter(F.expr(tpred)).select(
+                F.concat(F.lit("dv_"), "file", F.lit(f"_v{v}")).alias("tgt"),
+                "o_orderkey",
+                F.col("file").alias("src_file"),
+            )
+        )
+    doomed = parts[0]
+    for p in parts[1:]:
+        doomed = doomed.unionByName(p)
+    hit = sorted(
+        r["src_file"]
+        for r in doomed.select("src_file").distinct().collect()
+    )
+    if not hit:
+        return base, {}
+    dv = {f: f"dv_{f}_v{v}" for f in hit}
+    staged = doomed.drop("src_file")
+    prior = {f: dvs[f] for f in hit if f in dvs}
+    if prior:
+        staged = staged.unionByName(
+            _tlog_dv_frame(spark, root, prior).select(
+                F.concat(F.lit("dv_"), "file", F.lit(f"_v{v}")).alias("tgt"),
+                "o_orderkey",
+            )
+        )
+    promoted, _stats = _tlog_staged_write_with_stats(
+        staged, root, sorted(dv.values()), require_all=True, constraints={}
+    )
+    version = _tlog_commit_rebase(
+        root, add=[], remove=[], base_version=base,
+        read_set=set(hit), dv=dv,
+    )
+    return version, dv
+
+
+_TLOG_CMD_SPEC = {"impl": 1, "pred": _TLOG_CMD_PRED}
+
+
+def _tlog_apply_cmd(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the mapped-DELETE lifecycle once per dir (flock + stamp):
+    the full column-mapping lifecycle on a private root, then ONE
+    logical-name DELETE whose predicate spells the RENAMED column —
+    hitting pre-rename files (physical o_totalprice) and post-rename
+    files (physical price_usd) in the same statement."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version as _latest,
+    )
+
+    stamp_file = os.path.join(root, "_CMD")
+    stamp = json.dumps(_TLOG_CMD_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    _tlog_apply_cmap(spark, sf_dir, root)  # own flock; take ours after
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _latest(root) != 6:
+            # a stale/crashed delete on this root: rebuild the base
+            # lifecycle from scratch (release-around, WAP discipline)
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_apply_cmap(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        _tlog_colmap_delete(spark, root, _TLOG_CMD_PRED)
+        tmp = os.path.join(root, f"._CMD.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_colmap_delete",
+    # Hash oracle: the mapped table's content (base + post-rename
+    # append) minus the logical delete band, recomputed from orders —
+    # the per-cohort predicate translation must be invisible to
+    # values.
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMAP_PRED}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM t
+        WHERE NOT (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 11 = 3)
+        GROUP BY 1
+    """,
+    tags=("S9-cmap''", "lakehouse", "column-mapping", "dml", "delete"),
+)
+def table_log_colmap_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap'' — DELETE WHERE under COLUMN MAPPING: the write side
+    of the mapping story (S9-cmap proved reads; a mapping that breaks
+    DML would be a read-only trick). The user's predicate spells the
+    RENAMED column (``price_usd``); the engine translates it per file
+    cohort into each file's physical spelling — the same statement
+    dooms rows in pre-rename files (physical ``o_totalprice``) and
+    post-rename files (physical ``price_usd``) — and commits every
+    sidecar binding in ONE OCC commit (statement-atomic across
+    cohorts). The mechanism is merge-on-read BY DESIGN under mapping:
+    sidecars reference rows by key, never column spellings, so
+    deletes are immune to physical-schema divergence (why production
+    formats pair column mapping with deletion vectors); not one data
+    byte moves (mtime-pinned), and the DV-aware mapped read serves
+    the post-delete state under the logical schema, hash-checked.
+
+    Scale: cost = one discovery/doom pass per binding signature
+    (bounded by schema-change count, not file count) + sidecar bytes;
+    the alternative — rewriting files to normalize spellings before
+    deleting — is the full-table I/O the mapping exists to avoid."""
+    root = _tlog_cmd_root(sf_dir)
+    _tlog_apply_cmd(spark, sf_dir, root)
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    latest = _tlog_latest_version(root)
+    cmap = _tlog_live_colmap(root, latest)
+    phys = _tlog_replay_map(root, latest, "colphys")
+    dvs = _tlog_live_dvs(root, latest)
+    cohorts: dict[tuple, list[str]] = {}
+    for p in _tlog_live_files(root, latest):
+        g = os.path.basename(p)
+        cohorts.setdefault(tuple(sorted(phys[g].items())), []).append(p)
+    parts = []
+    for key, paths in sorted(cohorts.items()):
+        binding = dict(key)
+        rel = _tlog_relation(spark, paths).withColumn(
+            "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+        )
+        cohort_dvs = {
+            f: s for f, s in dvs.items()
+            if f in {os.path.basename(p) for p in paths}
+        }
+        if cohort_dvs:
+            rel = rel.join(
+                F.broadcast(_tlog_dv_frame(spark, root, cohort_dvs)),
+                ["file", "o_orderkey"],
+                "left_anti",
+            )
+        cols = [
+            F.col(pname).alias(f["name"])
+            if (pname := binding.get(str(f["id"]))) is not None
+            else F.lit(None).alias(f["name"])
+            for f in cmap["fields"]
+        ]
+        parts.append(rel.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("price_usd") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("bucket", "n_rows", "sum_cents")
+    )
+
+
 # --- RENAME lands mid-stream: column mapping x streaming (S9-cmap') --------
 
 _TLOG_SCM_PER_TRIGGER = 2

@@ -345,6 +345,7 @@ _PLAN_SWEEP_SKIP = {
     "stream_ingest_schema_evolution",  # runs the two-phase drain on build
     "table_log_history",  # synthesizes the table dir + commit log on build
     "table_log_column_mapping",  # runs the rename/drop lifecycle on build
+    "table_log_colmap_delete",  # runs the mapping lifecycle + the DV delete on build
     "table_log_clone_deepen",  # clones, deepens, and vacuums the source on build
     "table_log_catalog_txn",  # publishes both legs + the catalog swap on build
     "table_log_catalog_asof",  # shares the catalog-txn lifecycle on build
