@@ -3393,13 +3393,16 @@ def _tlog_catalog_txn_commit(spark: SparkSession, coord_path: str) -> int:
     once any leg is published, remaining legs are driven forward
     under the transaction's own audit snapshot), then SWAP the
     catalog — one commit flipping every pin to the legs' landed
-    versions. A crash anywhere replays to the same outcome: publishes
-    short-circuit when live, and a swap that lost its OCC race is
-    ADOPTED when the winning catalog commit carries our exact pins
-    (two sessions driving the same recovery), else it is a true
-    conflict. Visibility contract: catalog readers see NOTHING until
-    the swap lands — swap-or-nothing, the catalog-level upgrade of
-    the table coordinator's all-or-nothing."""
+    versions, MERGED over the current head (``_tlog_catalog_swap_merge``:
+    unrelated tables carry through, per-table conflicts resolve by
+    max version, lost races re-merge and retry, an already-reflected
+    head is adopted). A crash anywhere replays to the same outcome:
+    publishes short-circuit when live and the merge-swap converges
+    from ANY recorded base — the coordinator's ``cat_base`` is an
+    audit record, not a livelock hazard. Visibility contract: catalog
+    readers see NOTHING until the swap lands — swap-or-nothing, the
+    catalog-level upgrade of the table coordinator's
+    all-or-nothing."""
     import json
 
     c = json.load(open(coord_path))
@@ -3443,15 +3446,49 @@ def _tlog_catalog_txn_commit(spark: SparkSession, coord_path: str) -> int:
         name: {"root": root, "version": versions[name]}
         for name, root, _ in legs
     }
-    try:
-        v = _tlog_catalog_commit(cat, pins, base=cat_base)
-    except TableLogConflictError:
-        winner = _tlog_catalog_read(cat, cat_base + 1)
-        if winner != pins:
-            raise  # a foreign swap took our slot: true conflict
-        v = cat_base + 1  # identical pins: a twin recovery won — adopt
+    v = _tlog_catalog_swap_merge(cat, pins)
     os.unlink(coord_path)
     return v
+
+
+def _tlog_catalog_swap_merge(
+    cat: str, pins: dict[str, dict], max_rebases: int = 16
+) -> int:
+    """Swap OUR tables' pins into the catalog, MERGED over the
+    current head: unrelated tables' pins are carried through
+    untouched (a swap that wrote only its own legs as the whole map
+    would silently DROP every other table from the catalog), and a
+    per-table conflict resolves by MAX VERSION — each table's log is
+    linear, so the higher pin is the later snapshot and, because
+    concurrent committers rebase over each other, it contains both
+    transactions' changes. Lost swap races re-read, re-merge, and
+    retry; a head that already reflects the merge (twin recovery, or
+    a newer foreign pin superseding ours) is adopted without a
+    commit. This is the catalog-level analogue of the table commit's
+    rebase loop — and it is what makes a recovery replay with a
+    long-stale recorded base converge instead of livelock."""
+    for _ in range(max_rebases):
+        head = _tlog_catalog_latest(cat)
+        cur = _tlog_catalog_read(cat, head)
+        merged = dict(cur)
+        for name, pin in pins.items():
+            old = merged.get(name)
+            if (
+                old is None
+                or old["root"] != pin["root"]
+                or old["version"] < pin["version"]
+            ):
+                merged[name] = pin
+        if merged == cur:
+            return head  # already reflected: adopt
+        try:
+            return _tlog_catalog_commit(cat, merged, base=head)
+        except TableLogConflictError:
+            continue  # someone swapped first: re-read and re-merge
+    raise TableLogConflictError(
+        f"catalog swap gave up after {max_rebases} rebases — writer "
+        "livelock; back off and retry the transaction's swap"
+    )
 
 
 def _tlog_catalog_txn_recover(spark: SparkSession, coord_root: str) -> int:

@@ -3697,3 +3697,78 @@ def test_colmap_delete_is_merge_on_read_across_cohorts(spark, tmp_path):
         rel = spark.read.parquet(p).withColumn("file", F.lit(g))
         total += rel.join(dvf, ["file", "o_orderkey"], "left_anti").count()
     assert total == kept
+
+
+def test_catalog_swap_merges_over_unrelated_tables_and_stale_bases(
+    spark, tmp_path
+):
+    """The merge-swap contract: (a) a catalog transaction's swap
+    CARRIES THROUGH pins of tables it never touched (a whole-map
+    overwrite would silently drop them from the catalog); (b) a
+    recovery replay whose recorded base is long stale converges by
+    re-merging onto the current head instead of livelocking; (c) a
+    per-table conflict resolves to the HIGHER version (linear
+    per-table history: the later pin contains both txns' changes)."""
+    import shutil
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+        _tlog_catalog_swap_merge,
+        _tlog_catalog_txn_commit,
+        _tlog_catalog_txn_prepare,
+        _tlog_wap_stage,
+    )
+    from tests.conftest import SF_SMOKE
+
+    roots = {}
+    for n in ("a", "b"):
+        r = tempfile.mkdtemp(prefix=f"hbdbps_cm_{n}_")
+        shutil.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+        roots[n] = r
+    cat = str(tmp_path / "cat")
+    coord = str(tmp_path / "coord")
+    try:
+        # catalog holds BOTH tables; the txn touches only table a
+        _tlog_catalog_commit(
+            cat,
+            {n: {"root": r, "version": 2} for n, r in roots.items()},
+            base=-1,
+        )
+        base = spark.read.parquet(os.path.join(roots["a"], "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        legs = [("a", roots["a"], _tlog_wap_stage(base, roots["a"], "file_m1"))]
+        path = _tlog_catalog_txn_prepare(coord, "only_a", cat, 0, legs)
+        # a foreign swap bumps table b FIRST — the txn's recorded
+        # base (0) is now stale
+        _tlog_catalog_commit(
+            cat,
+            {
+                "a": {"root": roots["a"], "version": 2},
+                "b": {"root": roots["b"], "version": 2, "note": "foreign"},
+            },
+            base=0,
+        )
+        v = _tlog_catalog_txn_commit(spark, path)  # must converge, not raise
+        assert v == 2 and _tlog_catalog_latest(cat) == 2
+        head = _tlog_catalog_read(cat)
+        # (a) table b's foreign pin carried through untouched
+        assert head["b"].get("note") == "foreign"
+        # the txn's own pin landed
+        assert head["a"]["version"] == 3
+        # (b)+(c): a direct merge with an OLDER pin for table a is a
+        # no-commit adoption (max-version rule), not a backward swap
+        assert (
+            _tlog_catalog_swap_merge(
+                cat, {"a": {"root": roots["a"], "version": 2}}
+            )
+            == 2
+        )
+        assert _tlog_catalog_read(cat)["a"]["version"] == 3
+    finally:
+        for r in roots.values():
+            shutil.rmtree(r, ignore_errors=True)
