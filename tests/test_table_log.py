@@ -3772,3 +3772,57 @@ def test_catalog_swap_merges_over_unrelated_tables_and_stale_bases(
     finally:
         for r in roots.values():
             shutil.rmtree(r, ignore_errors=True)
+
+
+def _race_catalog_swap_worker(args):
+    """Pure-filesystem worker: bump ONE table's pin version N times
+    through the merge-swap, racing a sibling process doing the same
+    for a different table on the SAME catalog."""
+    cat, table, n_bumps = args
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_swap_merge,
+    )
+
+    for i in range(1, n_bumps + 1):
+        _tlog_catalog_swap_merge(cat, {table: {"root": f"/r/{table}", "version": i}})
+    return table
+
+
+def test_catalog_swap_race_two_processes_lose_nothing(tmp_path):
+    """Two OS processes merge-swap pins for DIFFERENT tables on one
+    catalog concurrently: every bump must land (no lost update — the
+    merge carries the other table's latest pin through every commit),
+    the final head holds both tables' max versions, and the catalog
+    history is exactly one version per landed commit."""
+    import multiprocessing as mp
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+    )
+
+    cat = str(tmp_path / "cat")
+    _tlog_catalog_commit(
+        cat,
+        {
+            "x": {"root": "/r/x", "version": 0},
+            "y": {"root": "/r/y", "version": 0},
+        },
+        base=-1,
+    )
+    n = 20
+    with mp.get_context("spawn").Pool(2) as pool:
+        res = pool.map(
+            _race_catalog_swap_worker, [(cat, "x", n), (cat, "y", n)]
+        )
+    assert sorted(res) == ["x", "y"]
+    head = _tlog_catalog_read(cat)
+    assert head["x"]["version"] == n and head["y"]["version"] == n
+    # every bump was a distinct commit; none was lost or folded away
+    assert _tlog_catalog_latest(cat) == 2 * n
+    # and every historical version is a readable, internally-consistent map
+    for v in range(2 * n + 1):
+        m = _tlog_catalog_read(cat, v)
+        assert set(m) == {"x", "y"}
