@@ -226,6 +226,29 @@ def _tlog_wap_abort(root: str, payload: dict, branch: str = _TLOG_WAP_BRANCH) ->
         shutil.rmtree(os.path.join(root, g), ignore_errors=True)
 
 
+def _tlog_version_adding(
+    root: str, groups: list[str], base: int, latest: int
+) -> int:
+    """Earliest version in (base, latest] whose commit's add-set
+    covers ``groups`` — the version a replayed publish actually
+    LANDED at (ADVICE r15: the short-circuit's pin must be the leg's
+    own commit, not whatever head has since accumulated). Falls back
+    to ``latest`` only if no commit in the window matches (the groups
+    are live, so this is a should-not-happen defensive path)."""
+    import json
+
+    want = set(groups)
+    logd = os.path.join(root, "_log")
+    for v in range(base + 1, latest + 1):
+        try:
+            c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        except (OSError, ValueError):
+            continue
+        if want <= set(c.get("add", [])):
+            return v
+    return latest
+
+
 def _tlog_wap_publish(
     spark: SparkSession,
     root: str,
@@ -257,11 +280,18 @@ def _tlog_wap_publish(
     if set(payload["add"]) <= live:
         # already published (e.g. a crash between the commit and the
         # branch-ref retire): publishing is idempotent — retire the
-        # ref and report the head that carries the groups
+        # ref and report the version whose COMMIT added the groups,
+        # not the current head. On recovery, unrelated commits may
+        # have landed between crash and replay; pinning the head
+        # would silently fold those foreign commits into a caller's
+        # supposedly-atomic catalog view (ADVICE r15). The publish
+        # lands all groups in one commit (same-commit adoption under
+        # races), so scanning the bounded window base+1..head for the
+        # commit whose add-set covers the payload finds it exactly.
         bpath = _tlog_branch_path(root, branch, payload["base"] + 1)
         if os.path.exists(bpath):
             os.unlink(bpath)
-        return latest
+        return _tlog_version_adding(root, payload["add"], payload["base"], latest)
     if not audited:
         failures = _tlog_wap_audit(spark, root, payload)
         if failures:
@@ -3422,10 +3452,39 @@ def _tlog_catalog_txn_commit(spark: SparkSession, coord_path: str) -> int:
             (name, root, payload)
         )
     failures = []
+    gone: list[str] = []
     for name, root, payload in pending:
+        bpath = _tlog_branch_path(root, payload["branch"], payload["base"] + 1)
+        if not os.path.exists(bpath) and not any(
+            os.path.isdir(os.path.join(root, g)) for g in payload["add"]
+        ):
+            # a prior crashed ABORT already retired this leg (ref and
+            # staged groups both gone) — auditing missing parquet
+            # paths raises an uncaught AnalysisException and strands
+            # the coordinator in a re-drive livelock (ADVICE r15:
+            # the same shield _tlog_txn_commit carries); record it as
+            # a failure so the re-drive finishes the abort instead
+            gone.append(name)
+            failures.append(
+                f"{name}: leg already aborted (no branch ref, no staged data)"
+            )
+            continue
         failures += [
             f"{name}: {f}" for f in _tlog_wap_audit(spark, root, payload)
         ]
+    if gone and published:
+        # contradictory on-disk state (a crash aborted one leg after
+        # another published): publishing the gone leg would commit
+        # references to missing bytes — refuse loudly; the
+        # coordinator file stays for manual adjudication and the
+        # catalog is NEVER swapped (swap-or-nothing holds)
+        raise RuntimeError(
+            "catalog transaction is torn beyond recovery: legs "
+            f"{sorted(n for n, _, _ in published)} published but "
+            f"{sorted(gone)} already aborted — restore the published "
+            "tables or re-stage the aborted legs, then retire the "
+            "coordinator file by hand"
+        )
     if failures and not published:
         for name, root, payload in legs:
             try:
@@ -4297,18 +4356,43 @@ def _tlog_cmd_root(sf_dir: str) -> str:
 
 def _tlog_colmap_translate(pred: str, fields: list[dict], binding: dict) -> str:
     """Rewrite a LOGICAL-name predicate into one file cohort's
-    PHYSICAL spelling: every field whose logical name differs from
-    the cohort's physical column is word-boundary-substituted. Only
-    identifier renames are handled — exactly the indirection column
-    mapping introduces; the predicate's structure is untouched."""
+    PHYSICAL spelling in ONE alternation pass: every identifier in
+    the predicate is rewritten at most once, so swap renames (a→b
+    while b's physical spelling is a) and chained renames can never
+    re-substitute an earlier substitution's output — the sequential
+    re.sub loop this replaces silently doomed the wrong rows on such
+    cohorts (ADVICE r15). Only identifier renames are handled —
+    exactly the indirection column mapping introduces; the
+    predicate's structure is untouched."""
     import re
 
-    out = pred
-    for f in fields:
-        phys = binding.get(str(f["id"]))
-        if phys is not None and phys != f["name"]:
-            out = re.sub(rf"\b{re.escape(f['name'])}\b", phys, out)
-    return out
+    table = {
+        f["name"]: phys
+        for f in fields
+        if (phys := binding.get(str(f["id"]))) is not None
+        and phys != f["name"]
+    }
+    if not table:
+        return pred
+    # longest-first so a logical name that prefixes another can't
+    # shadow it inside the alternation
+    alt = "|".join(re.escape(n) for n in sorted(table, key=len, reverse=True))
+    return re.sub(rf"\b(?:{alt})\b", lambda m: table[m.group(0)], pred)
+
+
+def _tlog_colmap_binding(phys: dict, group: str) -> dict:
+    """Guarded physical-binding lookup: a live file group without a
+    binding under an active mapping is the same bootstrap violation
+    ``_tlog_colmap_read`` refuses — raise its descriptive error
+    instead of a bare KeyError (ADVICE r15)."""
+    binding = phys.get(group)
+    if binding is None:
+        raise RuntimeError(
+            f"column mapping is active but live file group {group} has no "
+            "physical binding — the mapping bootstrap must bind every "
+            "live group"
+        )
+    return binding
 
 
 def _tlog_colmap_delete(
@@ -4343,7 +4427,9 @@ def _tlog_colmap_delete(
     cohorts: dict[tuple, list[str]] = {}
     for p in _tlog_live_files(root, base):
         g = os.path.basename(p)
-        cohorts.setdefault(tuple(sorted(phys[g].items())), []).append(p)
+        cohorts.setdefault(
+            tuple(sorted(_tlog_colmap_binding(phys, g).items())), []
+        ).append(p)
     v = base + 1
     parts = []
     for key, paths in sorted(cohorts.items()):
@@ -4513,7 +4599,9 @@ def table_log_colmap_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts: dict[tuple, list[str]] = {}
     for p in _tlog_live_files(root, latest):
         g = os.path.basename(p)
-        cohorts.setdefault(tuple(sorted(phys[g].items())), []).append(p)
+        cohorts.setdefault(
+            tuple(sorted(_tlog_colmap_binding(phys, g).items())), []
+        ).append(p)
     parts = []
     for key, paths in sorted(cohorts.items()):
         binding = dict(key)

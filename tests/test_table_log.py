@@ -3826,3 +3826,201 @@ def test_catalog_swap_race_two_processes_lose_nothing(tmp_path):
     for v in range(2 * n + 1):
         m = _tlog_catalog_read(cat, v)
         assert set(m) == {"x", "y"}
+
+
+def test_colmap_translate_is_single_pass_under_swap_and_chain_renames():
+    """ADVICE r15 — the logical->physical predicate translation must
+    rewrite each identifier AT MOST ONCE. Under a SWAP rename (logical
+    a binds physical b while logical b binds physical a) or a CHAINED
+    rename (a->b where b is also another field's physical spelling), a
+    sequential re.sub loop re-substitutes an earlier substitution's
+    output and the translated predicate dooms the wrong rows."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_colmap_translate,
+    )
+
+    # swap: logical amount -> physical price, logical price -> physical amount
+    fields = [{"id": 1, "name": "amount"}, {"id": 2, "name": "price"}]
+    binding = {"1": "price", "2": "amount"}
+    assert (
+        _tlog_colmap_translate("amount > 5 AND price < 3", fields, binding)
+        == "price > 5 AND amount < 3"
+    )
+    # chain: logical a's physical is b; logical b's physical is c — a
+    # sequential pass would turn `a` into `b` and then `b` into `c`
+    fields = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    binding = {"1": "b", "2": "c"}
+    assert _tlog_colmap_translate("a = 1 AND b = 2", fields, binding) == "b = 1 AND c = 2"
+    # longest-first alternation: a logical name prefixing another
+    fields = [{"id": 1, "name": "col"}, {"id": 2, "name": "col_long"}]
+    binding = {"1": "x", "2": "y"}
+    assert _tlog_colmap_translate("col_long + col", fields, binding) == "y + x"
+    # unbound/identical spellings pass through untouched
+    assert _tlog_colmap_translate("q > 1", fields, {}) == "q > 1"
+
+
+def test_colmap_binding_lookup_error_is_descriptive():
+    """ADVICE r15 — a live group with no physical binding under an
+    active mapping must raise the same descriptive bootstrap error as
+    the mapped read, not a bare KeyError."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_colmap_binding,
+    )
+
+    assert _tlog_colmap_binding({"g1": {"1": "a"}}, "g1") == {"1": "a"}
+    with pytest.raises(RuntimeError, match="must bind every live group"):
+        _tlog_colmap_binding({}, "file_orphan")
+
+
+def test_publish_short_circuit_pins_legs_own_version(spark, tlog_dir):
+    """ADVICE r15 — a replayed publish whose groups are already live
+    must report the version its OWN commit landed at, not the table's
+    current head: foreign commits landing between crash and recovery
+    would otherwise be silently folded into a catalog transaction's
+    supposedly-atomic pinned view."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_wap_publish,
+        _tlog_wap_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+    )
+
+    base_df = spark.read.parquet(os.path.join(tlog_dir, "file_C")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    payload = _tlog_wap_stage(base_df, tlog_dir, "file_sc")
+    v_leg = _tlog_wap_publish(spark, tlog_dir, payload)
+    assert v_leg == 3
+    # a foreign blind append advances the head past the leg
+    base_df.limit(5).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tlog_dir, "file_foreign")
+    )
+    v_foreign = _tlog_commit_rebase(
+        tlog_dir, add=["file_foreign"], remove=[],
+        base_version=_tlog_latest_version(tlog_dir), read_set=set(),
+    )
+    assert v_foreign == 4
+    # the replay (recovery) short-circuits — and pins the LEG's commit
+    assert _tlog_wap_publish(spark, tlog_dir, payload) == v_leg
+
+
+def test_catalog_txn_gone_leg_aborts_without_livelock(spark, tmp_path):
+    """ADVICE r15 — a catalog-txn leg already retired by a prior
+    crashed abort (branch ref AND staged groups gone) must be recorded
+    as an audit failure, not crash the re-audit on missing parquet
+    paths: with zero published legs the re-drive finishes the abort
+    and retires the coordinator instead of livelocking."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_branch_path,
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_txn_commit,
+        _tlog_catalog_txn_prepare,
+        _tlog_catalog_txn_recover,
+        _tlog_wap_stage,
+    )
+
+    root_a = _tf.mkdtemp(prefix="hbdbps_cgl_a_")
+    root_b = _tf.mkdtemp(prefix="hbdbps_cgl_b_")
+    for r in (root_a, root_b):
+        _sh.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    cat = str(tmp_path / "cat")
+    coord = str(tmp_path / "coord")
+    try:
+        _tlog_catalog_commit(
+            cat,
+            {
+                "a": {"root": root_a, "version": 2},
+                "b": {"root": root_b, "version": 2},
+            },
+            base=-1,
+        )
+        base_df = spark.read.parquet(os.path.join(root_a, "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        legs = [
+            (n, r, _tlog_wap_stage(base_df, r, f"file_cgl_{n}"))
+            for n, r in (("a", root_a), ("b", root_b))
+        ]
+        path = _tlog_catalog_txn_prepare(coord, "goneleg", cat, 0, legs)
+        # simulate a prior crashed abort retiring leg b entirely
+        pb = legs[1][2]
+        os.unlink(_tlog_branch_path(root_b, pb["branch"], pb["base"] + 1))
+        for g in pb["add"]:
+            _sh.rmtree(os.path.join(root_b, g), ignore_errors=True)
+        with pytest.raises(RuntimeError, match="leg already aborted"):
+            _tlog_catalog_txn_commit(spark, path)
+        # the whole txn aborted cleanly: coordinator retired, catalog
+        # unswapped, leg a's staged debris reclaimed
+        assert not os.path.exists(path)
+        assert _tlog_catalog_latest(cat) == 0
+        assert _tlog_latest_version(root_a) == 2
+        assert not os.path.exists(os.path.join(root_a, "file_cgl_a"))
+        assert _tlog_catalog_txn_recover(spark, coord) == 0  # no livelock
+    finally:
+        _sh.rmtree(root_a, ignore_errors=True)
+        _sh.rmtree(root_b, ignore_errors=True)
+
+
+def test_catalog_txn_torn_state_refuses_and_never_swaps(spark, tmp_path):
+    """ADVICE r15 — one leg published, another already aborted: the
+    coordinator must refuse loudly (publishing the gone leg would
+    commit references to missing bytes), KEEP the coordinator file for
+    manual adjudication, and never swap the catalog — swap-or-nothing
+    holds even in the torn state."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_branch_path,
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_txn_commit,
+        _tlog_catalog_txn_prepare,
+        _tlog_wap_publish,
+        _tlog_wap_stage,
+    )
+
+    root_a = _tf.mkdtemp(prefix="hbdbps_ctn_a_")
+    root_b = _tf.mkdtemp(prefix="hbdbps_ctn_b_")
+    for r in (root_a, root_b):
+        _sh.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    cat = str(tmp_path / "cat")
+    coord = str(tmp_path / "coord")
+    try:
+        _tlog_catalog_commit(
+            cat,
+            {
+                "a": {"root": root_a, "version": 2},
+                "b": {"root": root_b, "version": 2},
+            },
+            base=-1,
+        )
+        base_df = spark.read.parquet(os.path.join(root_a, "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        legs = [
+            (n, r, _tlog_wap_stage(base_df, r, f"file_ctn_{n}"))
+            for n, r in (("a", root_a), ("b", root_b))
+        ]
+        path = _tlog_catalog_txn_prepare(coord, "torn", cat, 0, legs)
+        # leg a published (pre-presumed-commit crash got this far)...
+        _tlog_wap_publish(spark, root_a, legs[0][2])
+        # ...and leg b aborted by the same crashed process
+        pb = legs[1][2]
+        os.unlink(_tlog_branch_path(root_b, pb["branch"], pb["base"] + 1))
+        for g in pb["add"]:
+            _sh.rmtree(os.path.join(root_b, g), ignore_errors=True)
+        with pytest.raises(RuntimeError, match="torn beyond recovery"):
+            _tlog_catalog_txn_commit(spark, path)
+        assert os.path.exists(path)  # kept for manual adjudication
+        assert _tlog_catalog_latest(cat) == 0  # never swapped
+    finally:
+        _sh.rmtree(root_a, ignore_errors=True)
+        _sh.rmtree(root_b, ignore_errors=True)
