@@ -4640,6 +4640,334 @@ def table_log_colmap_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- OPTIMIZE under column mapping (S9-cmap''', VERDICT r15 #3) ------------
+
+# the post-DELETE append slice (file_G): written under the HEAD
+# spelling with no DV, so compaction must leave it untouched
+_TLOG_CMC_PRED = "o_orderkey % 10 = 4"
+
+
+def _tlog_cmc_root(sf_dir: str) -> str:
+    # own root: compaction rewrites its table's files (own-root rule)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcmc_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_colmap_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """DV-aware MAPPED snapshot read: live files grouped into
+    binding-signature cohorts, each cohort anti-joined against its
+    bound sidecars and re-spelled to the LOGICAL schema (missing
+    fields null-filled), then unioned. One scan per binding signature
+    — bounded by schema-change count, not file count."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    cmap = _tlog_live_colmap(root, version)
+    if cmap is None:
+        raise RuntimeError("mapped snapshot read requires an active mapping")
+    phys = _tlog_replay_map(root, version, "colphys")
+    dvs = _tlog_live_dvs(root, version)
+    cohorts: dict[tuple, list[str]] = {}
+    for p in _tlog_live_files(root, version):
+        g = os.path.basename(p)
+        cohorts.setdefault(
+            tuple(sorted(_tlog_colmap_binding(phys, g).items())), []
+        ).append(p)
+    parts = []
+    for key, paths in sorted(cohorts.items()):
+        binding = dict(key)
+        rel = _tlog_relation(spark, paths)
+        names = {os.path.basename(p) for p in paths}
+        cohort_dvs = {f: s for f, s in dvs.items() if f in names}
+        if cohort_dvs:
+            rel = rel.withColumn(
+                "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+            ).join(
+                F.broadcast(_tlog_dv_frame(spark, root, cohort_dvs)),
+                ["file", "o_orderkey"],
+                "left_anti",
+            )
+        cols = [
+            F.col(pname).alias(f["name"])
+            if (pname := binding.get(str(f["id"]))) is not None
+            else F.lit(None).alias(f["name"])
+            for f in cmap["fields"]
+        ]
+        parts.append(rel.select(*cols))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _tlog_colmap_compact(spark: SparkSession, root: str) -> tuple[int, list[str], list[str]]:
+    """OPTIMIZE on a COLUMN-MAPPED table — the rewrite side of the
+    mapping story (VERDICT r15 #3; reads and DML landed in r15, but
+    without this a renamed table could never compact again: small
+    files and DV debt accumulate forever on exactly the tables the
+    mapping feature targets). A file group needs rewriting iff it
+    carries a deletion-vector binding (the merge-on-read debt mapped
+    DML defers by design) or its physical spelling differs from the
+    HEAD logical schema's. Each doomed cohort is read DV-applied,
+    re-spelled to the head names, and rewritten as key-ranged sorted
+    groups in ONE staged write; ONE OCC commit then adds the new
+    groups (bound to the head spelling in ``colphys``, per-column
+    stats observed in the write job), removes every rewritten group
+    (dropping their DV bindings and stale bindings on replay), and
+    carries ``dataChange=false`` — the rows were already logically
+    deleted, so change-feed consumers skip the rewrite entirely.
+    Groups already spelled at head with no DVs are NOT touched (their
+    mtimes survive — the incremental-OPTIMIZE property). Returns
+    (version, rewritten group names, kept group names).
+
+    Scale: cost = one scan per doomed binding signature (bounded by
+    schema-change count) + the rewrite bytes; the commit is O(groups)
+    metadata. Post-compact the table is single-spelling and DV-free,
+    so readers drop both the per-cohort union and the anti-join."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    base = _tlog_latest_version(root)
+    cmap = _tlog_live_colmap(root, base)
+    if cmap is None:
+        raise RuntimeError("mapped compaction requires an active mapping")
+    head_binding = {str(f["id"]): f["name"] for f in cmap["fields"]}
+    phys = _tlog_replay_map(root, base, "colphys")
+    dvs = _tlog_live_dvs(root, base)
+    stats_all = _tlog_live_stats(root, base)
+    rewrite: dict[tuple, list[str]] = {}
+    kept: list[str] = []
+    doomed: list[str] = []
+    for p in _tlog_live_files(root, base):
+        g = os.path.basename(p)
+        binding = _tlog_colmap_binding(phys, g)
+        # compare only the LIVE fields' spellings: a dropped column's
+        # stale binding alone doesn't force a rewrite (its bytes are
+        # unreachable either way) — but a DV does, and compaction of a
+        # differently-spelled group garbage-collects dropped columns
+        live_spelling = {fid: binding.get(fid) for fid in head_binding}
+        if g in dvs or live_spelling != head_binding:
+            rewrite.setdefault(tuple(sorted(binding.items())), []).append(p)
+            doomed.append(g)
+        else:
+            kept.append(g)
+    if not doomed:
+        return base, [], kept
+    parts = []
+    key_lo, key_hi = None, None
+    key_fid = str(cmap["fields"][0]["id"])  # cluster on the lead field
+    for key, paths in sorted(rewrite.items()):
+        binding = dict(key)
+        rel = _tlog_relation(spark, paths)
+        names = {os.path.basename(p) for p in paths}
+        cohort_dvs = {f: s for f, s in dvs.items() if f in names}
+        if cohort_dvs:
+            rel = rel.withColumn(
+                "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+            ).join(
+                F.broadcast(_tlog_dv_frame(spark, root, cohort_dvs)),
+                ["file", "o_orderkey"],
+                "left_anti",
+            )
+        cols = [
+            F.col(pname).alias(f["name"])
+            if (pname := binding.get(str(f["id"]))) is not None
+            else F.lit(None).alias(f["name"])
+            for f in cmap["fields"]
+        ]
+        parts.append(rel.select(*cols))
+        # range split point from MANIFEST stats under each cohort's
+        # own physical spelling — metadata, no extra job
+        pkey = binding.get(key_fid)
+        for g in names:
+            st = stats_all.get(g, {}).get(pkey) if pkey else None
+            if st is not None:
+                key_lo = st[0] if key_lo is None else min(key_lo, st[0])
+                key_hi = st[1] if key_hi is None else max(key_hi, st[1])
+    merged = parts[0]
+    for part in parts[1:]:
+        merged = merged.unionByName(part)
+    v = base + 1
+    key_name = head_binding[key_fid]
+    if key_lo is not None and key_lo < key_hi:
+        thr = (key_lo + key_hi) // 2
+        groups = [f"file_cmc{v}_lo", f"file_cmc{v}_hi"]
+        merged = merged.withColumn(
+            "tgt",
+            F.when(F.col(key_name) <= F.lit(thr), groups[0]).otherwise(groups[1]),
+        )
+    else:
+        groups = [f"file_cmc{v}_all"]
+        merged = merged.withColumn("tgt", F.lit(groups[0]))
+    merged = merged.sortWithinPartitions(key_name)
+    promoted, stats = _tlog_staged_write_with_stats(
+        # rows come from already-committed (validated) snapshots
+        merged, root, groups, require_all=False, constraints={}
+    )
+    version = _tlog_commit_rebase(
+        root,
+        add=promoted,
+        remove=doomed,
+        base_version=base,
+        read_set=set(doomed),
+        stats=stats or None,
+        data_change=False,
+        colphys={g: head_binding for g in promoted},
+    )
+    return version, doomed, kept
+
+
+_TLOG_CMC_SPEC = {"impl": 1, "pred": _TLOG_CMC_PRED}
+
+
+def _tlog_apply_cmc(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the mapped-OPTIMIZE lifecycle once per dir (flock + stamp):
+    the full mapping + logical-DELETE lifecycle (v0-v7), then v8
+    APPENDS file_G under the head spelling (no DV — the group
+    compaction must NOT touch), then v9 COMPACTS: the mixed-spelling
+    DV-bound cohorts (file_A/C/D physical o_totalprice; file_F
+    physical price_usd) rewrite under the head spelling with their
+    DVs materialized, while file_G survives byte-identical."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_latest_version as _latest,
+    )
+
+    stamp_file = os.path.join(root, "_CMC")
+    stamp = json.dumps(_TLOG_CMC_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    _tlog_apply_cmd(spark, sf_dir, root)  # own flock; take ours after
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _latest(root) != 7:
+            # stale/crashed state on this root: rebuild the whole
+            # lifecycle from scratch (release-around, WAP discipline)
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_apply_cmd(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        # v8: append under the HEAD spelling, post-delete (keeps its
+        # delete-band rows — the delete was a statement, not a rule)
+        slice_df = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.expr(_TLOG_CMC_PRED))
+            .select("o_orderkey", F.col("o_totalprice").alias("price_usd"))
+        )
+        promoted, stats = _tlog_staged_write_with_stats(
+            slice_df.withColumn("tgt", F.lit("file_G")), root, ["file_G"]
+        )
+        _tlog_commit(
+            root, add=promoted, remove=[], base_version=7,
+            stats=stats or None,
+            colphys={"file_G": {"1": "o_orderkey", "2": "price_usd"}},
+        )
+        # v9: OPTIMIZE under the mapping
+        _tlog_colmap_compact(spark, root)
+        tmp = os.path.join(root, f"._CMC.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_colmap_compact",
+    # Hash oracle: the head read AFTER the mapped compaction must
+    # equal the pre-compact head read — base + renamed-append slice,
+    # minus the logical delete band, plus the post-delete append
+    # (whose band rows survive: the delete was a statement) — i.e.
+    # compaction under mapping is logically a no-op, recomputed here
+    # from orders directly.
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMAP_PRED}
+        ),
+        kept AS (
+          SELECT * FROM t
+          WHERE NOT (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 11 = 3)
+        ),
+        u AS (
+          SELECT * FROM kept
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMC_PRED}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM u GROUP BY 1
+    """,
+    tags=("S9-cmap'''", "lakehouse", "column-mapping", "compaction"),
+)
+def table_log_colmap_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap''' — OPTIMIZE under COLUMN MAPPING (VERDICT r15 #3):
+    compaction on a renamed table must rewrite each stale-spelling or
+    DV-bound cohort under the HEAD physical spelling, re-bind the new
+    groups in ``colphys``, and materialize the deletion vectors — all
+    in one commit — while cohorts already at head with no DV debt
+    survive byte-identical (mtime-pinned). Lifecycle on a private
+    root: mapping enable → RENAME → mixed-spelling append → DROP →
+    logical-name DELETE (DVs on both spellings) → head-spelling
+    append → COMPACT. The post-compact mapped read is hash-checked
+    against the pre-compact logical content recomputed from orders;
+    single-binding-signature, zero-DV, and new-binding pruning
+    properties are pytest-pinned.
+
+    Scale: this closes the mapped table's maintenance loop — without
+    it, rename debt is permanent (every read pays the per-cohort
+    union and anti-join forever). Cost is one scan per doomed binding
+    signature, bounded by schema-change count, not file count; the
+    untouched-cohort rule makes repeated OPTIMIZE incremental."""
+    root = _tlog_cmc_root(sf_dir)
+    _tlog_apply_cmc(spark, sf_dir, root)
+    latest = _tlog_latest_version(root)
+    out = _tlog_colmap_snapshot(spark, root, latest)
+    return (
+        out.groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("price_usd") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("bucket", "n_rows", "sum_cents")
+    )
+
+
 # --- RENAME lands mid-stream: column mapping x streaming (S9-cmap') --------
 
 _TLOG_SCM_PER_TRIGGER = 2

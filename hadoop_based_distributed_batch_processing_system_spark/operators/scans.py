@@ -1051,6 +1051,7 @@ def _tlog_commit_rebase(
     data_change: bool = True,
     constraints: dict[str, str | None] | None = None,
     partitioning: dict | None = None,
+    colphys: dict[str, dict] | None = None,
     max_rebases: int = 16,
 ) -> int:
     """OCC commit WITH REBASE — the full protocol the commit
@@ -1078,6 +1079,7 @@ def _tlog_commit_rebase(
                 root, add=add, remove=remove, base_version=base_version, dv=dv,
                 stats=stats, batch=batch, data_change=data_change,
                 constraints=constraints, partitioning=partitioning,
+                colphys=colphys,
             )
         except TableLogConflictError:
             winner = json.load(
@@ -1086,7 +1088,7 @@ def _tlog_commit_rebase(
             if _tlog_same_commit(
                 winner, add, remove, dv=dv, stats=stats, batch=batch,
                 data_change=data_change, constraints=constraints,
-                partitioning=partitioning,
+                partitioning=partitioning, colphys=colphys,
             ):
                 return base_version + 1  # identical content: adopt
             latest = _tlog_latest_version(root)
@@ -1141,6 +1143,7 @@ def _tlog_same_commit(
     data_change: bool = True,
     constraints: dict[str, str | None] | None = None,
     partitioning: dict | None = None,
+    colphys: dict[str, dict] | None = None,
 ) -> bool:
     """True iff a race-winning commit carries the SAME logical change
     we lost trying to write (identical-content adoption: another
@@ -1159,6 +1162,8 @@ def _tlog_same_commit(
         and winner.get("constraints")
         == (dict(sorted(constraints.items())) if constraints else None)
         and winner.get("partitioning") == (partitioning or None)
+        and winner.get("colphys")
+        == (dict(sorted(colphys.items())) if colphys else None)
     )
 
 

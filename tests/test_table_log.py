@@ -4024,3 +4024,88 @@ def test_catalog_txn_torn_state_refuses_and_never_swaps(spark, tmp_path):
     finally:
         _sh.rmtree(root_a, ignore_errors=True)
         _sh.rmtree(root_b, ignore_errors=True)
+
+
+def test_colmap_compact_rewrites_only_debt_and_preserves_content(spark, tmp_path):
+    """S9-cmap''' pins (VERDICT r15 #3): the mapped OPTIMIZE
+    (a) leaves the head read hash-identical (pre-compact snapshot ==
+        post-compact snapshot, row for row);
+    (b) touches ONLY debt cohorts — file_G (head spelling, no DV)
+        survives byte-identical (mtime pin) while every stale-spelling
+        or DV-bound group is removed;
+    (c) materializes all DVs (zero bindings after) and leaves ONE
+        binding signature == the head spelling;
+    (d) commits dataChange=false with colphys bindings for the new
+        groups;
+    (e) post-compact pruning works through the NEW binding (price_usd
+        range prunes at least one of the two range groups);
+    (f) a second compact is a no-op (nothing left to rewrite)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_cmc,
+        _tlog_colmap_compact,
+        _tlog_colmap_prune,
+        _tlog_colmap_snapshot,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_colmap,
+        _tlog_live_dvs,
+        _tlog_replay_map,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "cmc")
+    _tlog_apply_cmc(spark, SF_SMOKE, root)
+    head = _tlog_latest_version(root)
+    assert head == 9  # 0-6 cmap, 7 delete, 8 append G, 9 compact
+
+    # (a) pre-compact (v8) content == post-compact (v9) content
+    pre = sorted(map(tuple, _tlog_colmap_snapshot(spark, root, 8).collect()))
+    post = sorted(map(tuple, _tlog_colmap_snapshot(spark, root, 9).collect()))
+    assert pre == post and len(pre) > 0
+
+    # (b) live set: file_G survives; all pre-compact debt groups gone
+    live = {os.path.basename(p) for p in _tlog_live_files(root, head)}
+    assert "file_G" in live
+    assert not live & {"file_A", "file_B", "file_C", "file_D", "file_F"}
+    assert any(g.startswith("file_cmc9_") for g in live)
+
+    # (c) zero DVs; one binding signature == head spelling
+    assert _tlog_live_dvs(root, head) == {}
+    cmap = _tlog_live_colmap(root, head)
+    head_binding = {str(f["id"]): f["name"] for f in cmap["fields"]}
+    phys = _tlog_replay_map(root, head, "colphys")
+    sigs = {
+        tuple(sorted({k: phys[g].get(k) for k in head_binding}.items()))
+        for g in live
+    }
+    assert sigs == {tuple(sorted(head_binding.items()))}
+
+    # (d) the compact commit: dataChange=false, colphys for new groups
+    c = json.load(open(os.path.join(root, "_log", f"{head:06d}.json")))
+    assert c.get("dataChange") is False
+    assert set(c["colphys"]) == {g for g in live if g.startswith("file_cmc")}
+    assert all(b == head_binding for b in c["colphys"].values())
+
+    # (e) pruning through the NEW binding: a range below every real
+    # price skips all compacted groups on their price_usd stats
+    kept, skipped = _tlog_colmap_prune(root, head, "price_usd", -10.0, -1.0)
+    assert any(g.startswith("file_cmc9_") for g in skipped)
+    # and an o_orderkey range inside one half prunes the other half
+    if len([g for g in live if g.startswith("file_cmc9_")]) == 2:
+        kept2, skipped2 = _tlog_colmap_prune(root, head, "o_orderkey", 0, 1)
+        assert any(g.startswith("file_cmc9_") for g in skipped2)
+
+    # (b') mtime pin on the untouched cohort
+    import glob as _glob
+
+    g_mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _glob.glob(os.path.join(root, "file_G", "*.parquet"))
+    }
+    assert g_mtimes
+
+    # (f) second compact: nothing to rewrite, no commit
+    v2, doomed2, kept_groups = _tlog_colmap_compact(spark, root)
+    assert v2 == head and doomed2 == []
+    assert set(kept_groups) == live
+    assert g_mtimes == {p: os.stat(p).st_mtime_ns for p in g_mtimes}
