@@ -3759,6 +3759,169 @@ def table_log_catalog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tlog_catalog_fingerprint(spark, _tlog_catalog_read(cat, 0))
 
 
+# --- Catalog-ROUTED cross-table as-of (S9-masof', VERDICT r15 #4) ----------
+
+
+def _tlog_cma_root(sf_dir: str) -> str:
+    # own root for the CATALOG only — the pinned tables are the
+    # shared base/dml tables, read-only through their pins
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcma_{corpus_tag(sf_dir)}"
+    )
+
+
+_TLOG_CMA_SPEC = {"impl": 1, "pins": 3}
+
+
+def _tlog_apply_cma(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Build the catalog history the routed multi-asof resolves
+    through (flock + stamp on the catalog root): three catalog
+    versions pinning the shared base/dml tables at the same coherent
+    moments the shared-clock operator reads — v0 mid-history (both
+    tables at their v1), v1 after the DML table's DELETE (base v2,
+    dml v3 — the skewed-version case), v2 after its UPDATE (dml v4).
+    The tables themselves are the shared read-only builds; only the
+    catalog lives on this root."""
+    import fcntl
+    import json
+    import shutil
+
+    base_root = _tlog_build(spark, sf_dir, _tlog_root(sf_dir))
+    dml_root = _tlog_build(spark, sf_dir, _tlog_dml_root(sf_dir))
+    _tlog_apply_dml(spark, sf_dir, dml_root)
+    cat = _tlog_cma_root(sf_dir)
+    stamp_file = os.path.join(cat, "_CMA")
+    stamp = json.dumps(_TLOG_CMA_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return base_root, dml_root, cat
+    os.makedirs(cat, exist_ok=True)
+    lock_fh = open(os.path.join(cat, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return base_root, dml_root, cat
+        for entry in os.listdir(cat):
+            if entry == ".lock":
+                continue
+            p = os.path.join(cat, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        pins = [
+            {"base": 1, "dml": 1},  # mid-history
+            {"base": 2, "dml": 3},  # after the DELETE (skewed versions)
+            {"base": 2, "dml": 4},  # after the UPDATE
+        ]
+        for i, pin in enumerate(pins):
+            _tlog_catalog_commit(
+                cat,
+                {
+                    "base": {"root": base_root, "version": pin["base"]},
+                    "dml": {"root": dml_root, "version": pin["dml"]},
+                },
+                base=i - 1,
+            )
+        tmp = os.path.join(cat, f"._CMA.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return base_root, dml_root, cat
+
+
+@register(
+    "table_log_catalog_multi_asof",
+    # Hash oracle: both tables at each catalog version's pins,
+    # recomputed from the source — identical content to the
+    # shared-clock operator's three instants, resolved through
+    # catalog versions 0/1/2 instead of timestamps.
+    oracle=f"""
+        WITH snap AS (
+          SELECT 0 AS cat_version, 'base' AS tbl, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+          UNION ALL
+          SELECT 0, 'dml', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+          UNION ALL
+          SELECT 1, 'base', o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 1, 'dml', o_orderkey, o_totalprice
+          FROM orders WHERE NOT ({_TLOG_DELETE_PRED})
+          UNION ALL
+          SELECT 2, 'base', o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 2, 'dml', o_orderkey,
+                 CASE WHEN {_TLOG_UPDATE_PRED}
+                      THEN o_totalprice + {_TLOG_UPDATE_BUMP}
+                      ELSE o_totalprice END
+          FROM orders WHERE NOT ({_TLOG_DELETE_PRED})
+        )
+        SELECT cat_version, tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM snap GROUP BY 1, 2
+    """,
+    tags=("S9-masof'", "lakehouse", "catalog", "as-of", "multi-table"),
+)
+def table_log_catalog_multi_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-masof' — cross-table as-of reads ROUTED THROUGH THE CATALOG
+    (VERDICT r15 #4 / SURVEY §7 r16 queue (b)): the shared-clock
+    operator (``table_log_multi_asof``) resolves "every table as of
+    instant T" through per-table timestamp lookups; this one resolves
+    "every table as of CATALOG VERSION V" through one JSON read — the
+    catalog version v recorded {table -> (root, version)} pins when
+    it was committed, so the whole database reproduces from a single
+    integer with no clock at all. Three catalog versions are read
+    (mid-history; post-DELETE with skewed table versions; post-UPDATE)
+    and all six pinned snapshots fingerprint through the same DV-aware
+    two-half plan the shared-clock operator uses — one mechanism for
+    both resolution modes, differing only in WHERE the version comes
+    from.
+
+    Why the catalog wins at scale: timestamp resolution is N metadata
+    lookups against N logs and trusts the stamps to share a clock;
+    catalog resolution is ONE lookup against one map, immune to clock
+    skew, and only moves on swaps — the right artifact to stamp into
+    a training manifest. The shared-clock mode remains for instants
+    BETWEEN swaps, which a catalog cannot name.
+
+    Scale: resolution is one JSON read regardless of table count; the
+    fingerprint plan scans each distinct file once across all
+    snapshots that share it; vacuum below a pinned version fails
+    loudly through the snapshot machinery (pins define the retention
+    floor)."""
+    base_root, dml_root, cat = _tlog_apply_cma(spark, sf_dir)
+    if _tlog_catalog_latest(cat) != 2:
+        raise RuntimeError("catalog as-of lifecycle left the wrong history")
+    by_table: dict[str, list[tuple[int, int]]] = {}
+    roots: dict[str, str] = {}
+    for cv in range(3):
+        for tbl, pin in _tlog_catalog_read(cat, cv).items():
+            by_table.setdefault(tbl, []).append((cv, pin["version"]))
+            roots[tbl] = pin["root"]
+    parts = [
+        _tlog_dv_snapshot_fingerprints(spark, roots[tbl], labeled, tbl)
+        for tbl, labeled in sorted(by_table.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("instant").alias("cat_version"),
+        "tbl", "n_rows", "sum_cents", "min_key", "max_key",
+    )
+
+
 # --- Deep-copy repair for shallow clones (S9-cln') -------------------------
 
 _TLOG_CDEEP_ADD_PRED = "o_orderkey % 10 = 1"  # the clone's local append

@@ -3603,10 +3603,15 @@ def test_catalog_txn_three_legs_swap_together(spark, tmp_path):
         path = _tlog_catalog_txn_prepare(coord, "three", cat, 0, legs)
         assert _tlog_catalog_txn_commit(spark, path) == 1
         extra = base.count()
-        assert counts(_tlog_catalog_read(cat)) == {
-            n: c + extra for n, c in before.items()
-        }
+        head = _tlog_catalog_read(cat)
+        assert counts(head) == {n: c + extra for n, c in before.items()}
         assert counts(_tlog_catalog_read(cat, 0)) == before
+        # every pin is the leg's OWN landed version (each log advanced
+        # exactly once, to v3) — the catalog version the txn created
+        # reproduces exactly the three legs, nothing else
+        assert {n: p["version"] for n, p in head.items()} == {
+            "a": 3, "b": 3, "c": 3
+        }
     finally:
         for r in roots.values():
             shutil.rmtree(r, ignore_errors=True)
@@ -4109,3 +4114,135 @@ def test_colmap_compact_rewrites_only_debt_and_preserves_content(spark, tmp_path
     assert v2 == head and doomed2 == []
     assert set(kept_groups) == live
     assert g_mtimes == {p: os.stat(p).st_mtime_ns for p in g_mtimes}
+
+
+def _crash_catalog_txn_worker(args):
+    """Simulated txn committer that DIES between publish and swap:
+    publishes the named legs purely through the filesystem (blind
+    appends rebase with an empty read set; the branch ref retires
+    like a real publish) then hard-exits — no cleanup, no swap, the
+    coordinator file left behind. Pure-filesystem on purpose: no
+    Spark in the child, so the kill window is the real one."""
+    coord_path, publish_names = args
+    import json
+    import os as _os
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_branch_path,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+    )
+
+    c = json.load(open(coord_path))
+    for leg in c["legs"]:
+        if leg["name"] not in publish_names:
+            continue
+        p = leg["payload"]
+        _tlog_commit_rebase(
+            leg["root"], add=p["add"], remove=[],
+            base_version=_tlog_latest_version(leg["root"]),
+            read_set=set(), stats=p["stats"] or None,
+        )
+        bp = _tlog_branch_path(leg["root"], p["branch"], p["base"] + 1)
+        if _os.path.exists(bp):
+            _os.unlink(bp)
+    _os._exit(17)  # hard crash — the exact publish/swap window
+
+
+def test_catalog_txn_killed_process_recovers_both_orders(spark, tmp_path):
+    """VERDICT r15 #6 — a REAL OS-process death between a leg's
+    table-log publish and the catalog swap, both orders (a-published/
+    b-staged and b-published/a-staged): the catalog stays unswapped
+    (readers see nothing), the coordinator survives, and ONE recovery
+    sweep drives each transaction to swap-or-nothing — the staged leg
+    is driven forward under presumed-commit, never aborted. Also pins
+    ADVICE r15 end-to-end: a FOREIGN commit landing on the published
+    leg's table between crash and recovery must NOT be folded into
+    the transaction's pinned view (the pin is the leg's own landed
+    version, not the head)."""
+    import multiprocessing as mp
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+        _tlog_catalog_txn_prepare,
+        _tlog_catalog_txn_recover,
+        _tlog_wap_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root_a = _tf.mkdtemp(prefix="hbdbps_kill_a_")
+    root_b = _tf.mkdtemp(prefix="hbdbps_kill_b_")
+    for r in (root_a, root_b):
+        _sh.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+    cat = str(tmp_path / "cat")
+    coord = str(tmp_path / "coord")
+    ctx = mp.get_context("spawn")
+    try:
+        _tlog_catalog_commit(
+            cat,
+            {
+                "a": {"root": root_a, "version": 2},
+                "b": {"root": root_b, "version": 2},
+            },
+            base=-1,
+        )
+        base_df = spark.read.parquet(os.path.join(root_a, "file_C")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        for order_i, publish_first in enumerate((["a"], ["b"])):
+            legs = [
+                (n, r, _tlog_wap_stage(base_df, r, f"file_kill{order_i}_{n}"))
+                for n, r in (("a", root_a), ("b", root_b))
+            ]
+            path = _tlog_catalog_txn_prepare(
+                coord, f"kill{order_i}", cat, _tlog_catalog_latest(cat), legs
+            )
+            proc = ctx.Process(
+                target=_crash_catalog_txn_worker, args=((path, publish_first),)
+            )
+            proc.start()
+            proc.join(timeout=120)
+            assert proc.exitcode == 17  # died in the window, on purpose
+            cat_v_before = _tlog_catalog_latest(cat)
+            assert os.path.exists(path)  # coordinator survived the death
+            if order_i == 0:
+                # a FOREIGN blind append lands on the PUBLISHED leg's
+                # table between crash and recovery
+                base_df.limit(7).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(root_a, f"file_foreign{order_i}")
+                )
+                _tlog_commit_rebase(
+                    root_a, add=[f"file_foreign{order_i}"], remove=[],
+                    base_version=_tlog_latest_version(root_a), read_set=set(),
+                )
+            assert _tlog_catalog_txn_recover(spark, coord) == 1
+            assert not os.path.exists(path)
+            head = _tlog_catalog_read(cat)
+            assert _tlog_catalog_latest(cat) == cat_v_before + 1
+            for n, r, payload in legs:
+                pin = head[n]
+                live = {
+                    os.path.basename(p)
+                    for p in _tlog_live_files(r, pin["version"])
+                }
+                assert set(payload["add"]) <= live  # the leg is visible
+            if order_i == 0:
+                # ADVICE r15 end-to-end: a's pin is the LEG's landed
+                # version (3) — the foreign commit (4) is not folded in
+                assert head["a"]["version"] == 3
+                assert _tlog_latest_version(root_a) == 4
+    finally:
+        _sh.rmtree(root_a, ignore_errors=True)
+        _sh.rmtree(root_b, ignore_errors=True)
