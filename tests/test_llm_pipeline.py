@@ -1137,3 +1137,51 @@ def test_ann_ivf_vacuum_reclaims_superseded_generation(spark):
         )
     )
     assert got == want
+
+
+def test_ann_ivf_quantized_recall_and_scan_fraction(spark):
+    """The hash-oracled quantized IVF (VERDICT r15 #7) must stay an
+    honest ANN: recall@10 vs the exact quantized brute force holds a
+    floor (measured 0.9 at sf0.01, 1.0 at sf0.001), and the probed
+    lists cover strictly less than the corpus (nprobe=2 of K=8 — a
+    'quantized IVF' that scanned everything would be a brute force
+    wearing the name)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        _IVFQ_DIM,
+        _IVFQ_K,
+        _IVFQ_NPROBE,
+        _IVFQ_SCALE,
+        _IVFQ_TOPK,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"* {_IVFQ_SCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    probe = base.orderBy("vec_id").limit(1).collect()[0]
+    pv, pid = list(probe["qv"]), probe["vec_id"]
+    pv_sql = "array(" + ", ".join(str(x) for x in pv) + ")"
+    d2 = (
+        f"aggregate(sequence(0, {_IVFQ_DIM} - 1), CAST(0 AS BIGINT), "
+        f"(a, d) -> a + (qv[d] - {pv_sql}[d]) * (qv[d] - {pv_sql}[d]))"
+    )
+    exact = {
+        r["vec_id"]
+        for r in base.filter(F.col("vec_id") != pid)
+        .select("vec_id", F.expr(d2).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(_IVFQ_TOPK)
+        .collect()
+    }
+    ann_df = REG["sim_search_ann_ivf_quantized"].fn(spark, SF_ORACLE)
+    ann = {r["vec_id"] for r in ann_df.collect()}
+    recall = len(ann & exact) / _IVFQ_TOPK
+    assert recall >= 0.7, f"quantized-IVF recall degraded: {recall}"
+    assert _IVFQ_NPROBE < _IVFQ_K  # scan fraction strictly < 1
+    # monotone exact scores: the ANN's own results are true distances
+    dists = [r["q_dist"] for r in ann_df.collect()]
+    assert dists == sorted(dists) and len(dists) == _IVFQ_TOPK
