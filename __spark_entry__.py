@@ -107,32 +107,21 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 15 state: the r14 window went 50/50 green, so the
-    # front is this round's eight new operators (VERDICT r14 #3/#5/#8
-    # plus both SURVEY §7 r15 fresh-queue items and the r16 queue's
-    # DESCRIBE HISTORY pulled forward). Everything after them is the
-    # VERDICT-mandated attestation drain: the verified back is
-    # ordered stalest-first, so the remaining 42 slots pick up all 19
-    # r07 rows and the 23 oldest r08 rows automatically.
-    "table_log_column_mapping",
-    "table_log_clone_deepen",
-    # VERDICT r14 #8: the DECIMAL/DST edge corpus (SURVEY §1.2
-    # gotcha 3 becomes a tested boundary)
-    "agg_decimal_exact",
-    "agg_decimal_revenue_mul",
-    "window_dst_boundary",
-    # the SURVEY §7 r15 fresh-queue items: visibility-atomic catalog
-    # swap and the index family's generation-aware vacuum
-    "table_log_catalog_txn",
-    "sim_search_ann_ivf_vacuumed",
-    # r16 queue (d) pulled forward: the log as a queryable DataFrame
-    "table_log_history",
-    # r16 queue (c) pulled forward: RENAME lands mid-stream
-    "stream_ingest_column_mapping",
-    # r16 queue (b) pulled forward: database-level as-of via catalog
-    "table_log_catalog_asof",
-    # the write side of column mapping: logical-name DELETE
-    "table_log_colmap_delete",
+    # --- ROUND 16 state: the r15 window went 49-hash + 1 rows-only
+    # green, so the front is this round's four new operators (VERDICT
+    # r15 #3/#4/#5/#7). Everything after them is the VERDICT-mandated
+    # attestation drain: the verified back is ordered stalest-first,
+    # so the remaining 46 slots pick up ALL 30 r08 rows (VERDICT r15
+    # next-round #1 — board floor lands at r09) plus the 16 oldest
+    # r09 rows automatically.
+    # VERDICT r15 #3: OPTIMIZE under column mapping
+    "table_log_colmap_compact",
+    # VERDICT r15 #4: cross-table as-of routed through the catalog
+    "table_log_catalog_multi_asof",
+    # VERDICT r15 #5: DROP COLUMN lands mid-stream
+    "stream_ingest_colmap_drop",
+    # VERDICT r15 #7: the hash-oracled quantized-IVF rung
+    "sim_search_ann_ivf_quantized",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

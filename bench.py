@@ -175,6 +175,11 @@ HEADLINE = [
     "stream_ingest_column_mapping",  # rename between micro-batches, zero disruption
     "table_log_catalog_asof",  # whole-database historical read through one pin set
     "table_log_colmap_delete",  # logical-name DELETE doomed across both spellings
+    # --- round-16 rows (VERDICT r15 #3, #4, #5, #7)
+    "table_log_colmap_compact",  # OPTIMIZE under mapping: re-spell + re-bind + DV purge
+    "table_log_catalog_multi_asof",  # cross-table as-of via catalog-version pins
+    "stream_ingest_colmap_drop",  # DROP between micro-batches, bytes unreachable from birth
+    "sim_search_ann_ivf_quantized",  # integer IVF: the hash-oracled list-scan rung
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
