@@ -108,12 +108,12 @@ def _verified_past_rounds() -> list[str]:
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
     # --- ROUND 16 state: the r15 window went 49-hash + 1 rows-only
-    # green, so the front is this round's four new operators (VERDICT
-    # r15 #3/#4/#5/#7). Everything after them is the VERDICT-mandated
-    # attestation drain: the verified back is ordered stalest-first,
-    # so the remaining 46 slots pick up ALL 30 r08 rows (VERDICT r15
-    # next-round #1 — board floor lands at r09) plus the 16 oldest
-    # r09 rows automatically.
+    # green, so the front is this round's new operators (VERDICT r15
+    # #3/#4/#5/#7 plus the retention-floor extension). Everything
+    # after them is the VERDICT-mandated attestation drain: the
+    # verified back is ordered stalest-first, so the remaining slots
+    # pick up ALL 30 r08 rows (VERDICT r15 next-round #1 — board
+    # floor lands at r09) plus the oldest r09 rows automatically.
     # VERDICT r15 #3: OPTIMIZE under column mapping
     "table_log_colmap_compact",
     # VERDICT r15 #4: cross-table as-of routed through the catalog
@@ -122,6 +122,8 @@ _PRIORITY_WINDOW = [
     "stream_ingest_colmap_drop",
     # VERDICT r15 #7: the hash-oracled quantized-IVF rung
     "sim_search_ann_ivf_quantized",
+    # r16 extension: vacuum clamped to the catalog retention floor
+    "table_log_vacuum_catalog_floor",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

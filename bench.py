@@ -180,6 +180,7 @@ HEADLINE = [
     "table_log_catalog_multi_asof",  # cross-table as-of via catalog-version pins
     "stream_ingest_colmap_drop",  # DROP between micro-batches, bytes unreachable from birth
     "sim_search_ann_ivf_quantized",  # integer IVF: the hash-oracled list-scan rung
+    "table_log_vacuum_catalog_floor",  # reclaim clamped to the oldest catalog pin
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

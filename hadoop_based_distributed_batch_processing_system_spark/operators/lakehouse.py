@@ -3759,6 +3759,219 @@ def table_log_catalog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tlog_catalog_fingerprint(spark, _tlog_catalog_read(cat, 0))
 
 
+# --- Vacuum under catalog pins: the retention floor (S9-vcf) ---------------
+
+_TLOG_VCF_PRED = "o_orderkey % 10 = 6"  # the post-compact append slice
+
+
+def _tlog_vcf_roots(sf_dir: str) -> tuple[str, str]:
+    tag = corpus_tag(sf_dir)
+    return (
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogvcf_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogvcfcat_{tag}"),
+    )
+
+
+def _tlog_catalog_retention_floor(root: str, catalogs: list[str]) -> int | None:
+    """The oldest version of ``root`` pinned by any catalog's CURRENT
+    head — the retention floor a vacuum must respect. Current pins
+    are the protection (Iceberg's branch/tag refs): historical
+    catalog versions are themselves retention-bounded, so a database
+    as-of below a vacuumed horizon fails with the standard
+    descriptive snapshot error rather than holding bytes forever.
+    None when no catalog pins this table."""
+    rp = os.path.realpath(root)
+    floor = None
+    for cat in catalogs:
+        for pin in _tlog_catalog_read(cat).values():
+            if os.path.realpath(pin["root"]) == rp:
+                v = pin["version"]
+                floor = v if floor is None else min(floor, v)
+    return floor
+
+
+def _tlog_vacuum_floor(
+    root: str, retain_version: int, catalogs: list[str]
+) -> tuple[int, list[str]]:
+    """VACUUM clamped to the catalog retention floor (the enforcement
+    half of the promise the catalog docstrings make): the effective
+    horizon is min(requested, oldest current catalog pin), so a
+    retention policy tightened past a pinned version can never delete
+    bytes a catalog reader resolves — the catalog, not the policy,
+    wins. Returns (effective horizon, deleted groups)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_vacuum,
+    )
+
+    floor = _tlog_catalog_retention_floor(root, catalogs)
+    effective = retain_version if floor is None else min(retain_version, floor)
+    return effective, _tlog_vacuum(root, retain_version=effective)
+
+
+_TLOG_VCF_SPEC = {"impl": 1, "pred": _TLOG_VCF_PRED}
+
+
+def _tlog_apply_vcf(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run the pinned-vacuum lifecycle once (flock + stamp on the
+    table root): build (head v2) → catalog pins v2 → compaction
+    rewrite (v3 — the base groups go DEAD at head but stay PINNED) →
+    append (v4) → FLOORED vacuum at retain=head, which clamps to the
+    pin and reclaims NOTHING (the base groups are the pinned
+    snapshot's live set)."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+    )
+
+    root, cat = _tlog_vcf_roots(sf_dir)
+    stamp_file = os.path.join(root, "_VCF")
+    stamp = json.dumps(_TLOG_VCF_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return root, cat
+    _tlog_build(spark, sf_dir, root)  # own flock; take ours after
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return root, cat
+        if _tlog_latest_version_safe(root) != 2 or os.path.isdir(cat):
+            shutil.rmtree(cat, ignore_errors=True)
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_build(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return root, cat
+        _tlog_catalog_commit(
+            cat, {"t": {"root": root, "version": 2}}, base=-1
+        )
+        # v3: compaction — one sorted rewrite; base groups now dead at
+        # head, live ONLY through the catalog pin
+        live = _tlog_live_files(root, 2)
+        rel = _tlog_relation(spark, live).sortWithinPartitions("o_orderkey")
+        promoted, stats = _tlog_staged_write_with_stats(
+            rel.withColumn("tgt", F.lit("file_vcf_c")), root, ["file_vcf_c"],
+            constraints={},
+        )
+        _tlog_commit(
+            root, add=promoted,
+            remove=[os.path.basename(p) for p in live],
+            base_version=2, stats=stats or None, data_change=False,
+        )
+        # v4: an append so the head and the pin diverge in content too
+        slice_df = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.expr(_TLOG_VCF_PRED))
+            .select("o_orderkey", "o_totalprice")
+        )
+        promoted, stats = _tlog_staged_write_with_stats(
+            slice_df.withColumn("tgt", F.lit("file_vcf_a")), root,
+            ["file_vcf_a"],
+        )
+        _tlog_commit(
+            root, add=promoted, remove=[], base_version=3,
+            stats=stats or None,
+        )
+        # the FLOORED vacuum: retention says head, the pin says v2 —
+        # the pin wins: everything the pinned snapshot references
+        # survives (file_B, dead BEFORE the pin, is legitimately
+        # reclaimed — the floor protects pinned state, not all history)
+        effective, deleted = _tlog_vacuum_floor(root, 4, [cat])
+        pinned = {os.path.basename(p) for p in _tlog_live_files(root, 2)}
+        if effective != 2 or set(deleted) & pinned:
+            raise RuntimeError(
+                f"floored vacuum drifted: horizon {effective}, "
+                f"deleted {deleted} — the catalog pin must clamp both"
+            )
+        tmp = os.path.join(root, f"._VCF.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return root, cat
+
+
+@register(
+    "table_log_vacuum_catalog_floor",
+    # Hash oracle: after the floored vacuum, the catalog-pinned read
+    # is STILL the pre-compaction base (plain orders) and the head is
+    # the compacted content plus the append — retention tightened to
+    # head must not break either view.
+    oracle=f"""
+        WITH s AS (
+          SELECT 'pinned' AS view, o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'head', o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'head', o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_VCF_PRED}
+        )
+        SELECT view,
+               CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM s GROUP BY 1, 2
+    """,
+    tags=("S9-vcf", "lakehouse", "catalog", "vacuum", "retention"),
+)
+def table_log_vacuum_catalog_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-vcf — VACUUM UNDER CATALOG PINS: the enforcement half of the
+    promise the catalog operators document ("catalog pins define the
+    retention floor"). A compaction kills the base file groups at
+    head; a retention policy of "keep only head" would reclaim them —
+    but the catalog's current pin still resolves the pre-compaction
+    snapshot, so the floored vacuum clamps its horizon to the oldest
+    current pin (min over catalogs referencing the table) and deletes
+    NOTHING the pinned database view needs. Both views — the pinned
+    read (pre-compaction content) and the head read (compacted +
+    append) — are served after the vacuum and hash-checked. Current
+    pins are the protection, like Iceberg branch/tag refs: historical
+    catalog versions age out under the same retention as any
+    snapshot, failing descriptively below the horizon (pytest pins
+    the raw-vacuum counterfactual breaking the pin, and the floor
+    MOVING when the catalog re-pins to head).
+
+    Scale: the floor is one JSON read per catalog — metadata,
+    O(catalogs × tables); vacuum itself never touches the data plane
+    except to delete. This is the coordination that makes aggressive
+    retention safe on a 100-TB lake: training manifests pin catalog
+    versions, and storage reclaim can run hot everywhere those pins
+    aren't."""
+    root, cat = _tlog_apply_vcf(spark, sf_dir)
+    pin = _tlog_catalog_read(cat)["t"]
+    parts = []
+    for view, version in (("pinned", pin["version"]), ("head", _tlog_latest_version(root))):
+        parts.append(
+            _tlog_relation(spark, _tlog_live_files(root, version))
+            .groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            .select(F.lit(view).alias("view"), "bucket", "n_rows", "sum_cents")
+        )
+    return parts[0].unionByName(parts[1])
+
+
 # --- Catalog-ROUTED cross-table as-of (S9-masof', VERDICT r15 #4) ----------
 
 

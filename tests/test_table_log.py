@@ -4304,3 +4304,90 @@ def test_drop_mid_stream_unbinds_field_without_disrupting_checkpoint(spark):
     assert old.filter(F.col("channel").isNull()).count() == 0
     new = _tlog_colmap_read(spark, root, head)
     assert "channel" not in new.columns
+
+
+def test_vacuum_catalog_floor_counterfactual_and_floor_movement(spark, tmp_path):
+    """S9-vcf pins: (a) the counterfactual — a RAW vacuum at
+    retain=head on an identically-shaped root breaks the catalog-
+    pinned read with the descriptive vacuumed error (exactly what the
+    floor exists to prevent); (b) the floor MOVES: after the catalog
+    re-pins to head, the floored vacuum reclaims the previously
+    pinned base groups, and reading the OLD catalog version's pin now
+    fails descriptively (historical catalog versions age out under
+    the same retention as any snapshot); (c) the floor is the MIN
+    over multiple catalogs pinning the same table."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_read,
+        _tlog_catalog_retention_floor,
+        _tlog_vacuum_floor,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_staged_write_with_stats,
+        _tlog_vacuum,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "t")
+    _tlog_build(spark, SF_SMOKE, root)
+    cat = str(tmp_path / "cat")
+    cat2 = str(tmp_path / "cat2")
+    _tlog_catalog_commit(cat, {"t": {"root": root, "version": 2}}, base=-1)
+    # compaction: base groups dead at head, pinned at v2
+    live2 = _tlog_live_files(root, 2)
+    rel = spark.read.parquet(*live2)
+    promoted, stats = _tlog_staged_write_with_stats(
+        rel.withColumn("tgt", F.lit("file_vt_c")), root, ["file_vt_c"],
+        constraints={},
+    )
+    _tlog_commit(
+        root, add=promoted, remove=[os.path.basename(p) for p in live2],
+        base_version=2, stats=stats or None, data_change=False,
+    )
+    pinned_rows = rel.count()
+
+    # (c) two catalogs, different pins: the floor is the min
+    _tlog_catalog_commit(cat2, {"t": {"root": root, "version": 3}}, base=-1)
+    assert _tlog_catalog_retention_floor(root, [cat, cat2]) == 2
+    assert _tlog_catalog_retention_floor(root, [cat2]) == 3
+
+    # floored vacuum at head keeps the pinned read alive
+    effective, deleted = _tlog_vacuum_floor(root, 3, [cat, cat2])
+    assert effective == 2
+    pin = _tlog_catalog_read(cat)["t"]
+    assert spark.read.parquet(
+        *_tlog_live_files(pin["root"], pin["version"])
+    ).count() == pinned_rows
+
+    # (a) counterfactual: the RAW vacuum breaks the pin descriptively
+    raw = str(tmp_path / "raw")
+    _tlog_build(spark, SF_SMOKE, raw)
+    live2r = _tlog_live_files(raw, 2)
+    promoted, stats = _tlog_staged_write_with_stats(
+        spark.read.parquet(*live2r).withColumn("tgt", F.lit("file_vt_c")),
+        raw, ["file_vt_c"], constraints={},
+    )
+    _tlog_commit(
+        raw, add=promoted, remove=[os.path.basename(p) for p in live2r],
+        base_version=2, stats=stats or None, data_change=False,
+    )
+    assert _tlog_vacuum(raw, retain_version=3)  # reclaims the base groups
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        _tlog_live_files(raw, 2)
+
+    # (b) the catalog re-pins to head -> the floor moves -> the
+    # floored vacuum NOW reclaims, and the old pin ages out loudly
+    _tlog_catalog_commit(cat, {"t": {"root": root, "version": 3}}, base=0)
+    _tlog_catalog_commit(cat2, {"t": {"root": root, "version": 3}}, base=0)
+    effective, deleted = _tlog_vacuum_floor(root, 3, [cat, cat2])
+    assert effective == 3 and deleted  # base groups reclaimed now
+    old_pin = _tlog_catalog_read(cat, 0)["t"]
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        _tlog_live_files(old_pin["root"], old_pin["version"])
+    # the current pin still serves
+    assert spark.read.parquet(
+        *_tlog_live_files(root, 3)
+    ).count() == pinned_rows
