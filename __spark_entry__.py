@@ -124,6 +124,8 @@ _PRIORITY_WINDOW = [
     "sim_search_ann_ivf_quantized",
     # r16 extension: vacuum clamped to the catalog retention floor
     "table_log_vacuum_catalog_floor",
+    # r16 extension: UPDATE completes the mapped DML story
+    "table_log_colmap_update",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -181,6 +181,7 @@ HEADLINE = [
     "stream_ingest_colmap_drop",  # DROP between micro-batches, bytes unreachable from birth
     "sim_search_ann_ivf_quantized",  # integer IVF: the hash-oracled list-scan rung
     "table_log_vacuum_catalog_floor",  # reclaim clamped to the oldest catalog pin
+    "table_log_colmap_update",  # CoW update under mapping, respell-then-update
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

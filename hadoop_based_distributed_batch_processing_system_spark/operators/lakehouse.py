@@ -5344,6 +5344,259 @@ def table_log_colmap_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- UPDATE under column mapping (S9-cmap''''', r16) -----------------------
+
+# predicate spells the RENAMED column; file_C (%4=2) provably misses
+_TLOG_CMU_PRED = "price_usd > 0 AND o_orderkey % 4 IN (0, 3)"
+_TLOG_CMU_BUMP = 2.5  # exact in IEEE: both engines add the same double
+
+
+def _tlog_cmu_root(sf_dir: str) -> str:
+    # own root: the update rewrites its table's files (own-root rule)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcmu_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_colmap_update(
+    spark: SparkSession, root: str, logical_pred: str, set_col: str, bump: float
+) -> tuple[int, list[str], list[str]]:
+    """UPDATE SET under COLUMN MAPPING, copy-on-write: discovery
+    translates the LOGICAL predicate into each cohort's physical
+    spelling (one matched-groups scan per binding signature — the
+    translation is needed ONLY here, against raw cohort bytes); the
+    rewrite then re-spells each matched group to the HEAD names FIRST
+    and applies the logical predicate directly — no second
+    translation, and the rewrite normalizes spelling opportunistically
+    (the compact operator's rule: CoW work already paid for re-binds
+    for free). Unmatched groups are never read again, never rewritten
+    (mtime-pinned). New groups bind the head spelling in ``colphys``;
+    ONE OCC commit publishes the statement. Returns
+    (version, rewritten groups, untouched groups)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    base = _tlog_latest_version(root)
+    cmap = _tlog_live_colmap(root, base)
+    if cmap is None:
+        raise RuntimeError("logical-name UPDATE requires an active mapping")
+    head_binding = {str(f["id"]): f["name"] for f in cmap["fields"]}
+    phys = _tlog_replay_map(root, base, "colphys")
+    dvs = _tlog_live_dvs(root, base)
+    cohorts: dict[tuple, list[str]] = {}
+    for p in _tlog_live_files(root, base):
+        g = os.path.basename(p)
+        cohorts.setdefault(
+            tuple(sorted(_tlog_colmap_binding(phys, g).items())), []
+        ).append(p)
+    # DISCOVERY: matched groups per cohort, translated predicate
+    matched: set[str] = set()
+    for key, paths in sorted(cohorts.items()):
+        binding = dict(key)
+        tpred = _tlog_colmap_translate(logical_pred, cmap["fields"], binding)
+        rel = _tlog_relation(spark, paths).withColumn(
+            "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+        )
+        matched |= {
+            r["file"]
+            for r in rel.filter(F.expr(tpred))
+            .select("file").distinct().collect()
+        }
+    untouched = sorted(
+        os.path.basename(p)
+        for paths in cohorts.values() for p in paths
+        if os.path.basename(p) not in matched
+    )
+    if not matched:
+        return base, [], untouched
+    v = base + 1
+    parts = []
+    new_names: list[str] = []
+    for key, paths in sorted(cohorts.items()):
+        binding = dict(key)
+        hit = [p for p in paths if os.path.basename(p) in matched]
+        if not hit:
+            continue
+        rel = _tlog_relation(spark, hit).withColumn(
+            "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+        )
+        names = {os.path.basename(p) for p in hit}
+        cohort_dvs = {f: s for f, s in dvs.items() if f in names}
+        if cohort_dvs:
+            rel = rel.join(
+                F.broadcast(_tlog_dv_frame(spark, root, cohort_dvs)),
+                ["file", "o_orderkey"],
+                "left_anti",
+            )
+        cols = [
+            F.col(pname).alias(f["name"])
+            if (pname := binding.get(str(f["id"]))) is not None
+            else F.lit(None).alias(f["name"])
+            for f in cmap["fields"]
+        ]
+        respelled = rel.select(F.col("file"), *cols)
+        upd = respelled.withColumn(
+            set_col,
+            F.when(
+                F.expr(logical_pred), F.col(set_col) + F.lit(bump)
+            ).otherwise(F.col(set_col)),
+        )
+        new_names += [f"file_cmu{v}_{g.removeprefix('file_')}" for g in sorted(names)]
+        parts.append(
+            upd.withColumn(
+                "tgt",
+                F.concat(
+                    F.lit(f"file_cmu{v}_"),
+                    F.regexp_replace("file", "^file_", ""),
+                ),
+            ).drop("file")
+        )
+    staged = parts[0]
+    for p in parts[1:]:
+        staged = staged.unionByName(p)
+    promoted, stats = _tlog_staged_write_with_stats(
+        staged, root, sorted(new_names), require_all=True,
+    )
+    version = _tlog_commit_rebase(
+        root,
+        add=promoted,
+        remove=sorted(matched),
+        base_version=base,
+        read_set=set(matched),
+        stats=stats or None,
+        colphys={g: head_binding for g in promoted},
+    )
+    return version, sorted(matched), untouched
+
+
+_TLOG_CMU_SPEC = {"impl": 1, "pred": _TLOG_CMU_PRED, "bump": _TLOG_CMU_BUMP}
+
+
+def _tlog_apply_cmu(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the mapped-UPDATE lifecycle once per dir (flock + stamp):
+    the column-mapping lifecycle (v0-6), then ONE logical-name UPDATE
+    whose predicate spells the RENAMED column — matching rows in
+    pre-rename cohorts (file_A %4=0, file_D's %4=3 half) and the
+    post-rename file_F, while file_C (%4=2) provably misses and is
+    never rewritten."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version as _latest,
+    )
+
+    stamp_file = os.path.join(root, "_CMU")
+    stamp = json.dumps(_TLOG_CMU_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    _tlog_apply_cmap(spark, sf_dir, root)  # own flock; take ours after
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _latest(root) != 6:
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_apply_cmap(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        _, rewritten, untouched = _tlog_colmap_update(
+            spark, root, _TLOG_CMU_PRED, "price_usd", _TLOG_CMU_BUMP
+        )
+        if "file_C" not in untouched:
+            raise RuntimeError(
+                f"mapped UPDATE rewrote file_C (rewrote {rewritten}) — "
+                "CoW discovery must skip groups with no matched rows"
+            )
+        tmp = os.path.join(root, f"._CMU.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_colmap_update",
+    # Hash oracle: the mapped table's content (base + post-rename
+    # append) with the bump applied to rows matching the logical
+    # predicate, recomputed from orders — translation-for-discovery
+    # and respell-then-update must be invisible to values.
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMAP_PRED}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(
+                 (CASE WHEN o_totalprice > 0 AND o_orderkey % 4 IN (0, 3)
+                       THEN o_totalprice + {_TLOG_CMU_BUMP}
+                       ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM t GROUP BY 1
+    """,
+    tags=("S9-cmap'''''", "lakehouse", "column-mapping", "dml", "update", "cow"),
+)
+def table_log_colmap_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap''''' — UPDATE SET under COLUMN MAPPING (r16 —
+    completes the mapped DML story: read S9-cmap, DELETE S9-cmap'',
+    OPTIMIZE S9-cmap''', UPDATE here). The logical predicate spells
+    the RENAMED column; discovery translates it per cohort
+    (pre-rename files match on physical ``o_totalprice``) and finds
+    the matched groups in one scan per binding signature; the CoW
+    rewrite then RE-SPELLS each matched group to the head names first
+    and applies the logical predicate directly — the second
+    translation disappears, and the rewrite normalizes spelling
+    opportunistically (rewrite work already paid for re-binds for
+    free, the compact operator's rule). file_C contains no matched
+    rows and survives unrewritten (lifecycle-asserted, live-set
+    pytest); ONE OCC commit publishes new head-spelled groups with
+    their ``colphys`` bindings.
+
+    Scale: UPDATE cost stays proportional to MATCHED files exactly as
+    on the unmapped table — the mapping adds one predicate-translation
+    per binding signature (driver-side string work) and zero extra
+    scans; every rewritten byte also pays down rename debt, so a
+    write-hot mapped table converges to single-spelling without ever
+    running a dedicated rewrite."""
+    root = _tlog_cmu_root(sf_dir)
+    _tlog_apply_cmu(spark, sf_dir, root)
+    out = _tlog_colmap_snapshot(spark, root, _tlog_latest_version(root))
+    return (
+        out.groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("price_usd") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("bucket", "n_rows", "sum_cents")
+    )
+
+
 # --- RENAME lands mid-stream: column mapping x streaming (S9-cmap') --------
 
 _TLOG_SCM_PER_TRIGGER = 2

@@ -4391,3 +4391,67 @@ def test_vacuum_catalog_floor_counterfactual_and_floor_movement(spark, tmp_path)
     assert spark.read.parquet(
         *_tlog_live_files(root, 3)
     ).count() == pinned_rows
+
+
+def test_colmap_update_is_cow_minimal_and_respells(spark, tmp_path):
+    """S9-cmap''''' pins: the mapped UPDATE (a) rewrites ONLY matched
+    groups — file_C (no matched rows) survives byte-identical (mtime
+    pin) while A/D/F are replaced; (b) lands as ONE commit whose new
+    groups bind the HEAD spelling (rewrite normalizes rename debt);
+    (c) the updated values flow through the mapped read (spot-check
+    one bumped row); (d) a second identical update matches the
+    already-bumped rows again (idempotence is NOT claimed — UPDATE is
+    a statement; this asserts the mechanism, not a no-op)."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_CMU_BUMP,
+        _TLOG_CMU_PRED,
+        _tlog_apply_cmu,
+        _tlog_colmap_snapshot,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "cmu")
+    _tlog_apply_cmu(spark, SF_SMOKE, root)
+    head = _tlog_latest_version(root)
+    assert head == 7  # v0-6 cmap lifecycle + one UPDATE commit
+    live = {os.path.basename(p) for p in _tlog_live_files(root, head)}
+    # (a) CoW minimality
+    assert "file_C" in live
+    assert not live & {"file_A", "file_D", "file_F"}
+    rewritten = {g for g in live if g.startswith("file_cmu7_")}
+    assert {g.removeprefix("file_cmu7_") for g in rewritten} == {"A", "D", "F"}
+    # (b) one commit, head-spelling bindings
+    c = json.load(open(os.path.join(root, "_log", f"{head:06d}.json")))
+    assert set(c["add"]) == rewritten
+    assert set(c["remove"]) == {"file_A", "file_D", "file_F"}
+    assert all(
+        b == {"1": "o_orderkey", "2": "price_usd"}
+        for b in c["colphys"].values()
+    )
+    # (c) values: %4==0 rows carry the bump vs the source
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    src = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    n0 = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .count()
+    )
+    got = (
+        _tlog_colmap_snapshot(spark, root, head)
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .agg(F.sum(F.round(F.col("price_usd") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert got == src + n0 * round(_TLOG_CMU_BUMP * 100)
