@@ -4455,3 +4455,73 @@ def test_colmap_update_is_cow_minimal_and_respells(spark, tmp_path):
         .collect()[0][0]
     )
     assert got == src + n0 * round(_TLOG_CMU_BUMP * 100)
+
+
+def test_catalog_txn_three_legs_killed_after_two_publishes(spark, tmp_path):
+    """SURVEY §7 r16 queue (e) stretch: a 3-leg catalog transaction's
+    committer process is KILLED after publishing two legs (majority
+    published, one still staged) — the catalog stays unswapped, and
+    one recovery sweep drives the third leg forward (presumed commit)
+    and swaps all three pins atomically."""
+    import multiprocessing as mp
+    import shutil as _sh
+    import tempfile as _tf
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+        _tlog_catalog_txn_prepare,
+        _tlog_catalog_txn_recover,
+        _tlog_wap_stage,
+    )
+    from tests.conftest import SF_SMOKE
+
+    roots = {}
+    for n in ("a", "b", "c"):
+        r = _tf.mkdtemp(prefix=f"hbdbps_k3_{n}_")
+        _sh.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+        roots[n] = r
+    cat = str(tmp_path / "cat")
+    coord = str(tmp_path / "coord")
+    try:
+        _tlog_catalog_commit(
+            cat,
+            {n: {"root": r, "version": 2} for n, r in roots.items()},
+            base=-1,
+        )
+        base_df = spark.read.parquet(
+            os.path.join(roots["a"], "file_C")
+        ).select("o_orderkey", "o_totalprice")
+        legs = [
+            (n, r, _tlog_wap_stage(base_df, r, f"file_k3_{n}"))
+            for n, r in roots.items()
+        ]
+        path = _tlog_catalog_txn_prepare(coord, "k3", cat, 0, legs)
+        proc = mp.get_context("spawn").Process(
+            target=_crash_catalog_txn_worker, args=((path, ["a", "b"]),)
+        )
+        proc.start()
+        proc.join(timeout=120)
+        assert proc.exitcode == 17
+        # two logs advanced, one staged, catalog unswapped
+        assert _tlog_latest_version(roots["a"]) == 3
+        assert _tlog_latest_version(roots["b"]) == 3
+        assert _tlog_latest_version(roots["c"]) == 2
+        assert _tlog_catalog_latest(cat) == 0
+        assert os.path.exists(path)
+        # one recovery sweep: leg c driven forward, one swap, all visible
+        assert _tlog_catalog_txn_recover(spark, coord) == 1
+        assert _tlog_catalog_latest(cat) == 1
+        head = _tlog_catalog_read(cat)
+        for n, r, payload in legs:
+            live = {
+                os.path.basename(p)
+                for p in _tlog_live_files(r, head[n]["version"])
+            }
+            assert set(payload["add"]) <= live
+        assert {p["version"] for p in head.values()} == {3}
+    finally:
+        for r in roots.values():
+            _sh.rmtree(r, ignore_errors=True)
