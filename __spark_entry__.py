@@ -126,6 +126,8 @@ _PRIORITY_WINDOW = [
     "table_log_vacuum_catalog_floor",
     # r16 extension: UPDATE completes the mapped DML story
     "table_log_colmap_update",
+    # r16 extension: the change feed re-spelled through the mapping
+    "table_log_colmap_cdf",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

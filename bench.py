@@ -182,6 +182,7 @@ HEADLINE = [
     "sim_search_ann_ivf_quantized",  # integer IVF: the hash-oracled list-scan rung
     "table_log_vacuum_catalog_floor",  # reclaim clamped to the oldest catalog pin
     "table_log_colmap_update",  # CoW update under mapping, respell-then-update
+    "table_log_colmap_cdf",  # change feed re-spelled per binding signature
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -5597,6 +5597,210 @@ def table_log_colmap_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Change feed under column mapping (S9-cmap-cdf, r16) -------------------
+
+
+def _tlog_colmap_changes_fingerprint(spark: SparkSession, root: str) -> DataFrame:
+    """Per-(version, side) change-feed fingerprints of a MAPPED
+    table: the plain feed (``_tlog_changes_fingerprint``) reads every
+    unit file in ONE relation — impossible once cohorts spell the
+    same logical field differently — so here units group by their
+    file's PHYSICAL BINDING SIGNATURE and each cohort re-spells to
+    the field-id view (key = field 1, price = field 2) before the
+    same two-path change-sized plan: per-file partial aggregates +
+    broadcast membership join for plain units; broadcast
+    include/exclude sidecar joins for DV units. One scan per binding
+    signature per path — bounded by schema-change count, exactly the
+    mapped-read rule applied to the feed. A unit file with no binding
+    raises the descriptive bootstrap error."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_replay_map,
+    )
+
+    latest = _tlog_latest_version(root)
+    units = [
+        (v, side, f, incl, excl)
+        for v in range(1, latest + 1)
+        for side, f, incl, excl in _tlog_change_units(root, v)
+    ]
+    if not units:
+        raise RuntimeError(f"mapped table at {root} has no change units")
+    # bindings are IMMUTABLE once written (a file's physical spelling
+    # is fixed at write time forever), but each version's replay map
+    # carries only files live THERE — a feed spans history, so union
+    # the replays across versions (later wins vacuously; O(versions)
+    # checkpoint-bounded metadata reads — production formats carry
+    # the binding in each file's manifest entry instead)
+    phys: dict[str, dict] = {}
+    for v in range(latest + 1):
+        phys.update(_tlog_replay_map(root, v, "colphys"))
+    by_sig: dict[tuple, list[tuple]] = {}
+    for u in units:
+        sig = tuple(sorted(_tlog_colmap_binding(phys, u[2]).items()))
+        by_sig.setdefault(sig, []).append(u)
+    cents = F.sum(F.round(F.col("_price") * 100).cast("long"))
+    halves: list[DataFrame] = []
+    for sig, sig_units in sorted(by_sig.items()):
+        binding = dict(sig)
+        key_col, price_col = binding["1"], binding["2"]
+        plain = [(v, s, f) for v, s, f, i, e in sig_units if not i and not e]
+        if plain:
+            files = sorted({os.path.join(root, f) for _v, _s, f in plain})
+            partials = (
+                _tlog_relation(spark, files)
+                .select(
+                    F.regexp_extract(
+                        F.input_file_name(), _TLOG_FILE_RE, 1
+                    ).alias("file"),
+                    F.col(price_col).alias("_price"),
+                )
+                .groupBy("file")
+                .agg(F.count(F.lit(1)).alias("pn"), cents.alias("pc"))
+            )
+            mem = spark.createDataFrame(
+                plain, "version int, side string, file string"
+            )
+            halves.append(
+                partials.join(F.broadcast(mem), "file")
+                .groupBy("version", "side")
+                .agg(F.sum("pn").alias("n_rows"), F.sum("pc").alias("sum_cents"))
+            )
+        dv_units = [u for u in sig_units if u[3] or u[4]]
+        if dv_units:
+            files = sorted({os.path.join(root, f) for _v, _s, f, _i, _e in dv_units})
+            rel = _tlog_relation(spark, files).select(
+                F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1).alias("file"),
+                F.col(key_col).alias("o_orderkey"),
+                F.col(price_col).alias("_price"),
+            )
+            uframe = spark.createDataFrame(
+                dv_units,
+                "version int, side string, file string, incl string, excl string",
+            )
+            rows = rel.join(F.broadcast(uframe), "file")
+            sidecars = sorted(
+                {i for _v, _s, _f, i, _e in dv_units if i}
+                | {e for _v, _s, _f, _i, e in dv_units if e}
+            )
+            sc = _tlog_relation(
+                spark, [os.path.join(root, s) for s in sidecars]
+            ).select(
+                F.regexp_extract(
+                    F.input_file_name(), r"/(dv_[A-Za-z0-9_]+)/", 1
+                ).alias("sc_name"),
+                "o_orderkey",
+            )
+            rows = rows.join(
+                F.broadcast(
+                    sc.select(
+                        F.col("sc_name").alias("incl"), "o_orderkey",
+                        F.lit(1).alias("_in"),
+                    )
+                ),
+                ["incl", "o_orderkey"],
+                "left",
+            ).filter(F.col("incl").isNull() | F.col("_in").isNotNull())
+            rows = rows.join(
+                F.broadcast(
+                    sc.select(
+                        F.col("sc_name").alias("excl"), "o_orderkey",
+                        F.lit(1).alias("_ex"),
+                    )
+                ),
+                ["excl", "o_orderkey"],
+                "left",
+            ).filter(F.col("_ex").isNull())
+            halves.append(
+                rows.groupBy("version", "side").agg(
+                    F.count(F.lit(1)).alias("n_rows"), cents.alias("sum_cents")
+                )
+            )
+    merged = halves[0]
+    for h in halves[1:]:
+        merged = merged.unionByName(h)
+    return (
+        merged.groupBy("version", "side")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .select("version", "side", "n_rows", "sum_cents")
+    )
+
+
+@register(
+    "table_log_colmap_cdf",
+    # Hash oracle: the mapped table's full change feed recomputed
+    # from orders — post-bootstrap base file churn (v1-2), the
+    # post-rename append (v5), and the UPDATE's CoW pair (v7: remove at original
+    # prices, add with the bump on matched rows). Metadata-only
+    # commits (enable/rename/drop) emit nothing.
+    oracle=f"""
+        WITH chg AS (
+          SELECT 1 AS version, 'add' AS side, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 = 2
+          UNION ALL
+          SELECT 2, 'add', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (1, 3)
+          UNION ALL
+          SELECT 2, 'remove', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 = 1
+          UNION ALL
+          SELECT 5, 'add', o_orderkey, o_totalprice
+          FROM orders WHERE {_TLOG_CMAP_PRED}
+          UNION ALL
+          SELECT 7, 'remove', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)
+          UNION ALL
+          SELECT 7, 'remove', o_orderkey, o_totalprice
+          FROM orders WHERE {_TLOG_CMAP_PRED}
+          UNION ALL
+          SELECT 7, 'add', o_orderkey,
+                 CASE WHEN o_totalprice > 0 AND o_orderkey % 4 IN (0, 3)
+                      THEN o_totalprice + {_TLOG_CMU_BUMP}
+                      ELSE o_totalprice END
+          FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)
+          UNION ALL
+          SELECT 7, 'add', o_orderkey,
+                 CASE WHEN o_totalprice > 0 AND o_orderkey % 4 IN (0, 3)
+                      THEN o_totalprice + {_TLOG_CMU_BUMP}
+                      ELSE o_totalprice END
+          FROM orders WHERE {_TLOG_CMAP_PRED}
+        )
+        SELECT version, side,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM chg GROUP BY 1, 2
+    """,
+    tags=("S9-cmap-cdf", "lakehouse", "column-mapping", "cdc"),
+)
+def table_log_colmap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap-cdf — the CHANGE FEED OF A MAPPED TABLE (r16): CDC and
+    column mapping compose only if the feed re-spells each unit file
+    through ITS OWN physical binding — the plain feed reads every
+    unit in one relation, which breaks (or worse, silently
+    mis-columns) the moment pre-rename and post-rename files land in
+    the same feed. Here the UPDATE's CoW pair (S9-cmap''''' on this
+    root) removes files spelled ``o_totalprice`` AND ``price_usd``
+    in one commit and adds head-spelled rewrites; units group by
+    binding signature, each cohort re-spells to the field-id view,
+    and the same change-sized two-path plan (partial aggregates +
+    broadcast membership; broadcast sidecar include/exclude) runs
+    per cohort. Metadata-only commits (mapping enable, RENAME, DROP)
+    emit nothing — renames are invisible to row transitions, exactly
+    the property consumers need. Every (version, side) is
+    hash-checked against the change sets recomputed from orders.
+
+    Scale: one scan per binding signature per path — the feed stays
+    change-proportional and bounded by schema-change count; a
+    replica consuming this feed applies row transitions and never
+    learns the source ever renamed anything."""
+    root = _tlog_cmu_root(sf_dir)
+    _tlog_apply_cmu(spark, sf_dir, root)
+    return _tlog_colmap_changes_fingerprint(spark, root)
+
+
 # --- RENAME lands mid-stream: column mapping x streaming (S9-cmap') --------
 
 _TLOG_SCM_PER_TRIGGER = 2

@@ -4525,3 +4525,48 @@ def test_catalog_txn_three_legs_killed_after_two_publishes(spark, tmp_path):
     finally:
         for r in roots.values():
             _sh.rmtree(r, ignore_errors=True)
+
+
+def test_colmap_feed_dv_path_and_metadata_silence(spark):
+    """S9-cmap-cdf pins on the mapped-DELETE root (DV-only commit):
+    (a) the feed's v7 row is remove-side ONLY (a DV-only commit adds
+    nothing) and its rows equal the delete band recomputed from the
+    mapped content — re-spelled per cohort, both spellings counted;
+    (b) metadata-only commits (enable/rename/drop at v3/v4/v6) emit
+    no feed rows at all."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_cmd,
+        _tlog_cmd_root,
+        _tlog_colmap_changes_fingerprint,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = _tlog_cmd_root(SF_SMOKE)
+    _tlog_apply_cmd(spark, SF_SMOKE, root)
+    feed = {
+        (r["version"], r["side"]): (r["n_rows"], r["sum_cents"])
+        for r in _tlog_colmap_changes_fingerprint(spark, root).collect()
+    }
+    # (b) metadata commits silent; v7 has no add side
+    assert not {v for v, _s in feed} & {3, 4, 6}
+    assert (7, "add") not in feed and (7, "remove") in feed
+    # (a) the DV remove rows = the delete band over base + F slice
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = orders.unionByName(orders.filter(F.expr("o_orderkey % 10 = 7")))
+    band = t.filter(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) % 11 = 3")
+    )
+    want = (
+        band.count(),
+        band.agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        ).collect()[0][0],
+    )
+    assert feed[(7, "remove")] == want
