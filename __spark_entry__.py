@@ -128,6 +128,8 @@ _PRIORITY_WINDOW = [
     "table_log_colmap_update",
     # r16 extension: the change feed re-spelled through the mapping
     "table_log_colmap_cdf",
+    # r16 extension: replication through the mapped feed
+    "stream_table_log_replicate_colmap",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -183,6 +183,7 @@ HEADLINE = [
     "table_log_vacuum_catalog_floor",  # reclaim clamped to the oldest catalog pin
     "table_log_colmap_update",  # CoW update under mapping, respell-then-update
     "table_log_colmap_cdf",  # change feed re-spelled per binding signature
+    "stream_table_log_replicate_colmap",  # replica never learns the rename
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -5801,6 +5801,79 @@ def table_log_colmap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tlog_colmap_changes_fingerprint(spark, root)
 
 
+# --- Replication THROUGH the mapped feed (S9-repl'', r16) ------------------
+
+
+def _tlog_rcm_root(sf_dir: str) -> str:
+    # own root: the replica of the mapped table (own-root rule)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogrcm_{corpus_tag(sf_dir)}"
+    )
+
+
+@register(
+    "stream_table_log_replicate_colmap",
+    # Hash oracle: the replica's final snapshot = the mapped source's
+    # head content (base + renamed append, UPDATE bump on matched
+    # rows), reached purely through the change feed — the replica
+    # must never see a physical spelling.
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMAP_PRED}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(
+                 (CASE WHEN o_totalprice > 0 AND o_orderkey % 4 IN (0, 3)
+                       THEN o_totalprice + {_TLOG_CMU_BUMP}
+                       ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM t GROUP BY 1
+    """,
+    tags=("S9-repl''", "stream", "cdc", "column-mapping", "replication"),
+)
+def stream_table_log_replicate_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-repl'' — REPLICATION OF A COLUMN-MAPPED TABLE (r16): the
+    feed source resolves each change file's PHYSICAL spelling through
+    its ``colphys`` binding and emits under the feed's canonical
+    schema, so the streaming replica — the same foreachBatch
+    transactional apply as S9-repl' — drains a source that renamed a
+    column mid-history WITHOUT EVER LEARNING IT: pre-rename files,
+    post-rename files, and the UPDATE's head-spelled rewrites all
+    arrive as identical row transitions. Metadata-only commits
+    (mapping enable, RENAME, DROP) emit empty batches and produce no
+    replica commits — the replica's log is exactly the source's
+    change-bearing history (drift-checked). The replica's final
+    snapshot is hash-checked against the mapped head recomputed from
+    orders.
+
+    Scale: this is the property that makes mapping deployable —
+    every downstream CDC consumer (replicas, rollups, search
+    indexes) survives a rename with zero redeploys because the feed
+    normalizes spelling at the source boundary, once, per file
+    binding (one metadata lookup per change unit)."""
+    import json
+
+    src = _tlog_cmu_root(sf_dir)
+    _tlog_apply_cmu(spark, sf_dir, src)
+    dst = _tlog_rcm_root(sf_dir)
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_fingerprint,
+        _tlog_replicate,
+    )
+
+    _tlog_replicate(
+        spark, sf_dir, src, dst,
+        extra_stamp=json.dumps(_TLOG_CMU_SPEC, sort_keys=True),
+    )
+    return _tlog_latest_fingerprint(spark, dst)
+
+
 # --- RENAME lands mid-stream: column mapping x streaming (S9-cmap') --------
 
 _TLOG_SCM_PER_TRIGGER = 2

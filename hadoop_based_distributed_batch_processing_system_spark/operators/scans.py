@@ -2533,9 +2533,28 @@ def _tlog_replicate(
             register_table_log_feed_source,
         )
 
-        # bootstrap: the source's v0 snapshot becomes replica commit 0
-        boot_files = _tlog_live_files(src_root, 0)
-        _tlog_relation(spark, boot_files).write.mode("overwrite").parquet(
+        # bootstrap: the source's v0 snapshot becomes replica commit 0,
+        # re-spelled to the feed's canonical schema per file binding
+        # (a column-mapped source may spell fields per cohort; an
+        # unmapped source falls through to the canonical names)
+        from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+            _tlog_feed_columns,
+        )
+
+        by_cols: dict[tuple, list[str]] = {}
+        for pth in _tlog_live_files(src_root, 0):
+            cols = _tlog_feed_columns(src_root, os.path.basename(pth))
+            by_cols.setdefault(cols, []).append(pth)
+        boot_parts = [
+            _tlog_relation(spark, ps).select(
+                F.col(k).alias("o_orderkey"), F.col(pr).alias("o_totalprice")
+            )
+            for (k, pr), ps in sorted(by_cols.items())
+        ]
+        boot = boot_parts[0]
+        for bp in boot_parts[1:]:
+            boot = boot.unionByName(bp)
+        boot.write.mode("overwrite").parquet(
             os.path.join(dst_root, "file_boot")
         )
         try:
@@ -2632,10 +2651,19 @@ def _tlog_replicate(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         src_latest = _tlog_latest_version(src_root)
         dst_latest = _tlog_latest_version(dst_root)
-        if dst_latest != src_latest:
+        # one replica commit per source commit WITH change units —
+        # metadata-only commits (mapping enable / RENAME / DROP /
+        # dataChange:false rewrites) emit empty batches by design
+        expected = sum(
+            1
+            for v in range(1, src_latest + 1)
+            if _tlog_change_units(src_root, v)
+        )
+        if dst_latest != expected:
             raise RuntimeError(
                 f"replication drained to replica v{dst_latest} but the source "
-                f"is at v{src_latest} — feed lost or double-applied a commit"
+                f"has {expected} change-bearing commits (head v{src_latest}) "
+                "— feed lost or double-applied a commit"
             )
         tmp = os.path.join(dst_root, f"._REPLICATED.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:

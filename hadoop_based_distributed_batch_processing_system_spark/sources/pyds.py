@@ -193,6 +193,40 @@ def register_jsonl_sink(spark: SparkSession) -> None:
     spark.dataSource.register(JsonlSinkDataSource)
 
 
+
+def _tlog_feed_columns(root: str, fname: str) -> tuple[str, str]:
+    """The PHYSICAL (key, price) column names of one change-unit
+    file: field ids 1/2 resolved through the log's ``colphys``
+    bindings (a COLUMN-MAPPED table spells fields per cohort — a
+    feed that hardcoded canonical names would error on, or worse
+    silently mis-column, post-rename files). Bindings are immutable
+    once written, so the newest commit binding the file wins; a file
+    with no binding (unmapped table, or pre-mapping files) falls back
+    to the canonical spelling. Metadata-sized: one reverse scan of
+    commit JSONs, executor-safe (no Spark, no package state)."""
+    import json
+    import os
+    import re
+
+    logd = os.path.join(root, "_log")
+    try:
+        names = sorted(
+            (f for f in os.listdir(logd) if re.fullmatch(r"\d{6}\.json", f)),
+            reverse=True,
+        )
+    except OSError:
+        names = []
+    for n in names:
+        try:
+            c = json.load(open(os.path.join(logd, n)))
+        except (OSError, ValueError):
+            continue
+        b = (c.get("colphys") or {}).get(fname)
+        if b and "1" in b and "2" in b:
+            return b["1"], b["2"]
+    return "o_orderkey", "o_totalprice"
+
+
 class TableLogFeedStreamReader(SimpleDataSourceStreamReader):
     """CHANGE-DATA-FEED stream reader over the commit-log table format
     (S9''' — the readStream twin of
@@ -265,15 +299,18 @@ class TableLogFeedStreamReader(SimpleDataSourceStreamReader):
         for side, fname, incl, excl in _tlog_change_units(self.root, v):
             incl_keys = sidecar_keys(incl)
             excl_keys = sidecar_keys(excl) or set()
+            # column-mapping aware: read each file under ITS physical
+            # spelling, emit under the feed's canonical schema
+            key_col, price_col = _tlog_feed_columns(self.root, fname)
             for part in sorted(
                 glob.glob(os.path.join(self.root, fname, "*.parquet"))
             ):
-                t = pq.read_table(part, columns=["o_orderkey", "o_totalprice"])
+                t = pq.read_table(part, columns=[key_col, price_col])
                 rows.extend(
                     (v, side, k, p)
                     for k, p in zip(
-                        t.column("o_orderkey").to_pylist(),
-                        t.column("o_totalprice").to_pylist(),
+                        t.column(key_col).to_pylist(),
+                        t.column(price_col).to_pylist(),
                     )
                     if (incl_keys is None or k in incl_keys)
                     and k not in excl_keys
@@ -423,11 +460,16 @@ class TableLogFeedPartitionedReader(DataSourceStreamReader):
 
         incl_keys = sidecar_keys(getattr(partition, "incl", None))
         excl_keys = sidecar_keys(getattr(partition, "excl", None)) or set()
+        import os as _os
+
+        key_col, price_col = _tlog_feed_columns(
+            _os.path.dirname(partition.path), _os.path.basename(partition.path)
+        )
         for part in sorted(glob.glob(partition.path + "/*.parquet")):
-            t = pq.read_table(part, columns=["o_orderkey", "o_totalprice"])
+            t = pq.read_table(part, columns=[key_col, price_col])
             for k, p in zip(
-                t.column("o_orderkey").to_pylist(),
-                t.column("o_totalprice").to_pylist(),
+                t.column(key_col).to_pylist(),
+                t.column(price_col).to_pylist(),
             ):
                 if (incl_keys is None or k in incl_keys) and k not in excl_keys:
                     yield (partition.version, partition.side, k, p)
