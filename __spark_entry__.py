@@ -130,6 +130,8 @@ _PRIORITY_WINDOW = [
     "table_log_colmap_cdf",
     # r16 extension: replication through the mapped feed
     "stream_table_log_replicate_colmap",
+    # r16 extension: the quantized index persisted + generation-aware
+    "sim_search_ann_ivf_quantized_persisted",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

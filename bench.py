@@ -184,6 +184,7 @@ HEADLINE = [
     "table_log_colmap_update",  # CoW update under mapping, respell-then-update
     "table_log_colmap_cdf",  # change feed re-spelled per binding signature
     "stream_table_log_replicate_colmap",  # replica never learns the rename
+    "sim_search_ann_ivf_quantized_persisted",  # hash-pinned persisted ANN index
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

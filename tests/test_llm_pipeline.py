@@ -1185,3 +1185,63 @@ def test_ann_ivf_quantized_recall_and_scan_fraction(spark):
     # monotone exact scores: the ANN's own results are true distances
     dists = [r["q_dist"] for r in ann_df.collect()]
     assert dists == sorted(dists) and len(dists) == _IVFQ_TOPK
+
+
+def test_ivfq_persisted_prunes_lists_and_generations_vacuum(spark, tmp_path):
+    """Persisted quantized index pins: (a) the serve plan touches
+    ONLY the probed clusters' list groups (file-level pruning —
+    nprobe of K groups, via inputFiles); (b) repeat invocations serve
+    the stamped index without rebuilding (index file mtimes stable);
+    (c) a retrain is an atomic add+remove commit producing a NEW
+    generation, and vacuum below it makes the old generation's
+    time travel fail descriptively — the float index family's
+    generation discipline on the hash-oracled rung."""
+    import os
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        _IVFQ_K,
+        _IVFQ_NPROBE,
+        _ivfq_index_build,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+        _tlog_vacuum,
+    )
+    from tests.conftest import SF_ORACLE
+
+    root = str(tmp_path / "ivfq")
+    _ivfq_index_build(spark, SF_ORACLE, root)
+    assert _tlog_latest_version(root) == 0  # generation 0
+
+    # (b) no rebuild on re-entry
+    mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _tlog_live_files(root, 0)
+    }
+    _ivfq_index_build(spark, SF_ORACLE, root)
+    assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
+
+    # (a) the registry op (shared /tmp root) prunes to nprobe lists
+    ann = REG["sim_search_ann_ivf_quantized_persisted"].fn(spark, SF_ORACLE)
+    touched = {
+        m.group(1)
+        for f in ann.inputFiles()
+        if (m := re.search(r"/(file_qlist\d+_g\d+)/", f))
+    }
+    assert len(touched) == _IVFQ_NPROBE
+    assert _IVFQ_NPROBE < _IVFQ_K
+    assert len(ann.collect()) == 10
+
+    # (c) force a retrain on the private root: stale stamp -> new
+    # generation as one add+remove commit; vacuum retires gen 0
+    os.unlink(os.path.join(root, "_BUILT"))
+    _ivfq_index_build(spark, SF_ORACLE, root)
+    assert _tlog_latest_version(root) == 1
+    g1 = {os.path.basename(p) for p in _tlog_live_files(root, 1)}
+    assert all(n.endswith("_g1") for n in g1)
+    deleted = _tlog_vacuum(root, retain_version=1)
+    assert deleted and all(n.endswith("_g0") for n in deleted)
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        _tlog_live_files(root, 0)
