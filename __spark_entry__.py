@@ -132,6 +132,8 @@ _PRIORITY_WINDOW = [
     "stream_table_log_replicate_colmap",
     # r16 extension: the quantized index persisted + generation-aware
     "sim_search_ann_ivf_quantized_persisted",
+    # r16 extension: MERGE INTO, the last mapped DML verb
+    "table_log_colmap_merge",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -185,6 +185,7 @@ HEADLINE = [
     "table_log_colmap_cdf",  # change feed re-spelled per binding signature
     "stream_table_log_replicate_colmap",  # replica never learns the rename
     "sim_search_ann_ivf_quantized_persisted",  # hash-pinned persisted ANN index
+    "table_log_colmap_merge",  # upsert under mapping, source-driven CoW
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -5597,6 +5597,270 @@ def table_log_colmap_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MERGE INTO under column mapping (S9-cmap-mrg, r16) --------------------
+
+_TLOG_CMM_MOD, _TLOG_CMM_RES = 9, 4  # the merge source's key band
+_TLOG_CMM_UPD_BUMP = 3.25  # matched rows: price += (exact in IEEE)
+_TLOG_CMM_INS_BUMP = 0.25  # inserted rows' price offset (exact)
+
+
+def _tlog_cmm_root(sf_dir: str) -> str:
+    # own root: the merge rewrites its table's files (own-root rule)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcmm_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_colmap_merge(
+    spark: SparkSession, root: str, updates: DataFrame, inserts: DataFrame
+) -> tuple[int, list[str], list[str]]:
+    """MERGE INTO a COLUMN-MAPPED table, copy-on-write: discovery
+    joins the source's match keys against each cohort under the
+    cohort's OWN key spelling (field 1's physical name — a mapped
+    table may have renamed the key too); matched groups rewrite
+    re-spelled to the head names with the update applied (broadcast
+    left join — merge sources are dimension-sized; at terabyte
+    source scale this becomes a bucketed shuffle join), not-matched
+    source rows land in one head-spelled insert group, and ONE OCC
+    commit publishes rewrites + inserts with their ``colphys``
+    bindings. Unmatched groups survive unrewritten. ``updates`` is
+    (o_orderkey, new_price); ``inserts`` is (o_orderkey, price_usd).
+    Returns (version, rewritten groups, untouched groups)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    base = _tlog_latest_version(root)
+    cmap = _tlog_live_colmap(root, base)
+    if cmap is None:
+        raise RuntimeError("mapped MERGE requires an active mapping")
+    head_binding = {str(f["id"]): f["name"] for f in cmap["fields"]}
+    phys = _tlog_replay_map(root, base, "colphys")
+    dvs = _tlog_live_dvs(root, base)
+    cohorts: dict[tuple, list[str]] = {}
+    for p in _tlog_live_files(root, base):
+        g = os.path.basename(p)
+        cohorts.setdefault(
+            tuple(sorted(_tlog_colmap_binding(phys, g).items())), []
+        ).append(p)
+    match_keys = updates.select("o_orderkey")
+    matched: set[str] = set()
+    for key, paths in sorted(cohorts.items()):
+        key_col = dict(key)["1"]
+        rel = _tlog_relation(spark, paths).select(
+            F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1).alias("file"),
+            F.col(key_col).alias("o_orderkey"),
+        )
+        matched |= {
+            r["file"]
+            for r in rel.join(F.broadcast(match_keys), "o_orderkey")
+            .select("file").distinct().collect()
+        }
+    untouched = sorted(
+        os.path.basename(p)
+        for paths in cohorts.values() for p in paths
+        if os.path.basename(p) not in matched
+    )
+    v = base + 1
+    parts = []
+    new_names: list[str] = []
+    for key, paths in sorted(cohorts.items()):
+        binding = dict(key)
+        hit = [p for p in paths if os.path.basename(p) in matched]
+        if not hit:
+            continue
+        rel = _tlog_relation(spark, hit).withColumn(
+            "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+        )
+        names = {os.path.basename(p) for p in hit}
+        cohort_dvs = {f: s for f, s in dvs.items() if f in names}
+        if cohort_dvs:
+            rel = rel.join(
+                F.broadcast(_tlog_dv_frame(spark, root, cohort_dvs)),
+                ["file", "o_orderkey"],
+                "left_anti",
+            )
+        cols = [
+            F.col(pname).alias(f["name"])
+            if (pname := binding.get(str(f["id"]))) is not None
+            else F.lit(None).alias(f["name"])
+            for f in cmap["fields"]
+        ]
+        respelled = rel.select(F.col("file"), *cols)
+        merged = (
+            respelled.join(F.broadcast(updates), "o_orderkey", "left")
+            .withColumn(
+                "price_usd", F.coalesce("new_price", "price_usd")
+            )
+            .drop("new_price")
+        )
+        new_names += [f"file_cmm{v}_{g.removeprefix('file_')}" for g in sorted(names)]
+        parts.append(
+            merged.withColumn(
+                "tgt",
+                F.concat(
+                    F.lit(f"file_cmm{v}_"),
+                    F.regexp_replace("file", "^file_", ""),
+                ),
+            ).drop("file")
+        )
+    ins_name = f"file_cmm{v}_ins"
+    new_names.append(ins_name)
+    parts.append(inserts.withColumn("tgt", F.lit(ins_name)))
+    staged = parts[0]
+    for p in parts[1:]:
+        staged = staged.unionByName(p)
+    promoted, stats = _tlog_staged_write_with_stats(
+        staged, root, sorted(new_names), require_all=True,
+    )
+    version = _tlog_commit_rebase(
+        root,
+        add=promoted,
+        remove=sorted(matched),
+        base_version=base,
+        read_set=set(matched),
+        stats=stats or None,
+        colphys={g: head_binding for g in promoted},
+    )
+    return version, sorted(matched), untouched
+
+
+_TLOG_CMM_SPEC = {
+    "impl": 1, "mod": _TLOG_CMM_MOD, "res": _TLOG_CMM_RES,
+    "upd": _TLOG_CMM_UPD_BUMP, "ins": _TLOG_CMM_INS_BUMP,
+}
+
+
+def _tlog_apply_cmm(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the mapped-MERGE lifecycle once per dir (flock + stamp):
+    the column-mapping lifecycle (v0-6), then ONE MERGE whose source
+    carries the %{_TLOG_CMM_MOD}={_TLOG_CMM_RES} key band twice —
+    positive keys as matched updates (every copy of the key in both
+    spellings' cohorts takes the bump), negated keys as not-matched
+    inserts (landing head-spelled)."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version as _latest,
+    )
+
+    stamp_file = os.path.join(root, "_CMM")
+    stamp = json.dumps(_TLOG_CMM_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    _tlog_apply_cmap(spark, sf_dir, root)  # own flock; take ours after
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _latest(root) != 6:
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_apply_cmap(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        band = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % _TLOG_CMM_MOD == _TLOG_CMM_RES
+        )
+        updates = band.select(
+            "o_orderkey",
+            (F.col("o_totalprice") + _TLOG_CMM_UPD_BUMP).alias("new_price"),
+        )
+        inserts = band.select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            (F.col("o_totalprice") + _TLOG_CMM_INS_BUMP).alias("price_usd"),
+        )
+        _tlog_colmap_merge(spark, root, updates, inserts)
+        tmp = os.path.join(root, f"._CMM.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_colmap_merge",
+    # Hash oracle: the mapped table's content with the merge applied —
+    # matched band keys bumped in BOTH spellings' copies, inserted
+    # negated keys present once — recomputed from orders.
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMAP_PRED}
+        ),
+        u AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % {_TLOG_CMM_MOD} = {_TLOG_CMM_RES}
+                      THEN o_totalprice + {_TLOG_CMM_UPD_BUMP}
+                      ELSE o_totalprice END AS o_totalprice
+          FROM t
+          UNION ALL
+          SELECT -o_orderkey, o_totalprice + {_TLOG_CMM_INS_BUMP}
+          FROM orders WHERE o_orderkey % {_TLOG_CMM_MOD} = {_TLOG_CMM_RES}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM u GROUP BY 1
+    """,
+    tags=("S9-cmap-mrg", "lakehouse", "column-mapping", "dml", "merge"),
+)
+def table_log_colmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap-mrg — MERGE INTO under COLUMN MAPPING (r16 — the last
+    DML verb on the mapped table: read, DELETE, UPDATE, OPTIMIZE,
+    CDF, replicate, and now upsert). Discovery joins the source's
+    match keys under each cohort's own key spelling; matched groups
+    rewrite re-spelled to the head names with the update applied
+    (WHEN MATCHED: price takes the source's value — each target copy
+    of a matched key updates, the SQL MERGE rule); not-matched source
+    rows land in one head-spelled insert group; ONE OCC commit
+    publishes rewrites + inserts with their bindings. The mapped read
+    after the merge is hash-checked against orders with the band
+    bumped and the negated-key inserts present.
+
+    Scale: identical cost shape to the unmapped MERGE — discovery is
+    one broadcast join per binding signature (manifest-stats pruning
+    applies first on real layouts), the rewrite touches only matched
+    files, and every rewritten byte pays down rename debt (the
+    respell-then-apply rule shared with UPDATE and OPTIMIZE)."""
+    root = _tlog_cmm_root(sf_dir)
+    _tlog_apply_cmm(spark, sf_dir, root)
+    out = _tlog_colmap_snapshot(spark, root, _tlog_latest_version(root))
+    return (
+        out.groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("price_usd") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("bucket", "n_rows", "sum_cents")
+    )
+
+
 # --- Change feed under column mapping (S9-cmap-cdf, r16) -------------------
 
 

@@ -4570,3 +4570,67 @@ def test_colmap_feed_dv_path_and_metadata_silence(spark):
         ).collect()[0][0],
     )
     assert feed[(7, "remove")] == want
+
+
+def test_colmap_merge_updates_both_spellings_and_inserts_once(spark, tmp_path):
+    """S9-cmap-mrg pins: (a) ONE commit, rewrites + the insert group,
+    all bound at the head spelling; (b) a matched key present in BOTH
+    spellings' cohorts (band ∩ CMAP slice) updates BOTH copies;
+    (c) inserts land exactly once with negated keys; (d) groups with
+    no matched key survive unrewritten."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_CMM_INS_BUMP,
+        _TLOG_CMM_MOD,
+        _TLOG_CMM_RES,
+        _TLOG_CMM_UPD_BUMP,
+        _tlog_apply_cmm,
+        _tlog_colmap_snapshot,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "cmm")
+    _tlog_apply_cmm(spark, SF_SMOKE, root)
+    head = _tlog_latest_version(root)
+    assert head == 7
+    # (a) one commit: rewrites + insert group, head bindings
+    c = json.load(open(os.path.join(root, "_log", f"{head:06d}.json")))
+    assert any(g.endswith("_ins") for g in c["add"])
+    assert all(
+        b == {"1": "o_orderkey", "2": "price_usd"}
+        for b in c["colphys"].values()
+    )
+    snap = _tlog_colmap_snapshot(spark, root, head)
+    band = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderkey") % _TLOG_CMM_MOD == _TLOG_CMM_RES
+    )
+    # (b) a key in band ∩ slice has TWO copies, both bumped
+    both = band.filter(F.expr("o_orderkey % 10 = 7")).limit(1).collect()
+    if both:
+        k, price = both[0]["o_orderkey"], both[0]["o_totalprice"]
+        rows = snap.filter(F.col("o_orderkey") == k).collect()
+        assert len(rows) == 2
+        assert all(
+            abs(r["price_usd"] - (price + _TLOG_CMM_UPD_BUMP)) < 1e-9
+            for r in rows
+        )
+    # (c) inserts once, negated keys, offset price
+    nins = snap.filter(F.col("o_orderkey") < 0).count()
+    assert nins == band.count()
+    one = band.limit(1).collect()[0]
+    got = snap.filter(F.col("o_orderkey") == -one["o_orderkey"]).collect()
+    assert len(got) == 1
+    assert abs(got[0]["price_usd"] - (one["o_totalprice"] + _TLOG_CMM_INS_BUMP)) < 1e-9
+    # (d) untouched groups: any live pre-merge group name (file_*)
+    # that contains no band key must still be live
+    live = {os.path.basename(p) for p in _tlog_live_files(root, head)}
+    survivors = {g for g in live if not g.startswith("file_cmm")}
+    for g in survivors:
+        keys = spark.read.parquet(os.path.join(root, g)).select("o_orderkey")
+        assert keys.filter(
+            F.col("o_orderkey") % _TLOG_CMM_MOD == _TLOG_CMM_RES
+        ).count() == 0
