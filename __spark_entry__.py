@@ -134,6 +134,8 @@ _PRIORITY_WINDOW = [
     "sim_search_ann_ivf_quantized_persisted",
     # r16 extension: MERGE INTO, the last mapped DML verb
     "table_log_colmap_merge",
+    # r16 extension: consistent multi-table CDC via catalog swaps
+    "table_log_catalog_cdf",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

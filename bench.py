@@ -186,6 +186,7 @@ HEADLINE = [
     "stream_table_log_replicate_colmap",  # replica never learns the rename
     "sim_search_ann_ivf_quantized_persisted",  # hash-pinned persisted ANN index
     "table_log_colmap_merge",  # upsert under mapping, source-driven CoW
+    "table_log_catalog_cdf",  # swap-atomic cross-table change feed
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

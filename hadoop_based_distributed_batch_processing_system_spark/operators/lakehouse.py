@@ -3759,6 +3759,95 @@ def table_log_catalog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tlog_catalog_fingerprint(spark, _tlog_catalog_read(cat, 0))
 
 
+# --- Consistent multi-table CDC through the catalog (S9-ccdf, r16) ---------
+
+
+@register(
+    "table_log_catalog_cdf",
+    # Hash oracle: catalog swap v1 moved BOTH pins 2→3 in one commit,
+    # so its consistent change set is exactly both tables' published
+    # slices — recomputed from orders.
+    oracle=f"""
+        WITH chg AS (
+          SELECT 1 AS cat_version, 'a' AS tbl, 'add' AS side,
+                 o_orderkey, o_totalprice
+          FROM orders WHERE {_TLOG_CTX_A_PRED}
+          UNION ALL
+          SELECT 1, 'b', 'add', o_orderkey, o_totalprice
+          FROM orders WHERE {_TLOG_CTX_B_PRED}
+        )
+        SELECT cat_version, tbl, side,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM chg GROUP BY 1, 2, 3
+    """,
+    tags=("S9-ccdf", "lakehouse", "catalog", "cdc", "multi-table"),
+)
+def table_log_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-ccdf — TRANSACTIONALLY CONSISTENT MULTI-TABLE CDC (r16):
+    change feeds whose unit is a CATALOG SWAP, not a table commit.
+    Per-table feeds expose torn cross-table state — a consumer can
+    apply table A's leg of a transaction before B's exists, the
+    visibility gap the catalog swap closes for READS (S9-txn'')
+    reopened for CDC. Here the feed's offset is the catalog version:
+    each increment diffs every table's PIN between consecutive
+    catalog versions and expands the pinned version RANGE through the
+    same DV-complete change units as the per-table feed — so one
+    catalog swap that moved N tables' pins yields ONE change set
+    containing all N tables' transitions, applied-or-nothing. On the
+    catalog-txn lifecycle, swap v1 moved both pins 2→3 together; the
+    feed emits both published slices under cat_version 1, never one
+    without the other (pytest pins that no finer interleaving is
+    observable). Table commits that happened between pins (none here;
+    skew is normal) batch into the same swap unit — published-yet-
+    unswapped work is invisible to CDC exactly as it is to readers.
+
+    Scale: the diff is O(tables) metadata per swap; change expansion
+    is the per-table feed's change-sized plan, one scan per distinct
+    file; a downstream warehouse applying these batches transactionally
+    (S9-repl's apply) holds cross-table consistency end-to-end."""
+    root_a, root_b, cat = _tlog_apply_ctx(spark, sf_dir)
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_changes_fingerprint,
+    )
+
+    latest = _tlog_catalog_latest(cat)
+    parts: list[DataFrame] = []
+    for cv in range(1, latest + 1):
+        prev = _tlog_catalog_read(cat, cv - 1)
+        cur = _tlog_catalog_read(cat, cv)
+        for tbl in sorted(cur):
+            vfrom = prev.get(tbl, {"version": -1})["version"]
+            vto = cur[tbl]["version"]
+            if vto <= vfrom:
+                continue
+            per_version = _tlog_changes_fingerprint(spark, cur[tbl]["root"])
+            parts.append(
+                per_version.filter(
+                    (F.col("version") > vfrom) & (F.col("version") <= vto)
+                )
+                .groupBy("side")
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                )
+                .select(
+                    F.lit(cv).alias("cat_version"),
+                    F.lit(tbl).alias("tbl"),
+                    "side",
+                    "n_rows",
+                    "sum_cents",
+                )
+            )
+    if not parts:
+        raise RuntimeError("catalog has no swaps to feed")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --- Vacuum under catalog pins: the retention floor (S9-vcf) ---------------
 
 _TLOG_VCF_PRED = "o_orderkey % 10 = 6"  # the post-compact append slice

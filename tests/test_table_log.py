@@ -4634,3 +4634,100 @@ def test_colmap_merge_updates_both_spellings_and_inserts_once(spark, tmp_path):
         assert keys.filter(
             F.col("o_orderkey") % _TLOG_CMM_MOD == _TLOG_CMM_RES
         ).count() == 0
+
+
+def test_catalog_cdf_is_swap_atomic_and_hides_unswapped_publishes(spark, tmp_path):
+    """S9-ccdf pins: (a) a leg PUBLISHED on its table log but not yet
+    swapped into the catalog is INVISIBLE to the catalog feed (CDC
+    sees the database the way readers do); (b) after the swap, ONE
+    cat_version carries BOTH tables' changes — no finer interleaving
+    is observable; (c) table commits that landed between pins batch
+    into the same swap unit."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+        _tlog_wap_publish,
+        _tlog_wap_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_changes_fingerprint,
+    )
+    from tests.conftest import SF_SMOKE
+
+    import shutil as _sh
+    import tempfile as _tf
+
+    roots = {}
+    for n in ("a", "b"):
+        r = _tf.mkdtemp(prefix=f"hbdbps_ccdf_{n}_")
+        _sh.rmtree(r)
+        _tlog_build(spark, SF_SMOKE, r)
+        roots[n] = r
+    cat = str(tmp_path / "cat")
+    try:
+        _tlog_catalog_commit(
+            cat, {n: {"root": r, "version": 2} for n, r in roots.items()},
+            base=-1,
+        )
+
+        def feed():
+            rows = []
+            latest = _tlog_catalog_latest(cat)
+            for cv in range(1, latest + 1):
+                prev = _tlog_catalog_read(cat, cv - 1)
+                cur = _tlog_catalog_read(cat, cv)
+                for tbl in sorted(cur):
+                    vfrom = prev.get(tbl, {"version": -1})["version"]
+                    vto = cur[tbl]["version"]
+                    if vto <= vfrom:
+                        continue
+                    got = (
+                        _tlog_changes_fingerprint(spark, cur[tbl]["root"])
+                        .filter(
+                            (F.col("version") > vfrom)
+                            & (F.col("version") <= vto)
+                        )
+                        .groupBy("side")
+                        .agg(F.sum("n_rows").alias("n"))
+                        .collect()
+                    )
+                    rows += [(cv, tbl, r["side"], r["n"]) for r in got]
+            return rows
+
+        base_df = spark.read.parquet(
+            os.path.join(roots["a"], "file_C")
+        ).select("o_orderkey", "o_totalprice")
+        # both legs publish on their logs; catalog NOT swapped
+        p_a = _tlog_wap_stage(base_df, roots["a"], "file_ccdf_a")
+        p_b = _tlog_wap_stage(base_df.limit(50), roots["b"], "file_ccdf_b")
+        _tlog_wap_publish(spark, roots["a"], p_a)
+        # a second commit on table a BETWEEN pins (batches into the swap)
+        p_a2 = _tlog_wap_stage(base_df.limit(10), roots["a"], "file_ccdf_a2")
+        _tlog_wap_publish(spark, roots["a"], p_a2)
+        _tlog_wap_publish(spark, roots["b"], p_b)
+        # (a) published-yet-unswapped: the feed is EMPTY
+        assert feed() == []
+        # the swap lands both pins at their heads
+        _tlog_catalog_commit(
+            cat,
+            {
+                "a": {"root": roots["a"], "version": _tlog_latest_version(roots["a"])},
+                "b": {"root": roots["b"], "version": _tlog_latest_version(roots["b"])},
+            },
+            base=0,
+        )
+        rows = feed()
+        # (b) one cat_version, both tables, add-side only
+        assert {r[0] for r in rows} == {1}
+        assert {r[1] for r in rows} == {"a", "b"}
+        assert all(r[2] == "add" for r in rows)
+        # (c) table a's two commits batched into the one swap unit
+        n_a = next(r[3] for r in rows if r[1] == "a")
+        assert n_a == base_df.count() + 10
+        assert next(r[3] for r in rows if r[1] == "b") == 50
+    finally:
+        for r in roots.values():
+            _sh.rmtree(r, ignore_errors=True)
