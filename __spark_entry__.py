@@ -136,6 +136,8 @@ _PRIORITY_WINDOW = [
     "table_log_colmap_merge",
     # r16 extension: consistent multi-table CDC via catalog swaps
     "table_log_catalog_cdf",
+    # r16 extension: delta appends on the hash-pinned quantized index
+    "sim_search_ann_ivf_quantized_delta",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -187,6 +187,7 @@ HEADLINE = [
     "sim_search_ann_ivf_quantized_persisted",  # hash-pinned persisted ANN index
     "table_log_colmap_merge",  # upsert under mapping, source-driven CoW
     "table_log_catalog_cdf",  # swap-atomic cross-table change feed
+    "sim_search_ann_ivf_quantized_delta",  # add-only index appends, hash-pinned
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

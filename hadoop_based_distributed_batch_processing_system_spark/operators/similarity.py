@@ -2493,6 +2493,243 @@ def sim_search_ann_ivf_quantized_persisted(spark: SparkSession, sf_dir: str) -> 
     )
 
 
+# --- Quantized index DELTA appends (r16) -----------------------------------
+
+_IVFQ_DELTA_MOD = 17
+_IVFQ_DELTA_RES = 3
+_IVFQ_DELTA_OFFSET = 1_000_000
+
+
+def _ivfq_delta_root(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        corpus_tag,
+    )
+
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_ivfqdlt_{corpus_tag(sf_dir)}"
+    )
+
+
+def _ivfq_delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'new vectors': the %{_IVFQ_DELTA_MOD}=
+    {_IVFQ_DELTA_RES} slice re-keyed into a disjoint id range —
+    oracle-expressible, so the delta path stays hash-checked."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _IVFQ_DELTA_MOD == _IVFQ_DELTA_RES
+    ).select(
+        (F.col("vec_id") + _IVFQ_DELTA_OFFSET).alias("vec_id"), "embedding"
+    )
+
+
+def _ivfq_index_append_delta(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """APPEND a delta batch to the persisted quantized index: the new
+    vectors quantize and assign AGAINST THE LIVE GENERATION'S
+    CENTROIDS (no retrain — the IVF delta rule; recall debt is the
+    documented trade until the next generation) and land as
+    per-cluster delta groups (``file_qdlist{{c}}_...``) in ONE
+    add-only commit. Stamp-keyed + flock-serialized."""
+    import fcntl
+    import os
+
+    stamp_file = os.path.join(root, "_QDELTA")
+    stamp = _ivfq_index_stamp(sf_dir) + f"+d{_IVFQ_DELTA_MOD}.{_IVFQ_DELTA_RES}"
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+            _tlog_commit_rebase,
+            _tlog_latest_version,
+            _tlog_live_files,
+        )
+
+        base = _tlog_latest_version(root)
+        live = _tlog_live_files(root, base)
+        cent_path = next(p for p in live if "qcent" in os.path.basename(p))
+        cents = [
+            list(r["cv"])
+            for r in spark.read.parquet(cent_path).orderBy("cluster").collect()
+        ]
+        qexpr = (
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_IVFQ_SCALE}) AS BIGINT))"
+        )
+        delta = _ivfq_delta_frame(spark, sf_dir).select(
+            "vec_id", F.expr(qexpr).alias("qv")
+        ).withColumn("cluster", F.expr(_ivfq_cluster_expr(cents)))
+        staging = os.path.join(root, ".ivfqd_staging")
+        delta.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+        import shutil
+
+        add = []
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("cluster="):
+                continue
+            c = int(d.split("=")[1])
+            gname = f"file_qdlist{c}_b1"
+            dst = os.path.join(root, gname)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(os.path.join(staging, d), dst)
+            add.append(gname)
+        shutil.rmtree(staging, ignore_errors=True)
+        _tlog_commit_rebase(
+            root, add=sorted(add), remove=[], base_version=base, read_set=set()
+        )
+        tmp = os.path.join(root, f"._QDELTA.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+def _ivfq_delta_oracle() -> str:
+    """The quantized-IVF oracle over BASE ∪ DELTA: seeds and probe
+    come from the base corpus only (the delta never retrains), while
+    assignment and the probed-list scan run over the union — exact
+    integer math end to end, so the incremental-index path is
+    hash-checked too."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}),"
+        " d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d])))"
+    )
+    return f"""
+        WITH qb AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {_IVFQ_SCALE}) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        qd AS (
+          SELECT vec_id + {_IVFQ_DELTA_OFFSET} AS vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {_IVFQ_SCALE}) AS BIGINT)) AS qv
+          FROM embeddings
+          WHERE vec_id % {_IVFQ_DELTA_MOD} = {_IVFQ_DELTA_RES}
+        ),
+        qa AS (SELECT * FROM qb UNION ALL SELECT * FROM qd),
+        n AS (SELECT GREATEST(COUNT(*) // {_IVFQ_K}, 1) AS stride FROM qb),
+        ord AS (
+          SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS rn FROM qb
+        ),
+        seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY rn) AS INTEGER) - 1 AS c,
+                 qv AS cv
+          FROM (SELECT ord.rn, ord.qv FROM ord, n
+                WHERE (ord.rn - 1) % n.stride = 0
+                ORDER BY ord.rn LIMIT {_IVFQ_K})
+        ),
+        probe AS (SELECT qv AS pv, vec_id AS pid FROM qb ORDER BY vec_id LIMIT 1),
+        vdist AS (
+          SELECT v.vec_id, se.c,
+                 {d2.format(dim=_IVFQ_DIM, a="v.qv", b="se.cv")} AS dist
+          FROM qa v, seeds se
+        ),
+        assign AS (
+          SELECT vec_id,
+                 CAST(list_position(l, list_min(l)) AS INTEGER) - 1 AS cluster
+          FROM (SELECT vec_id, list(dist ORDER BY c) AS l
+                FROM vdist GROUP BY vec_id)
+        ),
+        probed AS (
+          SELECT se.c
+          FROM seeds se, probe p
+          ORDER BY {d2.format(dim=_IVFQ_DIM, a="p.pv", b="se.cv")}, se.c
+          LIMIT {_IVFQ_NPROBE}
+        ),
+        cand AS (
+          SELECT v.vec_id,
+                 {d2.format(dim=_IVFQ_DIM, a="v.qv", b="p.pv")} AS q_dist
+          FROM qa v
+          JOIN assign a ON a.vec_id = v.vec_id
+          JOIN probed ON a.cluster = probed.c, probe p
+          WHERE v.vec_id <> p.pid
+        )
+        SELECT vec_id, CAST(q_dist AS BIGINT) AS q_dist
+        FROM cand
+        ORDER BY q_dist, vec_id
+        LIMIT {_IVFQ_TOPK}
+    """
+
+
+@register(
+    "sim_search_ann_ivf_quantized_delta",
+    oracle=_ivfq_delta_oracle(),
+    tags=("L3", "ann", "ivf", "quantized", "index", "incremental"),
+)
+def sim_search_ann_ivf_quantized_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MAINTENANCE of the hash-pinned quantized index
+    (r16): a batch of new vectors appends WITHOUT retraining — they
+    quantize and assign against the live generation's centroids and
+    land as per-cluster DELTA groups in one add-only commit; a query
+    reads the probed clusters' BASE + DELTA groups together. Because
+    the whole path stays exact integer math, the oracle recomputes
+    base ∪ delta from the corpus — so the driver's hash pins the
+    incremental path end to end: a lost delta commit, a delta
+    assigned under wrong centroids, or a probe that misses delta
+    groups cannot hash green (the float `_delta` rung can only pin
+    rows). The no-retrain recall debt and its generation-rebuild
+    remedy are the float family's documented trade, unchanged here.
+
+    Scale: the append is one quantize+assign pass over the DELTA
+    (never the corpus) + an O(clusters) metadata commit; queries pay
+    one extra file group per probed cluster per un-compacted batch —
+    the same debt/compaction schedule as every LSM-shaped index."""
+    import os
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    root = _ivfq_delta_root(sf_dir)
+    _ivfq_index_build(spark, sf_dir, root)
+    _ivfq_index_append_delta(spark, sf_dir, root)
+    live = _tlog_live_files(root, _tlog_latest_version(root))
+    cent_path = next(p for p in live if "qcent" in os.path.basename(p))
+    cents = [
+        list(r["cv"])
+        for r in spark.read.parquet(cent_path).orderBy("cluster").collect()
+    ]
+    pv = cents[0]
+    pdists = sorted(
+        (sum((pv[d] - cv[d]) ** 2 for d in range(_IVFQ_DIM)), c)
+        for c, cv in enumerate(cents)
+    )
+    probed = sorted(c for _dist, c in pdists[:_IVFQ_NPROBE])
+    import re as _re
+
+    probed_paths = [
+        p for p in live
+        if (m := _re.match(r"file_qd?list(\d+)_", os.path.basename(p)))
+        and int(m.group(1)) in probed
+    ]
+    cand = spark.read.parquet(*probed_paths).select("vec_id", "qv")
+    probe_id = cand.filter(
+        F.col("vec_id") < _IVFQ_DELTA_OFFSET
+    ).agg(F.min("vec_id")).collect()[0][0]
+    return (
+        cand.filter(F.col("vec_id") != probe_id)
+        .select("vec_id", F.expr(_ivfq_qdist_expr(pv)).alias("q_dist"))
+        .orderBy("q_dist", "vec_id")
+        .limit(_IVFQ_TOPK)
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

@@ -1245,3 +1245,45 @@ def test_ivfq_persisted_prunes_lists_and_generations_vacuum(spark, tmp_path):
     assert deleted and all(n.endswith("_g0") for n in deleted)
     with pytest.raises(RuntimeError, match="vacuumed"):
         _tlog_live_files(root, 0)
+
+
+def test_ivfq_delta_is_add_only_and_served_with_base(spark):
+    """Quantized-delta pins: the append is ONE add-only commit of
+    per-cluster delta groups assigned under the BASE generation's
+    centroids (no retrain — centroid group mtime stable), and the
+    serve plan reads base AND delta groups for the probed clusters
+    only."""
+    import json
+    import os
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        _IVFQ_NPROBE,
+        _ivfq_delta_root,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+    )
+    from tests.conftest import SF_ORACLE
+
+    ann = REG["sim_search_ann_ivf_quantized_delta"].fn(spark, SF_ORACLE)
+    root = _ivfq_delta_root(SF_ORACLE)
+    head = _tlog_latest_version(root)
+    assert head == 1  # gen-0 build + one delta commit
+    c = json.load(open(os.path.join(root, "_log", "000001.json")))
+    assert c["remove"] == [] and c["add"]
+    assert all(g.startswith("file_qdlist") for g in c["add"])
+    touched = {
+        m.group(1)
+        for f in ann.inputFiles()
+        if (m := re.search(r"/(file_qd?list\d+_[^/]+)/", f))
+    }
+    base_touched = {t for t in touched if t.startswith("file_qlist")}
+    delta_touched = {t for t in touched if t.startswith("file_qdlist")}
+    assert len(base_touched) == _IVFQ_NPROBE  # every probed cluster's base
+    assert delta_touched  # and its delta groups where the batch landed
+    clusters = {
+        int(re.match(r"file_qd?list(\d+)_", t).group(1)) for t in touched
+    }
+    assert len(clusters) == _IVFQ_NPROBE
+    assert len(ann.collect()) == 10
