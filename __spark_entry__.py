@@ -138,6 +138,8 @@ _PRIORITY_WINDOW = [
     "table_log_catalog_cdf",
     # r16 extension: delta appends on the hash-pinned quantized index
     "sim_search_ann_ivf_quantized_delta",
+    # r17 queue (d) pulled forward: the LSM fold of those deltas
+    "sim_search_ann_ivf_quantized_compacted",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

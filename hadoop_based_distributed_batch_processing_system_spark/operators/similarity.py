@@ -2730,6 +2730,153 @@ def sim_search_ann_ivf_quantized_delta(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+# --- Quantized index COMPACTION: fold deltas into base lists (r16) ---------
+
+
+def _ivfq_compact_root(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        corpus_tag,
+    )
+
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_ivfqcmp_{corpus_tag(sf_dir)}"
+    )
+
+
+def _ivfq_index_compact(spark: SparkSession, root: str) -> int:
+    """FOLD delta batches into their base lists — the LSM merge of
+    the quantized index: every cluster with at least one delta group
+    rewrites base ∪ deltas into ONE merged list group; ONE OCC
+    ``dataChange: false`` commit adds the merged groups and removes
+    the folded base+delta groups (live content is identical by
+    construction — feed consumers skip it). Clusters without delta
+    debt are untouched. Returns the committed version (or the head
+    unchanged when there is nothing to fold)."""
+    import os
+    import re
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    base = _tlog_latest_version(root)
+    live = _tlog_live_files(root, base)
+    by_cluster: dict[int, dict[str, list[str]]] = {}
+    for p in live:
+        name = os.path.basename(p)
+        m = re.match(r"file_(qd?)list(\d+)_", name)
+        if not m:
+            continue
+        kind = "delta" if m.group(1) == "qd" else "base"
+        by_cluster.setdefault(int(m.group(2)), {"base": [], "delta": []})[
+            kind
+        ].append(p)
+    doomed_clusters = {
+        c: groups for c, groups in by_cluster.items() if groups["delta"]
+    }
+    if not doomed_clusters:
+        return base
+    v = base + 1
+    staging = os.path.join(root, ".ivfqc_staging")
+    merged = spark.read.parquet(
+        *[p for g in doomed_clusters.values() for p in g["base"] + g["delta"]]
+    ).withColumn(
+        "cluster",
+        F.regexp_extract(
+            F.input_file_name(), r"file_qd?list(\d+)_", 1
+        ).cast("int"),
+    )
+    merged.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+    add, remove = [], []
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("cluster="):
+            continue
+        c = int(d.split("=")[1])
+        gname = f"file_qlist{c}_m{v}"
+        dst = os.path.join(root, gname)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(os.path.join(staging, d), dst)
+        add.append(gname)
+    shutil.rmtree(staging, ignore_errors=True)
+    for groups in doomed_clusters.values():
+        remove += [os.path.basename(p) for p in groups["base"] + groups["delta"]]
+    return _tlog_commit_rebase(
+        root, add=sorted(add), remove=sorted(remove), base_version=base,
+        read_set=set(remove), data_change=False,
+    )
+
+
+@register(
+    "sim_search_ann_ivf_quantized_compacted",
+    # content identical to the base∪delta index by construction —
+    # the same exact-integer oracle must hash green THROUGH the fold
+    oracle=_ivfq_delta_oracle(),
+    tags=("L3", "ann", "ivf", "quantized", "index", "compaction"),
+)
+def sim_search_ann_ivf_quantized_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION of the hash-pinned quantized index (r16 — the LSM
+    merge that pays down the delta rung's per-batch read debt): every
+    cluster carrying delta groups rewrites base ∪ deltas into ONE
+    merged list group, committed as a single ``dataChange: false``
+    add+remove (live content identical — change-feed consumers skip
+    it; clusters without debt are untouched). Queries then read ONE
+    group per probed cluster again. The same exact-integer base∪delta
+    oracle must hash green THROUGH the fold — a compaction that
+    dropped a delta row, duplicated a base row, or mis-assigned a
+    cluster cannot pass.
+
+    Scale: the fold reads only debt-carrying clusters' groups once
+    and writes them once (the LSM merge cost model); queries between
+    compactions pay one extra group per batch, after compaction
+    nprobe groups flat — the standard write-amplification schedule,
+    here on an ANN index whose correctness the driver hash-checks."""
+    import os
+    import re as _re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    root = _ivfq_compact_root(sf_dir)
+    _ivfq_index_build(spark, sf_dir, root)
+    _ivfq_index_append_delta(spark, sf_dir, root)
+    _ivfq_index_compact(spark, root)
+    live = _tlog_live_files(root, _tlog_latest_version(root))
+    cent_path = next(p for p in live if "qcent" in os.path.basename(p))
+    cents = [
+        list(r["cv"])
+        for r in spark.read.parquet(cent_path).orderBy("cluster").collect()
+    ]
+    pv = cents[0]
+    pdists = sorted(
+        (sum((pv[d] - cv[d]) ** 2 for d in range(_IVFQ_DIM)), c)
+        for c, cv in enumerate(cents)
+    )
+    probed = sorted(c for _dist, c in pdists[:_IVFQ_NPROBE])
+    probed_paths = [
+        p for p in live
+        if (m := _re.match(r"file_qd?list(\d+)_", os.path.basename(p)))
+        and int(m.group(1)) in probed
+    ]
+    cand = spark.read.parquet(*probed_paths).select("vec_id", "qv")
+    probe_id = cand.filter(
+        F.col("vec_id") < _IVFQ_DELTA_OFFSET
+    ).agg(F.min("vec_id")).collect()[0][0]
+    return (
+        cand.filter(F.col("vec_id") != probe_id)
+        .select("vec_id", F.expr(_ivfq_qdist_expr(pv)).alias("q_dist"))
+        .orderBy("q_dist", "vec_id")
+        .limit(_IVFQ_TOPK)
+    )
+
+
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings
 
 interpolate_docstrings(globals())

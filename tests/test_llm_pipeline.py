@@ -1287,3 +1287,57 @@ def test_ivfq_delta_is_add_only_and_served_with_base(spark):
     }
     assert len(clusters) == _IVFQ_NPROBE
     assert len(ann.collect()) == 10
+
+
+def test_ivfq_compaction_folds_debt_as_datachange_false(spark):
+    """Quantized-index compaction pins: (a) the fold commit is
+    dataChange:false and removes every folded base+delta group while
+    adding one merged group per debt-carrying cluster; (b) after the
+    fold, the serve plan touches exactly nprobe groups again (the
+    delta read debt is paid); (c) per-cluster row counts are
+    conserved through the fold; (d) re-compacting is a no-op."""
+    import os
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        _IVFQ_NPROBE,
+        _ivfq_compact_root,
+        _ivfq_index_compact,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+    from tests.conftest import SF_ORACLE
+
+    ann = REG["sim_search_ann_ivf_quantized_compacted"].fn(spark, SF_ORACLE)
+    root = _ivfq_compact_root(SF_ORACLE)
+    head = _tlog_latest_version(root)
+    assert head == 2  # build, delta, fold
+    import json
+
+    c = json.load(open(os.path.join(root, "_log", "000002.json")))
+    assert c.get("dataChange") is False
+    assert all(g.startswith("file_qdlist") or g.startswith("file_qlist")
+               for g in c["remove"])
+    assert any(g.startswith("file_qdlist") for g in c["remove"])
+    assert all(re.match(r"file_qlist\d+_m2$", g) for g in c["add"])
+    # (b) nprobe groups, no delta groups in the plan
+    touched = {
+        m.group(1)
+        for f in ann.inputFiles()
+        if (m := re.search(r"/(file_qd?list\d+_[^/]+)/", f))
+    }
+    assert len(touched) == _IVFQ_NPROBE
+    assert not any(t.startswith("file_qdlist") for t in touched)
+    # (c) row conservation: v2 live lists hold v1's union
+    def rows_at(v):
+        lists = [
+            p for p in _tlog_live_files(root, v)
+            if "list" in os.path.basename(p)
+        ]
+        return spark.read.parquet(*lists).count()
+
+    assert rows_at(2) == rows_at(1)
+    # (d) idempotence: nothing left to fold
+    assert _ivfq_index_compact(spark, root) == head
