@@ -189,6 +189,7 @@ HEADLINE = [
     "table_log_catalog_cdf",  # swap-atomic cross-table change feed
     "sim_search_ann_ivf_quantized_delta",  # add-only index appends, hash-pinned
     "sim_search_ann_ivf_quantized_compacted",  # the LSM fold, dataChange:false
+    "table_log_colmap_restore",  # rollback across a rename, schema hash-pinned
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

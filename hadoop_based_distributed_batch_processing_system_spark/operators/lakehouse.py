@@ -5686,6 +5686,198 @@ def table_log_colmap_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RESTORE across a rename boundary (S9-cmap-rst, r16) -------------------
+
+
+def _tlog_cmr_root(sf_dir: str) -> str:
+    # own root: restore mutates its table's log (own-root rule)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcmr_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_colmap_restore(spark: SparkSession, root: str, to_version: int) -> int:
+    """RESTORE a COLUMN-MAPPED table to a historical snapshot as ONE
+    metadata commit: the plain restore's minimal file diff, PLUS the
+    target's ``column_mapping`` (replace-folded, so the restored head
+    serves the TARGET's logical schema — a rollback across a RENAME
+    boundary brings the old names back), PLUS ``colphys`` bindings
+    for every re-added file (a file removed by an earlier commit
+    loses its binding from the live replay; re-referencing it without
+    re-binding would strand the mapped read on the bootstrap error).
+    Bindings come from the immutable cross-version union — the same
+    resolution the mapped change feed uses."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    head = _tlog_latest_version(root)
+    target_files = {
+        os.path.basename(p) for p in _tlog_live_files(root, to_version)
+    }
+    head_files = {os.path.basename(p) for p in _tlog_live_files(root, head)}
+    dv_t, dv_h = _tlog_live_dvs(root, to_version), _tlog_live_dvs(root, head)
+    st_t, st_h = _tlog_live_stats(root, to_version), _tlog_live_stats(root, head)
+    add = target_files - head_files
+    remove = head_files - target_files
+    touch = {
+        f for f in target_files & head_files
+        if dv_t.get(f) != dv_h.get(f) or st_t.get(f) != st_h.get(f)
+    }
+    add, remove = add | touch, remove | touch
+    phys: dict[str, dict] = {}
+    for v in range(head + 1):
+        phys.update(_tlog_replay_map(root, v, "colphys"))
+    colphys = {f: _tlog_colmap_binding(phys, f) for f in sorted(add)}
+    return _tlog_commit_rebase(
+        root,
+        add=sorted(add),
+        remove=sorted(remove),
+        base_version=head,
+        read_set=add | remove,
+        dv={f: dv_t[f] for f in sorted(add) if f in dv_t} or None,
+        stats={f: st_t[f] for f in sorted(add) if f in st_t} or None,
+        colphys=colphys or None,
+        column_mapping=_tlog_live_colmap(root, to_version),
+    )
+
+
+_TLOG_CMR_SPEC = {"impl": 1}
+
+
+def _tlog_apply_cmr(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the rename-rollback lifecycle once per dir (flock +
+    stamp): the mapping lifecycle (v0-6: enable, RENAME, append
+    file_F, DROP), then v7 RESTOREs to v3 (pre-rename: the OLD names
+    come back, file_F leaves), then v8 RESTOREs to v6 (the rename AND
+    file_F return — re-binding the re-added file)."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version as _latest,
+    )
+
+    stamp_file = os.path.join(root, "_CMR")
+    stamp = json.dumps(_TLOG_CMR_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    _tlog_apply_cmap(spark, sf_dir, root)  # own flock; take ours after
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _latest(root) != 6:
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_apply_cmap(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        _tlog_colmap_restore(spark, root, 3)   # roll back across the rename
+        _tlog_colmap_restore(spark, root, 6)   # roll forward again
+        tmp = os.path.join(root, f"._CMR.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_colmap_restore",
+    # Hash oracle: BOTH restored states — v7 (rolled back past the
+    # rename: base content under the OLD name) and v8 (rolled forward:
+    # base + appended slice under the NEW name) — with the live
+    # field-2 logical name observed INTO the result, so the hash pins
+    # the restored schema, not just the values.
+    oracle=f"""
+        WITH s AS (
+          SELECT 'rolled_back' AS phase, 'o_totalprice' AS price_col,
+                 o_orderkey, o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT 'rolled_forward', 'price_usd', o_orderkey, o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT 'rolled_forward', 'price_usd', o_orderkey, o_totalprice
+          FROM orders WHERE {_TLOG_CMAP_PRED}
+        )
+        SELECT phase, price_col,
+               CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM s GROUP BY 1, 2, 3
+    """,
+    tags=("S9-cmap-rst", "lakehouse", "column-mapping", "restore"),
+)
+def table_log_colmap_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap-rst — RESTORE ACROSS A RENAME BOUNDARY (r16, r17-queue
+    (e) pulled forward): rolling a mapped table back to a pre-rename
+    snapshot must bring back the OLD logical schema, not just the old
+    rows — the restore commit replace-folds the target's
+    ``column_mapping`` beside the file diff, and rolling FORWARD
+    again re-binds the re-added post-rename file in ``colphys`` (its
+    binding left the live replay when the rollback removed it; the
+    cross-version binding union restores it — without this, the
+    mapped read strands on the bootstrap error, the failure a plain
+    file-diff restore would silently plant). Both restored heads are
+    read through the mapping with the LIVE field-2 name observed into
+    the result, so the driver's hash pins schema AND values through
+    both rollbacks.
+
+    Scale: both restores are pure metadata (one commit each, zero
+    bytes moved — the historical files are what retention keeps);
+    the binding resolution is O(versions) checkpoint-bounded
+    metadata, and production formats carry it per manifest entry."""
+    root = _tlog_cmr_root(sf_dir)
+    _tlog_apply_cmr(spark, sf_dir, root)
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_colmap,
+    )
+
+    parts = []
+    for phase, v in (("rolled_back", 7), ("rolled_forward", 8)):
+        cmap = _tlog_live_colmap(root, v)
+        price_col = {str(f["id"]): f["name"] for f in cmap["fields"]}["2"]
+        out = _tlog_colmap_snapshot(spark, root, v)
+        parts.append(
+            out.groupBy(
+                (F.col("o_orderkey") % 4).cast("int").alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col(price_col) * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                F.lit(price_col).alias("price_col"),
+                "bucket", "n_rows", "sum_cents",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 # --- MERGE INTO under column mapping (S9-cmap-mrg, r16) --------------------
 
 _TLOG_CMM_MOD, _TLOG_CMM_RES = 9, 4  # the merge source's key band

@@ -1052,6 +1052,7 @@ def _tlog_commit_rebase(
     constraints: dict[str, str | None] | None = None,
     partitioning: dict | None = None,
     colphys: dict[str, dict] | None = None,
+    column_mapping: dict | None = None,
     max_rebases: int = 16,
 ) -> int:
     """OCC commit WITH REBASE — the full protocol the commit
@@ -1079,7 +1080,7 @@ def _tlog_commit_rebase(
                 root, add=add, remove=remove, base_version=base_version, dv=dv,
                 stats=stats, batch=batch, data_change=data_change,
                 constraints=constraints, partitioning=partitioning,
-                colphys=colphys,
+                colphys=colphys, column_mapping=column_mapping,
             )
         except TableLogConflictError:
             winner = json.load(
@@ -1089,6 +1090,7 @@ def _tlog_commit_rebase(
                 winner, add, remove, dv=dv, stats=stats, batch=batch,
                 data_change=data_change, constraints=constraints,
                 partitioning=partitioning, colphys=colphys,
+                column_mapping=column_mapping,
             ):
                 return base_version + 1  # identical content: adopt
             latest = _tlog_latest_version(root)
@@ -1144,6 +1146,7 @@ def _tlog_same_commit(
     constraints: dict[str, str | None] | None = None,
     partitioning: dict | None = None,
     colphys: dict[str, dict] | None = None,
+    column_mapping: dict | None = None,
 ) -> bool:
     """True iff a race-winning commit carries the SAME logical change
     we lost trying to write (identical-content adoption: another
@@ -1164,6 +1167,7 @@ def _tlog_same_commit(
         and winner.get("partitioning") == (partitioning or None)
         and winner.get("colphys")
         == (dict(sorted(colphys.items())) if colphys else None)
+        and winner.get("column_mapping") == (column_mapping or None)
     )
 
 

@@ -4731,3 +4731,54 @@ def test_catalog_cdf_is_swap_atomic_and_hides_unswapped_publishes(spark, tmp_pat
     finally:
         for r in roots.values():
             _sh.rmtree(r, ignore_errors=True)
+
+
+def test_colmap_restore_is_metadata_only_and_rebinds(spark, tmp_path):
+    """S9-cmap-rst pins: (a) both restores move ZERO data bytes
+    (mtime pin across every data file incl. file_F's bytes parked
+    through the rollback); (b) the rollback commit carries the OLD
+    column_mapping and the roll-forward carries the NEW one plus a
+    colphys re-binding for the re-added file_F; (c) time travel to
+    every version still resolves (restores never destroy history)."""
+    import glob as _glob
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_cmap,
+        _tlog_colmap_restore,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_colmap,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "cmr")
+    _tlog_apply_cmap(spark, SF_SMOKE, root)
+    mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _glob.glob(os.path.join(root, "file_*", "*.parquet"))
+    }
+    v7 = _tlog_colmap_restore(spark, root, 3)
+    v8 = _tlog_colmap_restore(spark, root, 6)
+    assert (v7, v8) == (7, 8)
+    # (a) zero bytes moved
+    assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
+    # (b) commit payloads
+    c7 = json.load(open(os.path.join(root, "_log", "000007.json")))
+    c8 = json.load(open(os.path.join(root, "_log", "000008.json")))
+    assert [f["name"] for f in c7["column_mapping"]["fields"]] == [
+        "o_orderkey", "o_totalprice",
+    ]
+    assert "file_F" in c7["remove"]
+    assert [f["name"] for f in c8["column_mapping"]["fields"]] == [
+        "o_orderkey", "price_usd",
+    ]
+    assert "file_F" in c8["add"]
+    assert c8["colphys"]["file_F"] == {
+        "1": "o_orderkey", "2": "price_usd", "3": "channel",
+    }
+    # (c) full history still resolves
+    for v in range(9):
+        assert _tlog_live_files(root, v)
+    assert [f["name"] for f in _tlog_live_colmap(root, 8)["fields"]] == [
+        "o_orderkey", "price_usd",
+    ]
