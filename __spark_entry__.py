@@ -142,6 +142,8 @@ _PRIORITY_WINDOW = [
     "sim_search_ann_ivf_quantized_compacted",
     # r17 queue (e) pulled forward: RESTORE across the rename boundary
     "table_log_colmap_restore",
+    # r17 queue (c) pulled forward: the catalog feed as a stream
+    "stream_catalog_cdf",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -190,6 +190,7 @@ HEADLINE = [
     "sim_search_ann_ivf_quantized_delta",  # add-only index appends, hash-pinned
     "sim_search_ann_ivf_quantized_compacted",  # the LSM fold, dataChange:false
     "table_log_colmap_restore",  # rollback across a rename, schema hash-pinned
+    "stream_catalog_cdf",  # swap-offset streaming CDC, batch-twin oracle
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -3848,6 +3848,88 @@ def table_log_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- The catalog feed AS A STREAM (S9-ccdf', r16) --------------------------
+
+
+@register(
+    "stream_catalog_cdf",
+    # Same oracle as the batch catalog feed: stream and batch
+    # consumption of the swap-atomic change set must agree exactly.
+    oracle=f"""
+        WITH chg AS (
+          SELECT 1 AS cat_version, 'a' AS tbl, 'add' AS side,
+                 o_orderkey, o_totalprice
+          FROM orders WHERE {_TLOG_CTX_A_PRED}
+          UNION ALL
+          SELECT 1, 'b', 'add', o_orderkey, o_totalprice
+          FROM orders WHERE {_TLOG_CTX_B_PRED}
+        )
+        SELECT cat_version, tbl, side,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM chg GROUP BY 1, 2, 3
+    """,
+    tags=("S9-ccdf'", "stream", "catalog", "cdc", "multi-table"),
+)
+def stream_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-ccdf' — the consistent multi-table change feed consumed AS
+    A STREAM (r17-queue (c) pulled forward; the readStream twin of
+    ``table_log_catalog_cdf``): a custom streaming source whose
+    OFFSETS ARE CATALOG VERSIONS — each micro-batch is one swap's
+    complete cross-table change set, so a checkpointed consumer can
+    never observe half a transaction: the swap-or-nothing visibility
+    the catalog gives readers, carried through to streaming CDC.
+    Published-yet-unswapped commits never reach the stream; a
+    transaction over N tables arrives as ONE batch with all N legs.
+    The bounded demo drains the catalog-txn lifecycle (one swap —
+    one micro-batch carrying both tables' published slices), folds
+    per-(cat_version, tbl, side) fingerprints in complete mode, and
+    is hash-checked against the SAME oracle as the batch operator —
+    stream and batch consumption provably agree.
+
+    Scale: per micro-batch work is change-sized across the tables a
+    swap touched (the per-table feed's plan, summed); offsets replay
+    bit-identically because catalog files, logs, and data files are
+    all immutable — exactly-once under checkpoint replay for free.
+    A production consumer swaps the memory sink for a transactional
+    apply (S9-repl's) and holds cross-warehouse consistency."""
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        register_catalog_feed_source,
+    )
+
+    _root_a, _root_b, cat = _tlog_apply_ctx(spark, sf_dir)
+    register_catalog_feed_source(spark)
+    raw = (
+        spark.readStream.format("catalog_feed").option("catalog", cat).load()
+    )
+    agg = (
+        raw.groupBy("cat_version", "tbl", "side")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("cat_version", "tbl", "side", "n_rows", "sum_cents")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName("hbdbps_stream_catalog_cdf")
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("hbdbps_stream_catalog_cdf")
+
+
 # --- Vacuum under catalog pins: the retention floor (S9-vcf) ---------------
 
 _TLOG_VCF_PRED = "o_orderkey % 10 = 6"  # the post-compact append slice

@@ -354,6 +354,142 @@ def register_table_log_feed_source(spark: SparkSession) -> None:
     spark.dataSource.register(TableLogFeedStreamSource)
 
 
+class CatalogFeedStreamReader(SimpleDataSourceStreamReader):
+    """CONSISTENT MULTI-TABLE change-feed stream reader: offsets are
+    CATALOG VERSIONS — each micro-batch is one catalog SWAP's change
+    set, i.e. every pinned table's row transitions between the pins
+    of consecutive catalog versions, expanded through the same
+    DV-complete change units (and the same per-file physical-binding
+    resolution) as the per-table feed. A transaction that moved N
+    tables' pins in one swap arrives as ONE batch carrying all N
+    tables — a checkpointed consumer can never observe half a
+    transaction, the streaming form of the catalog's swap-or-nothing
+    visibility. Published-yet-unswapped table commits are invisible
+    (they are to catalog readers too) until a swap pins past them,
+    at which point they batch into that swap's unit. Replaying a
+    committed offset range re-reads identical rows (catalog files,
+    logs, and data files are all immutable) — exactly-once under
+    checkpoint replay for free."""
+
+    def __init__(self, options):
+        self.cat = options.get("catalog")
+        if not self.cat:
+            raise ValueError(
+                "catalog_feed requires .option('catalog', <catalog dir>)"
+            )
+
+    def _latest(self) -> int:
+        import os
+        import re
+
+        logd = os.path.join(self.cat, "_catalog")
+        return max(
+            (
+                int(m.group(1))
+                for f in os.listdir(logd)
+                if (m := re.fullmatch(r"(\d{6})\.json", f))
+            ),
+            default=-1,
+        )
+
+    def _pins(self, cv: int) -> dict:
+        import json
+        import os
+
+        path = os.path.join(self.cat, "_catalog", f"{cv:06d}.json")
+        return json.load(open(path))["tables"]
+
+    def _swap_rows(self, cv: int):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+            _tlog_change_units,
+        )
+
+        prev = self._pins(cv - 1) if cv > 0 else {}
+        cur = self._pins(cv)
+        rows = []
+        for tbl in sorted(cur):
+            root, vto = cur[tbl]["root"], cur[tbl]["version"]
+            vfrom = prev.get(tbl, {"version": -1})["version"]
+
+            def sidecar_keys(name):
+                if not name:
+                    return None
+                ks: set = set()
+                for part in sorted(
+                    glob.glob(os.path.join(root, name, "*.parquet"))
+                ):
+                    ks.update(
+                        pq.read_table(part, columns=["o_orderkey"])
+                        .column("o_orderkey")
+                        .to_pylist()
+                    )
+                return ks
+
+            for v in range(vfrom + 1, vto + 1):
+                for side, fname, incl, excl in _tlog_change_units(root, v):
+                    incl_keys = sidecar_keys(incl)
+                    excl_keys = sidecar_keys(excl) or set()
+                    key_col, price_col = _tlog_feed_columns(root, fname)
+                    for part in sorted(
+                        glob.glob(os.path.join(root, fname, "*.parquet"))
+                    ):
+                        t = pq.read_table(part, columns=[key_col, price_col])
+                        rows.extend(
+                            (cv, tbl, side, k, p)
+                            for k, p in zip(
+                                t.column(key_col).to_pylist(),
+                                t.column(price_col).to_pylist(),
+                            )
+                            if (incl_keys is None or k in incl_keys)
+                            and k not in excl_keys
+                        )
+        return rows
+
+    def initialOffset(self):
+        return {"next": 1}  # catalog v0 is the bootstrap pin set
+
+    def read(self, start):
+        v = start["next"]
+        if v > self._latest():
+            return iter([]), start
+        return iter(self._swap_rows(v)), {"next": v + 1}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [
+                row
+                for v in range(start["next"], end["next"])
+                for row in self._swap_rows(v)
+            ]
+        )
+
+
+class CatalogFeedStreamSource(DataSource):
+    """``spark.readStream.format("catalog_feed").option("catalog", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "catalog_feed"
+
+    def schema(self) -> str:
+        return (
+            "cat_version INT, tbl STRING, side STRING, "
+            "o_orderkey BIGINT, o_totalprice DOUBLE"
+        )
+
+    def simpleStreamReader(self, schema) -> "CatalogFeedStreamReader":
+        return CatalogFeedStreamReader(self.options)
+
+
+def register_catalog_feed_source(spark: SparkSession) -> None:
+    spark.dataSource.register(CatalogFeedStreamSource)
+
+
 class TableLogFeedPartition(InputPartition):
     """One (commit version, side, file group) of the change feed —
     the getSplits() unit: each becomes one executor task. DV-aware
