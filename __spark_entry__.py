@@ -144,6 +144,8 @@ _PRIORITY_WINDOW = [
     "table_log_colmap_restore",
     # r17 queue (c) pulled forward: the catalog feed as a stream
     "stream_catalog_cdf",
+    # r17 queue (a) pulled forward: DELETE->UPDATE->MERGE on one root
+    "table_log_colmap_dml_chain",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

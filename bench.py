@@ -191,6 +191,7 @@ HEADLINE = [
     "sim_search_ann_ivf_quantized_compacted",  # the LSM fold, dataChange:false
     "table_log_colmap_restore",  # rollback across a rename, schema hash-pinned
     "stream_catalog_cdf",  # swap-offset streaming CDC, batch-twin oracle
+    "table_log_colmap_dml_chain",  # DELETE->UPDATE->MERGE composed, one root
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

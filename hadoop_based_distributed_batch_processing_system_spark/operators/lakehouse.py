@@ -6224,6 +6224,172 @@ def table_log_colmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- The mapped DML chain: DELETE -> UPDATE -> MERGE (S9-cmap-chain, r16) --
+
+
+def _tlog_cmx_root(sf_dir: str) -> str:
+    # own root: three DML statements mutate this table (own-root rule)
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcmx_{corpus_tag(sf_dir)}"
+    )
+
+
+_TLOG_CMX_SPEC = {
+    "impl": 1,
+    "del": _TLOG_CMD_PRED,
+    "upd": [_TLOG_CMU_PRED, _TLOG_CMU_BUMP],
+    "mrg": [_TLOG_CMM_MOD, _TLOG_CMM_RES, _TLOG_CMM_UPD_BUMP, _TLOG_CMM_INS_BUMP],
+}
+
+
+def _tlog_apply_cmx(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the composed mapped-DML lifecycle once per dir (flock +
+    stamp): the mapping lifecycle (v0-6), then THREE statements on
+    the SAME root — v7 logical-name DELETE (merge-on-read DVs on both
+    spellings), v8 UPDATE (CoW over the DV'd state: rewritten groups
+    materialize their DVs, untouched groups keep theirs), v9 MERGE
+    (source-driven CoW + inserts over the composed state). The order
+    is the hostile one: every later statement must compose with the
+    earlier statements' sidecar debt and binding churn."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version as _latest,
+    )
+
+    stamp_file = os.path.join(root, "_CMX")
+    stamp = json.dumps(_TLOG_CMX_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    _tlog_apply_cmap(spark, sf_dir, root)  # own flock; take ours after
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _latest(root) != 6:
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_apply_cmap(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        _tlog_colmap_delete(spark, root, _TLOG_CMD_PRED)
+        _tlog_colmap_update(
+            spark, root, _TLOG_CMU_PRED, "price_usd", _TLOG_CMU_BUMP
+        )
+        band = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % _TLOG_CMM_MOD == _TLOG_CMM_RES
+        )
+        _tlog_colmap_merge(
+            spark,
+            root,
+            band.select(
+                "o_orderkey",
+                (F.col("o_totalprice") + _TLOG_CMM_UPD_BUMP).alias("new_price"),
+            ),
+            band.select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                (F.col("o_totalprice") + _TLOG_CMM_INS_BUMP).alias("price_usd"),
+            ),
+        )
+        tmp = os.path.join(root, f"._CMX.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_colmap_dml_chain",
+    # Hash oracle: the serial composition DELETE -> UPDATE -> MERGE
+    # recomputed from orders. MERGE's set wins over UPDATE's bump on
+    # band keys (SET assigns the source's value); the update bump
+    # applies only to surviving matched rows; inserts carry negated
+    # keys and never interact with the statements before them.
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMAP_PRED}
+        ),
+        kept AS (
+          SELECT * FROM t
+          WHERE NOT (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 11 = 3)
+        ),
+        final AS (
+          SELECT o_orderkey,
+                 CASE
+                   WHEN o_orderkey % {_TLOG_CMM_MOD} = {_TLOG_CMM_RES}
+                     THEN o_totalprice + {_TLOG_CMM_UPD_BUMP}
+                   WHEN o_totalprice > 0 AND o_orderkey % 4 IN (0, 3)
+                     THEN o_totalprice + {_TLOG_CMU_BUMP}
+                   ELSE o_totalprice
+                 END AS o_totalprice
+          FROM kept
+          UNION ALL
+          SELECT -o_orderkey, o_totalprice + {_TLOG_CMM_INS_BUMP}
+          FROM orders WHERE o_orderkey % {_TLOG_CMM_MOD} = {_TLOG_CMM_RES}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM final GROUP BY 1
+    """,
+    tags=("S9-cmap-chain", "lakehouse", "column-mapping", "dml", "composition"),
+)
+def table_log_colmap_dml_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap-chain — STATEMENT COMPOSITION on one mapped table
+    (r16, r17-queue (a) pulled forward): DELETE (merge-on-read DVs on
+    both spellings) → UPDATE (CoW that must anti-join the DELETE's
+    sidecars while rewriting — materializing them on rewritten
+    groups, keeping them on untouched ones) → MERGE (source-driven
+    CoW + inserts over the composed state, whose SET wins over the
+    UPDATE's bump on band keys). Each verb is individually hash-green
+    on its own root; this lifecycle pins what none of them can alone:
+    the ORDER-DEPENDENT interaction of sidecar debt, rewrite-time DV
+    materialization, and binding churn across three statements — the
+    state a real mapped table actually lives in. The final mapped
+    read is hash-checked against the serial composition recomputed
+    from orders; DV accounting across the chain is pytest-pinned.
+
+    Scale: nothing new beyond the verbs' own costs — the point is
+    that NO statement pays for a predecessor beyond its sidecar
+    anti-join, and compaction debt accrues per-group, not per-
+    statement."""
+    root = _tlog_cmx_root(sf_dir)
+    _tlog_apply_cmx(spark, sf_dir, root)
+    out = _tlog_colmap_snapshot(spark, root, _tlog_latest_version(root))
+    return (
+        out.groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("price_usd") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("bucket", "n_rows", "sum_cents")
+    )
+
+
 # --- Change feed under column mapping (S9-cmap-cdf, r16) -------------------
 
 

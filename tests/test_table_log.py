@@ -4782,3 +4782,41 @@ def test_colmap_restore_is_metadata_only_and_rebinds(spark, tmp_path):
     assert [f["name"] for f in _tlog_live_colmap(root, 8)["fields"]] == [
         "o_orderkey", "price_usd",
     ]
+
+
+def test_colmap_dml_chain_dv_accounting(spark, tmp_path):
+    """S9-cmap-chain pins: across DELETE -> UPDATE -> MERGE on one
+    mapped root, (a) deletion vectors survive ONLY on groups no later
+    statement rewrote — every rewritten group materialized its DVs
+    and carries no binding; (b) every live group resolves a physical
+    binding (no bootstrap strands after three statements of binding
+    churn); (c) the history resolves at every version (statements
+    never sever the log)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_cmx,
+        _tlog_colmap_binding,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_dvs,
+        _tlog_replay_map,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "cmx")
+    _tlog_apply_cmx(spark, SF_SMOKE, root)
+    head = _tlog_latest_version(root)
+    assert head == 9  # v0-6 mapping, 7 delete, 8 update, 9 merge
+    live = {os.path.basename(p) for p in _tlog_live_files(root, head)}
+    dvs = _tlog_live_dvs(root, head)
+    # (a) DV bindings only on never-rewritten groups
+    rewritten = {g for g in live if g.startswith(("file_cmu", "file_cmm"))}
+    assert rewritten
+    assert not set(dvs) & rewritten
+    assert set(dvs) <= live
+    # (b) every live group has a binding
+    phys = _tlog_replay_map(root, head, "colphys")
+    for g in live:
+        assert _tlog_colmap_binding(phys, g)
+    # (c) full history resolves
+    for v in range(head + 1):
+        assert _tlog_live_files(root, v) is not None
