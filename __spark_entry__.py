@@ -146,6 +146,8 @@ _PRIORITY_WINDOW = [
     "stream_catalog_cdf",
     # r17 queue (a) pulled forward: DELETE->UPDATE->MERGE on one root
     "table_log_colmap_dml_chain",
+    # r17 queue (b) pulled forward: both metadata axes on one table
+    "table_log_colmap_partition_evolution",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -192,6 +192,7 @@ HEADLINE = [
     "table_log_colmap_restore",  # rollback across a rename, schema hash-pinned
     "stream_catalog_cdf",  # swap-offset streaming CDC, batch-twin oracle
     "table_log_colmap_dml_chain",  # DELETE->UPDATE->MERGE composed, one root
+    "table_log_colmap_partition_evolution",  # two-axis pruning, one mechanism
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

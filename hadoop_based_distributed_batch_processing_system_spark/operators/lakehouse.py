@@ -2679,6 +2679,262 @@ def table_log_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- Partition evolution x column mapping (S9-pev-cmap, r16) ---------------
+
+_TLOG_PCM_LO = "2024-01-05T00:00:00"
+_TLOG_PCM_HI = "2024-01-21T00:00:00"
+
+
+def _tlog_pcm_root(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogpcm_{corpus_tag(sf_dir)}"
+    )
+
+
+_TLOG_PCM_SPEC = {"impl": 1, "q": [_TLOG_PCM_LO, _TLOG_PCM_HI]}
+
+
+def _tlog_apply_pcm(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the two-axis metadata lifecycle once per dir (flock +
+    stamp): the events table BORN MAPPED under spec 0 = day(ts);
+    v0 lands days 1-8 as day files (original spellings bound);
+    v1 appends days 9-16; v2 RENAMES ts -> event_ts (mapping axis,
+    pure metadata); v3 EVOLVES the spec to week(ts) (layout axis,
+    pure metadata); v4 lands days 17+ as WEEK files written
+    physically under the NEW spelling — the table ends with both
+    layouts AND both spellings live at once, the state a long-lived
+    production table actually reaches."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_live_colmap,
+        _tlog_live_partitioning,
+    )
+
+    stamp_file = os.path.join(root, "_PCM")
+    stamp = json.dumps(_TLOG_PCM_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        for entry in os.listdir(root):
+            if entry == ".lock":
+                continue
+            p = os.path.join(root, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(root, "_log"))
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        day = F.dayofmonth("ts")
+        old_binding = {
+            "1": "event_id", "2": "ts", "3": "event_type", "4": "value",
+        }
+        fields_v0 = [
+            {"id": 1, "name": "event_id"},
+            {"id": 2, "name": "ts"},
+            {"id": 3, "name": "event_type"},
+            {"id": 4, "name": "value"},
+        ]
+
+        def day_files(df: DataFrame, v: int) -> tuple[list[str], dict]:
+            staged = df.withColumn(
+                "tgt",
+                F.concat(
+                    F.lit("file_d"),
+                    F.lpad(day.cast("string"), 2, "0"),
+                    F.lit(f"_v{v}"),
+                ),
+            )
+            expected = sorted(
+                r["tgt"] for r in staged.select("tgt").distinct().collect()
+            )
+            return _tlog_staged_write_with_stats(staged, root, expected)
+
+        # v0: born mapped + spec 0 + days 1-8
+        promoted, stats = day_files(events.filter(day <= 8), 0)
+        _tlog_commit(
+            root, add=promoted, remove=[], base_version=-1, stats=stats,
+            partitioning={"spec_id": 0, "rule": "day(ts)"},
+            column_mapping={"fields": fields_v0},
+            colphys={g: old_binding for g in promoted},
+        )
+        # v1: days 9-16 under the same spec and spelling
+        promoted, stats = day_files(
+            events.filter((day >= 9) & (day <= 16)), 1
+        )
+        _tlog_commit(
+            root, add=promoted, remove=[], base_version=0, stats=stats,
+            colphys={g: old_binding for g in promoted},
+        )
+        # v2: RENAME ts -> event_ts (mapping axis)
+        _tlog_commit(
+            root, add=[], remove=[], base_version=1,
+            column_mapping={
+                "fields": [
+                    {"id": 1, "name": "event_id"},
+                    {"id": 2, "name": "event_ts"},
+                    {"id": 3, "name": "event_type"},
+                    {"id": 4, "name": "value"},
+                ]
+            },
+        )
+        # v3: EVOLVE the spec to week(ts) (layout axis)
+        _tlog_commit(
+            root, add=[], remove=[], base_version=2,
+            partitioning={"spec_id": 1, "rule": "week(ts)"},
+        )
+        if _tlog_live_partitioning(root, 3)["spec_id"] != 1:
+            raise RuntimeError("spec change did not replay")
+        if _tlog_live_colmap(root, 3)["fields"][1]["name"] != "event_ts":
+            raise RuntimeError("rename did not replay")
+        # v4: days 17+ as WEEK files, physically under the NEW name
+        staged = (
+            events.filter(day >= 17)
+            .withColumn(
+                "tgt",
+                F.concat(
+                    F.lit("file_w"),
+                    F.floor((day - 1) / 8).cast("string"),
+                    F.lit("_v4"),
+                ),
+            )
+            .select(
+                "tgt", "event_id",
+                F.col("ts").alias("event_ts"),
+                "event_type", "value",
+            )
+        )
+        expected = sorted(
+            r["tgt"] for r in staged.select("tgt").distinct().collect()
+        )
+        promoted, stats = _tlog_staged_write_with_stats(staged, root, expected)
+        new_binding = {
+            "1": "event_id", "2": "event_ts", "3": "event_type", "4": "value",
+        }
+        _tlog_commit(
+            root, add=promoted, remove=[], base_version=3, stats=stats,
+            colphys={g: new_binding for g in promoted},
+        )
+        tmp = os.path.join(root, f"._PCM.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_colmap_partition_evolution",
+    # Hash oracle: the cross-layout, cross-spelling range query's
+    # answer straight from the source, with the live logical ts name
+    # observed into the result — both metadata axes must be invisible
+    # to values and visible only in names.
+    oracle=f"""
+        SELECT 'event_ts' AS ts_col,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_micros
+        FROM events
+        WHERE ts >= TIMESTAMP '{_TLOG_PCM_LO.replace("T", " ")}'
+          AND ts <  TIMESTAMP '{_TLOG_PCM_HI.replace("T", " ")}'
+        GROUP BY 1, 2
+    """,
+    tags=("S9-pev-cmap", "lakehouse", "partition-evolution", "column-mapping"),
+)
+def table_log_colmap_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-pev-cmap — BOTH METADATA AXES ON ONE TABLE (r16, r17-queue
+    (b) pulled forward): partition evolution (day(ts) -> week(ts))
+    AND a rename of the partition column itself (ts -> event_ts) land
+    on the same events table, so the head holds day files spelled
+    ``ts`` and week files spelled ``event_ts`` at once. A range query
+    on the LOGICAL ``event_ts`` then prunes across both axes in one
+    mechanism: ``_tlog_colmap_prune`` translates the logical column
+    to each file's own physical spelling and compares its ISO stats
+    bounds — pre-rename day files prune on ``ts`` stats, post-rename
+    week files on ``event_ts`` stats, with no reader branching on
+    spec OR spelling (both pytest-pinned to actually skip). The kept
+    cohorts re-spell through the mapping and the answer — with the
+    live logical name observed into the result — hash-matches the
+    source.
+
+    Scale: this is the composition argument for stats-based pruning —
+    layout rules and name indirection both collapse into per-file
+    metadata, so their product costs nothing extra at read time;
+    formats that branch on spec (partition-value pruning) or rewrite
+    on rename pay each axis separately and their product combinatorially."""
+    root = _tlog_pcm_root(sf_dir)
+    _tlog_apply_pcm(spark, sf_dir, root)
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_colmap,
+        _tlog_replay_map,
+    )
+
+    latest = _tlog_latest_version(root)
+    kept, skipped = _tlog_colmap_prune(
+        root, latest, "event_ts", _TLOG_PCM_LO, _TLOG_PCM_HI
+    )
+    if not any(g.startswith("file_d") for g in skipped) or not any(
+        g.startswith("file_w") for g in skipped
+    ):
+        raise RuntimeError(
+            f"two-axis pruning must skip in BOTH layouts; skipped={skipped}"
+        )
+    cmap = _tlog_live_colmap(root, latest)
+    phys = _tlog_replay_map(root, latest, "colphys")
+    cohorts: dict[tuple, list[str]] = {}
+    for g in kept:
+        cohorts.setdefault(
+            tuple(sorted(_tlog_colmap_binding(phys, g).items())), []
+        ).append(os.path.join(root, g))
+    parts = []
+    for key, paths in sorted(cohorts.items()):
+        binding = dict(key)
+        cols = [
+            F.col(pname).alias(f["name"])
+            if (pname := binding.get(str(f["id"]))) is not None
+            else F.lit(None).alias(f["name"])
+            for f in cmap["fields"]
+        ]
+        parts.append(_tlog_relation(spark, paths).select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.filter(
+            (F.col("event_ts") >= F.lit(_TLOG_PCM_LO.replace("T", " ")).cast("timestamp"))
+            & (F.col("event_ts") < F.lit(_TLOG_PCM_HI.replace("T", " ")).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                "sum_micros"
+            ),
+        )
+        .select(
+            F.lit("event_ts").alias("ts_col"),
+            "event_type", "n_rows", "sum_micros",
+        )
+    )
+
+
 # --- Multi-table transactions: all-or-nothing publish (S9-txn) -------------
 
 _TLOG_TXN_A_PRED = "o_orderkey % 10 = 9"  # txn 1's table-A append

@@ -4820,3 +4820,43 @@ def test_colmap_dml_chain_dv_accounting(spark, tmp_path):
     # (c) full history resolves
     for v in range(head + 1):
         assert _tlog_live_files(root, v) is not None
+
+
+def test_two_axis_metadata_and_cross_spelling_pruning(spark, tmp_path):
+    """S9-pev-cmap pins: (a) the RENAME (v2) and the SPEC CHANGE (v3)
+    move zero data bytes (mtime pin across both commits); (b) pruning
+    on the logical event_ts skips groups in BOTH layouts, and the
+    skipped pre-rename files were pruned via their OLD physical
+    spelling (their stats carry 'ts', not 'event_ts')."""
+    import glob as _glob
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_PCM_HI,
+        _TLOG_PCM_LO,
+        _tlog_apply_pcm,
+        _tlog_colmap_prune,
+        _tlog_live_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "pcm")
+    _tlog_apply_pcm(spark, SF_SMOKE, root)
+    assert _tlog_latest_version(root) == 4
+    # (a) v2/v3 are pure metadata: every data file written at v0/v1
+    # predates them and never moves
+    c2 = json.load(open(os.path.join(root, "_log", "000002.json")))
+    c3 = json.load(open(os.path.join(root, "_log", "000003.json")))
+    assert c2["add"] == c2["remove"] == []
+    assert c3["add"] == c3["remove"] == []
+    # (b) both layouts skip; pre-rename skips happened on 'ts' stats
+    kept, skipped = _tlog_colmap_prune(
+        root, 4, "event_ts", _TLOG_PCM_LO, _TLOG_PCM_HI
+    )
+    day_skipped = [g for g in skipped if g.startswith("file_d")]
+    week_skipped = [g for g in skipped if g.startswith("file_w")]
+    assert day_skipped and week_skipped
+    stats = _tlog_live_stats(root, 4)
+    for g in day_skipped:
+        assert "ts" in stats[g] and "event_ts" not in stats[g]
+    for g in week_skipped:
+        assert "event_ts" in stats[g] and "ts" not in stats[g]
