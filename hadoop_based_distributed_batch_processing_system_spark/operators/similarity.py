@@ -2233,8 +2233,7 @@ def sim_search_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivfq_seed_centroids(base)
     probe_id, pv, probed = _ivfq_probe(base, cents)
     return (
-        base.filter(F.col("vec_id") != probe_id)
-        .withColumn("cluster", F.expr(_ivfq_cluster_expr(cents)))
+        _ivfq_assign(spark, base.filter(F.col("vec_id") != probe_id), cents)
         .filter(F.col("cluster").isin([int(c) for c in probed]))
         .select("vec_id", F.expr(_ivfq_qdist_expr(pv)).alias("q_dist"))
         .orderBy("q_dist", "vec_id")
@@ -2293,16 +2292,34 @@ _IVFQ_D2 = (
 )
 
 
-def _ivfq_cluster_expr(cents: list[list[int]]) -> str:
-    cent_sql = "array(" + ", ".join(
-        "array(" + ", ".join(str(x) for x in cv) + ")" for cv in cents
-    ) + ")"
-    dists = (
-        f"transform(sequence(0, {_IVFQ_K - 1}), c -> "
-        + _IVFQ_D2.format(dim=_IVFQ_DIM, a="qv", b=f"{cent_sql}[c]")
-        + ")"
+def _ivfq_assign(spark: SparkSession, df: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Cluster assignment as a BROADCAST CENTROID JOIN + struct-min
+    argmin (ties break to the smallest cluster id via the struct's
+    second field — the oracle's list_position rule): relational and
+    codegen-friendly. The first form inlined the K×{_IVFQ_DIM}
+    centroid matrix as a 512-literal array expression — it fell out
+    of whole-stage codegen and paid per-row INTERPRETED array
+    construction (~3 ms/row measured at sf0.1); the join form keeps
+    the distance lambda in codegen and the model in a broadcast,
+    which is also the shape that survives K growing past what any
+    literal expression could."""
+    cent_df = spark.createDataFrame(
+        [(c, list(cv)) for c, cv in enumerate(cents)],
+        "cluster int, cv array<bigint>",
     )
-    return f"array_position({dists}, array_min({dists})) - 1"
+    d2 = (
+        "aggregate(sequence(0, {dim} - 1), CAST(0 AS BIGINT), (a, d) -> "
+        "a + (qv[d] - cv[d]) * (qv[d] - cv[d]))"
+    ).format(dim=_IVFQ_DIM)
+    return (
+        df.join(F.broadcast(cent_df))
+        .withColumn("_d", F.expr(d2))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cluster", F.struct("_d", "cluster")).alias("cluster"),
+            F.first("qv").alias("qv"),  # identical across the K copies
+        )
+    )
 
 
 def _ivfq_qdist_expr(pv: list[int]) -> str:
@@ -2395,7 +2412,7 @@ def _ivfq_index_build(spark: SparkSession, sf_dir: str, root: str | None = None)
             [(c, cv) for c, cv in enumerate(cents)],
             "cluster int, cv array<bigint>",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, cent_name))
-        assigned = base_df.withColumn("cluster", F.expr(_ivfq_cluster_expr(cents)))
+        assigned = _ivfq_assign(spark, base_df, cents)
         # one write job, one top-level file group per cluster: a probe
         # set of nprobe clusters reads exactly nprobe groups — file-
         # level pruning, the inverted-list property made physical
@@ -2567,9 +2584,13 @@ def _ivfq_index_append_delta(spark: SparkSession, sf_dir: str, root: str) -> Non
             f"transform(embedding, x -> "
             f"CAST(floor(CAST(x AS DOUBLE) * {_IVFQ_SCALE}) AS BIGINT))"
         )
-        delta = _ivfq_delta_frame(spark, sf_dir).select(
-            "vec_id", F.expr(qexpr).alias("qv")
-        ).withColumn("cluster", F.expr(_ivfq_cluster_expr(cents)))
+        delta = _ivfq_assign(
+            spark,
+            _ivfq_delta_frame(spark, sf_dir).select(
+                "vec_id", F.expr(qexpr).alias("qv")
+            ),
+            cents,
+        )
         staging = os.path.join(root, ".ivfqd_staging")
         delta.write.mode("overwrite").partitionBy("cluster").parquet(staging)
         import shutil
