@@ -2312,6 +2312,9 @@ def _ivfq_assign(spark: SparkSession, df: DataFrame, cents: list[list[int]]) -> 
         "a + (qv[d] - cv[d]) * (qv[d] - cv[d]))"
     ).format(dim=_IVFQ_DIM)
     return (
+        # K-row broadcast with no join key: a BroadcastNestedLoopJoin
+        # whose build side is bounded model state (the allowlisted
+        # scalar-broadcast class in tests/test_plans.py)
         df.join(F.broadcast(cent_df))
         .withColumn("_d", F.expr(d2))
         .groupBy("vec_id")

@@ -277,6 +277,7 @@ _NESTED_LOOP_ALLOWED = {
     "sim_search_hybrid_rrf": "broadcasts the 1-row probe vector and corpus-stats scalars",
     "text_tfidf_topterms": "broadcasts 1-row corpus doc count",
     "watermark_late_drop": "broadcasts 1-row max event time (the watermark)",
+    "sim_search_ann_ivf_quantized": "broadcasts the K=8-row centroid frame (bounded model state)",
     "funnel_conversion": "broadcasts 1-row cohort baseline scalar",
     "triangle_count": "broadcasts two 1-row scalars (edge count, triangle count) onto the 1-row stats frame",
     "graph_hits": "broadcasts the two 1-row L1-total scalars for the final normalization",
