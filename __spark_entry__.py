@@ -148,6 +148,8 @@ _PRIORITY_WINDOW = [
     "table_log_colmap_dml_chain",
     # r17 queue (b) pulled forward: both metadata axes on one table
     "table_log_colmap_partition_evolution",
+    # fresh r17 queue (a) pulled forward: CHECK constraints x mapping
+    "table_log_colmap_check",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -193,6 +193,7 @@ HEADLINE = [
     "stream_catalog_cdf",  # swap-offset streaming CDC, batch-twin oracle
     "table_log_colmap_dml_chain",  # DELETE->UPDATE->MERGE composed, one root
     "table_log_colmap_partition_evolution",  # two-axis pruning, one mechanism
+    "table_log_colmap_check",  # logical CHECK translated per writer spelling
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -6480,6 +6480,240 @@ def table_log_colmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CHECK constraints under column mapping (S9-cmap-chk, r16) -------------
+
+_TLOG_CMK_PRED = "price_usd > 0"          # the LOGICAL constraint
+_TLOG_CMK_ADD_PRED = "o_orderkey % 10 = 2"  # the clean append's slice
+
+
+def _tlog_cmk_root(sf_dir: str) -> str:
+    # own root: ADD CONSTRAINT + appends mutate this table
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_tlogcmk_{corpus_tag(sf_dir)}"
+    )
+
+
+def _tlog_colmap_add_constraint(
+    spark: SparkSession, root: str, name: str, logical_pred: str
+) -> int:
+    """ADD CONSTRAINT on a COLUMN-MAPPED table: the predicate spells
+    LOGICAL names, so existing-data validation reads through the
+    mapping (one snapshot read per binding signature — the plain
+    validator's raw multi-cohort scan would crash on the spelling a
+    cohort lacks), and the LOGICAL predicate is what commits: each
+    WRITER translates it to its own spelling at enforcement time."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_live_constraints,
+    )
+
+    base = _tlog_latest_version(root)
+    snap = _tlog_colmap_snapshot(spark, root, base)
+    bad = snap.filter(~F.coalesce(F.expr(logical_pred), F.lit(True))).count()
+    if bad:
+        raise RuntimeError(
+            f"cannot ADD CONSTRAINT {name}: {bad} existing rows violate "
+            f"({logical_pred}) — fix the data or the predicate first"
+        )
+    existing = _tlog_live_constraints(root, base)
+    if existing.get(name) == logical_pred:
+        return base  # idempotent re-add
+    return _tlog_commit_rebase(
+        root, add=[], remove=[], base_version=base, read_set=set(),
+        constraints={name: logical_pred},
+    )
+
+
+def _tlog_colmap_append(
+    spark: SparkSession, root: str, df: DataFrame, group: str, binding: dict
+) -> int:
+    """APPEND a physically-spelled frame to a mapped table through the
+    constraint choke point: the table's live LOGICAL constraints
+    translate into THIS WRITER's spelling (``_tlog_colmap_translate``
+    over its binding) before riding the staged write — a pre-rename
+    producer is held to the renamed constraint without ever learning
+    the rename. One staged write, one OCC commit binding the group."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_live_colmap,
+        _tlog_live_constraints,
+    )
+
+    base = _tlog_latest_version(root)
+    cmap = _tlog_live_colmap(root, base)
+    if cmap is None:
+        raise RuntimeError("mapped append requires an active mapping")
+    translated = {
+        name: _tlog_colmap_translate(pred, cmap["fields"], binding)
+        for name, pred in _tlog_live_constraints(root, base).items()
+    }
+    promoted, stats = _tlog_staged_write_with_stats(
+        df.withColumn("tgt", F.lit(group)), root, [group],
+        constraints=translated,
+    )
+    return _tlog_commit_rebase(
+        root, add=promoted, remove=[], base_version=base, read_set=set(),
+        stats=stats or None, colphys={group: binding},
+    )
+
+
+_TLOG_CMK_SPEC = {
+    "impl": 1, "check": _TLOG_CMK_PRED, "add": _TLOG_CMK_ADD_PRED,
+}
+
+
+def _tlog_apply_cmk(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Run the mapped-constraint lifecycle once per dir (flock +
+    stamp): the mapping lifecycle (v0-6), then v7 ADDs a CHECK that
+    spells the RENAMED column (existing data validated THROUGH the
+    mapping, across both spellings' cohorts); an unsatisfiable mapped
+    ADD and a violating OLD-SPELLED append are both REJECTED
+    (asserted — the enforcement failure happens under the TRANSLATED
+    predicate); v8 is a clean old-spelled append through the
+    translating choke point."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version as _latest,
+    )
+
+    stamp_file = os.path.join(root, "_CMK")
+    stamp = json.dumps(_TLOG_CMK_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    _tlog_apply_cmap(spark, sf_dir, root)  # own flock; take ours after
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        if _latest(root) != 6:
+            import shutil
+
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _tlog_apply_cmap(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return
+        # an unsatisfiable mapped ADD is rejected after validating
+        # THROUGH the mapping (both spellings' cohorts scanned)
+        try:
+            _tlog_colmap_add_constraint(spark, root, "impossible", "price_usd < 0")
+            raise AssertionError("unsatisfiable mapped ADD was accepted")
+        except RuntimeError as e:
+            if "existing rows violate" not in str(e):
+                raise
+        # v7: the real CHECK, spelling the RENAMED column
+        v7 = _tlog_colmap_add_constraint(spark, root, "positive", _TLOG_CMK_PRED)
+        if v7 != 7:
+            raise RuntimeError(f"mapped ADD CONSTRAINT landed at v{v7}")
+        old_binding = {"1": "o_orderkey", "2": "o_totalprice"}
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        # a violating append under the OLD spelling must FAIL under
+        # the TRANSLATED predicate, leaving the log untouched
+        bad = orders.limit(25).select(
+            "o_orderkey", (F.col("o_totalprice") * 0 - 5.0).alias("o_totalprice")
+        )
+        try:
+            _tlog_colmap_append(spark, root, bad, "file_cmk_bad", old_binding)
+            raise AssertionError("violating mapped append was accepted")
+        except Exception as e:  # Spark wraps the raise_error
+            if "positive" not in str(e):
+                raise
+        if _latest(root) != 7:
+            raise RuntimeError("rejected append advanced the log")
+        # v8: the clean append, still OLD-spelled, lands through the
+        # same translating choke point
+        _tlog_colmap_append(
+            spark, root,
+            orders.filter(F.expr(_TLOG_CMK_ADD_PRED)),
+            "file_cmk_ok", old_binding,
+        )
+        tmp = os.path.join(root, f"._CMK.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+@register(
+    "table_log_colmap_check",
+    # Hash oracle: head = base + the renamed append + the clean
+    # old-spelled append — nothing from the rejected candidates; the
+    # constraint machinery must be invisible to surviving values.
+    oracle=f"""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMAP_PRED}
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CMK_ADD_PRED}
+        )
+        SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM t GROUP BY 1
+    """,
+    tags=("S9-cmap-chk", "lakehouse", "column-mapping", "constraints"),
+)
+def table_log_colmap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-cmap-chk — CHECK CONSTRAINTS UNDER COLUMN MAPPING (r16,
+    fresh r17-queue (a) pulled forward): a constraint whose predicate
+    spells a LOGICAL name composes with mapping at both ends. ADD
+    validates existing data THROUGH the mapping (one read per binding
+    signature — pre-rename cohorts are checked under their own
+    spelling; a raw scan would crash on the missing column) and
+    commits the LOGICAL predicate; every WRITER then translates it to
+    its own spelling at the staged-write choke point — a pre-rename
+    producer is held to the renamed constraint without ever learning
+    the rename (the violating old-spelled append fails under the
+    TRANSLATED predicate and leaves the log untouched; lifecycle-
+    asserted and pytest-pinned). The clean old-spelled append lands
+    and the head read is hash-checked.
+
+    Scale: enforcement stays zero-extra-pass (the guard rides the
+    write job); translation is driver-side string work per writer
+    binding; validation is the mapped read's cohort-bounded plan.
+    Without this composition, a rename would silently sever every
+    constraint referencing the renamed column — the failure mode
+    production formats handle by resolving constraints against field
+    IDS, which is exactly what translating through the binding
+    implements."""
+    root = _tlog_cmk_root(sf_dir)
+    _tlog_apply_cmk(spark, sf_dir, root)
+    out = _tlog_colmap_snapshot(spark, root, _tlog_latest_version(root))
+    return (
+        out.groupBy((F.col("o_orderkey") % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("price_usd") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("bucket", "n_rows", "sum_cents")
+    )
+
+
 # --- The mapped DML chain: DELETE -> UPDATE -> MERGE (S9-cmap-chain, r16) --
 
 

@@ -4860,3 +4860,63 @@ def test_two_axis_metadata_and_cross_spelling_pruning(spark, tmp_path):
         assert "ts" in stats[g] and "event_ts" not in stats[g]
     for g in week_skipped:
         assert "event_ts" in stats[g] and "ts" not in stats[g]
+
+
+def test_colmap_check_translates_enforcement_per_writer(spark, tmp_path):
+    """S9-cmap-chk pins: (a) the committed constraint is the LOGICAL
+    predicate; (b) a violating OLD-SPELLED append fails under the
+    TRANSLATED predicate (the raised error names the physical
+    spelling) and leaves the log untouched with no staged debris;
+    (c) a violating NEW-SPELLED append fails too (both spellings are
+    held to the same logical rule); (d) the clean append's commit
+    carries its binding."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_CMK_PRED,
+        _tlog_apply_cmk,
+        _tlog_colmap_append,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_constraints,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "cmk")
+    _tlog_apply_cmk(spark, SF_SMOKE, root)
+    head = _tlog_latest_version(root)
+    assert head == 8
+    # (a) logical predicate committed
+    assert _tlog_live_constraints(root, head) == {"positive": _TLOG_CMK_PRED}
+    # (d) the clean append bound its group
+    c8 = json.load(open(os.path.join(root, "_log", "000008.json")))
+    assert c8["colphys"]["file_cmk_ok"] == {
+        "1": "o_orderkey", "2": "o_totalprice",
+    }
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # (b) old-spelled violation: error must name the TRANSLATED form
+    bad_old = orders.limit(5).select(
+        "o_orderkey", (F.col("o_totalprice") * 0 - 1.0).alias("o_totalprice")
+    )
+    with pytest.raises(Exception, match="o_totalprice > 0"):
+        _tlog_colmap_append(
+            spark, root, bad_old, "file_cmk_b1",
+            {"1": "o_orderkey", "2": "o_totalprice"},
+        )
+    # (c) new-spelled violation fails under the logical spelling
+    bad_new = orders.limit(5).select(
+        "o_orderkey", (F.col("o_totalprice") * 0 - 1.0).alias("price_usd")
+    )
+    with pytest.raises(Exception, match="price_usd > 0"):
+        _tlog_colmap_append(
+            spark, root, bad_new, "file_cmk_b2",
+            {"1": "o_orderkey", "2": "price_usd"},
+        )
+    assert _tlog_latest_version(root) == head  # log untouched
+    assert not os.path.exists(os.path.join(root, "file_cmk_b1"))
+    assert not os.path.exists(os.path.join(root, "file_cmk_b2"))
