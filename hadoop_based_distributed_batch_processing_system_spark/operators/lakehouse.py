@@ -4218,19 +4218,29 @@ def _tlog_catalog_retention_floor(root: str, catalogs: list[str]) -> int | None:
 
 
 def _tlog_vacuum_floor(
-    root: str, retain_version: int, catalogs: list[str]
+    root: str,
+    retain_version: int | None = None,
+    catalogs: list[str] | None = None,
+    retain_ts: int | None = None,
 ) -> tuple[int, list[str]]:
     """VACUUM clamped to the catalog retention floor (the enforcement
     half of the promise the catalog docstrings make): the effective
     horizon is min(requested, oldest current catalog pin), so a
     retention policy tightened past a pinned version can never delete
     bytes a catalog reader resolves — the catalog, not the policy,
-    wins. Returns (effective horizon, deleted groups)."""
+    wins. The horizon is a version or an INSTANT (``retain_ts``,
+    resolved through the commit stamps — the production form: "retain
+    7 days" is a timestamp rule, and the floor must clamp it the same
+    way). Returns (effective horizon, deleted groups)."""
     from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
         _tlog_vacuum,
     )
 
-    floor = _tlog_catalog_retention_floor(root, catalogs)
+    if (retain_version is None) == (retain_ts is None):
+        raise ValueError("pass exactly one of retain_version / retain_ts")
+    if retain_ts is not None:
+        retain_version = _tlog_version_as_of(root, retain_ts)
+    floor = _tlog_catalog_retention_floor(root, catalogs or [])
     effective = retain_version if floor is None else min(retain_version, floor)
     return effective, _tlog_vacuum(root, retain_version=effective)
 

@@ -4920,3 +4920,48 @@ def test_colmap_check_translates_enforcement_per_writer(spark, tmp_path):
     assert _tlog_latest_version(root) == head  # log untouched
     assert not os.path.exists(os.path.join(root, "file_cmk_b1"))
     assert not os.path.exists(os.path.join(root, "file_cmk_b2"))
+
+
+def test_vacuum_floor_by_timestamp_clamps_like_version(spark, tmp_path):
+    """S9-vcf by TIMESTAMP: a 'retain from instant T' rule resolves
+    through the commit stamps and is clamped by the catalog floor
+    exactly like the version form — and passing both or neither
+    horizon forms is refused."""
+    import pyspark.sql.functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_commit_ts,
+        _tlog_vacuum_floor,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+        _tlog_staged_write_with_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "t")
+    _tlog_build(spark, SF_SMOKE, root)
+    cat = str(tmp_path / "cat")
+    _tlog_catalog_commit(cat, {"t": {"root": root, "version": 2}}, base=-1)
+    live2 = _tlog_live_files(root, 2)
+    promoted, stats = _tlog_staged_write_with_stats(
+        spark.read.parquet(*live2).withColumn("tgt", F.lit("file_vt_c")),
+        root, ["file_vt_c"], constraints={},
+    )
+    _tlog_commit(
+        root, add=promoted, remove=[os.path.basename(p) for p in live2],
+        base_version=2, stats=stats or None, data_change=False,
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        _tlog_vacuum_floor(root, 3, [cat], retain_ts=1)
+    with pytest.raises(ValueError, match="exactly one"):
+        _tlog_vacuum_floor(root, catalogs=[cat])
+    # "retain from v3's instant" resolves to v3 but the pin clamps to 2
+    effective, deleted = _tlog_vacuum_floor(
+        root, catalogs=[cat], retain_ts=_tlog_commit_ts(root, 3)
+    )
+    assert effective == 2
+    pinned = {os.path.basename(p) for p in _tlog_live_files(root, 2)}
+    assert not set(deleted) & pinned
+    assert spark.read.parquet(*_tlog_live_files(root, 2)).count() > 0
