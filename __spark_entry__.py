@@ -150,6 +150,8 @@ _PRIORITY_WINDOW = [
     "table_log_colmap_partition_evolution",
     # fresh r17 queue (a) pulled forward: CHECK constraints x mapping
     "table_log_colmap_check",
+    # fresh r17 queue (b) pulled forward: the warehouse replica
+    "stream_catalog_replicate",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -194,6 +194,7 @@ HEADLINE = [
     "table_log_colmap_dml_chain",  # DELETE->UPDATE->MERGE composed, one root
     "table_log_colmap_partition_evolution",  # two-axis pruning, one mechanism
     "table_log_colmap_check",  # logical CHECK translated per writer spelling
+    "stream_catalog_replicate",  # warehouse replica, one swap per swap
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

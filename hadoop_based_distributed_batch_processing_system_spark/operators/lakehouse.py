@@ -4186,6 +4186,248 @@ def stream_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("hbdbps_stream_catalog_cdf")
 
 
+# --- Replicating a WAREHOUSE through the catalog feed (S9-ccdf'', r16) -----
+
+
+def _tlog_ccr_roots(sf_dir: str) -> tuple[str, str, str]:
+    tag = corpus_tag(sf_dir)
+    return (
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogccra_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogccrb_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogccrc_{tag}"),
+    )
+
+
+_TLOG_CCR_SPEC = {"impl": 1}
+
+
+def _tlog_apply_ccr(spark: SparkSession, sf_dir: str) -> tuple[dict, str]:
+    """Replicate the catalog-txn WAREHOUSE once (flock + stamp on the
+    downstream catalog root): bootstrap each replica table from the
+    upstream catalog v0's PINNED snapshot and pin them in a DOWNSTREAM
+    catalog v0; then drain the upstream catalog feed — each micro-
+    batch (one upstream swap, ALL tables' changes) applies per-table
+    transactional commits and then ONE downstream catalog swap, so
+    the downstream preserves the upstream's visibility atomicity:
+    a reader of the downstream catalog sees each upstream transaction
+    whole or not at all, one swap per swap."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        register_catalog_feed_source,
+    )
+
+    _ra, _rb, src_cat = _tlog_apply_ctx(spark, sf_dir)
+    dst_a, dst_b, dst_cat = _tlog_ccr_roots(sf_dir)
+    dst_roots = {"a": dst_a, "b": dst_b}
+    stamp_file = os.path.join(dst_cat, "_CCR")
+    stamp = json.dumps(_TLOG_CCR_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return dst_roots, dst_cat
+    os.makedirs(dst_cat, exist_ok=True)
+    lock_fh = open(os.path.join(dst_cat, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return dst_roots, dst_cat
+        for d in (dst_cat, dst_a, dst_b):
+            for entry in os.listdir(d) if os.path.isdir(d) else []:
+                if entry == ".lock":
+                    continue
+                p = os.path.join(d, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        # bootstrap: each replica = the upstream catalog v0's PINNED
+        # snapshot (not the table head — published-yet-unswapped work
+        # must not leak into the replica's base)
+        pins0 = _tlog_catalog_read(src_cat, 0)
+        for name, dst in dst_roots.items():
+            os.makedirs(os.path.join(dst, "_log"), exist_ok=True)
+            pin = pins0[name]
+            _tlog_relation(
+                spark, _tlog_live_files(pin["root"], pin["version"])
+            ).write.mode("overwrite").parquet(os.path.join(dst, "file_boot"))
+            _tlog_commit(dst, add=["file_boot"], remove=[], base_version=-1)
+        _tlog_catalog_commit(
+            dst_cat,
+            {n: {"root": r, "version": 0} for n, r in dst_roots.items()},
+            base=-1,
+        )
+
+        def apply_swap(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            pins = {}
+            for tbl in sorted(dst_roots):
+                dst = dst_roots[tbl]
+                base = _tlog_latest_version(dst)
+                rows = batch_df.filter(F.col("tbl") == tbl)
+                adds = rows.filter(F.col("side") == "add").select(
+                    "o_orderkey", "o_totalprice"
+                )
+                removes = rows.filter(F.col("side") == "remove").select(
+                    "o_orderkey"
+                )
+                add_files: list[str] = []
+                remove_files: list[str] = []
+                parts: list[DataFrame] = []
+                if not removes.isEmpty():
+                    affected = sorted(
+                        r["file"]
+                        for r in _tlog_relation(
+                            spark, _tlog_live_files(dst, base)
+                        )
+                        .withColumn(
+                            "file",
+                            F.regexp_extract(
+                                F.input_file_name(), _TLOG_FILE_RE, 1
+                            ),
+                        )
+                        .join(F.broadcast(removes), "o_orderkey")
+                        .select("file").distinct().collect()
+                    )
+                    if affected:
+                        parts.append(
+                            _tlog_relation(
+                                spark,
+                                [os.path.join(dst, f) for f in affected],
+                            )
+                            .join(F.broadcast(removes), "o_orderkey", "left_anti")
+                            .select(
+                                F.concat(
+                                    F.regexp_extract(
+                                        F.input_file_name(), _TLOG_FILE_RE, 1
+                                    ),
+                                    F.lit(f"_s{batch_id}"),
+                                ).alias("tgt"),
+                                "o_orderkey", "o_totalprice",
+                            )
+                        )
+                        add_files += [f"{f}_s{batch_id}" for f in affected]
+                        remove_files += affected
+                if not adds.isEmpty():
+                    parts.append(
+                        adds.select(
+                            F.lit(f"file_swap_{batch_id}").alias("tgt"),
+                            "o_orderkey", "o_totalprice",
+                        )
+                    )
+                    add_files.append(f"file_swap_{batch_id}")
+                v = base
+                if parts:
+                    union = parts[0]
+                    for p in parts[1:]:
+                        union = union.unionByName(p)
+                    add_files, stats = _tlog_staged_write_with_stats(
+                        union, dst, add_files, require_all=False
+                    )
+                    v = _tlog_commit(
+                        dst, add=add_files, remove=remove_files,
+                        base_version=base, stats=stats or None,
+                    )
+                pins[tbl] = {"root": dst, "version": v}
+            # ONE downstream swap per upstream swap: visibility
+            # atomicity replicates with the data
+            _tlog_catalog_commit(
+                dst_cat, pins, base=_tlog_catalog_latest(dst_cat)
+            )
+
+        register_catalog_feed_source(spark)
+        raw = (
+            spark.readStream.format("catalog_feed")
+            .option("catalog", src_cat)
+            .load()
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                raw.writeStream.foreachBatch(apply_swap)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if _tlog_catalog_latest(dst_cat) != _tlog_catalog_latest(src_cat):
+            raise RuntimeError(
+                "downstream catalog drifted: "
+                f"{_tlog_catalog_latest(dst_cat)} swaps vs upstream "
+                f"{_tlog_catalog_latest(src_cat)}"
+            )
+        tmp = os.path.join(dst_cat, f"._CCR.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return dst_roots, dst_cat
+
+
+@register(
+    "stream_catalog_replicate",
+    # Hash oracle: both replicas resolved through the DOWNSTREAM
+    # catalog head = the upstream transaction's full outcome — base
+    # content plus each table's published slice.
+    oracle=f"""
+        WITH two_tables AS (
+          SELECT 'a' AS tbl, o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'a', o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CTX_A_PRED}
+          UNION ALL
+          SELECT 'b', o_orderkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'b', o_orderkey, o_totalprice FROM orders
+          WHERE {_TLOG_CTX_B_PRED}
+        )
+        SELECT tbl,
+               CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM two_tables GROUP BY 1, 2
+    """,
+    tags=("S9-ccdf''", "stream", "catalog", "cdc", "replication", "multi-table"),
+)
+def stream_catalog_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-ccdf'' — WAREHOUSE replication through the catalog feed
+    (r16, fresh r17-queue (b) pulled forward — the 'production
+    consumer' the feed docstrings promise): a downstream warehouse
+    (two replica tables + its OWN catalog) drains the upstream
+    catalog feed; each micro-batch — one upstream swap, all tables'
+    changes — applies per-table transactional commits and then ONE
+    downstream catalog swap, so the upstream's visibility atomicity
+    REPLICATES with the data: a downstream catalog reader sees each
+    upstream transaction whole or not at all, swap for swap
+    (downstream swap count drift-checked against upstream). The
+    bootstrap comes from the upstream catalog v0's PINNED snapshots —
+    published-yet-unswapped work cannot leak into the replica's base.
+    Both replicas are read through the downstream catalog head and
+    hash-checked against the transaction's full outcome.
+
+    Scale: per-batch work is change-sized across the swap's tables
+    (the replica apply's broadcast anti-join per table); the
+    downstream swap is one metadata commit — cross-warehouse
+    consistency costs one hard-link per transaction, which is the
+    whole point of making the feed's unit the swap."""
+    dst_roots, dst_cat = _tlog_apply_ccr(spark, sf_dir)
+    return _tlog_catalog_fingerprint(spark, _tlog_catalog_read(dst_cat))
+
+
 # --- Vacuum under catalog pins: the retention floor (S9-vcf) ---------------
 
 _TLOG_VCF_PRED = "o_orderkey % 10 = 6"  # the post-compact append slice

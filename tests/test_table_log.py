@@ -4965,3 +4965,38 @@ def test_vacuum_floor_by_timestamp_clamps_like_version(spark, tmp_path):
     pinned = {os.path.basename(p) for p in _tlog_live_files(root, 2)}
     assert not set(deleted) & pinned
     assert spark.read.parquet(*_tlog_live_files(root, 2)).count() > 0
+
+
+def test_catalog_replicate_preserves_swap_atomicity(spark):
+    """S9-ccdf'' pins: (a) the downstream catalog has exactly one
+    swap per upstream swap (count parity); (b) downstream catalog v0
+    equals the upstream PINNED bootstrap (base content only — no
+    published-yet-unswapped leakage); (c) each downstream swap's
+    content delta equals the upstream transaction's (both tables
+    together — reading downstream v0 vs v1 shows the whole txn)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_ccr,
+        _tlog_apply_ctx,
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+    )
+    from tests.conftest import SF_SMOKE
+
+    _ra, _rb, src_cat = _tlog_apply_ctx(spark, SF_SMOKE)
+    dst_roots, dst_cat = _tlog_apply_ccr(spark, SF_SMOKE)
+    # (a) swap parity
+    assert _tlog_catalog_latest(dst_cat) == _tlog_catalog_latest(src_cat) == 1
+
+    def counts(cat, v):
+        return {
+            n: spark.read.parquet(
+                *_tlog_live_files(p["root"], p["version"])
+            ).count()
+            for n, p in _tlog_catalog_read(cat, v).items()
+        }
+
+    # (b) bootstrap = upstream pinned v0, (c) v1 = the whole txn
+    assert counts(dst_cat, 0) == counts(src_cat, 0)
+    assert counts(dst_cat, 1) == counts(src_cat, 1)
+    up0, up1 = counts(src_cat, 0), counts(src_cat, 1)
+    assert all(up1[n] > up0[n] for n in up0)  # both legs landed
