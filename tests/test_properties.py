@@ -1147,3 +1147,51 @@ def test_colmap_fold_matches_model_across_checkpoints(ops):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- column-mapping predicate translation (ADVICE r15, pinned r16) ---------
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,9}", fullmatch=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_colmap_translate_is_simultaneous_substitution(data):
+    """PROPERTY: the logical->physical predicate translation is a
+    SIMULTANEOUS substitution — equivalent to tokenizing the predicate
+    and mapping each identifier through the binding table exactly
+    once. Holds under arbitrary permutation bindings (swaps, chains,
+    cycles), which the old sequential re.sub loop violated whenever
+    one field's logical name equaled another's physical name."""
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_colmap_translate,
+    )
+
+    names = data.draw(
+        st.lists(_ident, min_size=1, max_size=6, unique=True)
+    )
+    # physical spellings: a permutation of the SAME name pool plus
+    # fresh names — maximizes swap/chain collisions
+    pool = names + data.draw(
+        st.lists(_ident, min_size=0, max_size=4, unique=True).filter(
+            lambda xs: not set(xs) & set(names)
+        )
+    )
+    phys = data.draw(st.permutations(pool))[: len(names)]
+    fields = [{"id": i + 1, "name": n} for i, n in enumerate(names)]
+    binding = {str(i + 1): p for i, p in enumerate(phys)}
+    # a predicate mentioning every logical name (plus noise tokens)
+    pred = " AND ".join(f"{n} > {i}" for i, n in enumerate(names))
+    got = _tlog_colmap_translate(pred, fields, binding)
+    # the specification: single-pass token mapping
+    table = dict(zip(names, phys))
+    want = re.sub(
+        r"[a-z][a-z0-9_]*",
+        lambda m: table.get(m.group(0), m.group(0)),
+        pred,
+    )
+    # the uppercase AND keyword is invisible to both the translator's
+    # \b-alternation and the spec tokenizer, so equality is strict
+    assert got == want
