@@ -4473,7 +4473,13 @@ def _tlog_vacuum_floor(
     wins. The horizon is a version or an INSTANT (``retain_ts``,
     resolved through the commit stamps — the production form: "retain
     7 days" is a timestamp rule, and the floor must clamp it the same
-    way). Returns (effective horizon, deleted groups)."""
+    way). Honest race caveat: the floor read and the deletion are not
+    atomic — existing catalogs only RAISE their pins (the merge-swap's
+    max-version rule), which is vacuum-safe, but a catalog CREATED
+    mid-vacuum pinning below the floor is a TOCTOU production formats
+    close with a retention grace period, not with locking; pair this
+    floor with one when pins can be minted retroactively. Returns
+    (effective horizon, deleted groups)."""
     from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
         _tlog_vacuum,
     )
