@@ -152,6 +152,8 @@ _PRIORITY_WINDOW = [
     "table_log_colmap_check",
     # fresh r17 queue (b) pulled forward: the warehouse replica
     "stream_catalog_replicate",
+    # fresh r17 queue (e) pulled forward: drift-triggered retrain
+    "sim_search_ann_ivf_quantized_rebuilt",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)

@@ -195,6 +195,7 @@ HEADLINE = [
     "table_log_colmap_partition_evolution",  # two-axis pruning, one mechanism
     "table_log_colmap_check",  # logical CHECK translated per writer spelling
     "stream_catalog_replicate",  # warehouse replica, one swap per swap
+    "sim_search_ann_ivf_quantized_rebuilt",  # drift-dial retrain, hash-pinned
 ]
 
 # Queries whose collect() would measure Py4J row transport of a

@@ -2754,6 +2754,250 @@ def sim_search_ann_ivf_quantized_delta(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+# --- Quantized index REBUILD driven by delta drift (r16) -------------------
+
+_IVFQ_DRIFT_THRESHOLD = 0.05  # rebuild when delta rows exceed 5% of base
+
+
+def _ivfq_rebuild_root(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        corpus_tag,
+    )
+
+    return os.path.join(
+        tempfile.gettempdir(), f"hbdbps_ivfqrbl_{corpus_tag(sf_dir)}"
+    )
+
+
+def _ivfq_drift(root: str) -> float:
+    """Delta fraction of the quantized index — PURE METADATA: row
+    counts come from the parquet footers of the live list groups
+    (never a data read), the same place manifest stats would carry
+    them in a production format."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    base_rows = delta_rows = 0
+    for p in _tlog_live_files(root, _tlog_latest_version(root)):
+        name = os.path.basename(p)
+        if "list" not in name:
+            continue
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+        if name.startswith("file_qdlist"):
+            delta_rows += n
+        else:
+            base_rows += n
+    return (delta_rows / base_rows) if base_rows else 0.0
+
+
+def _ivfq_maybe_rebuild(
+    spark: SparkSession, root: str, threshold: float = _IVFQ_DRIFT_THRESHOLD
+) -> tuple[bool, float, int]:
+    """GENERATION REBUILD driven by delta drift: when un-retrained
+    delta rows exceed ``threshold`` of the base, RESEED the stride
+    centroids over the FULL indexed corpus (base ∪ deltas, vec_id
+    order — the recall debt the no-retrain delta rule accrues is paid
+    here), reassign everything, and publish the new generation as ONE
+    add+remove commit; below the threshold nothing happens (no
+    commit, no job — the decision is footer metadata). Returns
+    (rebuilt, drift, head version)."""
+    import os
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    drift = _ivfq_drift(root)
+    base = _tlog_latest_version(root)
+    if drift <= threshold:
+        return False, drift, base
+    live = _tlog_live_files(root, base)
+    corpus = spark.read.parquet(
+        *[p for p in live if "list" in os.path.basename(p)]
+    ).select("vec_id", "qv")
+    cents = _ivfq_seed_centroids(corpus)
+    gen = base + 1
+    cent_name = f"file_qcent_g{gen}"
+    spark.createDataFrame(
+        [(c, list(cv)) for c, cv in enumerate(cents)],
+        "cluster int, cv array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, cent_name))
+    assigned = _ivfq_assign(spark, corpus, cents)
+    staging = os.path.join(root, ".ivfqr_staging")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+    import shutil
+
+    add = [cent_name]
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("cluster="):
+            continue
+        c = int(d.split("=")[1])
+        gname = f"file_qlist{c}_g{gen}"
+        dst = os.path.join(root, gname)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(os.path.join(staging, d), dst)
+        add.append(gname)
+    shutil.rmtree(staging, ignore_errors=True)
+    old = sorted(os.path.basename(p) for p in live)
+    v = _tlog_commit_rebase(
+        root, add=sorted(add), remove=old, base_version=base,
+        read_set=set(old),
+    )
+    return True, drift, v
+
+
+def _ivfq_rebuilt_oracle() -> str:
+    """The quantized-IVF oracle with seeds RESEEDED over base ∪ delta
+    (the rebuild's defining difference from the delta oracle, whose
+    seeds come from the base alone) — exact integer math end to end,
+    so the drift-triggered retrain itself is hash-checked."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}),"
+        " d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d])))"
+    )
+    return f"""
+        WITH qa AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {_IVFQ_SCALE}) AS BIGINT)) AS qv
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + {_IVFQ_DELTA_OFFSET},
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {_IVFQ_SCALE}) AS BIGINT))
+          FROM embeddings
+          WHERE vec_id % {_IVFQ_DELTA_MOD} = {_IVFQ_DELTA_RES}
+        ),
+        n AS (SELECT GREATEST(COUNT(*) // {_IVFQ_K}, 1) AS stride FROM qa),
+        ord AS (
+          SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS rn FROM qa
+        ),
+        seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY rn) AS INTEGER) - 1 AS c,
+                 qv AS cv
+          FROM (SELECT ord.rn, ord.qv FROM ord, n
+                WHERE (ord.rn - 1) % n.stride = 0
+                ORDER BY ord.rn LIMIT {_IVFQ_K})
+        ),
+        probe AS (SELECT qv AS pv, vec_id AS pid FROM qa ORDER BY vec_id LIMIT 1),
+        vdist AS (
+          SELECT v.vec_id, se.c,
+                 {d2.format(dim=_IVFQ_DIM, a="v.qv", b="se.cv")} AS dist
+          FROM qa v, seeds se
+        ),
+        assign AS (
+          SELECT vec_id,
+                 CAST(list_position(l, list_min(l)) AS INTEGER) - 1 AS cluster
+          FROM (SELECT vec_id, list(dist ORDER BY c) AS l
+                FROM vdist GROUP BY vec_id)
+        ),
+        probed AS (
+          SELECT se.c
+          FROM seeds se, probe p
+          ORDER BY {d2.format(dim=_IVFQ_DIM, a="p.pv", b="se.cv")}, se.c
+          LIMIT {_IVFQ_NPROBE}
+        ),
+        cand AS (
+          SELECT v.vec_id,
+                 {d2.format(dim=_IVFQ_DIM, a="v.qv", b="p.pv")} AS q_dist
+          FROM qa v
+          JOIN assign a ON a.vec_id = v.vec_id
+          JOIN probed ON a.cluster = probed.c, probe p
+          WHERE v.vec_id <> p.pid
+        )
+        SELECT vec_id, CAST(q_dist AS BIGINT) AS q_dist
+        FROM cand
+        ORDER BY q_dist, vec_id
+        LIMIT {_IVFQ_TOPK}
+    """
+
+
+@register(
+    "sim_search_ann_ivf_quantized_rebuilt",
+    oracle=_ivfq_rebuilt_oracle(),
+    tags=("L3", "ann", "ivf", "quantized", "index", "retrain"),
+)
+def sim_search_ann_ivf_quantized_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIFT-TRIGGERED GENERATION REBUILD of the hash-pinned index
+    (r16, fresh r17-queue (e) pulled forward — the float family's
+    `_ivf_index_refresh` trigger on the quantized rung): the delta
+    rung accrues recall debt by design (new vectors assigned under
+    stale centroids); when the delta fraction — read from parquet
+    FOOTERS, pure metadata — exceeds {_IVFQ_DRIFT_THRESHOLD:.0%}, the
+    index RESEEDS its stride centroids over the full indexed corpus,
+    reassigns everything, and publishes generation 1 as one
+    add+remove commit (below the threshold: no commit, no job). The
+    oracle recomputes the RESEEDED pipeline from the raw corpus — so
+    the driver's hash checks the retrain itself: stale seeds, a
+    missed delta row, or a generation served after vacuum cannot pass
+    (the float `_ivf_index_refresh` can only pin rows and recall
+    floors). Both trigger sides and the vacuum of generation 0 are
+    pytest-pinned.
+
+    Scale: the decision is O(groups) footer reads; the rebuild is the
+    build's cost (one assign pass + one partitioned write) paid only
+    when drift crosses the dial — the standard index-maintenance
+    economics, with exactness the quantized family's addition."""
+    import os
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+        _tlog_vacuum,
+    )
+
+    root = _ivfq_rebuild_root(sf_dir)
+    _ivfq_index_build(spark, sf_dir, root)
+    _ivfq_index_append_delta(spark, sf_dir, root)
+    _ivfq_maybe_rebuild(spark, root)
+    head = _tlog_latest_version(root)
+    _tlog_vacuum(root, retain_version=head)
+    live = _tlog_live_files(root, head)
+    cent_path = next(p for p in live if "qcent" in os.path.basename(p))
+    cents = [
+        list(r["cv"])
+        for r in spark.read.parquet(cent_path).orderBy("cluster").collect()
+    ]
+    pv = cents[0]
+    pdists = sorted(
+        (sum((pv[d] - cv[d]) ** 2 for d in range(_IVFQ_DIM)), c)
+        for c, cv in enumerate(cents)
+    )
+    probed = sorted(c for _dist, c in pdists[:_IVFQ_NPROBE])
+    import re as _re
+
+    probed_paths = [
+        p for p in live
+        if (m := _re.match(r"file_qd?list(\d+)_", os.path.basename(p)))
+        and int(m.group(1)) in probed
+    ]
+    cand = spark.read.parquet(*probed_paths).select("vec_id", "qv")
+    probe_id = cand.filter(
+        F.col("vec_id") < _IVFQ_DELTA_OFFSET
+    ).agg(F.min("vec_id")).collect()[0][0]
+    return (
+        cand.filter(F.col("vec_id") != probe_id)
+        .select("vec_id", F.expr(_ivfq_qdist_expr(pv)).alias("q_dist"))
+        .orderBy("q_dist", "vec_id")
+        .limit(_IVFQ_TOPK)
+    )
+
+
 # --- Quantized index COMPACTION: fold deltas into base lists (r16) ---------
 
 

@@ -1341,3 +1341,51 @@ def test_ivfq_compaction_folds_debt_as_datachange_false(spark):
     assert rows_at(2) == rows_at(1)
     # (d) idempotence: nothing left to fold
     assert _ivfq_index_compact(spark, root) == head
+
+
+def test_ivfq_drift_rebuild_trigger_both_sides(spark, tmp_path):
+    """Drift-rebuild pins: (a) below the threshold nothing happens —
+    no commit, no file churn; (b) above it, ONE add+remove commit
+    publishes generation 1 with RESEEDED centroids over base ∪ delta
+    and (c) a second sweep is a no-op (drift resets to 0 — the delta
+    groups retired into the new generation); (d) vacuum then retires
+    generation 0 and its time travel fails descriptively."""
+    import os
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        _ivfq_drift,
+        _ivfq_index_append_delta,
+        _ivfq_index_build,
+        _ivfq_maybe_rebuild,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+        _tlog_vacuum,
+    )
+    from tests.conftest import SF_ORACLE
+
+    root = str(tmp_path / "ivfqr")
+    _ivfq_index_build(spark, SF_ORACLE, root)
+    # (a) no delta yet: drift 0, no-op
+    rebuilt, drift, v = _ivfq_maybe_rebuild(spark, root)
+    assert (rebuilt, drift, v) == (False, 0.0, 0)
+    _ivfq_index_append_delta(spark, SF_ORACLE, root)
+    drift = _ivfq_drift(root)
+    assert drift > 0.05  # the 1/17 slice exceeds the dial
+    # a HIGHER threshold: still a no-op (the dial is honored)
+    rebuilt, _d, v = _ivfq_maybe_rebuild(spark, root, threshold=0.5)
+    assert not rebuilt and v == 1
+    # (b) the real trigger
+    rebuilt, _d, v = _ivfq_maybe_rebuild(spark, root)
+    assert rebuilt and v == 2
+    live = {os.path.basename(p) for p in _tlog_live_files(root, 2)}
+    assert all(n.endswith("_g2") for n in live)
+    assert not any(n.startswith("file_qdlist") for n in live)
+    # (c) drift reset: a second sweep does nothing
+    assert _ivfq_maybe_rebuild(spark, root) == (False, 0.0, 2)
+    # (d) vacuum retires the superseded generations
+    deleted = _tlog_vacuum(root, retain_version=2)
+    assert deleted
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        _tlog_live_files(root, 0)
