@@ -5422,9 +5422,13 @@ def _tlog_colmap_translate(pred: str, fields: list[dict], binding: dict) -> str:
     while b's physical spelling is a) and chained renames can never
     re-substitute an earlier substitution's output — the sequential
     re.sub loop this replaces silently doomed the wrong rows on such
-    cohorts (ADVICE r15). Only identifier renames are handled —
-    exactly the indirection column mapping introduces; the
-    predicate's structure is untouched."""
+    cohorts (ADVICE r15). Single-quoted SQL string literals (with
+    ``''`` escapes) are matched FIRST by the alternation and passed
+    through untouched, so an identifier-shaped token inside a literal
+    (``note = 'price_usd'``) is never respelled (ADVICE r16 #4).
+    Only identifier renames are handled — exactly the indirection
+    column mapping introduces; the predicate's structure is
+    untouched."""
     import re
 
     table = {
@@ -5438,7 +5442,14 @@ def _tlog_colmap_translate(pred: str, fields: list[dict], binding: dict) -> str:
     # longest-first so a logical name that prefixes another can't
     # shadow it inside the alternation
     alt = "|".join(re.escape(n) for n in sorted(table, key=len, reverse=True))
-    return re.sub(rf"\b(?:{alt})\b", lambda m: table[m.group(0)], pred)
+    # literal spans win the alternation race at their opening quote,
+    # so \b(identifier)\b can only fire OUTSIDE quoted literals
+    pattern = rf"'(?:[^']|'')*'|\b(?:{alt})\b"
+    return re.sub(
+        pattern,
+        lambda m: m.group(0) if m.group(0).startswith("'") else table[m.group(0)],
+        pred,
+    )
 
 
 def _tlog_colmap_binding(phys: dict, group: str) -> dict:
@@ -6077,7 +6088,13 @@ def _tlog_colmap_update(
         cohorts.setdefault(
             tuple(sorted(_tlog_colmap_binding(phys, g).items())), []
         ).append(p)
-    # DISCOVERY: matched groups per cohort, translated predicate
+    # DISCOVERY: matched groups per cohort, translated predicate.
+    # Live deletion vectors are anti-joined HERE too (not only in the
+    # rewrite): a group whose only matching rows are already DV-dead
+    # must classify as unmatched, else the rewrite stages an empty
+    # group and require_all aborts the statement on a legal table
+    # state (ADVICE r16 #1). The key joins under the cohort's OWN
+    # field-1 spelling — a mapped table may have renamed the key.
     matched: set[str] = set()
     for key, paths in sorted(cohorts.items()):
         binding = dict(key)
@@ -6085,6 +6102,14 @@ def _tlog_colmap_update(
         rel = _tlog_relation(spark, paths).withColumn(
             "file", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
         )
+        names = {os.path.basename(p) for p in paths}
+        cohort_dvs = {f: s for f, s in dvs.items() if f in names}
+        if cohort_dvs:
+            key_col = binding.get("1", "o_orderkey")
+            dvf = _tlog_dv_frame(spark, root, cohort_dvs)
+            if key_col != "o_orderkey":
+                dvf = dvf.withColumnRenamed("o_orderkey", key_col)
+            rel = rel.join(F.broadcast(dvf), ["file", key_col], "left_anti")
         matched |= {
             r["file"]
             for r in rel.filter(F.expr(tpred))
@@ -6523,6 +6548,10 @@ def _tlog_colmap_merge(
             tuple(sorted(_tlog_colmap_binding(phys, g).items())), []
         ).append(p)
     match_keys = updates.select("o_orderkey")
+    # Discovery anti-joins live DVs (ADVICE r16 #1, same as UPDATE):
+    # a group whose only source-matched rows are DV-dead is NOT a
+    # rewrite target — without this the rewrite stages it empty and
+    # require_all aborts the whole MERGE on a legal table state.
     matched: set[str] = set()
     for key, paths in sorted(cohorts.items()):
         key_col = dict(key)["1"]
@@ -6530,6 +6559,14 @@ def _tlog_colmap_merge(
             F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1).alias("file"),
             F.col(key_col).alias("o_orderkey"),
         )
+        names = {os.path.basename(p) for p in paths}
+        cohort_dvs = {f: s for f, s in dvs.items() if f in names}
+        if cohort_dvs:
+            rel = rel.join(
+                F.broadcast(_tlog_dv_frame(spark, root, cohort_dvs)),
+                ["file", "o_orderkey"],
+                "left_anti",
+            )
         matched |= {
             r["file"]
             for r in rel.join(F.broadcast(match_keys), "o_orderkey")

@@ -2547,7 +2547,7 @@ def _tlog_replicate(
 
         by_cols: dict[tuple, list[str]] = {}
         for pth in _tlog_live_files(src_root, 0):
-            cols = _tlog_feed_columns(src_root, os.path.basename(pth))
+            cols = _tlog_feed_columns(src_root, os.path.basename(pth), 0)
             by_cols.setdefault(cols, []).append(pth)
         boot_parts = [
             _tlog_relation(spark, ps).select(

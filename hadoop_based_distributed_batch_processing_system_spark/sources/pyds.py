@@ -194,16 +194,24 @@ def register_jsonl_sink(spark: SparkSession) -> None:
 
 
 
-def _tlog_feed_columns(root: str, fname: str) -> tuple[str, str]:
-    """The PHYSICAL (key, price) column names of one change-unit
-    file: field ids 1/2 resolved through the log's ``colphys``
-    bindings (a COLUMN-MAPPED table spells fields per cohort — a
-    feed that hardcoded canonical names would error on, or worse
-    silently mis-column, post-rename files). Bindings are immutable
-    once written, so the newest commit binding the file wins; a file
-    with no binding (unmapped table, or pre-mapping files) falls back
-    to the canonical spelling. Metadata-sized: one reverse scan of
-    commit JSONs, executor-safe (no Spark, no package state)."""
+_FEED_COLMAP_CACHE: dict[tuple[str, int], tuple[list, dict]] = {}
+
+
+def _tlog_feed_colmap(root: str) -> tuple[list, dict]:
+    """Merged cross-version ``colphys`` bindings plus the column-
+    mapping enable/disable transition list, built ONCE per (root,
+    latest commit) and memoized: the previous per-unit-file reverse
+    scan paid O(commits × unit files) directory/JSON reads per
+    micro-batch, multiplied across tables by the catalog feed
+    (ADVICE r16 #3). Bindings are immutable per file, so an
+    ascending ``update()`` fold computes the same newest-wins union
+    the reverse scan did; unlike the live replay, removed files KEEP
+    their binding — change feeds span history. Returns
+    ``(transitions, merged)`` where transitions is
+    ``[(version, active_bool), ...]`` ascending. Executor-safe:
+    os/json/re only; the memo is a plain process-local dict that
+    simply repopulates wherever it runs (keyed by latest version, so
+    new commits invalidate it for free)."""
     import json
     import os
     import re
@@ -211,19 +219,63 @@ def _tlog_feed_columns(root: str, fname: str) -> tuple[str, str]:
     logd = os.path.join(root, "_log")
     try:
         names = sorted(
-            (f for f in os.listdir(logd) if re.fullmatch(r"\d{6}\.json", f)),
-            reverse=True,
+            f for f in os.listdir(logd) if re.fullmatch(r"\d{6}\.json", f)
         )
     except OSError:
         names = []
+    latest = int(names[-1][:6]) if names else -1
+    key = (root, latest)
+    hit = _FEED_COLMAP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    merged: dict = {}
+    transitions: list = []
     for n in names:
         try:
             c = json.load(open(os.path.join(logd, n)))
         except (OSError, ValueError):
             continue
-        b = (c.get("colphys") or {}).get(fname)
-        if b and "1" in b and "2" in b:
-            return b["1"], b["2"]
+        merged.update(c.get("colphys") or {})
+        if "column_mapping" in c:
+            transitions.append((int(n[:6]), c["column_mapping"] is not None))
+    out = (transitions, merged)
+    if len(_FEED_COLMAP_CACHE) > 64:
+        _FEED_COLMAP_CACHE.clear()
+    _FEED_COLMAP_CACHE[key] = out
+    return out
+
+
+def _tlog_feed_columns(root: str, fname: str, version: int) -> tuple[str, str]:
+    """The PHYSICAL (key, price) column names of one change-unit
+    file: field ids 1/2 resolved through the log's ``colphys``
+    bindings (a COLUMN-MAPPED table spells fields per cohort — a
+    feed that hardcoded canonical names would error on, or worse
+    silently mis-column, post-rename files). Resolution goes through
+    the memoized cross-version union (``_tlog_feed_colmap``). An
+    unbound file on an UNMAPPED-at-``version`` table (including
+    pre-enable history of a later-mapped table) uses the canonical
+    spelling; an unbound file while mapping is active at ``version``
+    is the bootstrap violation the batch readers refuse
+    (``_tlog_colmap_binding``) — fail loud with the same descriptive
+    error instead of guessing a spelling that would surface as a
+    pyarrow missing-column error or a silent mis-column
+    (ADVICE r16 #2)."""
+    transitions, merged = _tlog_feed_colmap(root)
+    b = merged.get(fname)
+    if b and "1" in b and "2" in b:
+        return b["1"], b["2"]
+    active = False
+    for tv, flag in transitions:
+        if tv > version:
+            break
+        active = flag
+    if active:
+        raise RuntimeError(
+            f"column mapping is active at version {version} but change-unit "
+            f"file {fname} has no physical binding — the mapping bootstrap "
+            "must bind every live group; the feed refuses to fall back to "
+            "the canonical spelling (silent mis-column risk)"
+        )
     return "o_orderkey", "o_totalprice"
 
 
@@ -301,7 +353,7 @@ class TableLogFeedStreamReader(SimpleDataSourceStreamReader):
             excl_keys = sidecar_keys(excl) or set()
             # column-mapping aware: read each file under ITS physical
             # spelling, emit under the feed's canonical schema
-            key_col, price_col = _tlog_feed_columns(self.root, fname)
+            key_col, price_col = _tlog_feed_columns(self.root, fname, v)
             for part in sorted(
                 glob.glob(os.path.join(self.root, fname, "*.parquet"))
             ):
@@ -411,6 +463,20 @@ class CatalogFeedStreamReader(SimpleDataSourceStreamReader):
 
         prev = self._pins(cv - 1) if cv > 0 else {}
         cur = self._pins(cv)
+        # The feed iterates the CURRENT pin set: a table pinned in the
+        # previous catalog version but absent from this one would emit
+        # no removals and strand its rows in every downstream replica.
+        # _tlog_catalog_swap_merge never drops pins today, but nothing
+        # upstream enforces that — fail loud here so a future catalog
+        # table-drop surfaces at the feed boundary instead of as
+        # silent replica drift (ADVICE r16 #5).
+        dropped = sorted(set(prev) - set(cur))
+        if dropped:
+            raise RuntimeError(
+                f"catalog swap {cv} dropped table pins {dropped} — the "
+                "catalog feed has no removal semantics for a table-drop; "
+                "downstream replicas would silently retain its rows"
+            )
         rows = []
         for tbl in sorted(cur):
             root, vto = cur[tbl]["root"], cur[tbl]["version"]
@@ -434,7 +500,7 @@ class CatalogFeedStreamReader(SimpleDataSourceStreamReader):
                 for side, fname, incl, excl in _tlog_change_units(root, v):
                     incl_keys = sidecar_keys(incl)
                     excl_keys = sidecar_keys(excl) or set()
-                    key_col, price_col = _tlog_feed_columns(root, fname)
+                    key_col, price_col = _tlog_feed_columns(root, fname, v)
                     for part in sorted(
                         glob.glob(os.path.join(root, fname, "*.parquet"))
                     ):
@@ -599,7 +665,9 @@ class TableLogFeedPartitionedReader(DataSourceStreamReader):
         import os as _os
 
         key_col, price_col = _tlog_feed_columns(
-            _os.path.dirname(partition.path), _os.path.basename(partition.path)
+            _os.path.dirname(partition.path),
+            _os.path.basename(partition.path),
+            partition.version,
         )
         for part in sorted(glob.glob(partition.path + "/*.parquet")):
             t = pq.read_table(part, columns=[key_col, price_col])

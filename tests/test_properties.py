@@ -1195,3 +1195,21 @@ def test_colmap_translate_is_simultaneous_substitution(data):
     # the uppercase AND keyword is invisible to both the translator's
     # \b-alternation and the spec tokenizer, so equality is strict
     assert got == want
+    # ADVICE r16 #4: identifier-shaped tokens inside single-quoted
+    # literals (including '' escapes) are NEVER respelled — extend
+    # the same predicate with literal terms quoting a live logical
+    # name and check against a literal-aware spec tokenizer
+    lit = data.draw(st.sampled_from(names))
+    pred2 = pred + f" AND note = '{lit}' AND tag = 'it''s {lit}'"
+    got2 = _tlog_colmap_translate(pred2, fields, binding)
+    want2 = re.sub(
+        r"'(?:[^']|'')*'|[a-z][a-z0-9_]*",
+        lambda m: (
+            m.group(0)
+            if m.group(0).startswith("'")
+            else table.get(m.group(0), m.group(0))
+        ),
+        pred2,
+    )
+    assert got2 == want2
+    assert f"'{lit}'" in got2  # the literal span survived byte-for-byte
