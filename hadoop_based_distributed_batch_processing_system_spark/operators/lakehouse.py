@@ -4464,6 +4464,7 @@ def _tlog_vacuum_floor(
     retain_version: int | None = None,
     catalogs: list[str] | None = None,
     retain_ts: int | None = None,
+    grace: int | None = None,
 ) -> tuple[int, list[str]]:
     """VACUUM clamped to the catalog retention floor (the enforcement
     half of the promise the catalog docstrings make): the effective
@@ -4473,14 +4474,26 @@ def _tlog_vacuum_floor(
     wins. The horizon is a version or an INSTANT (``retain_ts``,
     resolved through the commit stamps — the production form: "retain
     7 days" is a timestamp rule, and the floor must clamp it the same
-    way). Honest race caveat: the floor read and the deletion are not
-    atomic — existing catalogs only RAISE their pins (the merge-swap's
-    max-version rule), which is vacuum-safe, but a catalog CREATED
-    mid-vacuum pinning below the floor is a TOCTOU production formats
-    close with a retention grace period, not with locking; pair this
-    floor with one when pins can be minted retroactively. Returns
+    way).
+
+    The floor read and the deletion are not atomic. Existing catalogs
+    only RAISE their pins (the merge-swap's max-version rule), which
+    is vacuum-safe — but a catalog CREATED between the floor read and
+    the deletion can pin below the floor (TOCTOU). Production formats
+    close this with a RETENTION GRACE PERIOD, not with locking, and
+    ``grace`` is that period in commit-stamp ticks: every version
+    whose commit stamp lies within the trailing ``grace`` ticks of
+    the head instant stays resolvable regardless of the requested
+    horizon. Paired with the pin-minting contract — new catalogs pin
+    snapshots inside the grace window (fresh heads, by construction
+    of every catalog builder here) — a catalog minted mid-vacuum can
+    never dangle: whatever it pins, the grace clamp already spared.
+    A grace wider than the table's history clamps the horizon to 0
+    (vacuum deletes nothing). Returns
     (effective horizon, deleted groups)."""
     from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version as _latest_v,
+        _tlog_ts_stamps,
         _tlog_vacuum,
     )
 
@@ -4490,6 +4503,12 @@ def _tlog_vacuum_floor(
         retain_version = _tlog_version_as_of(root, retain_ts)
     floor = _tlog_catalog_retention_floor(root, catalogs or [])
     effective = retain_version if floor is None else min(retain_version, floor)
+    if grace is not None:
+        latest = _latest_v(root)
+        stamps = _tlog_ts_stamps(root, latest)
+        cutoff = stamps[latest] - grace
+        eligible = [v for v, t in enumerate(stamps) if t <= cutoff]
+        effective = min(effective, max(eligible) if eligible else 0)
     return effective, _tlog_vacuum(root, retain_version=effective)
 
 
