@@ -2965,8 +2965,25 @@ def sim_search_ann_ivf_quantized_rebuilt(spark: SparkSession, sf_dir: str) -> Da
     _ivfq_index_build(spark, sf_dir, root)
     _ivfq_index_append_delta(spark, sf_dir, root)
     _ivfq_maybe_rebuild(spark, root)
+    _tlog_vacuum(root, retain_version=_tlog_latest_version(root))
+    return _ivfq_serve_head(spark, root)
+
+
+def _ivfq_serve_head(spark: SparkSession, root: str) -> DataFrame:
+    """Serve the quantized-IVF query from the index HEAD: resolve the
+    live generation's centroid group, pick the ``nprobe`` nearest
+    lists for the probe (the stride rule makes seed 0 the probe
+    vector itself), and read ONLY those list groups — nprobe-of-K
+    file pruning, K-row driver-side model state."""
+    import os
+    import re as _re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
     head = _tlog_latest_version(root)
-    _tlog_vacuum(root, retain_version=head)
     live = _tlog_live_files(root, head)
     cent_path = next(p for p in live if "qcent" in os.path.basename(p))
     cents = [
@@ -2979,8 +2996,6 @@ def sim_search_ann_ivf_quantized_rebuilt(spark: SparkSession, sf_dir: str) -> Da
         for c, cv in enumerate(cents)
     )
     probed = sorted(c for _dist, c in pdists[:_IVFQ_NPROBE])
-    import re as _re
-
     probed_paths = [
         p for p in live
         if (m := _re.match(r"file_qd?list(\d+)_", os.path.basename(p)))
@@ -3116,33 +3131,158 @@ def sim_search_ann_ivf_quantized_compacted(spark: SparkSession, sf_dir: str) -> 
     _ivfq_index_build(spark, sf_dir, root)
     _ivfq_index_append_delta(spark, sf_dir, root)
     _ivfq_index_compact(spark, root)
-    live = _tlog_live_files(root, _tlog_latest_version(root))
-    cent_path = next(p for p in live if "qcent" in os.path.basename(p))
-    cents = [
-        list(r["cv"])
-        for r in spark.read.parquet(cent_path).orderBy("cluster").collect()
-    ]
-    pv = cents[0]
-    pdists = sorted(
-        (sum((pv[d] - cv[d]) ** 2 for d in range(_IVFQ_DIM)), c)
-        for c, cv in enumerate(cents)
+    return _ivfq_serve_head(spark, root)
+
+
+# --- Quantized index VACUUM under a retention-floor pin (r17) --------------
+
+
+def _ivfq_vac_roots(sf_dir: str) -> tuple[str, str]:
+    import os
+    import tempfile
+
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        corpus_tag,
     )
-    probed = sorted(c for _dist, c in pdists[:_IVFQ_NPROBE])
-    probed_paths = [
-        p for p in live
-        if (m := _re.match(r"file_qd?list(\d+)_", os.path.basename(p)))
-        and int(m.group(1)) in probed
-    ]
-    cand = spark.read.parquet(*probed_paths).select("vec_id", "qv")
-    probe_id = cand.filter(
-        F.col("vec_id") < _IVFQ_DELTA_OFFSET
-    ).agg(F.min("vec_id")).collect()[0][0]
+
+    tag = corpus_tag(sf_dir)
+    # own root + own catalog: this lifecycle retrains AND vacuums its
+    # index — doing that on the shared quantized roots would delete
+    # generation history other operators' snapshots still resolve
     return (
-        cand.filter(F.col("vec_id") != probe_id)
-        .select("vec_id", F.expr(_ivfq_qdist_expr(pv)).alias("q_dist"))
-        .orderBy("q_dist", "vec_id")
-        .limit(_IVFQ_TOPK)
+        os.path.join(tempfile.gettempdir(), f"hbdbps_ivfqvac_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_ivfqvaccat_{tag}"),
     )
+
+
+def _ivfq_apply_vac(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run the quantized-index RETENTION lifecycle once per corpus
+    (flock + stamp): build g0 (v0) → delta append (v1) → a CATALOG
+    pins v1 (a reader's reproducibility pin on the pre-retrain
+    index) → drift rebuild publishes g1 (v2) → a FLOORED vacuum at
+    the head horizon clamps to the pin and reclaims NOTHING → the
+    pin advances to the head → the floored vacuum (with an explicit
+    zero grace window — the TOCTOU parameter, exercised through the
+    composition) now reclaims g0's lists, centroids, and the delta
+    groups. Both vacuum outcomes are asserted in-lifecycle: a sweep
+    that deletes under a pin, or fails to reclaim after the pin
+    moves, poisons the stamp and fails loudly."""
+    import fcntl
+    import os
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_latest_version_safe,
+        _tlog_vacuum_floor,
+    )
+
+    root, cat = _ivfq_vac_roots(sf_dir)
+    stamp_file = os.path.join(root, "_QVAC")
+    stamp = _ivfq_index_stamp(sf_dir) + "+vac1"
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return root, cat
+    # prefix steps hold their own flock on root/.lock — run them
+    # before taking ours (the _tlog_apply_cmu ordering rule)
+    _ivfq_index_build(spark, sf_dir, root)
+    _ivfq_index_append_delta(spark, sf_dir, root)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return root, cat
+        if _tlog_latest_version_safe(root) != 1 or os.path.isdir(cat):
+            # stale partial lifecycle: wipe both roots and redo the
+            # prefix under its own locks
+            shutil.rmtree(cat, ignore_errors=True)
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            _ivfq_index_build(spark, sf_dir, root)
+            _ivfq_index_append_delta(spark, sf_dir, root)
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if _ok():
+                return root, cat
+        _tlog_catalog_commit(cat, {"qidx": {"root": root, "version": 1}}, base=-1)
+        rebuilt, drift, head = _ivfq_maybe_rebuild(spark, root)
+        if not rebuilt or head != 2:
+            raise RuntimeError(
+                f"vacuum lifecycle expected a drift rebuild to v2, got "
+                f"(rebuilt={rebuilt}, drift={drift:.3f}, head={head})"
+            )
+        # pinned vacuum: the catalog floor clamps the horizon to v1 —
+        # g0 and the delta groups are v1's live set, nothing reclaimed
+        eff1, del1 = _tlog_vacuum_floor(
+            root, retain_version=head, catalogs=[cat]
+        )
+        if eff1 != 1 or del1:
+            raise RuntimeError(
+                f"pinned vacuum must clamp to the catalog floor and "
+                f"reclaim nothing, got (effective={eff1}, deleted={del1})"
+            )
+        # the pin advances to the retrained head; the next sweep (zero
+        # grace: the head generation is this instant's work) reclaims
+        # every superseded group
+        _tlog_catalog_commit(cat, {"qidx": {"root": root, "version": head}}, base=0)
+        eff2, del2 = _tlog_vacuum_floor(
+            root, retain_version=head, catalogs=[cat], grace=0
+        )
+        if eff2 != head or not del2:
+            raise RuntimeError(
+                f"post-advance vacuum must reclaim generation 0, got "
+                f"(effective={eff2}, deleted={del2})"
+            )
+        tmp = os.path.join(root, f"._QVAC.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+    return root, cat
+
+
+@register(
+    "sim_search_ann_ivf_quantized_vacuumed",
+    # The reseeded base∪delta oracle: after the rebuild+vacuum the
+    # head generation must serve EXACTLY what recomputing the
+    # retrained pipeline from the raw corpus yields — a vacuum that
+    # clipped a live list, or a serve path that fell back to a
+    # reclaimed generation, changes the hash.
+    oracle=_ivfq_rebuilt_oracle(),
+    tags=("L3", "ann", "ivf", "quantized", "index", "vacuum", "retention"),
+)
+def sim_search_ann_ivf_quantized_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION for the hash-pinned quantized index (VERDICT r16 #5
+    — the float family's ``sim_search_ann_ivf_vacuumed`` precedent
+    carried to the quantized rungs, composed with the catalog
+    retention floor): retrain history on the index root would
+    otherwise grow without bound, but the index IS a commit-log
+    table, so it inherits ``_tlog_vacuum_floor`` whole — a catalog
+    pin on the pre-retrain snapshot clamps the sweep (reclaims
+    nothing), advancing the pin releases generation 0, and the
+    post-vacuum head serves the exact reseeded result the oracle
+    recomputes from the raw corpus. Time travel below the horizon
+    fails with the vacuum's descriptive error, not a parquet
+    path-not-found (pytest-pinned, with the pre/post-vacuum hash
+    equality).
+
+    Scale: the sweep is a directory listing plus the reclaimed bytes;
+    the floor resolve is O(catalog pins); serving stays nprobe-of-K
+    file pruning with K-row model state — retention adds zero read
+    amplification to queries."""
+    root, _cat = _ivfq_apply_vac(spark, sf_dir)
+    return _ivfq_serve_head(spark, root)
 
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import interpolate_docstrings

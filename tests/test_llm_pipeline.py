@@ -1389,3 +1389,63 @@ def test_ivfq_drift_rebuild_trigger_both_sides(spark, tmp_path):
     assert deleted
     with pytest.raises(RuntimeError, match="vacuumed"):
         _tlog_live_files(root, 0)
+
+
+def test_ivfq_vacuumed_retention_floor_and_refusal(spark):
+    """VERDICT r16 #5 pins for `sim_search_ann_ivf_quantized_vacuumed`
+    (what the hash can't see): (a) the lifecycle ends with generation
+    0 and the delta groups physically reclaimed while every head
+    group survives; (b) time travel below the horizon refuses with
+    the vacuum's descriptive error — on BOTH pre-head versions; (c)
+    the catalog's head pin resolves whole (the retention floor's
+    contract: whatever is pinned is readable); (d) the served result
+    is identical to the rebuilt rung's (vacuum is invisible to
+    answers — same retrain, same corpus); (e) re-entry is a stamped
+    no-op (head file mtimes stable)."""
+    import os
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_latest,
+        _tlog_catalog_read,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        _ivfq_apply_vac,
+    )
+
+    root, cat = _ivfq_apply_vac(spark, SF_ORACLE)
+    head = _tlog_latest_version(root)
+    assert head == 2
+
+    # (a) superseded groups reclaimed, head groups intact
+    live = {os.path.basename(p) for p in _tlog_live_files(root, head)}
+    assert all(n.endswith("_g2") for n in live)
+    for stale in ("file_qcent_g0", "file_qlist0_g0", "file_qdlist0_b1"):
+        assert not os.path.exists(os.path.join(root, stale)), stale
+    assert all(os.path.isdir(os.path.join(root, n)) for n in live)
+
+    # (b) refusal below the horizon — descriptive, not path-not-found
+    for v in (0, 1):
+        with pytest.raises(RuntimeError, match="vacuumed"):
+            _tlog_live_files(root, v)
+
+    # (c) the catalog pin advanced with the retrain and resolves whole
+    assert _tlog_catalog_latest(cat) == 1
+    pin = _tlog_catalog_read(cat)["qidx"]
+    assert pin["version"] == head
+    assert spark.read.parquet(*_tlog_live_files(root, pin["version"])).count() > 0
+
+    # (d) vacuum invisible to answers: equal to the rebuilt rung
+    vac = REG["sim_search_ann_ivf_quantized_vacuumed"].fn(spark, SF_ORACLE)
+    rbl = REG["sim_search_ann_ivf_quantized_rebuilt"].fn(spark, SF_ORACLE)
+    assert [tuple(r) for r in vac.collect()] == [tuple(r) for r in rbl.collect()]
+
+    # (e) stamped re-entry: no rewrite
+    mtimes = {
+        p: os.stat(p).st_mtime_ns for p in _tlog_live_files(root, head)
+    }
+    _ivfq_apply_vac(spark, SF_ORACLE)
+    assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
