@@ -7900,4 +7900,326 @@ def stream_ingest_colmap_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bucketed LAYOUT as replayed table metadata (S9-bkt, r17) --------------
+
+# The Iceberg view of bucketing: bucket(key, N) is a PARTITION
+# TRANSFORM, so the spec rides the log's existing ``partitioning``
+# metadata (replace semantics via _tlog_live_partitioning) — writers
+# consult it, the commit gate enforces it, readers co-locate on it.
+
+_TLOG_BKT_N = 8
+_TLOG_BKT_RULE_RE = r"bucket\((\w+), (\d+)\)"
+
+
+def _tlog_bkt_roots(sf_dir: str) -> tuple[str, str]:
+    tag = corpus_tag(sf_dir)
+    return (
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogbkto_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hbdbps_tlogbktl_{tag}"),
+    )
+
+
+def _tlog_bucket_spec(root: str, version: int) -> tuple[str, int] | None:
+    """The live bucket(key, N) layout at ``version``, parsed from the
+    replayed partitioning rule; None when the table is not bucketed
+    (or carries a non-bucket layout rule)."""
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_partitioning,
+    )
+
+    spec = _tlog_live_partitioning(root, version)
+    if not spec:
+        return None
+    m = re.fullmatch(_TLOG_BKT_RULE_RE, spec.get("rule", ""))
+    return (m.group(1), int(m.group(2))) if m else None
+
+
+def _tlog_bucketed_stage(
+    spark: SparkSession, df: DataFrame, root: str, gname: str,
+    declared: tuple[str, int],
+) -> None:
+    """WRITER half of the bucketed layout: hash-route ``df``'s rows
+    into bucket-tagged files (murmur3(key) % N, the engine's native
+    bucketed write — the bucket id lands in each file name) inside
+    ONE new file group. The write goes through a throwaway external
+    catalog entry because bucketBy is only reachable via saveAsTable;
+    dropping it detaches the metadata and keeps the files — the LOG,
+    not the session catalog, owns the table. A writer is expected to
+    have read ``declared`` from the live spec; the commit gate
+    (_tlog_bucketed_commit) is what refuses one that didn't."""
+    import uuid
+
+    key, n = declared
+    tmp = f"hbdbps_bktw_{uuid.uuid4().hex[:12]}"
+    (
+        # repartition by the bucket key with N partitions: Spark's
+        # HashPartitioning uses the same murmur3 % N as the bucketed
+        # write, so each task owns exactly one bucket and emits ONE
+        # file — the scale-correct writer shape (bounded files per
+        # group, no cross-task bucket interleaving)
+        df.repartition(n, F.col(key))
+        .write.bucketBy(n, key)
+        .sortBy(key)
+        .option("path", os.path.join(root, gname))
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE {tmp}")  # external: metadata only, files stay
+
+
+def _tlog_bucketed_commit(
+    root: str, add: list[str], base_version: int,
+    declared: tuple[str, int] | None,
+    partitioning: dict | None = None,
+) -> int:
+    """COMMIT gate for a bucketed table — the refusal the spec entry
+    exists for: a table whose live layout is bucket(key, N) accepts a
+    new file group only when (a) the writer DECLARED exactly that
+    spec (a stale-spec or spec-ignorant writer is refused before any
+    log mutation — Iceberg's spec-id validation), and (b) every data
+    file in the group physically carries a bucket tag < N (a plain
+    parquet write has no tag; a wrong-N write either declares wrongly
+    or tags out of range). Bootstrap commits (base -1) validate
+    against the ``partitioning`` rule they are about to establish."""
+    import glob
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+    )
+
+    if partitioning is not None:
+        m = re.fullmatch(_TLOG_BKT_RULE_RE, partitioning.get("rule", ""))
+        live = (m.group(1), int(m.group(2))) if m else None
+    else:
+        live = _tlog_bucket_spec(root, base_version)
+    if live is not None:
+        if declared != live:
+            raise RuntimeError(
+                f"bucketing spec violation at {root}: the table requires "
+                f"bucket({live[0]}, {live[1]}) but the writer declared "
+                f"{declared} — refusing the commit (route the write "
+                "through the live spec)"
+            )
+        _key, n = live
+        for g in add:
+            parts = glob.glob(os.path.join(root, g, "*.parquet"))
+            if not parts:
+                raise RuntimeError(
+                    f"bucketing spec violation at {root}: staged group "
+                    f"{g} has no data files"
+                )
+            for p in parts:
+                m = re.search(r"_(\d{5})[.c\-]", os.path.basename(p))
+                if not m or int(m.group(1)) >= n:
+                    raise RuntimeError(
+                        f"bucketing spec violation at {root}: file "
+                        f"{os.path.basename(p)} in group {g} carries no "
+                        f"bucket tag < {n} — the group was not written "
+                        "through the bucket layout"
+                    )
+    return _tlog_commit_rebase(
+        root, add=add, remove=[], base_version=base_version,
+        read_set=set(), partitioning=partitioning,
+    )
+
+
+def _tlog_bucketed_serve(
+    spark: SparkSession, root: str, alias: str, ddl: str
+) -> DataFrame:
+    """READ half: materialize the head snapshot as a session-catalog
+    BUCKETED table so the engine's planner sees the layout. Spark's
+    bucketed scan resolves bucket ids from FILE NAMES under a catalog
+    table with bucket metadata — production table formats hand the
+    same information to the planner through their manifest; this
+    adapter bridges log -> catalog with one HARD LINK per live data
+    file (zero bytes copied, O(files) metadata) into a per-version
+    serve directory, then a CLUSTERED BY external table over it.
+    Snapshot immutability makes both idempotent and race-safe: the
+    serve dir is built under a temp name and renamed in (first
+    builder wins), and the catalog entry is version-keyed."""
+    import glob
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    head = _tlog_latest_version(root)
+    spec = _tlog_bucket_spec(root, head)
+    if spec is None:
+        raise RuntimeError(f"table at {root} has no bucket layout to serve")
+    key, n = spec
+    serve = os.path.join(root, f"_serve_v{head}")
+    if not os.path.isdir(serve):
+        tmp = f"{serve}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for p in _tlog_live_files(root, head):
+            for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
+                os.link(f, os.path.join(tmp, os.path.basename(f)))
+        try:
+            os.rename(tmp, serve)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    tname = f"{alias}_v{head}"
+    if not spark.catalog.tableExists(tname):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tname} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS "
+            f"LOCATION '{serve}'"
+        )
+    return spark.table(tname)
+
+
+_TLOG_BKT_SPEC = {"impl": 1, "n": _TLOG_BKT_N, "split_mod": 5}
+
+
+def _tlog_apply_bkt(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build the two same-bucketed LOG tables once per corpus (flock +
+    stamp each): an orders projection bucketed on o_orderkey and a
+    lineitem projection bucketed on l_orderkey, both bucket(key, 8).
+    Each table: v0 establishes the spec AND lands the first routed
+    group (the %5 != 0 slice); v1 is an APPEND whose writer CONSULTS
+    the live spec (reads bucket(key, N) from the log, not from
+    convention) — the mixed-commit state that proves co-location
+    survives appends."""
+    import fcntl
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+    )
+
+    o_root, l_root = _tlog_bkt_roots(sf_dir)
+    jobs = [
+        (o_root, "orders", "o_orderkey",
+         ["o_orderkey", "o_orderpriority"]),
+        (l_root, "lineitem", "l_orderkey",
+         ["l_orderkey", "l_extendedprice", "l_discount"]),
+    ]
+    stamp = json.dumps(_TLOG_BKT_SPEC, sort_keys=True)
+    for root, src, key, cols in jobs:
+        stamp_file = os.path.join(root, "_BKT")
+
+        def _ok() -> bool:
+            try:
+                return open(stamp_file).read() == stamp
+            except OSError:
+                return False
+
+        if _ok():
+            continue
+        os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+        lock_fh = open(os.path.join(root, ".lock"), "w")
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            if _ok():
+                continue
+            if _tlog_latest_version_safe(root) != -1:
+                import shutil
+
+                for entry in os.listdir(root):
+                    if entry == ".lock":
+                        continue
+                    p = os.path.join(root, entry)
+                    shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+                os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+            df = load_table(spark, sf_dir, src).select(*cols)
+            spec = (key, _TLOG_BKT_N)
+            rule = {"spec_id": 0, "rule": f"bucket({key}, {_TLOG_BKT_N})"}
+            mod = _TLOG_BKT_SPEC["split_mod"]
+            _tlog_bucketed_stage(
+                spark, df.filter(F.col(key) % mod != 0), root,
+                "file_bkt0", spec,
+            )
+            _tlog_bucketed_commit(
+                root, ["file_bkt0"], -1, spec, partitioning=rule,
+            )
+            # the APPEND writer consults the LIVE spec from the log
+            live = _tlog_bucket_spec(root, 0)
+            _tlog_bucketed_stage(
+                spark, df.filter(F.col(key) % mod == 0), root,
+                "file_bkt1", live,
+            )
+            _tlog_bucketed_commit(root, ["file_bkt1"], 0, live)
+            tmp = os.path.join(root, f"._BKT.{os.getpid()}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(stamp)
+            os.replace(tmp, stamp_file)
+        finally:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+            lock_fh.close()
+    return o_root, l_root
+
+
+@register(
+    "table_log_bucketed_join",
+    # Oracle: the PLAIN join+aggregate over the raw tables — the
+    # bucketed layout, the two-commit lifecycle, the hard-link serve
+    # bridge, and the exchange-free plan must all be invisible to
+    # values (exact-integer revenue per house rule).
+    oracle="""
+        SELECT l.l_orderkey AS orderkey,
+               o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """,
+    tags=("S9-bkt", "lakehouse", "bucketing", "layout", "colocated-join", "J1"),
+)
+def table_log_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED LAYOUT AS TABLE-LOG METADATA (VERDICT r16 #3 — the
+    SURVEY §7 r17 queue's one carried item, completing
+    ``join_bucketed_colocated``'s Spark-side half with the format
+    half): bucket(key, 8) lives in the log's replayed partitioning
+    spec; every writer consults it and hash-routes rows into
+    bucket-tagged files inside its file group; the commit gate
+    REFUSES a group whose writer declared a different spec or whose
+    files carry no conforming bucket tags (pytest-pinned); and two
+    same-bucketed LOG tables join + aggregate on the bucketed key
+    with ZERO Exchange nodes (plan-pinned) — the shuffle is paid once
+    at write time and amortized over every subsequent join, carried
+    through the table format instead of the session catalog.
+
+    Scale: at 100 TB this is the repeatedly-joined fact-pair answer —
+    co-location survives appends (v1 routes under the same spec), the
+    serve bridge is one hard link per live file (zero bytes), and the
+    join reads stream bucket-aligned with no network phase. The merge
+    hint forces SortMergeJoin so the plan proves the co-location
+    (broadcast at test scale would hide it)."""
+    tag = corpus_tag(sf_dir)
+    o_root, l_root = _tlog_apply_bkt(spark, sf_dir)
+    o = _tlog_bucketed_serve(
+        spark, o_root, f"hbdbps_bkto_{tag}",
+        "o_orderkey BIGINT, o_orderpriority STRING",
+    )
+    li = _tlog_bucketed_serve(
+        spark, l_root, f"hbdbps_bktl_{tag}",
+        "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+    )
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            li.l_orderkey.alias("orderkey"),
+            o.o_orderpriority.alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
 interpolate_docstrings(globals())

@@ -778,3 +778,13 @@ def test_global_islands_island_window_plan(spark):
     schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", fplan)
     narrow = [s for s in schemas if "user_id" not in s and "ts" in s]
     assert narrow, f"no user_id-free census scan found in {schemas}"
+
+
+def test_table_log_bucketed_join_has_zero_exchanges(spark):
+    """S9-bkt contract (VERDICT r16 #3): bucket(key, 8) carried as
+    table-log metadata buys the same plan the session-catalog variant
+    gets — sort-merge join PLUS the key-grained aggregation with not
+    one Exchange node, across a snapshot spanning two commits."""
+    plan = plan_of(REG["table_log_bucketed_join"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
