@@ -107,53 +107,21 @@ def _verified_past_rounds() -> list[str]:
 # _ordered_names, so stale listing here is harmless (the list is the
 # PRIORITY among whatever remains unverified, not a status record).
 _PRIORITY_WINDOW = [
-    # --- ROUND 16 state: the r15 window went 49-hash + 1 rows-only
-    # green, so the front is this round's new operators (VERDICT r15
-    # #3/#4/#5/#7 plus the retention-floor extension). Everything
-    # after them is the VERDICT-mandated attestation drain: the
-    # verified back is ordered stalest-first, so the remaining slots
-    # pick up ALL 30 r08 rows (VERDICT r15 next-round #1 — board
-    # floor lands at r09) plus the oldest r09 rows automatically.
-    # VERDICT r15 #3: OPTIMIZE under column mapping
-    "table_log_colmap_compact",
-    # VERDICT r15 #4: cross-table as-of routed through the catalog
-    "table_log_catalog_multi_asof",
-    # VERDICT r15 #5: DROP COLUMN lands mid-stream
-    "stream_ingest_colmap_drop",
-    # VERDICT r15 #7: the hash-oracled quantized-IVF rung
-    "sim_search_ann_ivf_quantized",
-    # r16 extension: vacuum clamped to the catalog retention floor
-    "table_log_vacuum_catalog_floor",
-    # r16 extension: UPDATE completes the mapped DML story
-    "table_log_colmap_update",
-    # r16 extension: the change feed re-spelled through the mapping
-    "table_log_colmap_cdf",
-    # r16 extension: replication through the mapped feed
-    "stream_table_log_replicate_colmap",
-    # r16 extension: the quantized index persisted + generation-aware
-    "sim_search_ann_ivf_quantized_persisted",
-    # r16 extension: MERGE INTO, the last mapped DML verb
-    "table_log_colmap_merge",
-    # r16 extension: consistent multi-table CDC via catalog swaps
-    "table_log_catalog_cdf",
-    # r16 extension: delta appends on the hash-pinned quantized index
-    "sim_search_ann_ivf_quantized_delta",
-    # r17 queue (d) pulled forward: the LSM fold of those deltas
-    "sim_search_ann_ivf_quantized_compacted",
-    # r17 queue (e) pulled forward: RESTORE across the rename boundary
-    "table_log_colmap_restore",
-    # r17 queue (c) pulled forward: the catalog feed as a stream
-    "stream_catalog_cdf",
-    # r17 queue (a) pulled forward: DELETE->UPDATE->MERGE on one root
-    "table_log_colmap_dml_chain",
-    # r17 queue (b) pulled forward: both metadata axes on one table
-    "table_log_colmap_partition_evolution",
-    # fresh r17 queue (a) pulled forward: CHECK constraints x mapping
-    "table_log_colmap_check",
-    # fresh r17 queue (b) pulled forward: the warehouse replica
-    "stream_catalog_replicate",
-    # fresh r17 queue (e) pulled forward: drift-triggered retrain
-    "sim_search_ann_ivf_quantized_rebuilt",
+    # --- ROUND 17 state: all 20 r16-new entries earned green driver
+    # rows in CORRECTNESS_r16, so the front is this round's two new
+    # operators. Everything after them is the VERDICT-mandated r09
+    # attestation drain: the verified back is ordered stalest-first,
+    # so the remaining 48 slots pick up the r09 rows automatically
+    # (49 exist; `_DRAIN_LAST` cedes the one overflow slot to the
+    # rows-only-by-nature `dedup_simhash`, whose driver check adds
+    # the least over its local xxhash64 pins — it drains first in
+    # r18).
+    # VERDICT r16 #3: bucketed layout as table-log metadata (the one
+    # carried SURVEY §7 r17-queue item)
+    "table_log_bucketed_join",
+    # VERDICT r16 #5: retention for the quantized index under a
+    # catalog floor pin
+    "sim_search_ann_ivf_quantized_vacuumed",
     # (Entries here that have since earned a green driver row are
     # filtered out by _ordered_names — the list is the PRIORITY among
     # whatever remains unverified, not a status record.)
@@ -173,6 +141,18 @@ _REFRESH_TAIL: list[str] = [
     # out of the drain (VERDICT r12 item 2).
 ]
 
+# Verified entries deliberately pushed to the very END of the drain
+# order. Round 17: 2 new ops + 49 r09-stale rows = 51 candidates for
+# the 50-slot window, so exactly one r09 row must wait for r18; the
+# natural (first-seen) loser would be `mm_decode_real_jpeg` — a full
+# hash oracle — while `dedup_simhash` is rows-only BY NATURE (its
+# xxhash64 invariants are pytest-pinned locally; the driver's
+# rows-only re-check adds the least of any r09 row). Cede the slot
+# deliberately instead of by tiebreak accident.
+_DRAIN_LAST: list[str] = [
+    "dedup_simhash",
+]
+
 
 def _ordered_names() -> list[str]:
     verified = _verified_past_rounds()
@@ -180,8 +160,12 @@ def _ordered_names() -> list[str]:
     placed = set(front) | set(verified)
     middle = [n for n in REGISTRY if n not in placed]
     refresh = [n for n in _REFRESH_TAIL if n in REGISTRY and n in verified]
-    back = [n for n in verified if n in REGISTRY and n not in refresh]
-    return front + middle + refresh + back
+    back = [
+        n for n in verified
+        if n in REGISTRY and n not in refresh and n not in _DRAIN_LAST
+    ]
+    deferred = [n for n in _DRAIN_LAST if n in REGISTRY and n in verified]
+    return front + middle + refresh + back + deferred
 
 
 def entry(spark: SparkSession) -> DataFrame:

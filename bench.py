@@ -196,6 +196,9 @@ HEADLINE = [
     "table_log_colmap_check",  # logical CHECK translated per writer spelling
     "stream_catalog_replicate",  # warehouse replica, one swap per swap
     "sim_search_ann_ivf_quantized_rebuilt",  # drift-dial retrain, hash-pinned
+    # --- round-17 rows (VERDICT r16 #3, #5)
+    "table_log_bucketed_join",  # bucket(key,N) in the log, zero-Exchange co-located join
+    "sim_search_ann_ivf_quantized_vacuumed",  # index retention under a catalog floor pin
 ]
 
 # Queries whose collect() would measure Py4J row transport of a
