@@ -3782,15 +3782,32 @@ def test_catalog_swap_merges_over_unrelated_tables_and_stale_bases(
 def _race_catalog_swap_worker(args):
     """Pure-filesystem worker: bump ONE table's pin version N times
     through the merge-swap, racing a sibling process doing the same
-    for a different table on the SAME catalog."""
+    for a different table on the SAME catalog. The swap's livelock
+    error is a CONTRACT ('back off and retry'), not a failure — on a
+    loaded machine a worker can lose 16 straight rebases to its
+    sibling, so the worker honors the contract with a jittered
+    backoff (this is what a production committer does)."""
+    import random
+    import time
+
     cat, table, n_bumps = args
 
     from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
         _tlog_catalog_swap_merge,
     )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        TableLogConflictError,
+    )
 
     for i in range(1, n_bumps + 1):
-        _tlog_catalog_swap_merge(cat, {table: {"root": f"/r/{table}", "version": i}})
+        while True:
+            try:
+                _tlog_catalog_swap_merge(
+                    cat, {table: {"root": f"/r/{table}", "version": i}}
+                )
+                break
+            except TableLogConflictError:
+                time.sleep(0.005 + 0.02 * random.random())
     return table
 
 
