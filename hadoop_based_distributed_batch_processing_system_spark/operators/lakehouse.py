@@ -3556,16 +3556,64 @@ def _tlog_ctx_roots(sf_dir: str) -> tuple[str, str, str]:
     )
 
 
-def _tlog_catalog_commit(cat_root: str, tables: dict[str, dict], base: int) -> int:
+def _tlog_catalog_mint_check(tables: dict[str, dict], grace: int) -> None:
+    """The PIN-MINTING half of the retention grace contract (the
+    vacuum half is ``_tlog_vacuum_floor(grace=...)``): a catalog
+    being CREATED may only pin versions whose commit stamp lies
+    within the trailing ``grace`` ticks of their table's head
+    instant. With both halves enforced, a catalog minted mid-vacuum
+    can never dangle — whatever it is allowed to pin, the vacuum's
+    grace clamp already spared. Raises descriptively on a pin older
+    than the window; pins whose root carries no log (bootstrap
+    placeholders) pass through."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_ts_stamps,
+    )
+
+    for name, pin in sorted(tables.items()):
+        logd = os.path.join(pin["root"], "_log")
+        if not os.path.isdir(logd):
+            continue
+        latest = _tlog_latest_version(pin["root"])
+        stamps = _tlog_ts_stamps(pin["root"], latest)
+        pv = pin["version"]
+        if not 0 <= pv <= latest:
+            raise RuntimeError(
+                f"catalog mint refused: pin {name}@v{pv} does not exist "
+                f"(table head is v{latest})"
+            )
+        if stamps[pv] < stamps[latest] - grace:
+            raise RuntimeError(
+                f"catalog mint refused: pin {name}@v{pv} (ts {stamps[pv]}) "
+                f"is older than the table's grace window "
+                f"(head ts {stamps[latest]}, grace {grace}) — a vacuum "
+                "running concurrently may already have reclaimed it; pin "
+                "a fresher snapshot"
+            )
+
+
+def _tlog_catalog_commit(
+    cat_root: str,
+    tables: dict[str, dict],
+    base: int,
+    mint_grace: int | None = None,
+) -> int:
     """Commit a new CATALOG version: one JSON file mapping table name
     -> {root, version} snapshot PINS, claimed by the same atomic
     hard-link put-if-absent as every table commit. The catalog is the
     single consensus point the per-table logs are not: a pointer map
     swaps in one filesystem op, so no reader can ever observe half a
-    swap."""
+    swap. ``mint_grace`` (creation commits only, base == -1) enforces
+    the pin-minting half of the retention grace contract via
+    ``_tlog_catalog_mint_check``; EXISTING catalogs only raise their
+    pins through the merge-swap's max-version rule, which is
+    vacuum-safe without a window."""
     import json
     import threading
 
+    if mint_grace is not None and base == -1:
+        _tlog_catalog_mint_check(tables, mint_grace)
     v = base + 1
     logd = os.path.join(cat_root, "_catalog")
     os.makedirs(logd, exist_ok=True)

@@ -5387,3 +5387,70 @@ def test_bucketed_serve_is_zero_copy_hard_links(spark):
     mtimes = {p: os.stat(p).st_mtime_ns for p in files}
     load_all()["table_log_bucketed_join"].fn(spark, SF_SMOKE).collect()
     assert mtimes == {p: os.stat(p).st_mtime_ns for p in files}
+
+
+def test_catalog_mint_grace_refuses_stale_pins(spark, tmp_path):
+    """The pin-minting half of the retention grace contract (r18
+    queue (b), pulled forward): a catalog CREATED with
+    ``mint_grace=G`` may pin only versions inside the trailing G
+    ticks of their table's head instant. (a) head pin mints; (b) a
+    pin older than the window is refused descriptively and no catalog
+    version lands; (c) a nonexistent pin version is refused; (d) with
+    a window covering the whole history every version mints; (e) the
+    composed guarantee with the vacuum half: a mint allowed under
+    grace G can never pin below what `_tlog_vacuum_floor(grace=G)`
+    spares — checked directly against the clamp arithmetic."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_catalog_commit,
+        _tlog_vacuum_floor,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_ts_stamps,
+    )
+
+    root = _tlog_build(spark, SF_SMOKE, str(tmp_path / "t"))
+    stamps = _tlog_ts_stamps(root, 2)
+    span01 = stamps[1] - stamps[0]  # v0 is exactly span01 older than v1
+
+    # (a) head pin always inside any window
+    cat_a = str(tmp_path / "cat_a")
+    v = _tlog_catalog_commit(
+        cat_a, {"t": {"root": root, "version": 2}}, base=-1, mint_grace=1
+    )
+    assert v == 0
+
+    # (b) pin older than the window: refused, nothing written
+    cat_b = str(tmp_path / "cat_b")
+    g = stamps[2] - stamps[1] - 1  # window stops short of v1's stamp
+    with pytest.raises(RuntimeError, match="older than the table's grace"):
+        _tlog_catalog_commit(
+            cat_b, {"t": {"root": root, "version": 1}}, base=-1, mint_grace=g
+        )
+    assert not os.path.isdir(os.path.join(cat_b, "_catalog"))  # nothing landed
+
+    # (c) nonexistent pin version
+    with pytest.raises(RuntimeError, match="does not exist"):
+        _tlog_catalog_commit(
+            cat_b, {"t": {"root": root, "version": 9}}, base=-1, mint_grace=10**9
+        )
+
+    # (d) window covering the whole history: every version mints
+    wide = stamps[2] - stamps[0]
+    for pv in (0, 1, 2):
+        cat = str(tmp_path / f"cat_d{pv}")
+        assert _tlog_catalog_commit(
+            cat, {"t": {"root": root, "version": pv}}, base=-1, mint_grace=wide
+        ) == 0
+
+    # (e) composition: any pin the mint allows under grace G is at or
+    # above the vacuum's grace-capped horizon under the same G — the
+    # two halves can never disagree about a version's fate
+    for g in (0, span01, wide, 10**9):
+        cutoff = stamps[2] - g
+        eligible = [pv for pv, t in enumerate(stamps) if t <= cutoff]
+        vac_cap = max(eligible) if eligible else 0
+        mint_ok = [pv for pv in (0, 1, 2) if stamps[pv] >= stamps[2] - g]
+        assert all(pv >= vac_cap for pv in mint_ok), (g, vac_cap, mint_ok)
+    # and the live clamp agrees with the arithmetic at g=span01+1
+    eff, _ = _tlog_vacuum_floor(root, retain_version=2, grace=stamps[2] - stamps[1] + 1)
+    assert eff <= 1
