@@ -8097,6 +8097,8 @@ def _tlog_bucketed_serve(
         _tlog_live_files,
     )
 
+    import re
+
     head = _tlog_latest_version(root)
     spec = _tlog_bucket_spec(root, head)
     if spec is None:
@@ -8114,6 +8116,14 @@ def _tlog_bucketed_serve(
             os.rename(tmp, serve)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+        # drop SUPERSEDED serve dirs: their hard links would otherwise
+        # keep group bytes alive past a vacuum (link count > 1 defeats
+        # byte reclamation) — the serve bridge must never extend a
+        # file's lifetime beyond the log's own retention decisions
+        for entry in os.listdir(root):
+            m = re.fullmatch(r"_serve_v(\d+)", entry)
+            if m and int(m.group(1)) < head:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     tname = f"{alias}_v{head}"
     if not spark.catalog.tableExists(tname):
         spark.sql(

@@ -5454,3 +5454,50 @@ def test_catalog_mint_grace_refuses_stale_pins(spark, tmp_path):
     # and the live clamp agrees with the arithmetic at g=span01+1
     eff, _ = _tlog_vacuum_floor(root, retain_version=2, grace=stamps[2] - stamps[1] + 1)
     assert eff <= 1
+
+
+def test_bucketed_serve_drops_superseded_snapshot_dirs(spark, tmp_path):
+    """S9-bkt pin: the serve bridge must never extend file lifetimes —
+    when the head advances, the previous version's hard-link serve dir
+    is dropped (its links would otherwise hold group bytes alive past
+    a vacuum), and the new serve dir carries the new snapshot."""
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_BKT_N,
+        _tlog_bucketed_commit,
+        _tlog_bucketed_serve,
+        _tlog_bucketed_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    root = str(tmp_path / "bkts")
+    os.makedirs(os.path.join(root, "_log"))
+    df = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    spec = ("o_orderkey", _TLOG_BKT_N)
+    rule = {"spec_id": 0, "rule": f"bucket(o_orderkey, {_TLOG_BKT_N})"}
+    _tlog_bucketed_stage(
+        spark, df.filter(F.col("o_orderkey") % 2 == 0), root, "file_bkt0", spec
+    )
+    _tlog_bucketed_commit(root, ["file_bkt0"], -1, spec, partitioning=rule)
+    ddl = "o_orderkey BIGINT, o_orderpriority STRING"
+    n0 = _tlog_bucketed_serve(spark, root, "hbdbps_bkts_t", ddl).count()
+    assert os.path.isdir(os.path.join(root, "_serve_v0"))
+
+    _tlog_bucketed_stage(
+        spark, df.filter(F.col("o_orderkey") % 2 == 1), root, "file_bkt1", spec
+    )
+    _tlog_bucketed_commit(root, ["file_bkt1"], 0, spec)
+    n1 = _tlog_bucketed_serve(spark, root, "hbdbps_bkts_t", ddl).count()
+    assert n1 == df.count() and n1 > n0
+    assert os.path.isdir(os.path.join(root, "_serve_v1"))
+    assert not os.path.isdir(os.path.join(root, "_serve_v0"))  # dropped
+    # group files back to link count 1: vacuum reclamation is whole again
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(root, "file_bkt0", "*.parquet")):
+        assert os.stat(p).st_nlink == 2  # group file + current serve link
