@@ -1449,3 +1449,25 @@ def test_ivfq_vacuumed_retention_floor_and_refusal(spark):
     }
     _ivfq_apply_vac(spark, SF_ORACLE)
     assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
+
+
+def test_ivfq_vacuumed_serve_prunes_to_probed_lists(spark):
+    """S9-bkt-era pruning pin for the vacuumed rung: after the
+    retrain+vacuum lifecycle the serve plan touches ONLY the probed
+    clusters' generation-2 list groups (nprobe of K, via inputFiles) —
+    retention added zero read amplification."""
+    import re
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
+        _IVFQ_K,
+        _IVFQ_NPROBE,
+    )
+
+    ann = REG["sim_search_ann_ivf_quantized_vacuumed"].fn(spark, SF_ORACLE)
+    touched = {
+        m.group(1)
+        for f in ann.inputFiles()
+        if (m := re.search(r"/(file_q[d]?list\d+_[^/]+)/", f))
+    }
+    assert len(touched) == _IVFQ_NPROBE < _IVFQ_K
+    assert all(t.endswith("_g2") for t in touched)  # head generation only
