@@ -8045,34 +8045,47 @@ def _tlog_bucketed_commit(
     else:
         live = _tlog_bucket_spec(root, base_version)
     if live is not None:
-        if declared != live:
-            raise RuntimeError(
-                f"bucketing spec violation at {root}: the table requires "
-                f"bucket({live[0]}, {live[1]}) but the writer declared "
-                f"{declared} — refusing the commit (route the write "
-                "through the live spec)"
-            )
-        _key, n = live
-        for g in add:
-            parts = glob.glob(os.path.join(root, g, "*.parquet"))
-            if not parts:
-                raise RuntimeError(
-                    f"bucketing spec violation at {root}: staged group "
-                    f"{g} has no data files"
-                )
-            for p in parts:
-                m = re.search(r"_(\d{5})[.c\-]", os.path.basename(p))
-                if not m or int(m.group(1)) >= n:
-                    raise RuntimeError(
-                        f"bucketing spec violation at {root}: file "
-                        f"{os.path.basename(p)} in group {g} carries no "
-                        f"bucket tag < {n} — the group was not written "
-                        "through the bucket layout"
-                    )
+        _tlog_bucketed_commit_validate(root, add, declared, live)
     return _tlog_commit_rebase(
         root, add=add, remove=[], base_version=base_version,
         read_set=set(), partitioning=partitioning,
     )
+
+
+def _tlog_bucketed_commit_validate(
+    root: str, add: list[str], declared: tuple[str, int] | None,
+    live: tuple[str, int],
+) -> None:
+    """The bucket gate's checks, shared by append commits and the
+    re-bucket compaction: declared-spec equality plus physical
+    bucket-tag conformance of every staged file."""
+    import glob
+    import re
+
+    if declared != live:
+        raise RuntimeError(
+            f"bucketing spec violation at {root}: the table requires "
+            f"bucket({live[0]}, {live[1]}) but the writer declared "
+            f"{declared} — refusing the commit (route the write "
+            "through the live spec)"
+        )
+    _key, n = live
+    for g in add:
+        parts = glob.glob(os.path.join(root, g, "*.parquet"))
+        if not parts:
+            raise RuntimeError(
+                f"bucketing spec violation at {root}: staged group "
+                f"{g} has no data files"
+            )
+        for p in parts:
+            m = re.search(r"_(\d{5})[.c\-]", os.path.basename(p))
+            if not m or int(m.group(1)) >= n:
+                raise RuntimeError(
+                    f"bucketing spec violation at {root}: file "
+                    f"{os.path.basename(p)} in group {g} carries no "
+                    f"bucket tag < {n} — the group was not written "
+                    "through the bucket layout"
+                )
 
 
 def _tlog_bucketed_serve(
@@ -8121,7 +8134,7 @@ def _tlog_bucketed_serve(
         # byte reclamation) — the serve bridge must never extend a
         # file's lifetime beyond the log's own retention decisions
         for entry in os.listdir(root):
-            m = re.fullmatch(r"_serve_v(\d+)", entry)
+            m = re.fullmatch(r"_serve_v(\d+)(?:_n\d+)?", entry)
             if m and int(m.group(1)) < head:
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     tname = f"{alias}_v{head}"
@@ -8277,6 +8290,178 @@ def table_log_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("revenue_cents"),
         )
+    )
+
+
+# --- Bucket SPEC EVOLUTION + re-bucket compaction (r18 queue (a), ----------
+# machinery pre-built in r17; the registry entry lands with the r18
+# window). Evolution is a partitioning REPLACE (Iceberg spec
+# evolution): pre-evolution groups keep the layout they were written
+# under, the commit gate holds NEW writers to the NEW spec, mixed
+# snapshots serve per-cohort (the co-located join degrades to one
+# Exchange on the evolved side), and a dataChange:false re-bucket
+# compaction restores single-spec zero-Exchange plans.
+
+
+def _tlog_bucket_group_specs(
+    root: str, version: int
+) -> dict[str, tuple[str, int] | None]:
+    """The bucket layout each LIVE group was WRITTEN under: replay
+    commits 0..version tracking the live partitioning rule; a commit
+    that both replaces the spec and adds groups (the bootstrap shape)
+    binds its adds to the NEW spec. This is Iceberg's per-data-file
+    spec_id, derived from commit order instead of stored per file —
+    equivalent here because spec changes are themselves commits."""
+    import json
+    import re
+
+    logd = os.path.join(root, "_log")
+    cur: tuple[str, int] | None = None
+    specs: dict[str, tuple[str, int] | None] = {}
+    for v in range(version + 1):
+        c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        if c.get("partitioning"):
+            m = re.fullmatch(
+                _TLOG_BKT_RULE_RE, c["partitioning"].get("rule", "")
+            )
+            cur = (m.group(1), int(m.group(2))) if m else None
+        for f in c["remove"]:
+            specs.pop(f, None)
+        for f in c["add"]:
+            specs[f] = cur
+    return specs
+
+
+def _tlog_bucket_evolve(root: str, key: str, n_new: int) -> int:
+    """EVOLVE the bucket spec: one metadata-only commit replacing the
+    partitioning rule with bucket(key, n_new). Zero files move —
+    existing groups keep their written layout (readable forever, the
+    spec-evolution contract); only writers feel the change, at the
+    commit gate."""
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+    )
+
+    base = _tlog_latest_version(root)
+    old = _tlog_bucket_spec(root, base)
+    spec_id = 0
+    if old is not None:
+        logd = os.path.join(root, "_log")
+        for v in range(base + 1):
+            c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+            if c.get("partitioning"):
+                spec_id = max(spec_id, int(c["partitioning"].get("spec_id", 0)))
+    return _tlog_commit_rebase(
+        root, add=[], remove=[], base_version=base, read_set=set(),
+        data_change=False,
+        partitioning={"spec_id": spec_id + 1, "rule": f"bucket({key}, {n_new})"},
+    )
+
+
+def _tlog_bucketed_serve_mixed(
+    spark: SparkSession, root: str, alias: str, ddl: str
+) -> DataFrame:
+    """Serve a possibly MIXED-layout snapshot: cohorts grouped by the
+    spec their groups were written under, one bucketed catalog table
+    per cohort (hard-link bridge, as the single-spec serve), unioned.
+    A single-cohort snapshot falls through to the plain serve — and
+    keeps its zero-Exchange plans; a mixed snapshot's union erases
+    the partitioning property, so the evolved side pays ONE Exchange
+    until the re-bucket compaction folds the old cohort (the
+    documented graceful degradation)."""
+    import glob
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    head = _tlog_latest_version(root)
+    specs = _tlog_bucket_group_specs(root, head)
+    live = _tlog_live_files(root, head)
+    cohorts: dict[tuple[str, int], list[str]] = {}
+    for p in live:
+        s = specs.get(os.path.basename(p))
+        if s is None:
+            raise RuntimeError(
+                f"group {os.path.basename(p)} at {root} has no bucket "
+                "layout — a bucketed serve cannot place it"
+            )
+        cohorts.setdefault(s, []).append(p)
+    if len(cohorts) == 1:
+        return _tlog_bucketed_serve(spark, root, alias, ddl)
+    import re
+
+    for entry in os.listdir(root):
+        m = re.fullmatch(r"_serve_v(\d+)(?:_n\d+)?", entry)
+        if m and int(m.group(1)) < head:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    parts = []
+    for (key, n), paths in sorted(cohorts.items()):
+        serve = os.path.join(root, f"_serve_v{head}_n{n}")
+        if not os.path.isdir(serve):
+            tmp = f"{serve}.tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            for p in paths:
+                for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
+                    os.link(f, os.path.join(tmp, os.path.basename(f)))
+            try:
+                os.rename(tmp, serve)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        tname = f"{alias}_v{head}_n{n}"
+        if not spark.catalog.tableExists(tname):
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tname} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS "
+                f"LOCATION '{serve}'"
+            )
+        parts.append(spark.table(tname))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _tlog_bucket_rebucket(spark: SparkSession, root: str) -> int:
+    """RE-BUCKET COMPACTION: rewrite every group whose written layout
+    differs from the HEAD spec into one new head-spec group, committed
+    dataChange:false (live content identical — change-feed consumers
+    skip it, the OPTIMIZE discipline). Restores single-spec serves and
+    their zero-Exchange plans; a no-op (all groups already on the head
+    spec) publishes nothing. Cost = read+write only the stale cohort
+    once — the same economics as every compaction here."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_files,
+    )
+
+    head = _tlog_latest_version(root)
+    spec = _tlog_bucket_spec(root, head)
+    if spec is None:
+        raise RuntimeError(f"table at {root} has no bucket layout")
+    specs = _tlog_bucket_group_specs(root, head)
+    stale = sorted(
+        os.path.basename(p)
+        for p in _tlog_live_files(root, head)
+        if specs.get(os.path.basename(p)) != spec
+    )
+    if not stale:
+        return head
+    v = head + 1
+    gname = f"file_rbk{v}"
+    df = _tlog_relation(spark, [os.path.join(root, g) for g in stale])
+    _tlog_bucketed_stage(spark, df, root, gname, spec)
+    _tlog_bucketed_commit_validate(root, [gname], spec, spec)
+    return _tlog_commit_rebase(
+        root, add=[gname], remove=stale, base_version=head,
+        read_set=set(stale), data_change=False,
     )
 
 

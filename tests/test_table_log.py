@@ -5501,3 +5501,107 @@ def test_bucketed_serve_drops_superseded_snapshot_dirs(spark, tmp_path):
 
     for p in _glob.glob(os.path.join(root, "file_bkt0", "*.parquet")):
         assert os.stat(p).st_nlink == 2  # group file + current serve link
+
+
+def test_bucket_spec_evolution_and_rebucket_compaction(spark, tmp_path):
+    """r18 queue (a) machinery, pre-built in r17: bucket(key, 8) →
+    bucket(key, 16) as a partitioning replace. Pins: (a) evolution is
+    metadata-only (no file moved, mtimes stable, dataChange:false —
+    the change feed emits nothing); (b) post-evolution the gate holds
+    writers to the NEW spec (old-spec declaration refused, new-spec
+    append lands with tags < 16); (c) per-group written-layout
+    derivation; (d) the mixed snapshot serves the full content, with
+    the key-grained aggregation paying an Exchange (the documented
+    degradation); (e) the re-bucket compaction is dataChange:false,
+    folds ONLY the stale cohort, restores the zero-Exchange plan, and
+    re-running it is a no-op without a commit."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_bucket_evolve,
+        _tlog_bucket_group_specs,
+        _tlog_bucketed_commit,
+        _tlog_bucketed_serve_mixed,
+        _tlog_bucketed_stage,
+        _tlog_bucket_rebucket,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_change_units,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    root = str(tmp_path / "bkev")
+    os.makedirs(os.path.join(root, "_log"))
+    df = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    spec8, spec16 = ("o_orderkey", 8), ("o_orderkey", 16)
+    _tlog_bucketed_stage(
+        spark, df.filter(F.col("o_orderkey") % 2 == 0), root, "file_bkt0", spec8
+    )
+    _tlog_bucketed_commit(
+        root, ["file_bkt0"], -1, spec8,
+        partitioning={"spec_id": 0, "rule": "bucket(o_orderkey, 8)"},
+    )
+
+    # (a) evolution: metadata only
+    mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _glob.glob(os.path.join(root, "file_bkt0", "*.parquet"))
+    }
+    v1 = _tlog_bucket_evolve(root, "o_orderkey", 16)
+    assert v1 == 1
+    assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
+    assert _tlog_change_units(root, v1) == []  # feed consumers skip it
+
+    # (b) gate now enforces the NEW spec
+    _tlog_bucketed_stage(
+        spark, df.filter(F.col("o_orderkey") % 2 == 1), root, "file_bkt1", spec16
+    )
+    with pytest.raises(RuntimeError, match="bucketing spec violation"):
+        _tlog_bucketed_commit(root, ["file_bkt1"], v1, spec8)
+    v2 = _tlog_bucketed_commit(root, ["file_bkt1"], v1, spec16)
+    tags = sorted(
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(root, "file_bkt1", "*.parquet"))
+        if (m := __import__("re").search(r"_(\d{5})[.c\-]", os.path.basename(p)))
+    )
+    assert tags == list(range(16))
+
+    # (c) written-layout derivation
+    specs = _tlog_bucket_group_specs(root, v2)
+    assert specs == {"file_bkt0": spec8, "file_bkt1": spec16}
+
+    # (d) mixed serve: full content, Exchange present (degradation)
+    ddl = "o_orderkey BIGINT, o_orderpriority STRING"
+    mixed = _tlog_bucketed_serve_mixed(spark, root, "hbdbps_bkev_t", ddl)
+    assert mixed.count() == df.count()
+    plan_mixed = physical_plan(
+        mixed.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" in plan_mixed
+
+    # (e) re-bucket: dataChange:false, folds only the stale cohort,
+    # restores zero-Exchange
+    v3 = _tlog_bucket_rebucket(spark, root)
+    assert v3 == v2 + 1
+    assert _tlog_change_units(root, v3) == []  # content identical
+    live = {os.path.basename(p) for p in _tlog_live_files(root, v3)}
+    assert "file_bkt0" not in live and "file_bkt1" in live
+    assert any(g.startswith("file_rbk") for g in live)
+    specs3 = _tlog_bucket_group_specs(root, v3)
+    assert set(specs3.values()) == {spec16}
+    single = _tlog_bucketed_serve_mixed(spark, root, "hbdbps_bkev_t", ddl)
+    assert single.count() == df.count()
+    plan_single = physical_plan(
+        single.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in plan_single
+    assert _tlog_bucket_rebucket(spark, root) == v3  # no-op, no commit
