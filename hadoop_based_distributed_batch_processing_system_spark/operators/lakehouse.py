@@ -8191,7 +8191,9 @@ def _tlog_apply_bkt(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         try:
             if _ok():
                 continue
-            if _tlog_latest_version_safe(root) != -1:
+            if _tlog_latest_version_safe(root) >= 0:
+                # commits without a matching stamp: stale partial
+                # lifecycle — wipe and rebuild
                 import shutil
 
                 for entry in os.listdir(root):
@@ -8463,6 +8465,151 @@ def _tlog_bucket_rebucket(spark: SparkSession, root: str) -> int:
         root, add=[gname], remove=stale, base_version=head,
         read_set=set(stale), data_change=False,
     )
+
+
+# --- Streaming ingest INTO a bucketed table (r18 queue (c), ----------------
+# machinery pre-built in r17; the registry entry lands with the r18
+# window). Each micro-batch WRITER CONSULTS THE LIVE SPEC at landing
+# time — so a bucket-spec evolution between batches re-routes the
+# very next batch with zero disruption — and publishes through the
+# bucket gate with batch-id idempotence (the stream_table_log_ingest
+# exactly-once contract, carried through the layout gate).
+
+_TLOG_BKTIN_ROWS = 600
+_TLOG_BKTIN_BATCH = 100
+_TLOG_BKTIN_EVOLVE_AT = 3  # batch id that triggers mid-stream evolution
+_TLOG_BKTIN_SPEC = {
+    "impl": 1,
+    "rows": _TLOG_BKTIN_ROWS,
+    "batch": _TLOG_BKTIN_BATCH,
+    "evolve_at": _TLOG_BKTIN_EVOLVE_AT,
+}
+
+
+def _tlog_apply_bkt_ingest(spark: SparkSession, root: str) -> None:
+    """Drain the bounded synthetic stream into a BUCKETED log table
+    (flock + stamp): v0 establishes bucket(event_id, 8) as pure
+    metadata; each micro-batch reads the LIVE spec from the log,
+    hash-routes its rows through the bucketed stage, validates at
+    the gate, and commits with its batch id (re-delivered batches
+    write nothing). Batch {evolve_at} first EVOLVES the spec to
+    bucket(event_id, 16) — so the drain itself proves writers track
+    the spec per batch, not per query: pre-evolution batch groups
+    carry 8-way tags, post-evolution groups 16-way, and the mixed
+    snapshot reads whole."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_batch_committed,
+        _tlog_commit,
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        register_synthetic_stream_source,
+    )
+
+    stamp_file = os.path.join(root, "_BKTIN")
+    stamp = json.dumps(_TLOG_BKTIN_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        spec_file = os.path.join(root, "_BKTIN_SPEC")
+        stale = False
+        try:
+            stale = open(spec_file).read() != stamp
+        except OSError:
+            stale = os.path.isdir(os.path.join(root, "_log")) and any(
+                f.endswith(".json")
+                for f in os.listdir(os.path.join(root, "_log"))
+            )
+        if stale:
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+        if not os.path.exists(spec_file):
+            tmp = os.path.join(root, f"._SPEC.{os.getpid()}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(stamp)
+            os.replace(tmp, spec_file)
+        if _tlog_latest_version_safe(root) < 0:
+            # v0: the spec entry alone — metadata bootstrap
+            _tlog_commit(
+                root, add=[], remove=[], base_version=-1,
+                data_change=False,
+                partitioning={"spec_id": 0, "rule": "bucket(event_id, 8)"},
+            )
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if _tlog_batch_committed(root, batch_id):
+                return  # re-delivered batch: idempotent no-op
+            if batch_id == _TLOG_BKTIN_EVOLVE_AT:
+                if _tlog_bucket_spec(root, _tlog_latest_version(root)) == (
+                    "event_id", 8,
+                ):
+                    _tlog_bucket_evolve(root, "event_id", 16)
+            base = _tlog_latest_version(root)
+            live = _tlog_bucket_spec(root, base)
+            name = f"file_bktin_b{batch_id}"
+            _tlog_bucketed_stage(
+                spark, batch_df.select("event_id", "bucket", "value"),
+                root, name, live,
+            )
+            _tlog_bucketed_commit_validate(root, [name], live, live)
+            _tlog_commit_rebase(
+                root, add=[name], remove=[], base_version=base,
+                read_set=set(), batch=batch_id,
+            )
+
+        register_synthetic_stream_source(spark)
+        raw = (
+            spark.readStream.format("synthetic_events_stream")
+            .option("rows", str(_TLOG_BKTIN_ROWS))
+            .option("batch", str(_TLOG_BKTIN_BATCH))
+            .load()
+        )
+        query = (
+            raw.writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(root, ".ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        n_commits = _tlog_latest_version(root) + 1
+        want = 1 + _TLOG_BKTIN_ROWS // _TLOG_BKTIN_BATCH + 1  # boot+batches+evolve
+        if n_commits != want:
+            raise RuntimeError(
+                f"bucketed ingest drained {n_commits} commits, expected "
+                f"{want} — a batch was lost, double-applied, or the "
+                "mid-stream evolution did not land"
+            )
+        tmp = os.path.join(root, f"._BKTIN.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
 
 
 interpolate_docstrings(globals())

@@ -5605,3 +5605,74 @@ def test_bucket_spec_evolution_and_rebucket_compaction(spark, tmp_path):
     )
     assert "Exchange" not in plan_single
     assert _tlog_bucket_rebucket(spark, root) == v3  # no-op, no commit
+
+
+def test_bucketed_stream_ingest_tracks_spec_per_batch(spark, tmp_path):
+    """r18 queue (c) machinery, pre-built in r17: streaming ingest
+    through the bucket gate. Pins: (a) commit count = bootstrap + one
+    per batch + the mid-stream evolution; (b) pre-evolution batch
+    groups carry 8-way bucket tags, post-evolution groups 16-way —
+    the writer consulted the LIVE spec at each landing, not at query
+    start; (c) the drained content equals the source's closed form;
+    (d) a re-drain with a wiped checkpoint is a byte-identical no-op
+    (batch-id idempotence through the gate)."""
+    import glob as _glob
+    import re as _re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_BKTIN_BATCH,
+        _TLOG_BKTIN_EVOLVE_AT,
+        _TLOG_BKTIN_ROWS,
+        _tlog_apply_bkt_ingest,
+        _tlog_bucket_group_specs,
+    )
+
+    root = str(tmp_path / "bktin")
+    _tlog_apply_bkt_ingest(spark, root)
+    head = _tlog_latest_version(root)
+    n_batches = _TLOG_BKTIN_ROWS // _TLOG_BKTIN_BATCH
+    assert head + 1 == 1 + n_batches + 1  # (a)
+
+    # (b) per-batch layout tracking
+    specs = _tlog_bucket_group_specs(root, head)
+    for b in range(n_batches):
+        want_n = 8 if b < _TLOG_BKTIN_EVOLVE_AT else 16
+        g = f"file_bktin_b{b}"
+        assert specs[g] == ("event_id", want_n), (g, specs[g])
+        tags = sorted(
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(root, g, "*.parquet"))
+            if (m := _re.search(r"_(\d{5})[.c\-]", os.path.basename(p)))
+        )
+        assert tags and tags[-1] < want_n
+        if want_n == 16:
+            assert tags[-1] >= 8  # 16-way routing actually used
+
+    # (c) content equals the closed form
+    rel = spark.read.parquet(*_tlog_live_files(root, head))
+    agg = rel.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.sum("event_id").alias("s"),
+    ).collect()[0]
+    n = _TLOG_BKTIN_ROWS
+    assert (agg["n"], agg["lo"], agg["hi"], agg["s"]) == (
+        n, 0, n - 1, n * (n - 1) // 2,
+    )
+
+    # (d) wiped checkpoint + wiped stamp: the re-drain replays every
+    # batch and every one is an idempotent no-op
+    mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for g in specs
+        for p in _glob.glob(os.path.join(root, g, "*.parquet"))
+    }
+    shutil.rmtree(os.path.join(root, ".ckpt"))
+    os.unlink(os.path.join(root, "_BKTIN"))
+    _tlog_apply_bkt_ingest(spark, root)
+    assert _tlog_latest_version(root) == head
+    assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
