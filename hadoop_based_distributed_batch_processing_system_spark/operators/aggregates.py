@@ -724,7 +724,7 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_gaps,
-               ROUND(AVG(gap_us), 6) AS mean_gap_us,
+               CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS mean_gap_us,
                ROUND(median(gap_us), 6) AS median_gap_us,
                ROUND(quantile_cont(gap_us, 0.95), 6) AS p95_gap_us
         FROM gaps WHERE gap_us IS NOT NULL
@@ -750,9 +750,18 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
+    # mean = exact integer SUM, ONE double division, NO round: the
+    # integer sum is exact under any accumulation order and the
+    # single division is deterministic IEEE on both engines — while
+    # both avg() (per-element double accumulation, order-sensitive)
+    # and a final ROUND(x, 6) (DuckDB's multiplies by 1e6 past 2^53
+    # at these magnitudes and corrupts ulps) re-diverge it (caught by
+    # the r17 sf0.001 cross-scale sweep)
     return gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.avg("gap_us"), 6).alias("mean_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias(
+            "mean_gap_us"
+        ),
         F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("median_gap_us"),
         F.round(F.expr("percentile(gap_us, 0.95)"), 6).alias("p95_gap_us"),
     )

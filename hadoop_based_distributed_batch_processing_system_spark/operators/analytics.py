@@ -2203,21 +2203,27 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders GROUP BY 1, 2
         ),
         tr AS (
-          SELECT month, moy, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+          SELECT month, moy, cents,
                  CASE WHEN COUNT(*) OVER w = 13
-                      THEN ROUND(CAST(2 * SUM(cents) OVER w
-                                      - FIRST_VALUE(cents) OVER w
-                                      - LAST_VALUE(cents) OVER w AS DOUBLE) / 2400.0, 4)
-                 END AS trend
+                      THEN 2 * SUM(cents) OVER w
+                           - FIRST_VALUE(cents) OVER w
+                           - LAST_VALUE(cents) OVER w
+                 END AS e
           FROM m
           WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
         ),
         si AS (
-          SELECT moy, ROUND(AVG(revenue - trend), 4) AS seasonal
-          FROM tr WHERE trend IS NOT NULL GROUP BY moy
+          SELECT moy,
+                 CAST(SUM(24 * cents - e) AS DOUBLE)
+                   / (COUNT(*) * 2400.0) AS seasonal
+          FROM tr WHERE e IS NOT NULL GROUP BY moy
         )
-        SELECT tr.month, tr.revenue, tr.trend, si.seasonal,
-               ROUND(tr.revenue - tr.trend - si.seasonal, 4) AS residual
+        SELECT tr.month,
+               CAST(tr.cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(tr.e AS DOUBLE) / 2400.0 AS trend,
+               si.seasonal,
+               CAST(tr.cents AS DOUBLE) / 100.0
+                 - CAST(tr.e AS DOUBLE) / 2400.0 - si.seasonal AS residual
         FROM tr JOIN si ON tr.moy = si.moy
     """,
     tags=("E8'", "timeseries", "decomposition"),
@@ -2238,16 +2244,18 @@ def monthly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     the calendar (allowlisted in ``operators/windows.py``
     ``UNPARTITIONED_WINDOW_ALLOWED``), not by data volume.
 
-    Determinism (the sf0.1 lesson): monthly revenue sums as EXACT
-    integer cents (decimal addition is order-insensitive; a double
-    SUM drifted ~1e-4 at sf0.1 — right at the 4-dp boundary), and
-    the 2x12 centered MA stays integer until ONE final division:
-    trend = (2*S13 - first - last) / 2400 cents — a sliding-window
-    DOUBLE sum would re-diverge because Spark slides incrementally
-    (add/subtract) while DuckDB re-sums, a different rounding path;
-    integer window sums are exact under any accumulation order. The
-    seasonal/residual stages difference identical doubles (≤8-term
-    averages, safely inside 4 dp)."""
+    Determinism (the sf0.1 lesson, completed r17 after a sf0.001
+    cross-scale sweep caught the residue): EVERYTHING displayed
+    derives from exact integers with ONE double division — monthly
+    revenue as integer cents (order-insensitive), the 2x12 centered
+    MA numerator e = 2*S13 - first - last kept integer, the seasonal
+    index as SUM(24*cents - e) over n*2400 (one division of exact
+    ints), and NO ROUND anywhere: Java's ROUND (BigDecimal shortest-
+    repr HALF_UP) and C's (true-value) disagree whenever a quotient's
+    shortest decimal lands on a 5-tie, so rounding identical doubles
+    is itself a divergence source. Identical integer inputs + one
+    IEEE division per value = bit-identical doubles on both
+    engines."""
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month"),
@@ -2261,31 +2269,32 @@ def monthly_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     tr = m.select(
         "month",
         "moy",
-        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        "cents",
         F.when(
             F.count(F.lit(1)).over(w) == 13,
-            F.round(
-                (
-                    2 * F.sum("cents").over(w)
-                    - F.first("cents").over(w)
-                    - F.last("cents").over(w)
-                ).cast("double")
-                / 2400.0,
-                4,
-            ),
-        ).alias("trend"),
+            2 * F.sum("cents").over(w)
+            - F.first("cents").over(w)
+            - F.last("cents").over(w),
+        ).alias("e"),
     )
     si = (
-        tr.filter(F.col("trend").isNotNull())
+        tr.filter(F.col("e").isNotNull())
         .groupBy("moy")
-        .agg(F.round(F.avg(F.col("revenue") - F.col("trend")), 4).alias("seasonal"))
+        .agg(
+            (
+                F.sum(24 * F.col("cents") - F.col("e")).cast("double")
+                / (F.count(F.lit(1)) * 2400.0)
+            ).alias("seasonal")
+        )
     )
+    revenue = F.col("cents").cast("double") / 100.0
+    trend = F.col("e").cast("double") / 2400.0
     return tr.join(si, "moy").select(
         "month",
-        "revenue",
-        "trend",
+        revenue.alias("revenue"),
+        trend.alias("trend"),
         "seasonal",
-        F.round(F.col("revenue") - F.col("trend") - F.col("seasonal"), 4).alias("residual"),
+        (revenue - trend - F.col("seasonal")).alias("residual"),
     )
 
 
