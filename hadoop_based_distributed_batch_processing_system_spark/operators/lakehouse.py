@@ -8612,4 +8612,122 @@ def _tlog_apply_bkt_ingest(spark: SparkSession, root: str) -> None:
         lock_fh.close()
 
 
+# --- DML on a BUCKETED table (r19 queue candidate (a), machinery -----------
+# pre-built in r17 surplus; the registry entry + oracle land with a
+# future window). Copy-on-write THROUGH the layout gate: discovery is
+# one distributed scan over the live groups (input_file_name ->
+# group, the CDC-images shape); the rewrite of every matched group is
+# staged through _tlog_bucketed_stage under the HEAD spec — so DML
+# normalizes bucket-layout debt on touched groups exactly as colmap
+# rewrites normalize rename debt ("respell-then-apply"'s layout twin)
+# — and ONE OCC commit swaps matched groups for the rewrite,
+# gate-validated. An UPDATE that moves the BUCKET KEY is safe by
+# construction: the stage re-hashes every row, so moved keys land in
+# the bucket their NEW value murmur3-routes to (an in-place file
+# rewrite would silently break co-location — the invariant the
+# pinning test checks file-by-file). A group whose every row is
+# deleted is dropped from the add set, never staged empty (the
+# ADVICE r16 empty-group lesson, carried to the bucketed path).
+
+
+def _tlog_bucket_matched_groups(
+    spark: SparkSession, root: str, head: int, pred: str
+) -> list[str]:
+    """Groups with at least one row matching ``pred`` at ``head`` —
+    one scan job over the live set, group names recovered from file
+    paths (the discovery half of bucketed DML). The collect is
+    metadata-bounded: one row per matched GROUP, never per data
+    row."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_files,
+        _tlog_relation,
+    )
+
+    live = _tlog_live_files(root, head)
+    if not live:
+        return []
+    rel = _tlog_relation(spark, live).withColumn(
+        "_g", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    return sorted(
+        r["_g"]
+        for r in rel.filter(F.expr(pred)).select("_g").distinct().collect()
+    )
+
+
+def _tlog_bucket_dml(
+    spark: SparkSession, root: str, pred: str,
+    rewrite, gname_prefix: str,
+) -> int:
+    """Shared CoW core of bucketed DELETE/UPDATE: discover matched
+    groups, apply ``rewrite`` (a DataFrame -> DataFrame callable that
+    encodes the statement's semantics) to the matched cohort, stage
+    the result under the HEAD spec through the bucket gate, and swap
+    in ONE OCC commit (read_set = the matched groups, so a racing
+    writer that touched any of them forces re-derivation). No match
+    -> no commit (head returned unchanged); empty rewrite -> a
+    remove-only commit (nothing staged)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_relation,
+    )
+
+    head = _tlog_latest_version(root)
+    spec = _tlog_bucket_spec(root, head)
+    if spec is None:
+        raise RuntimeError(
+            f"table at {root} has no bucket layout — route DML through "
+            "the plain table-log path"
+        )
+    matched = _tlog_bucket_matched_groups(spark, root, head, pred)
+    if not matched:
+        return head
+    v = head + 1
+    gname = f"file_{gname_prefix}{v}"
+    cohort = _tlog_relation(
+        spark, [os.path.join(root, g) for g in matched]
+    )
+    out = rewrite(cohort)
+    add: list[str] = []
+    if not out.isEmpty():
+        _tlog_bucketed_stage(spark, out, root, gname, spec)
+        _tlog_bucketed_commit_validate(root, [gname], spec, spec)
+        add = [gname]
+    return _tlog_commit_rebase(
+        root, add=add, remove=matched, base_version=head,
+        read_set=set(matched),
+    )
+
+
+def _tlog_bucket_delete(spark: SparkSession, root: str, pred: str) -> int:
+    """DELETE WHERE ``pred`` on a bucketed table: survivors of every
+    matched group re-staged under the head spec, untouched groups
+    untouched (mtime-pinned), data_change:true (the feed sees it)."""
+    return _tlog_bucket_dml(
+        spark, root, pred,
+        lambda df: df.filter(~F.expr(pred)), "bdel",
+    )
+
+
+def _tlog_bucket_update(
+    spark: SparkSession, root: str, pred: str, assign: dict[str, str]
+) -> int:
+    """UPDATE SET ``assign`` WHERE ``pred`` on a bucketed table:
+    matched groups rewritten whole (matching rows transformed,
+    non-matching copied), staged under the head spec. Assignments to
+    the bucket key itself are legal — the stage re-hashes, so moved
+    keys land in their new bucket and co-location survives."""
+    def _rw(df: DataFrame) -> DataFrame:
+        cols = [
+            F.when(F.expr(pred), F.expr(assign[c]))
+            .otherwise(F.col(c)).alias(c)
+            if c in assign else F.col(c)
+            for c in df.columns
+        ]
+        return df.select(*cols)
+
+    return _tlog_bucket_dml(spark, root, pred, _rw, "bupd")
+
+
 interpolate_docstrings(globals())

@@ -5676,3 +5676,172 @@ def test_bucketed_stream_ingest_tracks_spec_per_batch(spark, tmp_path):
     _tlog_apply_bkt_ingest(spark, root)
     assert _tlog_latest_version(root) == head
     assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
+
+
+def test_bucketed_dml_cow_through_the_layout_gate(spark, tmp_path):
+    """r19 queue candidate (a) machinery, pre-built in r17 surplus:
+    DELETE/UPDATE on a bucketed table as CoW through the layout gate.
+    Pins: (a) DELETE rewrites ONLY matched groups (unmatched mtimes
+    stable), survivors land bucket-tagged under the head spec, the
+    zero-Exchange plan survives, and the commit is data_change:true
+    (the feed sees it); (b) a rewrite declared under a stale spec is
+    refused at the gate; (c) an UPDATE that MOVES THE BUCKET KEY
+    re-routes every moved row to the bucket its new value
+    murmur3-routes to (checked file-by-file against pmod(hash(k), N)
+    — the invariant an in-place rewrite would break); (d) a group
+    whose every row matches a DELETE is removed WITHOUT staging an
+    empty group (add == [] in the commit); (e) after a spec
+    evolution, one DML statement on the only stale group normalizes
+    the whole table to the head spec — layout debt paid by the
+    statement itself, no re-bucket needed."""
+    import glob as _glob
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_bucket_delete,
+        _tlog_bucket_evolve,
+        _tlog_bucket_group_specs,
+        _tlog_bucket_update,
+        _tlog_bucketed_commit,
+        _tlog_bucketed_serve_mixed,
+        _tlog_bucketed_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_change_units,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    def _routing_violations(gdir: str, key: str, n: int) -> int:
+        """Rows whose file's bucket tag differs from pmod(hash(key), n)
+        — Spark's bucketed write routes through exactly that
+        expression (HashPartitioning.partitionIdExpression), so any
+        violation means the group was not re-hashed."""
+        df = (
+            spark.read.parquet(gdir)
+            .withColumn(
+                "_tag",
+                F.regexp_extract(
+                    F.input_file_name(), r"_(\d{5})\.", 1
+                ).cast("int"),
+            )
+            .withColumn("_want", F.expr(f"pmod(hash({key}), {n})"))
+        )
+        assert df.count() > 0
+        return df.filter("_tag != _want").count()
+
+    root = str(tmp_path / "bdml")
+    os.makedirs(os.path.join(root, "_log"))
+    raw = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spec8 = ("o_orderkey", 8)
+    _tlog_bucketed_stage(
+        spark, raw.filter(F.col("o_orderkey") % 2 == 0), root,
+        "file_bkt0", spec8,
+    )
+    _tlog_bucketed_commit(
+        root, ["file_bkt0"], -1, spec8,
+        partitioning={"spec_id": 0, "rule": "bucket(o_orderkey, 8)"},
+    )
+    _tlog_bucketed_stage(
+        spark, raw.filter(F.col("o_orderkey") % 2 == 1), root,
+        "file_bkt1", spec8,
+    )
+    v1 = _tlog_bucketed_commit(root, ["file_bkt1"], 0, spec8)
+
+    def _agg(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sk"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sc"
+            ),
+        ).collect()[0]
+        return (r["n"], r["sk"], r["sc"])
+
+    # (a) DELETE hits only the even group; the odd group is untouched
+    odd_mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _glob.glob(os.path.join(root, "file_bkt1", "*.parquet"))
+    }
+    v2 = _tlog_bucket_delete(spark, root, "o_orderkey % 10 = 4")
+    assert v2 == v1 + 1
+    assert odd_mtimes == {p: os.stat(p).st_mtime_ns for p in odd_mtimes}
+    c2 = json.load(open(os.path.join(root, "_log", f"{v2:06d}.json")))
+    assert c2["remove"] == ["file_bkt0"] and c2["add"] == [f"file_bdel{v2}"]
+    assert _tlog_change_units(root, v2)  # data_change: the feed sees it
+    assert _routing_violations(
+        os.path.join(root, f"file_bdel{v2}"), "o_orderkey", 8
+    ) == 0
+    expect = raw.filter("o_orderkey % 10 != 4")
+    ddl = "o_orderkey BIGINT, o_totalprice DOUBLE"
+    served = _tlog_bucketed_serve_mixed(spark, root, "hbdbps_bdml_t", ddl)
+    assert _agg(served) == _agg(expect)
+    plan = physical_plan(
+        served.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in plan  # single head-spec cohort survived DML
+
+    # (b) a rewrite declared under a stale spec is refused at the gate
+    with pytest.raises(RuntimeError, match="bucketing spec violation"):
+        _tlog_bucketed_commit(root, ["file_x"], v2, ("o_orderkey", 4))
+
+    # (c) UPDATE moves the bucket key: re-hash lands moved rows right
+    shift = 5_000_000
+    v3 = _tlog_bucket_update(
+        spark, root, "o_orderkey % 10 = 2",
+        {"o_orderkey": f"o_orderkey + {shift}"},
+    )
+    assert v3 == v2 + 1
+    assert odd_mtimes == {p: os.stat(p).st_mtime_ns for p in odd_mtimes}
+    assert _routing_violations(
+        os.path.join(root, f"file_bupd{v3}"), "o_orderkey", 8
+    ) == 0
+    moved = spark.read.parquet(os.path.join(root, f"file_bupd{v3}")).filter(
+        F.col("o_orderkey") >= shift
+    )
+    assert moved.count() == expect.filter("o_orderkey % 10 = 2").count() > 0
+    expect = expect.withColumn(
+        "o_orderkey",
+        F.when(
+            F.expr("o_orderkey % 10 = 2"), F.col("o_orderkey") + shift
+        ).otherwise(F.col("o_orderkey")),
+    )
+    served = _tlog_bucketed_serve_mixed(spark, root, "hbdbps_bdml_t", ddl)
+    assert _agg(served) == _agg(expect)
+
+    # (d) DELETE that empties a whole group: removed, nothing staged
+    v4 = _tlog_bucket_delete(spark, root, "o_orderkey % 2 = 1")
+    c4 = json.load(open(os.path.join(root, "_log", f"{v4:06d}.json")))
+    assert c4["remove"] == ["file_bkt1"] and c4["add"] == []
+    assert "file_bkt1" not in {
+        os.path.basename(p) for p in _tlog_live_files(root, v4)
+    }
+    expect = expect.filter("o_orderkey % 2 = 0")
+
+    # no-op DML: nothing matches, no commit
+    assert _tlog_bucket_delete(spark, root, "o_orderkey < 0") == v4
+
+    # (e) evolve the spec, then let ONE statement pay the layout debt
+    v5 = _tlog_bucket_evolve(root, "o_orderkey", 16)
+    v6 = _tlog_bucket_delete(spark, root, "o_orderkey % 10 = 6")
+    assert v6 == v5 + 1
+    specs = _tlog_bucket_group_specs(root, v6)
+    assert specs == {f"file_bdel{v6}": ("o_orderkey", 16)}
+    assert _routing_violations(
+        os.path.join(root, f"file_bdel{v6}"), "o_orderkey", 16
+    ) == 0
+    expect = expect.filter("o_orderkey % 10 != 6")
+    served = _tlog_bucketed_serve_mixed(spark, root, "hbdbps_bdml_t", ddl)
+    assert _agg(served) == _agg(expect)
+    plan = physical_plan(
+        served.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in plan  # 16-way single cohort, debt paid
