@@ -8730,4 +8730,82 @@ def _tlog_bucket_update(
     return _tlog_bucket_dml(spark, root, pred, _rw, "bupd")
 
 
+def _tlog_bucket_merge(
+    spark: SparkSession, root: str, updates: DataFrame,
+    inserts: DataFrame | None = None,
+) -> int:
+    """MERGE INTO a bucketed table — the last DML verb through the
+    layout gate. ``updates``' FIRST column is the match key (its
+    remaining columns overwrite same-named target columns on matched
+    rows); ``inserts`` carries not-matched rows in the target schema.
+    Discovery is one scan + broadcast semi-join (the source's key set
+    is the small side by construction — a MERGE source dwarfed by the
+    fact table is the 100 TB shape); matched groups rewrite with the
+    update applied, inserts hash-route into the SAME staged group, so
+    upserted rows are co-located with the survivors from day one; ONE
+    OCC commit swaps matched groups for the merged group. No matches
+    and no inserts -> no commit."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_files,
+        _tlog_relation,
+    )
+
+    head = _tlog_latest_version(root)
+    spec = _tlog_bucket_spec(root, head)
+    if spec is None:
+        raise RuntimeError(
+            f"table at {root} has no bucket layout — route MERGE through "
+            "the plain table-log path"
+        )
+    key, vcols = updates.columns[0], updates.columns[1:]
+    live = _tlog_live_files(root, head)
+    rel = _tlog_relation(spark, live).withColumn(
+        "_g", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+    )
+    matched = sorted(
+        r["_g"]
+        for r in rel.join(
+            F.broadcast(updates.select(key)), key, "left_semi"
+        ).select("_g").distinct().collect()
+    )
+    parts: list[DataFrame] = []
+    if matched:
+        cohort = _tlog_relation(
+            spark, [os.path.join(root, g) for g in matched]
+        )
+        src = updates.select(
+            F.col(key).alias("_mk"),
+            *[F.col(c).alias(f"_u_{c}") for c in vcols],
+        )
+        parts.append(
+            cohort.join(
+                F.broadcast(src), cohort[key] == F.col("_mk"), "left"
+            ).select(
+                *[
+                    F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+                    if c in vcols else F.col(c)
+                    for c in cohort.columns
+                ]
+            )
+        )
+    if inserts is not None and not inserts.isEmpty():
+        tcols = parts[0].columns if parts else None
+        parts.append(inserts.select(*tcols) if tcols else inserts)
+    if not parts:
+        return head
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    v = head + 1
+    gname = f"file_bmrg{v}"
+    _tlog_bucketed_stage(spark, out, root, gname, spec)
+    _tlog_bucketed_commit_validate(root, [gname], spec, spec)
+    return _tlog_commit_rebase(
+        root, add=[gname], remove=matched, base_version=head,
+        read_set=set(matched),
+    )
+
+
 interpolate_docstrings(globals())

@@ -5845,3 +5845,122 @@ def test_bucketed_dml_cow_through_the_layout_gate(spark, tmp_path):
         served.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     )
     assert "Exchange" not in plan  # 16-way single cohort, debt paid
+
+
+def test_bucketed_merge_colocates_upserts(spark, tmp_path):
+    """r19 queue candidate machinery (with DELETE/UPDATE above —
+    the full DML grid through the layout gate): MERGE INTO a bucketed
+    table. Pins: (a) discovery touches only groups holding matched
+    keys (the unmatched group's mtimes stable); (b) matched rows take
+    the source's values, not-matched source rows INSERT, and both
+    hash-route into ONE staged group (co-located from day one,
+    routing checked file-by-file); (c) content equals a raw
+    recompute and the zero-Exchange plan survives the upsert; (d) a
+    source with no matching keys commits insert-only (remove == []);
+    (e) an empty merge is a no-op without a commit."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_bucket_merge,
+        _tlog_bucketed_commit,
+        _tlog_bucketed_serve_mixed,
+        _tlog_bucketed_stage,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    root = str(tmp_path / "bmrg")
+    os.makedirs(os.path.join(root, "_log"))
+    raw = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spec8 = ("o_orderkey", 8)
+    _tlog_bucketed_stage(
+        spark, raw.filter(F.col("o_orderkey") % 2 == 0), root,
+        "file_bkt0", spec8,
+    )
+    _tlog_bucketed_commit(
+        root, ["file_bkt0"], -1, spec8,
+        partitioning={"spec_id": 0, "rule": "bucket(o_orderkey, 8)"},
+    )
+    _tlog_bucketed_stage(
+        spark, raw.filter(F.col("o_orderkey") % 2 == 1), root,
+        "file_bkt1", spec8,
+    )
+    v1 = _tlog_bucketed_commit(root, ["file_bkt1"], 0, spec8)
+
+    def _agg(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sk"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sc"
+            ),
+        ).collect()[0]
+        return (r["n"], r["sk"], r["sc"])
+
+    # (a)+(b)+(c) band %10=3 is odd-only: matched group is file_bkt1
+    even_mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _glob.glob(os.path.join(root, "file_bkt0", "*.parquet"))
+    }
+    band = raw.filter("o_orderkey % 10 = 3")
+    updates = band.select(
+        "o_orderkey", (F.col("o_totalprice") + 2.5).alias("o_totalprice")
+    )
+    inserts = band.select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        (F.col("o_totalprice") + 0.25).alias("o_totalprice"),
+    )
+    v2 = _tlog_bucket_merge(spark, root, updates, inserts)
+    assert v2 == v1 + 1
+    assert even_mtimes == {p: os.stat(p).st_mtime_ns for p in even_mtimes}
+    c2 = json.load(open(os.path.join(root, "_log", f"{v2:06d}.json")))
+    assert c2["remove"] == ["file_bkt1"] and c2["add"] == [f"file_bmrg{v2}"]
+    merged_dir = os.path.join(root, f"file_bmrg{v2}")
+    routed = (
+        spark.read.parquet(merged_dir)
+        .withColumn(
+            "_tag",
+            F.regexp_extract(F.input_file_name(), r"_(\d{5})\.", 1).cast(
+                "int"
+            ),
+        )
+        .withColumn("_want", F.expr("pmod(hash(o_orderkey), 8)"))
+    )
+    assert routed.filter("_tag != _want").count() == 0
+    assert routed.filter("o_orderkey < 0").count() == band.count() > 0
+    expect = raw.withColumn(
+        "o_totalprice",
+        F.when(
+            F.expr("o_orderkey % 10 = 3"), F.col("o_totalprice") + 2.5
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(inserts)
+    ddl = "o_orderkey BIGINT, o_totalprice DOUBLE"
+    served = _tlog_bucketed_serve_mixed(spark, root, "hbdbps_bmrg_t", ddl)
+    assert _agg(served) == _agg(expect)
+    plan = physical_plan(
+        served.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in plan
+
+    # (d) no key matches: insert-only commit, nothing removed
+    far = raw.limit(5).select(
+        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    v3 = _tlog_bucket_merge(spark, root, far.limit(0), far)
+    c3 = json.load(open(os.path.join(root, "_log", f"{v3:06d}.json")))
+    assert c3["remove"] == [] and c3["add"] == [f"file_bmrg{v3}"]
+    expect = expect.unionByName(far)
+    served = _tlog_bucketed_serve_mixed(spark, root, "hbdbps_bmrg_t", ddl)
+    assert _agg(served) == _agg(expect)
+
+    # (e) empty merge: no commit
+    assert _tlog_bucket_merge(spark, root, far.limit(0), far.limit(0)) == v3
