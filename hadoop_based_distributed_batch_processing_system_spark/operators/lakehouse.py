@@ -8099,6 +8099,17 @@ def _tlog_bucketed_serve(
     adapter bridges log -> catalog with one HARD LINK per live data
     file (zero bytes copied, O(files) metadata) into a per-version
     serve directory, then a CLUSTERED BY external table over it.
+
+    Point lookups: an equality filter on the bucket key prunes to
+    ONE bucket (``SelectedBucketsCount: 1 out of N`` — reading 1/N of
+    the table), but only while the scan is actually bucketed —
+    Spark's DisableUnnecessaryBucketedScan rule considers only
+    distribution requirements, not pruning opportunity, so a bare
+    lookup (no join/agg above it) gets its bucketed scan auto-
+    disabled and the pruning forfeited. Scope
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+    around lookup-shaped queries to keep it (pinned by
+    ``test_bucketed_serve_point_lookup_prunes_buckets``).
     Snapshot immutability makes both idempotent and race-safe: the
     serve dir is built under a temp name and renamed in (first
     builder wins), and the catalog entry is version-keyed."""

@@ -5964,3 +5964,49 @@ def test_bucketed_merge_colocates_upserts(spark, tmp_path):
 
     # (e) empty merge: no commit
     assert _tlog_bucket_merge(spark, root, far.limit(0), far.limit(0)) == v3
+
+
+def test_bucketed_serve_point_lookup_prunes_buckets(spark):
+    """Bucket PRUNING on the served log table — the point-lookup
+    economics at 100 TB (read 1/N of the table for an equality on
+    the bucket key). Pins the planner nuance the serve docstring
+    documents: DisableUnnecessaryBucketedScan considers only
+    distribution requirements, so a bare lookup loses its bucketed
+    scan (and with it the pruning) under the default conf; scoping
+    autoBucketedScan off restores ``SelectedBucketsCount: 1 out of
+    8`` with identical results."""
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_apply_bkt,
+        _tlog_bucketed_serve,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    o_root, _ = _tlog_apply_bkt(spark, SF_SMOKE)
+    o = _tlog_bucketed_serve(
+        spark, o_root, "hbdbps_bkt_prune",
+        "o_orderkey BIGINT, o_orderpriority STRING",
+    )
+    key = load_table(spark, SF_SMOKE, "orders").agg(
+        F.max("o_orderkey")
+    ).collect()[0][0]
+    lookup = o.filter(F.col("o_orderkey") == key)
+
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        plan = physical_plan(lookup)
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert [r["o_orderkey"] for r in lookup.collect()] == [key]
+    finally:
+        spark.conf.set(conf, prev)
+    # default conf: same answer (pruning is a cost optimization,
+    # never a correctness dependency)
+    assert [r["o_orderkey"] for r in lookup.collect()] == [key]
