@@ -8022,6 +8022,8 @@ def _tlog_bucketed_commit(
     root: str, add: list[str], base_version: int,
     declared: tuple[str, int] | None,
     partitioning: dict | None = None,
+    colphys: dict[str, dict] | None = None,
+    column_mapping: dict | None = None,
 ) -> int:
     """COMMIT gate for a bucketed table — the refusal the spec entry
     exists for: a table whose live layout is bucket(key, N) accepts a
@@ -8048,7 +8050,8 @@ def _tlog_bucketed_commit(
         _tlog_bucketed_commit_validate(root, add, declared, live)
     return _tlog_commit_rebase(
         root, add=add, remove=[], base_version=base_version,
-        read_set=set(), partitioning=partitioning,
+        read_set=set(), partitioning=partitioning, colphys=colphys,
+        column_mapping=column_mapping,
     )
 
 
@@ -8816,6 +8819,256 @@ def _tlog_bucket_merge(
     return _tlog_commit_rebase(
         root, add=[gname], remove=matched, base_version=head,
         read_set=set(matched),
+    )
+
+
+# --- Bucket key RENAME under COLUMN MAPPING (r19 queue candidate ----------
+# (b), machinery pre-built in r17 surplus; unregistered). The
+# partitioning rule spells the bucket key LOGICALLY; a rename of that
+# column therefore commits the column_mapping update and the rule
+# re-spelling in ONE atomic commit — same spec_id, because a rename
+# is a re-spelling of the same source field, not spec evolution
+# (Iceberg binds specs by field id; the rule's display name follows
+# the rename). Zero rows move: murmur3 routing is value-based, so
+# every pre-rename file keeps serving its buckets. The mapped serve
+# cohorts live groups by (physical binding, written spec), builds one
+# bucketed catalog table per cohort CLUSTERED BY the cohort's OWN
+# physical spelling, and aliases physical -> logical by field id —
+# Spark's alias-aware output partitioning carries the bucketed
+# distribution through the rename projection, so zero-Exchange plans
+# hold ON THE NEW NAME over the OLD bytes (probed and pinned) — and
+# stronger: a MIXED-spelling snapshot stays exchange-free too,
+# because murmur3 routing is value-based and Spark unions same-N
+# bucketed scans co-partitioned (verified against overlapping keys
+# across cohorts: no duplicate groups in the final AQE plan, no
+# Exchange). The spelling axis is free where the bucket-COUNT axis
+# (spec evolution) degrades; the respell compaction
+# (dataChange:false) still exists to normalize rename debt — one
+# binding signature for future schema ops — not to restore a plan.
+
+
+def _tlog_bucket_key_rename(root: str, new_name: str) -> int:
+    """Rename the bucket key column: ONE metadata commit carrying the
+    mapping update AND the partitioning re-spelling (atomic by
+    construction — both live in the same commit JSON). Requires an
+    active column mapping (a spelling without field ids under it
+    cannot be renamed safely)."""
+    import json
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_colmap,
+    )
+
+    base = _tlog_latest_version(root)
+    spec = _tlog_bucket_spec(root, base)
+    if spec is None:
+        raise RuntimeError(f"table at {root} has no bucket layout")
+    cmap = _tlog_live_colmap(root, base)
+    if cmap is None:
+        raise RuntimeError(
+            f"table at {root} has no column mapping — enable mapping "
+            "before renaming the bucket key"
+        )
+    key, n = spec
+    fields = [dict(f) for f in cmap["fields"]]
+    fld = next((f for f in fields if f["name"] == key), None)
+    if fld is None:
+        raise RuntimeError(
+            f"bucket key {key} is not a mapped field at {root}"
+        )
+    fld["name"] = new_name
+    spec_id = 0
+    logd = os.path.join(root, "_log")
+    for v in range(base + 1):
+        c = json.load(open(os.path.join(logd, f"{v:06d}.json")))
+        if c.get("partitioning"):
+            spec_id = max(spec_id, int(c["partitioning"].get("spec_id", 0)))
+    return _tlog_commit_rebase(
+        root, add=[], remove=[], base_version=base, read_set=set(),
+        data_change=False,
+        column_mapping={"fields": fields},
+        partitioning={"spec_id": spec_id, "rule": f"bucket({new_name}, {n})"},
+    )
+
+
+def _tlog_bucket_mapped_cohorts(
+    root: str, head: int
+) -> list[tuple[dict, tuple[str, int], list[str]]]:
+    """Live groups cohorted by (physical binding, written spec) — the
+    two axes a mapped bucketed serve must respect. Returns
+    [(binding, written_spec, paths)] sorted deterministically; raises
+    the bootstrap error on an unbound live group (mapping active)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_live_files,
+        _tlog_replay_map,
+    )
+
+    phys = _tlog_replay_map(root, head, "colphys")
+    specs = _tlog_bucket_group_specs(root, head)
+    cohorts: dict[tuple, tuple[dict, tuple[str, int], list[str]]] = {}
+    for p in _tlog_live_files(root, head):
+        g = os.path.basename(p)
+        binding = _tlog_colmap_binding(phys, g)
+        wspec = specs.get(g)
+        if wspec is None:
+            raise RuntimeError(
+                f"group {g} at {root} has no bucket layout — a bucketed "
+                "serve cannot place it"
+            )
+        k = (tuple(sorted(binding.items())), wspec)
+        if k not in cohorts:
+            cohorts[k] = (binding, wspec, [])
+        cohorts[k][2].append(p)
+    return [cohorts[k] for k in sorted(cohorts)]
+
+
+def _tlog_bucketed_serve_mapped(
+    spark: SparkSession, root: str, alias: str, logical_ddl: str
+) -> DataFrame:
+    """Serve a COLUMN-MAPPED bucketed snapshot: one bucketed catalog
+    table per (binding, written-spec) cohort — hard-link bridge,
+    physical DDL translated from ``logical_ddl`` by field id,
+    CLUSTERED BY the cohort's own key spelling — then physical ->
+    logical aliasing and a union. Alias-aware output partitioning
+    keeps each cohort's bucketed distribution visible under the
+    LOGICAL name, and same-N cohorts union co-partitioned — so
+    zero-Exchange plans survive a rename with zero bytes moved EVEN
+    on mixed-spelling snapshots (value-based murmur3 routing doesn't
+    care what the column is called). Only a bucket-COUNT mismatch
+    across cohorts (spec evolution) reintroduces the shuffle."""
+    import glob
+    import re
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_latest_version,
+        _tlog_live_colmap,
+    )
+
+    head = _tlog_latest_version(root)
+    spec = _tlog_bucket_spec(root, head)
+    cmap = _tlog_live_colmap(root, head)
+    if spec is None or cmap is None:
+        raise RuntimeError(
+            f"table at {root} needs both a bucket layout and a column "
+            "mapping for the mapped bucketed serve"
+        )
+    key, _n = spec
+    # logical_ddl: "name TYPE" pairs in logical (head) spelling
+    ddl_types = {}
+    order = []
+    for entry in logical_ddl.split(","):
+        name, typ = entry.strip().split(None, 1)
+        ddl_types[name] = typ
+        order.append(name)
+    name_to_fid = {f["name"]: str(f["id"]) for f in cmap["fields"]}
+    key_fid = name_to_fid[key]
+    cohorts = _tlog_bucket_mapped_cohorts(root, head)
+    for entry in os.listdir(root):
+        m = re.fullmatch(r"_serve_v(\d+)(?:_[mn]\d+)?", entry)
+        if m and int(m.group(1)) < head:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    parts = []
+    for idx, (binding, (wkey, wn), paths) in enumerate(cohorts):
+        serve = os.path.join(root, f"_serve_v{head}_m{idx}")
+        if not os.path.isdir(serve):
+            tmp = f"{serve}.tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            for p in paths:
+                for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
+                    os.link(f, os.path.join(tmp, os.path.basename(f)))
+            try:
+                os.rename(tmp, serve)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        phys_cols = []
+        sel = []
+        for name in order:
+            fid = name_to_fid[name]
+            pname = binding.get(fid)
+            if pname is not None:
+                phys_cols.append(f"{pname} {ddl_types[name]}")
+                sel.append(F.col(pname).alias(name))
+            else:
+                # field added after this cohort was written
+                sel.append(
+                    F.lit(None).cast(ddl_types[name]).alias(name)
+                )
+        pkey = binding[key_fid]
+        assert pkey == wkey, (
+            f"cohort written under bucket({wkey}) but field {key_fid} "
+            f"binds {pkey} — the rename commit must re-spell the rule"
+        )
+        tname = f"{alias}_v{head}_m{idx}"
+        if not spark.catalog.tableExists(tname):
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tname} "
+                f"({', '.join(phys_cols)}) USING parquet "
+                f"CLUSTERED BY ({pkey}) SORTED BY ({pkey}) "
+                f"INTO {wn} BUCKETS LOCATION '{serve}'"
+            )
+        parts.append(spark.table(tname).select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _tlog_bucket_respell(spark: SparkSession, root: str) -> int:
+    """RESPELL COMPACTION for the mapped bucketed table: fold every
+    cohort whose physical binding OR written spec differs from the
+    head into ONE head-spelled, head-spec group (dataChange:false —
+    live content identical, feed consumers skip it). The bucketed
+    twin of colmap OPTIMIZE: every rewritten byte pays down rename
+    debt AND layout debt in the same pass — one binding signature and
+    one written spec for future schema ops, and across a bucket-COUNT
+    evolution it is what restores the zero-Exchange plan (same-N
+    spelling mixes never lost it). No stale cohort -> no commit."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_colmap,
+        _tlog_relation,
+    )
+
+    head = _tlog_latest_version(root)
+    spec = _tlog_bucket_spec(root, head)
+    cmap = _tlog_live_colmap(root, head)
+    if spec is None or cmap is None:
+        raise RuntimeError(
+            f"table at {root} needs both a bucket layout and a column "
+            "mapping for the respell compaction"
+        )
+    head_binding = {str(f["id"]): f["name"] for f in cmap["fields"]}
+    stale: list[str] = []
+    parts: list[DataFrame] = []
+    for binding, wspec, paths in _tlog_bucket_mapped_cohorts(root, head):
+        if binding == head_binding and wspec == spec:
+            continue
+        stale.extend(os.path.basename(p) for p in paths)
+        sel = [
+            F.col(pname).alias(f["name"])
+            if (pname := binding.get(str(f["id"]))) is not None
+            else F.lit(None).alias(f["name"])
+            for f in cmap["fields"]
+        ]
+        parts.append(_tlog_relation(spark, sorted(paths)).select(*sel))
+    if not parts:
+        return head
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    v = head + 1
+    gname = f"file_rsp{v}"
+    _tlog_bucketed_stage(spark, out, root, gname, spec)
+    _tlog_bucketed_commit_validate(root, [gname], spec, spec)
+    return _tlog_commit_rebase(
+        root, add=[gname], remove=sorted(stale), base_version=head,
+        read_set=set(stale), data_change=False,
+        colphys={gname: head_binding},
     )
 
 

@@ -6010,3 +6010,162 @@ def test_bucketed_serve_point_lookup_prunes_buckets(spark):
     # default conf: same answer (pruning is a cost optimization,
     # never a correctness dependency)
     assert [r["o_orderkey"] for r in lookup.collect()] == [key]
+
+
+def test_bucket_key_rename_under_column_mapping(spark, tmp_path):
+    """r19 queue candidate (b) machinery, pre-built in r17 surplus:
+    the bucketed layout composed with column mapping. Pins: (a) the
+    rename is ONE atomic metadata commit (mapping update + rule
+    re-spelling, same spec_id, no file moved, no change units); (b)
+    post-rename the gate holds writers to the re-spelled spec; (c) a
+    single-cohort snapshot keeps its ZERO-Exchange plans on the NEW
+    logical name over the OLD bytes (alias-aware output partitioning
+    — zero rows moved by the rename); (d) a post-rename append lands
+    head-spelled and even the MIXED-spelling snapshot stays
+    exchange-free (murmur3 routing is value-based; Spark unions
+    same-N bucketed scans co-partitioned — final AQE plan verified
+    correct against overlapping keys in the probe) while content
+    stays exact under the logical schema, agreeing with the generic
+    mapped read; (e) the respell compaction folds ONLY the stale
+    cohort dataChange:false, binds the fold group to the head
+    spelling (one binding signature for future schema ops), keeps
+    zero-Exchange, and re-running is a no-op."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_bucket_group_specs,
+        _tlog_bucket_key_rename,
+        _tlog_bucket_respell,
+        _tlog_bucketed_commit,
+        _tlog_bucketed_serve_mapped,
+        _tlog_bucketed_stage,
+        _tlog_colmap_read,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_change_units,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    root = str(tmp_path / "bkcm")
+    os.makedirs(os.path.join(root, "_log"))
+    raw = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spec_old = ("o_orderkey", 8)
+    binding_old = {"1": "o_orderkey", "2": "o_totalprice"}
+    fields_old = [
+        {"id": 1, "name": "o_orderkey"},
+        {"id": 2, "name": "o_totalprice"},
+    ]
+    _tlog_bucketed_stage(
+        spark, raw.filter(F.col("o_orderkey") % 2 == 0), root,
+        "file_bktA", spec_old,
+    )
+    _tlog_bucketed_commit(
+        root, ["file_bktA"], -1, spec_old,
+        partitioning={"spec_id": 0, "rule": "bucket(o_orderkey, 8)"},
+        column_mapping={"fields": fields_old},
+        colphys={"file_bktA": binding_old},
+    )
+    _tlog_bucketed_stage(
+        spark, raw.filter(F.col("o_orderkey") % 2 == 1), root,
+        "file_bktB", spec_old,
+    )
+    v1 = _tlog_bucketed_commit(
+        root, ["file_bktB"], 0, spec_old,
+        colphys={"file_bktB": binding_old},
+    )
+
+    def _agg(df, key):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(key).cast("long").alias("sk"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sc"
+            ),
+        ).collect()[0]
+        return (r["n"], r["sk"], r["sc"])
+
+    # (a) rename o_orderkey -> order_id: one atomic metadata commit
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_bucket_spec,
+    )
+
+    mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for g in ("file_bktA", "file_bktB")
+        for p in _glob.glob(os.path.join(root, g, "*.parquet"))
+    }
+    v2 = _tlog_bucket_key_rename(root, "order_id")
+    assert v2 == v1 + 1
+    assert _tlog_bucket_spec(root, v2) == ("order_id", 8)
+    c2 = json.load(open(os.path.join(root, "_log", f"{v2:06d}.json")))
+    assert c2["partitioning"]["spec_id"] == 0  # re-spelling, not evolution
+    assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
+    assert _tlog_change_units(root, v2) == []
+
+    # (b) the gate now speaks the new spelling
+    with pytest.raises(RuntimeError, match="bucketing spec violation"):
+        _tlog_bucketed_commit(root, ["file_x"], v2, spec_old)
+
+    # (c) zero-Exchange on the NEW name over the OLD bytes
+    ddl = "order_id BIGINT, o_totalprice DOUBLE"
+    served = _tlog_bucketed_serve_mapped(spark, root, "hbdbps_bkcm_t", ddl)
+    assert served.columns == ["order_id", "o_totalprice"]
+    expect = raw.withColumnRenamed("o_orderkey", "order_id")
+    assert _agg(served, "order_id") == _agg(expect, "order_id")
+    plan = physical_plan(
+        served.groupBy("order_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in plan
+
+    # (d) post-rename append: head-spelled; mixed snapshot degrades
+    spec_new = ("order_id", 8)
+    band = raw.filter("o_orderkey % 10 = 7").select(
+        (-F.col("o_orderkey")).alias("order_id"), "o_totalprice"
+    )
+    _tlog_bucketed_stage(spark, band, root, "file_bktC", spec_new)
+    v3 = _tlog_bucketed_commit(
+        root, ["file_bktC"], v2, spec_new,
+        colphys={"file_bktC": {"1": "order_id", "2": "o_totalprice"}},
+    )
+    assert _tlog_bucket_group_specs(root, v3)["file_bktC"] == spec_new
+    served = _tlog_bucketed_serve_mapped(spark, root, "hbdbps_bkcm_t", ddl)
+    expect = expect.unionByName(band)
+    assert _agg(served, "order_id") == _agg(expect, "order_id")
+    plan = physical_plan(
+        served.groupBy("order_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the spelling axis is FREE: same-N cohorts union co-partitioned,
+    # so even the mixed-spelling snapshot never pays the shuffle
+    assert "Exchange" not in plan
+    # cross-machinery agreement with the generic mapped read
+    assert _agg(
+        _tlog_colmap_read(spark, root, v3), "order_id"
+    ) == _agg(expect, "order_id")
+
+    # (e) respell compaction: stale cohort folds, zero-Exchange back
+    c_mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _glob.glob(os.path.join(root, "file_bktC", "*.parquet"))
+    }
+    v4 = _tlog_bucket_respell(spark, root)
+    assert v4 == v3 + 1
+    assert _tlog_change_units(root, v4) == []  # content identical
+    assert c_mtimes == {p: os.stat(p).st_mtime_ns for p in c_mtimes}
+    live = {os.path.basename(p) for p in _tlog_live_files(root, v4)}
+    assert live == {"file_bktC", f"file_rsp{v4}"}
+    served = _tlog_bucketed_serve_mapped(spark, root, "hbdbps_bkcm_t", ddl)
+    assert _agg(served, "order_id") == _agg(expect, "order_id")
+    plan = physical_plan(
+        served.groupBy("order_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in plan
+    assert _tlog_bucket_respell(spark, root) == v4  # no-op
