@@ -9072,4 +9072,81 @@ def _tlog_bucket_respell(spark: SparkSession, root: str) -> int:
     )
 
 
+def _tlog_bucket_colmap_delete(
+    spark: SparkSession, root: str, logical_pred: str
+) -> int:
+    """DELETE WHERE <logical predicate> on a MAPPED bucketed table —
+    the triangle of bucketing x column mapping x DML. Discovery
+    translates the predicate into each cohort's physical spelling
+    (``_tlog_colmap_translate``, one scan per binding signature);
+    matched groups' survivors are RE-SPELLED TO THE HEAD NAMES FIRST
+    and the logical predicate applied on top (the respell-then-apply
+    rule shared with the colmap DML grid), staged under the head
+    spec with the head binding — so one statement pays rename debt
+    AND layout debt for every byte it touches; groups whose cohort
+    matched but whose own rows didn't are left untouched, and a
+    group deleted whole is never staged empty. ONE OCC commit,
+    data_change:true."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_colmap,
+        _tlog_relation,
+    )
+
+    head = _tlog_latest_version(root)
+    spec = _tlog_bucket_spec(root, head)
+    cmap = _tlog_live_colmap(root, head)
+    if spec is None or cmap is None:
+        raise RuntimeError(
+            f"table at {root} needs both a bucket layout and a column "
+            "mapping for the mapped bucketed DELETE"
+        )
+    fields = cmap["fields"]
+    matched: list[str] = []
+    parts: list[DataFrame] = []
+    for binding, _wspec, paths in _tlog_bucket_mapped_cohorts(root, head):
+        ppred = _tlog_colmap_translate(logical_pred, fields, binding)
+        rel = _tlog_relation(spark, sorted(paths)).withColumn(
+            "_g", F.regexp_extract(F.input_file_name(), _TLOG_FILE_RE, 1)
+        )
+        hit = sorted(
+            r["_g"]
+            for r in rel.filter(F.expr(ppred)).select("_g").distinct().collect()
+        )
+        if not hit:
+            continue
+        matched.extend(hit)
+        cohort = _tlog_relation(
+            spark, [os.path.join(root, g) for g in hit]
+        )
+        respelled = cohort.select(
+            *[
+                F.col(pname).alias(f["name"])
+                if (pname := binding.get(str(f["id"]))) is not None
+                else F.lit(None).alias(f["name"])
+                for f in fields
+            ]
+        )
+        parts.append(respelled.filter(~F.expr(logical_pred)))
+    if not matched:
+        return head
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    v = head + 1
+    gname = f"file_bcd{v}"
+    add: list[str] = []
+    colphys = None
+    if not out.isEmpty():
+        _tlog_bucketed_stage(spark, out, root, gname, spec)
+        _tlog_bucketed_commit_validate(root, [gname], spec, spec)
+        add = [gname]
+        colphys = {gname: {str(f["id"]): f["name"] for f in fields}}
+    return _tlog_commit_rebase(
+        root, add=add, remove=sorted(matched), base_version=head,
+        read_set=set(matched), colphys=colphys,
+    )
+
+
 interpolate_docstrings(globals())

@@ -6169,3 +6169,144 @@ def test_bucket_key_rename_under_column_mapping(spark, tmp_path):
     )
     assert "Exchange" not in plan
     assert _tlog_bucket_respell(spark, root) == v4  # no-op
+
+
+def test_bucketed_colmap_delete_respells_then_applies(spark, tmp_path):
+    """The bucketing x column-mapping x DML triangle (r19 pre-build):
+    DELETE on a mapped bucketed table with a LOGICAL predicate that
+    dooms rows in BOTH spellings' cohorts in one statement. Pins:
+    (a) the predicate translates per cohort (asserted verbatim for
+    the pre-rename spelling); (b) a group whose cohort matched but
+    whose own rows didn't stays untouched; (c) survivors restage
+    HEAD-spelled under the head spec (respell-then-apply — the new
+    group's binding is the head binding, its routing murmur3-exact on
+    the logical key); (d) a group deleted whole is removed without an
+    empty stage, in the same statement; (e) content stays exact under
+    the logical schema and the post-DML mixed-spelling snapshot keeps
+    the zero-Exchange plan (the free spelling axis, now after DML)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _tlog_bucket_colmap_delete,
+        _tlog_bucket_key_rename,
+        _tlog_bucketed_commit,
+        _tlog_bucketed_serve_mapped,
+        _tlog_bucketed_stage,
+        _tlog_colmap_translate,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+        load_table,
+    )
+
+    root = str(tmp_path / "bcd")
+    os.makedirs(os.path.join(root, "_log"))
+    raw = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spec_old = ("o_orderkey", 8)
+    binding_old = {"1": "o_orderkey", "2": "o_totalprice"}
+    fields_old = [
+        {"id": 1, "name": "o_orderkey"},
+        {"id": 2, "name": "o_totalprice"},
+    ]
+    _tlog_bucketed_stage(
+        spark, raw.filter(F.col("o_orderkey") % 2 == 0), root,
+        "file_bktA", spec_old,
+    )
+    _tlog_bucketed_commit(
+        root, ["file_bktA"], -1, spec_old,
+        partitioning={"spec_id": 0, "rule": "bucket(o_orderkey, 8)"},
+        column_mapping={"fields": fields_old},
+        colphys={"file_bktA": binding_old},
+    )
+    _tlog_bucketed_stage(
+        spark, raw.filter(F.col("o_orderkey") % 2 == 1), root,
+        "file_bktB", spec_old,
+    )
+    v1 = _tlog_bucketed_commit(
+        root, ["file_bktB"], 0, spec_old,
+        colphys={"file_bktB": binding_old},
+    )
+    v2 = _tlog_bucket_key_rename(root, "order_id")
+    band = raw.filter("o_orderkey % 10 = 7").select(
+        (-F.col("o_orderkey")).alias("order_id"), "o_totalprice"
+    )
+    _tlog_bucketed_stage(spark, band, root, "file_bktC", ("order_id", 8))
+    v3 = _tlog_bucketed_commit(
+        root, ["file_bktC"], v2, ("order_id", 8),
+        colphys={"file_bktC": {"1": "order_id", "2": "o_totalprice"}},
+    )
+
+    # (a) per-cohort translation, asserted verbatim
+    fields_new = [
+        {"id": 1, "name": "order_id"},
+        {"id": 2, "name": "o_totalprice"},
+    ]
+    pred = "order_id % 10 = 4 OR order_id % 10 = -7"
+    assert _tlog_colmap_translate(pred, fields_new, binding_old) == (
+        "o_orderkey % 10 = 4 OR o_orderkey % 10 = -7"
+    )
+
+    # one statement: dooms %10=4 rows in the OLD spelling (file_bktA)
+    # and every negated-band row in the NEW spelling (file_bktC whole)
+    b_mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _glob.glob(os.path.join(root, "file_bktB", "*.parquet"))
+    }
+    v4 = _tlog_bucket_colmap_delete(spark, root, pred)
+    assert v4 == v3 + 1
+    c4 = json.load(open(os.path.join(root, "_log", f"{v4:06d}.json")))
+    # (b) file_bktB shares file_bktA's cohort but none of its rows
+    # match — untouched; (d) file_bktC deleted whole, removed, and the
+    # staged group holds only file_bktA's survivors
+    assert c4["remove"] == ["file_bktA", "file_bktC"]
+    assert c4["add"] == [f"file_bcd{v4}"]
+    assert b_mtimes == {p: os.stat(p).st_mtime_ns for p in b_mtimes}
+    # (c) head binding recorded; murmur3 routing exact on the new name
+    assert c4["colphys"][f"file_bcd{v4}"] == {
+        "1": "order_id", "2": "o_totalprice",
+    }
+    routed = (
+        spark.read.parquet(os.path.join(root, f"file_bcd{v4}"))
+        .withColumn(
+            "_tag",
+            F.regexp_extract(F.input_file_name(), r"_(\d{5})\.", 1).cast(
+                "int"
+            ),
+        )
+        .withColumn("_want", F.expr("pmod(hash(order_id), 8)"))
+    )
+    assert routed.count() > 0
+    assert routed.filter("_tag != _want").count() == 0
+    assert routed.filter("order_id % 2 = 1").count() == 0  # A-survivors only
+
+    # (e) logical content exact; mixed-spelling plan still exchange-free
+    expect = (
+        raw.withColumnRenamed("o_orderkey", "order_id")
+        .filter("NOT (order_id % 10 = 4)")
+    )
+    ddl = "order_id BIGINT, o_totalprice DOUBLE"
+    served = _tlog_bucketed_serve_mapped(spark, root, "hbdbps_bcd_t", ddl)
+
+    def _agg(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("order_id").cast("long").alias("sk"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sc"
+            ),
+        ).collect()[0]
+        return (r["n"], r["sk"], r["sc"])
+
+    assert _agg(served) == _agg(expect)
+    plan = physical_plan(
+        served.groupBy("order_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in plan
+    # nothing left to match: no-op without a commit
+    assert _tlog_bucket_colmap_delete(spark, root, "order_id % 10 = -7") == v4
