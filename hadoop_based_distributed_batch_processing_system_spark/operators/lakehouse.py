@@ -9149,4 +9149,169 @@ def _tlog_bucket_colmap_delete(
     )
 
 
+# --- Streaming ingest into a MAPPED bucketed table with a ------------------
+# MID-STREAM KEY RENAME (r19 pre-build; unregistered): the fourth
+# axis. Each micro-batch consults BOTH live contracts at landing time
+# — the bucket spec for routing and the column mapping for spelling —
+# and commits its group with the head binding; batch {rename_at}
+# first renames the bucket key (the atomic mapping+rule commit), so
+# the drain itself proves writers track the spelling per batch:
+# pre-rename groups bind event_id, post-rename groups evt_id, and
+# the mixed snapshot reads whole (and, same-N, still exchange-free).
+
+_TLOG_BKCMS_ROWS = 500
+_TLOG_BKCMS_BATCH = 100
+_TLOG_BKCMS_RENAME_AT = 3  # batch id that triggers the mid-stream rename
+_TLOG_BKCMS_SPEC = {
+    "impl": 1,
+    "rows": _TLOG_BKCMS_ROWS,
+    "batch": _TLOG_BKCMS_BATCH,
+    "rename_at": _TLOG_BKCMS_RENAME_AT,
+}
+
+
+def _tlog_apply_bktcm_ingest(spark: SparkSession, root: str) -> None:
+    """Drain the bounded synthetic stream into a MAPPED bucketed log
+    table (flock + stamp): v0 establishes bucket(event_id, 8) AND the
+    column mapping as pure metadata; each batch reads the LIVE spec
+    and the LIVE mapping, spells its columns by field id, routes
+    through the bucketed stage, and commits group + binding with its
+    batch id (re-delivered batches write nothing). Batch {rename_at}
+    first RENAMES event_id -> evt_id — one atomic metadata commit —
+    so pre-rename groups bind the old spelling and post-rename groups
+    the new, the per-batch spelling-tracking proof."""
+    import fcntl
+    import json
+    import shutil
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_batch_committed,
+        _tlog_commit,
+        _tlog_commit_rebase,
+        _tlog_latest_version,
+        _tlog_live_colmap,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.sources.pyds import (
+        register_synthetic_stream_source,
+    )
+
+    stamp_file = os.path.join(root, "_BKCMS")
+    stamp = json.dumps(_TLOG_BKCMS_SPEC, sort_keys=True)
+
+    def _ok() -> bool:
+        try:
+            return open(stamp_file).read() == stamp
+        except OSError:
+            return False
+
+    if _ok():
+        return
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(os.path.join(root, ".lock"), "w")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        if _ok():
+            return
+        spec_file = os.path.join(root, "_BKCMS_SPEC")
+        stale = False
+        try:
+            stale = open(spec_file).read() != stamp
+        except OSError:
+            stale = os.path.isdir(os.path.join(root, "_log")) and any(
+                f.endswith(".json")
+                for f in os.listdir(os.path.join(root, "_log"))
+            )
+        if stale:
+            for entry in os.listdir(root):
+                if entry == ".lock":
+                    continue
+                p = os.path.join(root, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+        if not os.path.exists(spec_file):
+            tmp = os.path.join(root, f"._SPEC.{os.getpid()}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(stamp)
+            os.replace(tmp, spec_file)
+        if _tlog_latest_version_safe(root) < 0:
+            # v0: bucket spec + column mapping — metadata bootstrap
+            _tlog_commit(
+                root, add=[], remove=[], base_version=-1,
+                data_change=False,
+                partitioning={"spec_id": 0, "rule": "bucket(event_id, 8)"},
+                column_mapping={
+                    "fields": [
+                        {"id": 1, "name": "event_id"},
+                        {"id": 2, "name": "bucket"},
+                        {"id": 3, "name": "value"},
+                    ]
+                },
+            )
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if _tlog_batch_committed(root, batch_id):
+                return  # re-delivered batch: idempotent no-op
+            if batch_id == _TLOG_BKCMS_RENAME_AT:
+                if _tlog_bucket_spec(root, _tlog_latest_version(root)) == (
+                    "event_id", 8,
+                ):
+                    _tlog_bucket_key_rename(root, "evt_id")
+            base = _tlog_latest_version(root)
+            live = _tlog_bucket_spec(root, base)
+            cmap = _tlog_live_colmap(root, base)
+            # the writer speaks the LIVE logical schema: source
+            # columns map positionally onto field ids 1/2/3
+            sel = [
+                F.col(src).alias(f["name"])
+                for src, f in zip(
+                    ("event_id", "bucket", "value"), cmap["fields"]
+                )
+            ]
+            name = f"file_bkcms_b{batch_id}"
+            _tlog_bucketed_stage(
+                spark, batch_df.select(*sel), root, name, live,
+            )
+            _tlog_bucketed_commit_validate(root, [name], live, live)
+            _tlog_commit_rebase(
+                root, add=[name], remove=[], base_version=base,
+                read_set=set(), batch=batch_id,
+                colphys={
+                    name: {str(f["id"]): f["name"] for f in cmap["fields"]}
+                },
+            )
+
+        register_synthetic_stream_source(spark)
+        raw = (
+            spark.readStream.format("synthetic_events_stream")
+            .option("rows", str(_TLOG_BKCMS_ROWS))
+            .option("batch", str(_TLOG_BKCMS_BATCH))
+            .load()
+        )
+        query = (
+            raw.writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(root, ".ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        n_commits = _tlog_latest_version(root) + 1
+        want = 1 + _TLOG_BKCMS_ROWS // _TLOG_BKCMS_BATCH + 1  # boot+batches+rename
+        if n_commits != want:
+            raise RuntimeError(
+                f"mapped bucketed ingest drained {n_commits} commits, "
+                f"expected {want} — a batch was lost, double-applied, or "
+                "the mid-stream rename did not land"
+            )
+        tmp = os.path.join(root, f"._BKCMS.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(stamp)
+        os.replace(tmp, stamp_file)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
 interpolate_docstrings(globals())

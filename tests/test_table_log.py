@@ -6310,3 +6310,94 @@ def test_bucketed_colmap_delete_respells_then_applies(spark, tmp_path):
     assert "Exchange" not in plan
     # nothing left to match: no-op without a commit
     assert _tlog_bucket_colmap_delete(spark, root, "order_id % 10 = -7") == v4
+
+
+def test_mapped_bucketed_stream_ingest_tracks_spelling_per_batch(spark, tmp_path):
+    """r19 pre-build, fourth axis: streaming ingest into a MAPPED
+    bucketed table with a mid-stream bucket-key RENAME. Pins: (a)
+    commit count = bootstrap + one per batch + the rename; (b)
+    pre-rename batch groups BIND event_id and post-rename groups
+    evt_id (the writer consulted the live mapping at each landing),
+    with every group routed under bucket N=8; (c) the head read under
+    the logical schema equals the source's closed form, and the
+    mixed-spelling snapshot aggregates on the renamed key with ZERO
+    Exchange (same-N spelling mixes are free — now proven through a
+    streaming lifecycle); (d) a wiped-checkpoint re-drain is a
+    byte-identical no-op (batch-id idempotence; the rename guard does
+    not double-fire)."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_based_distributed_batch_processing_system_spark.operators.lakehouse import (
+        _TLOG_BKCMS_BATCH,
+        _TLOG_BKCMS_RENAME_AT,
+        _TLOG_BKCMS_ROWS,
+        _tlog_apply_bktcm_ingest,
+        _tlog_bucket_spec,
+        _tlog_bucketed_serve_mapped,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.operators.scans import (
+        _tlog_replay_map,
+    )
+    from hadoop_based_distributed_batch_processing_system_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    root = str(tmp_path / "bkcms")
+    _tlog_apply_bktcm_ingest(spark, root)
+    head = _tlog_latest_version(root)
+    n_batches = _TLOG_BKCMS_ROWS // _TLOG_BKCMS_BATCH
+    assert head + 1 == 1 + n_batches + 1  # (a)
+    assert _tlog_bucket_spec(root, head) == ("evt_id", 8)
+
+    # (b) per-batch SPELLING tracking via the committed bindings
+    phys = _tlog_replay_map(root, head, "colphys")
+    for b in range(n_batches):
+        g = f"file_bkcms_b{b}"
+        want_key = "event_id" if b < _TLOG_BKCMS_RENAME_AT else "evt_id"
+        assert phys[g]["1"] == want_key, (g, phys[g])
+        tags = sorted(
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(root, g, "*.parquet"))
+            if (m := __import__("re").search(
+                r"_(\d{5})[.c\-]", os.path.basename(p)
+            ))
+        )
+        assert tags and tags[-1] < 8
+
+    # (c) logical head read: closed form + zero-Exchange on evt_id
+    served = _tlog_bucketed_serve_mapped(
+        spark, root, "hbdbps_bkcms_t",
+        "evt_id BIGINT, bucket INT, value DOUBLE",
+    )
+    assert served.columns == ["evt_id", "bucket", "value"]
+    agg = served.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("evt_id").alias("lo"),
+        F.max("evt_id").alias("hi"),
+        F.sum("evt_id").alias("s"),
+    ).collect()[0]
+    n = _TLOG_BKCMS_ROWS
+    assert (agg["n"], agg["lo"], agg["hi"], agg["s"]) == (
+        n, 0, n - 1, n * (n - 1) // 2,
+    )
+    plan = physical_plan(
+        served.groupBy("evt_id").agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert "Exchange" not in plan
+
+    # (d) wiped checkpoint + stamp: every batch replays as a no-op
+    mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for b in range(n_batches)
+        for p in _glob.glob(
+            os.path.join(root, f"file_bkcms_b{b}", "*.parquet")
+        )
+    }
+    shutil.rmtree(os.path.join(root, ".ckpt"))
+    os.unlink(os.path.join(root, "_BKCMS"))
+    _tlog_apply_bktcm_ingest(spark, root)
+    assert _tlog_latest_version(root) == head
+    assert mtimes == {p: os.stat(p).st_mtime_ns for p in mtimes}
