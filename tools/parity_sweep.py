@@ -34,6 +34,15 @@ SF_OVERRIDE = {
     "dedup_cross_source_matrix": "/root/testdata/sf0.01",
     "dedup_embedding_cosine": "/root/testdata/sf0.01",
     "dedup_allpairs_prefix": "/root/testdata/sf0.01",
+    # found by profiling every oracle at sf0.1 with an interrupt
+    # watchdog (r17 surplus): these two ORACLES are super-linear —
+    # the brute-force Jaccard ground truth (quadratic pairs) and the
+    # recursive-CTE connected components (iterations x edges in one
+    # SQL recursion); each ran >45 min against sf0.1 while every
+    # other oracle finished the whole sweep in ~4 min. The SPARK
+    # side of both is swept at full scale by bench_full.
+    "dedup_minhash_lsh": "/root/testdata/sf0.01",
+    "graph_cc_twophase": "/root/testdata/sf0.01",
 }
 
 
