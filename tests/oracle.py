@@ -69,7 +69,15 @@ def canon_cell(v):
 
 def canon_frame(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     cols = sorted(df.columns)
-    rows = [tuple(canon_cell(row[c]) for c in cols) for _, row in df[cols].iterrows()]
+    # itertuples, not iterrows: same cell values (verified identical
+    # across float/int/bool/str/ts/date/Decimal/array/None/NaT), ~9x
+    # faster — iterrows builds a Series per row, and on full-table
+    # results (600k-row window/sort queries at sf0.1) that Series
+    # construction dominated the whole differential sweep
+    rows = [
+        tuple(canon_cell(v) for v in t)
+        for t in df[cols].itertuples(index=False, name=None)
+    ]
     rows.sort()
     return cols, rows
 

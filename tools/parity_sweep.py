@@ -71,10 +71,17 @@ def main() -> None:
         if q_sf != sf_dir:
             print(f"[parity_sweep] {spec.name}: design-scale override -> {q_sf}",
                   file=sys.stderr)
+        t_spec = time.time()
         try:
             o.compare(spark, spec, q_sf)
         except Exception as e:
             fails.append((spec.name, f"{type(e).__name__}: {e}"[:300]))
+        dt = time.time() - t_spec
+        if dt > 10:
+            # surface the expensive rows as they happen — a wedge is
+            # attributable immediately instead of post-mortem
+            print(f"[parity_sweep] slow: {spec.name} {dt:.0f}s",
+                  file=sys.stderr, flush=True)
         if (i + 1) % 50 == 0:
             print(
                 f"[parity_sweep] {i + 1}/{len(specs)} "
