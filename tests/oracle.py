@@ -95,6 +95,11 @@ def compare(spark, spec, sf_dir: str) -> None:
     assert scols == ocols, f"{spec.name}: column mismatch spark={scols} oracle={ocols}"
     assert len(srows) == len(orows), f"{spec.name}: row count spark={len(srows)} oracle={len(orows)}"
     if srows != orows:
-        diff_s = [r for r in srows if r not in set(orows)][:5]
-        diff_o = [r for r in orows if r not in set(srows)][:5]
+        # hoist the sets: building set(orows) INSIDE the comprehension
+        # re-hashed the full result per row — O(n^2) on a 600k-row
+        # mismatch, which presented as an unkillable wedge instead of
+        # a failure (caught by SIGUSR1 stack dump, r17 surplus)
+        oset, sset = set(orows), set(srows)
+        diff_s = [r for r in srows if r not in oset][:5]
+        diff_o = [r for r in orows if r not in sset][:5]
         raise AssertionError(f"{spec.name}: value mismatch\n spark-only={diff_s}\n oracle-only={diff_o}")

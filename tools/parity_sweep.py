@@ -47,6 +47,12 @@ SF_OVERRIDE = {
 
 
 def main() -> None:
+    import faulthandler
+    import signal
+
+    # a wedged sweep answers `kill -USR1 <pid>` with a full Python
+    # stack dump to stderr — diagnosis without killing the run
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     sf_dir = "/root/testdata/sf0.1"
     if "--sf-dir" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
@@ -72,6 +78,7 @@ def main() -> None:
             print(f"[parity_sweep] {spec.name}: design-scale override -> {q_sf}",
                   file=sys.stderr)
         t_spec = time.time()
+        print(f"[parity_sweep] -> {i} {spec.name}", file=sys.stderr, flush=True)
         try:
             o.compare(spark, spec, q_sf)
         except Exception as e:
