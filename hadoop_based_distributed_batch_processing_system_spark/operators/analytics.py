@@ -159,7 +159,9 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_brackets",
     oracle="""
-        SELECT SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
            OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10 AND l.l_quantity <= 35)
@@ -184,7 +186,18 @@ def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # exact integer cents (r17 sf0.1 sweep: the double SUM tied at
+        # the 6-dp canon boundary): the per-row product is identical
+        # IEEE on both engines; the integer sum is order-insensitive
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
     )
 
 
@@ -1301,15 +1314,24 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # divisible by 97 are deleted, keys ≡ 3 (mod 89) get a 10% price
 # change, and keys ≡ 5 (mod 101) are re-inserted as NEW rows under a
 # negated key (guaranteed absent from the old snapshot).
-_DIFF_OLD = "SELECT o_orderkey, o_totalprice FROM orders"
+_DIFF_OLD = (
+    "SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+    "FROM orders"
+)
+# the price bump is +10% HALF-UP in EXACT integer cents —
+# (cents*11 + 5) DIV 10 — because ROUND(price * 1.1, 2) ties at the
+# half-cent whenever cents % 10 = 5, and Java (shortest-repr HALF_UP)
+# and C (true-value) break those ties differently (the r17 sf0.1
+# cross-scale sweep caught exactly that: .455 -> .46 on Spark, .45 on
+# DuckDB)
 _DIFF_NEW = """
     SELECT o_orderkey,
            CASE WHEN o_orderkey % 89 = 3
-                THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
-    FROM orders WHERE o_orderkey % 97 <> 0
+                THEN (cents * 11 + 5) // 10 ELSE cents END AS cents
+    FROM old WHERE o_orderkey % 97 <> 0
     UNION ALL
-    SELECT -o_orderkey AS o_orderkey, o_totalprice
-    FROM orders WHERE o_orderkey % 101 = 5
+    SELECT -o_orderkey AS o_orderkey, cents
+    FROM old WHERE o_orderkey % 101 = 5
 """
 
 
@@ -1321,11 +1343,11 @@ _DIFF_NEW = """
                CASE WHEN o.o_orderkey IS NULL THEN 'added'
                     WHEN n.o_orderkey IS NULL THEN 'removed'
                     ELSE 'changed' END AS diff_status,
-               ROUND(o.o_totalprice, 6) AS old_price,
-               ROUND(n.o_totalprice, 6) AS new_price
+               o.cents AS old_cents,
+               n.cents AS new_cents
         FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-           OR o.o_totalprice <> n.o_totalprice
+           OR o.cents <> n.cents
     """,
     tags=("CDC", "diff"),
 )
@@ -1349,16 +1371,22 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely, as join_bucketed_colocated demonstrates. Output is
     bounded by the churn rate, not the table."""
     orders = load_table(spark, sf_dir, "orders")
-    old = orders.select("o_orderkey", "o_totalprice")
-    changed_price = F.when(
-        F.col("o_orderkey") % 89 == 3, F.round(F.col("o_totalprice") * 1.1, 2)
-    ).otherwise(F.col("o_totalprice"))
+    old = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # +10% HALF-UP in exact integer cents (see _DIFF_NEW's note): the
+    # numerator stays < 2^53, so the DIV is exact on both engines
+    changed_cents = F.when(
+        F.col("o_orderkey") % 89 == 3,
+        F.expr("(cents * 11 + 5) DIV 10"),
+    ).otherwise(F.col("cents"))
     new = (
-        orders.filter(F.col("o_orderkey") % 97 != 0)
-        .select("o_orderkey", changed_price.alias("o_totalprice"))
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey", changed_cents.alias("cents"))
         .unionByName(
-            orders.filter(F.col("o_orderkey") % 101 == 5).select(
-                (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+            old.filter(F.col("o_orderkey") % 101 == 5).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"), "cents"
             )
         )
     )
@@ -1372,12 +1400,12 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(
         F.col("o.o_orderkey").isNull()
         | F.col("n.o_orderkey").isNull()
-        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        | (F.col("o.cents") != F.col("n.cents"))
     ).select(
         F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
         status.alias("diff_status"),
-        F.round(F.col("o.o_totalprice"), 6).alias("old_price"),
-        F.round(F.col("n.o_totalprice"), 6).alias("new_price"),
+        F.col("o.cents").alias("old_cents"),
+        F.col("n.cents").alias("new_cents"),
     )
 
 
@@ -1639,14 +1667,14 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT f.cohort_month,
                  CAST(datediff('month', f.cohort_month,
                                date_trunc('month', o.o_orderdate)) AS BIGINT) AS age_months,
-                 SUM(o.o_totalprice) AS r
+                 SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rc
           FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
           GROUP BY 1, 2
         )
         SELECT r.cohort_month, r.age_months, s.n_customers,
-               ROUND(SUM(r.r) OVER (PARTITION BY r.cohort_month ORDER BY r.age_months
+               CAST(SUM(r.rc) OVER (PARTITION BY r.cohort_month ORDER BY r.age_months
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     / s.n_customers, 6) AS cum_ltv_per_customer
+                    AS DOUBLE) / (100.0 * s.n_customers) AS cum_ltv_per_customer
         FROM rev r JOIN sized s ON r.cohort_month = s.cohort_month
     """,
     tags=("E7", "cohort", "ltv"),
@@ -1678,7 +1706,14 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("age_months"),
         )
-        .agg(F.sum("o_totalprice").alias("r"))
+        # exact integer cents through the cumulative window (r17
+        # sf0.1 sweep: the double running SUM tied at the 6-dp canon
+        # boundary); ONE double division at display, no ROUND
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rc")
+        )
     )
     w = (
         Window.partitionBy("cohort_month")
@@ -1691,9 +1726,10 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_month",
             "age_months",
             "n_customers",
-            F.round(F.sum("r").over(w) / F.col("n_customers"), 6).alias(
-                "cum_ltv_per_customer"
-            ),
+            (
+                F.sum("rc").over(w).cast("double")
+                / (F.lit(100.0) * F.col("n_customers"))
+            ).alias("cum_ltv_per_customer"),
         )
     )
 

@@ -471,7 +471,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_lines,
-               ROUND(SUM(l.l_extendedprice), 4) AS total_price
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderstatus
     """,
@@ -495,7 +496,12 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            # exact integer cents (the house rule): a double SUM at
+            # 1e10 magnitude drifted ~1e-4 with accumulation order —
+            # caught by the r17 sf0.1 cross-scale sweep
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
         )
     )
 
@@ -647,7 +653,8 @@ _BLOOM_CONFS = {
     oracle="""
         SELECT o.o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_lines,
-               SUM(l.l_extendedprice) AS rev
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT'
         GROUP BY o.o_orderstatus
@@ -701,7 +708,14 @@ def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_extendedprice").alias("rev"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # exact integer cents (r17 sf0.1 sweep: double SUM drifted
+            # ~1e-5 at 1e9 magnitude with accumulation order)
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
     )
 
 

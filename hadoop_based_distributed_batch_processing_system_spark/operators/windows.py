@@ -341,12 +341,13 @@ def win_rank_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg_time",
     oracle="""
         SELECT user_id, event_id, ts,
-               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-                                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6)
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                      OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w)
                  AS avg_1h,
-               COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+               COUNT(*) OVER w AS n_1h
         FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     tags=("W4'", "time-window"),
 )
@@ -356,9 +357,17 @@ def win_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     of W4's numeric range frame, and the feature-engineering staple
     ("activity in the last hour") that tumbling windows can't express
     (every row gets its own trailing frame, not a bucketed one).
-    RANGE over epoch seconds, so rows with identical timestamps share
-    a frame in both engines — the frame set is deterministic even
-    under ts ties.
+
+    Determinism (the r17 sf0.1 sweep lesson): the frame key is EXACT
+    epoch MICROSECONDS on both engines — the old second-granular key
+    paired Spark's unix_timestamp (floor) with DuckDB's
+    CAST(epoch(ts) AS BIGINT) (round-half-even), so a row whose
+    fractional second rounded up sat in different frames and n_1h
+    itself diverged on boundary rows. And the average derives from an
+    exact integer cents window SUM with ONE double division, no
+    ROUND: Spark slides its frame sum incrementally while DuckDB
+    re-sums, a different float path that ties at the 6-dp boundary;
+    integer window sums are exact under any accumulation order.
 
     Scale: one shuffle on user_id + a per-user linear scan with a
     sliding two-pointer frame — no self-join, no explode; the
@@ -366,13 +375,17 @@ def win_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
+    cents = F.round(F.col("value") * 100).cast("long")
+    n = F.count(F.lit(1)).over(w)
     return ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
-        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(cents).over(w).cast("double") / (F.lit(100.0) * n)).alias(
+            "avg_1h"
+        ),
+        n.alias("n_1h"),
     )

@@ -1279,10 +1279,10 @@ def stream_topk_mg_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM q GROUP BY user_id
         )
         SELECT user_id, CAST(n AS BIGINT) AS n_obs,
-               ROUND(CAST(s AS DOUBLE) / (100 * n), 6) AS mean_v,
-               ROUND((CAST(ss AS DOUBLE) / n
-                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-                     / 10000, 6) AS var_v
+               CAST(s AS DOUBLE) / (100 * n) AS mean_v,
+               (CAST(ss AS DOUBLE) / n
+                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 / 10000 AS var_v
         FROM a
     """,
     tags=("A8", "stream", "stateful", "moments"),
@@ -1319,10 +1319,13 @@ def stream_moments_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             s += int(q.sum())
             ss += int((q * q).sum())
         state.update((n, s, ss))
-        mean_v = round(float(s) / (100 * n), 6)
-        var_v = round(
-            (float(ss) / n - (float(s) / n) * (float(s) / n)) / 10000, 6
-        )
+        # NO in-engine round: Python's round() is banker's while
+        # DuckDB's ROUND is half-away-from-zero, so rounding the
+        # (bit-identical) division results was itself the divergence
+        # (r17 sf0.1 sweep); every float op here is a deterministic
+        # IEEE function of exact integers on both engines
+        mean_v = float(s) / (100 * n)
+        var_v = (float(ss) / n - (float(s) / n) * (float(s) / n)) / 10000
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_obs": [n], "mean_v": [mean_v], "var_v": [var_v]}
         )
