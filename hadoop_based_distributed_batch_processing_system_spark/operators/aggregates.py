@@ -23,16 +23,31 @@ from hadoop_based_distributed_batch_processing_system_spark.registry import regi
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
 
 # The flagship: TPC-H Q1 pricing summary (filter → 6-group agg → 8 aggregates).
+# Determinism (r17 sf0.1 sweep class): every money column derives from
+# an EXACT integer-scaled SUM with one final IEEE division — price is
+# 2 dp (cents), disc_price 4 dp, charge 6 dp by TPC-H construction, so
+# the scaled per-row values are exact integers, the sums are
+# order-insensitive, and both engines divide identical integers.
+# Quantities are integral doubles (exact under summation to 2^53), so
+# SUM/AVG(l_quantity) are already deterministic. Same column names and
+# double types as the classic Q1 — only the float noise is gone.
 PRICING_SUMMARY_ORACLE = """
     SELECT l_returnflag, l_linestatus,
-           SUM(l_quantity)                                       AS sum_qty,
-           SUM(l_extendedprice)                                  AS sum_base_price,
-           SUM(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           AVG(l_quantity)                                       AS avg_qty,
-           AVG(l_extendedprice)                                  AS avg_price,
-           AVG(l_discount)                                       AS avg_disc,
-           COUNT(*)                                              AS count_order
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               * 10000) AS BIGINT))
+                AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS sum_charge,
+           AVG(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / (100 * COUNT(*)) AS avg_price,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                AS DOUBLE) / (100 * COUNT(*)) AS avg_disc,
+           COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -51,12 +66,27 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (1 - disc)).alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            (F.sum(F.round(price * 100).cast("long")).cast("double") / 100)
+            .alias("sum_base_price"),
+            (
+                F.sum(F.round(price * (1 - disc) * 10000).cast("long"))
+                .cast("double") / 10000
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    F.round(price * (1 - disc) * (1 + tax) * 1000000)
+                    .cast("long")
+                ).cast("double") / 1000000
+            ).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg(price).alias("avg_price"),
-            F.avg(disc).alias("avg_disc"),
+            (
+                F.sum(F.round(price * 100).cast("long")).cast("double")
+                / (F.lit(100) * F.count(F.lit(1)))
+            ).alias("avg_price"),
+            (
+                F.sum(F.round(disc * 100).cast("long")).cast("double")
+                / (F.lit(100) * F.count(F.lit(1)))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -65,7 +95,8 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_global",
     oracle="""
-        SELECT SUM(l_extendedprice * l_discount) AS revenue,
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -85,7 +116,17 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        # exact ten-thousandths (price 2 dp x discount 2 dp): the
+        # global double SUM at 1e8 magnitude is accumulation-order
+        # noise at the 6-dp canon boundary (r17 sf0.1 sweep class)
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_discount") * 10000
+                ).cast("long")
+            ).cast("double")
+            / 10000
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

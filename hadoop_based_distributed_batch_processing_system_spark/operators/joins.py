@@ -51,7 +51,9 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_broadcast",
     oracle="""
-        SELECT r.r_name, COUNT(*) AS n_custs, SUM(c.c_acctbal) AS sum_bal
+        SELECT r.r_name, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS sum_bal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -70,7 +72,14 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n_custs"), F.sum("c_acctbal").alias("sum_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            # exact cents, one division (r17 sf0.1 sweep class)
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                .cast("double") / 100
+            ).alias("sum_bal"),
+        )
     )
 
 

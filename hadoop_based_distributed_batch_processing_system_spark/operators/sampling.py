@@ -169,11 +169,12 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH wide AS (
           SELECT l_returnflag,
                  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-                 CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+                 CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100 AS sum_price,
                  CAST(COUNT(*) AS DOUBLE) AS n_rows
           FROM lineitem GROUP BY l_returnflag
         )
-        SELECT l_returnflag, metric, ROUND(value, 6) AS value FROM (
+        SELECT l_returnflag, metric, value FROM (
           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
           UNION ALL
           SELECT l_returnflag, 'sum_price', sum_price FROM wide
@@ -193,7 +194,14 @@ def unpivot_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
         F.sum("l_quantity").cast("double").alias("sum_qty"),
-        F.sum("l_extendedprice").cast("double").alias("sum_price"),
+        # exact cents, one division (r17 sf0.1 sweep class: the raw
+        # double SUM at 1e9 magnitude is order-sensitive at 6 dp);
+        # sum_qty is integral-exact, n_rows a count — no ROUND needed
+        # anywhere, the values are true to the data
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100
+        ).alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_rows"),
     )
     return (
@@ -203,7 +211,6 @@ def unpivot_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             variableColumnName="metric",
             valueColumnName="value",
         )
-        .withColumn("value", F.round("value", 6))
         .orderBy("l_returnflag", "metric")
     )
 
