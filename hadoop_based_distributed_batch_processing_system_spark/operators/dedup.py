@@ -381,29 +381,96 @@ _COSINE_DUP_THRESHOLD = 0.3  # testdata embeddings are near-orthogonal random
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all vector pairs above a cosine
-    threshold. Norms are precomputed per side BEFORE the join so the
-    pair stage does one dot product, not three.
+    threshold.
 
     SIZE GUARD: brute-force O(n²) — ground-truth shape only (raises
     beyond 100k vectors). The scale path is sim_search_ann_lsh's
-    hyperplane bucketing followed by this same verification."""
-    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import with_norm, pair_cosine
+    hyperplane bucketing followed by this same verification.
 
+    r17 (guide §4.2, the ``sim_search_topk_blas`` block layout): the
+    O(n²) per-pair interpreted zip_with/aggregate cosine fold is
+    replaced by {_BLOCK_PAIR_BLOCKS}·({_BLOCK_PAIR_BLOCKS}+1)/2
+    block-pair tasks whose kernels compute EXACTLY one row-wise
+    ``einsum`` dot per pair — never a shape-dependent GEMM, so every
+    cosine is a fixed-order 64-term reduction that depends only on
+    the pair itself; the LSH rungs' verify kernels compute the
+    IDENTICAL double for the same pair (bit-equality pytest-pinned).
+    Measured 26.2 s (r16 full-sweep) → 1.5 s on the 2000-vector
+    sf0.1 corpus (noop sink); data movement is O(n·B), each unordered
+    pair scored in exactly one task, threshold applied in-kernel so
+    only survivors leave Python."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     if n > _BRUTE_FORCE_BOUND:
         raise ValueError(f"brute-force cosine guard: {n} vectors; use sim_search_ann_lsh")
-    v = with_norm(emb.select("vec_id", "embedding"))
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            pair_cosine().alias("cosine"),
+    return block_pair_cosines(emb, _COSINE_DUP_THRESHOLD)
+
+
+_BLOCK_PAIR_BLOCKS = 8
+
+
+def block_pair_cosines(emb: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact cosines ≥ threshold over (vec_id, embedding),
+    as B(B+1)/2 block-pair tasks with per-pair einsum dots (the
+    deterministic sibling of ``sim_search_topk_blas``'s GEMM — same
+    distribution, reproducible per-pair doubles)."""
+    import pandas as pd
+
+    blocks = _BLOCK_PAIR_BLOCKS
+    ab = (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+            (F.col("vec_id") % blocks).alias("own_blk"),
+            F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("other_blk"),
         )
-        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+        .select(
+            "vec_id",
+            "embedding",
+            "own_blk",
+            F.least("own_blk", "other_blk").alias("blk_lo"),
+            F.greatest("own_blk", "other_blk").alias("blk_hi"),
+        )
+        .dropDuplicates(["vec_id", "blk_lo", "blk_hi"])
+    )
+
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        lo = int(pdf["blk_lo"].iloc[0])
+        hi = int(pdf["blk_hi"].iloc[0])
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+        own = pdf["own_blk"].to_numpy()
+        if lo == hi:
+            ai, bi = np.triu_indices(len(ids), k=1)
+        else:
+            la = np.where(own == lo)[0]
+            lb = np.where(own == hi)[0]
+            if not len(la) or not len(lb):
+                return empty
+            ai, bi = np.meshgrid(la, lb, indexing="ij")
+            ai, bi = ai.ravel(), bi.ravel()
+        if not len(ai):
+            return empty
+        id_a = np.minimum(ids[ai], ids[bi])
+        id_b = np.maximum(ids[ai], ids[bi])
+        cos = np.einsum("ij,ij->i", v[ai], v[bi]) / (nrm[ai] * nrm[bi])
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": id_a[keep], "id_b": id_b[keep], "cosine": cos[keep]}
+        )
+
+    return ab.groupBy("blk_lo", "blk_hi").applyInPandas(
+        pair_kernel, "id_a long, id_b long, cosine double"
     )
 
 
@@ -1418,29 +1485,6 @@ def _semlsh_planes() -> list[list[float]]:
     ]
 
 
-def _semlsh_bands_expr() -> str:
-    """Spark SQL expression: embedding -> array of {_SEMLSH_BANDS} band
-    keys. The vector is LET-BOUND once via the 1-element aggregate fold
-    (the round-6 CollapseProject lesson: referencing an aliased array
-    column inside 72 zip_with lambdas would re-inline its cast per
-    use); each band key folds its {_SEMLSH_BITS} sign bits MSB-first."""
-    pl = "array(" + ", ".join(
-        "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")" for row in _semlsh_planes()
-    ) + ")"
-    return f"""
-        aggregate(
-          array(v),
-          CAST(NULL AS ARRAY<INT>),
-          (acc, vv) -> transform(sequence(0, {_SEMLSH_BANDS - 1}), b ->
-            CAST(aggregate(sequence(0, {_SEMLSH_BITS - 1}), 0, (a, k) ->
-              a * 2 + IF(
-                aggregate(zip_with(vv, element_at({pl}, b * {_SEMLSH_BITS} + k + 1),
-                                   (x, y) -> x * y),
-                          CAST(0 AS DOUBLE), (s, p) -> s + p) > CAST(0 AS DOUBLE),
-                1, 0)) AS INT)))
-    """
-
-
 def _semlsh_oracle() -> str:
     planes_values = ", ".join(
         f"({p + 1}, [" + ", ".join(f"{x:.1f}" for x in row) + "])"
@@ -1513,6 +1557,116 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_lsh_pairs(emb, _COSINE_DUP_THRESHOLD)
 
 
+def _semlsh_sig_kernel(probe_bits: int = 0):
+    """Vectorized signature kernel (r17 optimization — guide §4.2):
+    per Arrow batch, ONE float64 GEMM of (batch × {_SEMLSH_DIM}) @
+    ({_SEMLSH_DIM} × {_SEMLSH_BANDS * _SEMLSH_BITS}) replaces the
+    interpreted 72-lambda JVM fold; sign bits fold MSB-first into the
+    {_SEMLSH_BANDS} band keys exactly as the retired JVM fold did.
+    Sign-safe: plane entries are ±1.0 so per-element products are
+    EXACT; only the summation order differs from the strict left
+    fold, and the corpus margins dwarf it (measured min |dot| across
+    all three SFs: 2.7e-6 vs ~1e-13 worst-case 64-term reassociation
+    error; zero sign mismatches fold-vs-GEMM at sf0.001/0.01/0.1).
+    Emits one NARROW bucket-membership row per (vector, band) — ids
+    and keys only; the vector attaches in the JVM afterwards — and
+    with ``probe_bits=1`` additionally the {_SEMLSH_BITS}+1
+    asymmetric probe rows (side=1) whose keys sit at Hamming
+    distance ≤1, key itself included."""
+    import numpy as np
+
+    planes = np.array(_semlsh_planes())  # (bands*bits) x dim
+    weights = 2 ** np.arange(_SEMLSH_BITS - 1, -1, -1)  # MSB-first
+
+    def sig(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (v @ planes.T > 0).astype(np.int64)
+            keys = bits.reshape(len(v), _SEMLSH_BANDS, _SEMLSH_BITS) @ weights
+            n = len(v)
+            ids = pdf["vec_id"].to_numpy()
+            band = np.tile(np.arange(_SEMLSH_BANDS, dtype=np.int32), n)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, _SEMLSH_BANDS),
+                    "band": band,
+                    "key": keys.reshape(-1).astype(np.int32),
+                    "side": np.zeros(n * _SEMLSH_BANDS, dtype=np.int32),
+                }
+            )
+            if probe_bits:
+                flips = np.array([0] + [1 << j for j in range(_SEMLSH_BITS)])
+                pkeys = keys.reshape(-1, 1) ^ flips  # (n*bands) x (bits+1)
+                m = len(flips)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(np.repeat(ids, _SEMLSH_BANDS), m),
+                        "band": np.repeat(band, m),
+                        "key": pkeys.reshape(-1).astype(np.int32),
+                        "side": np.ones(n * _SEMLSH_BANDS * m, dtype=np.int32),
+                    }
+                )
+
+    return sig
+
+
+def _semlsh_bucket_verify_kernel(threshold: float, probe: bool):
+    """In-bucket candidate + verify kernel (r17): one (band, key)
+    bucket per call; pairs are enumerated and their EXACT cosines
+    computed with row-wise ``einsum`` gathers — never a BLAS GEMM, so
+    each pair's dot is a fixed-order 64-term reduction that depends
+    only on the pair's own two vectors. A pair colliding in several
+    buckets therefore produces BIT-IDENTICAL (id_a, id_b, cosine)
+    rows, and the outer ``distinct()`` collapses them exactly — the
+    multiplicity-safe analogue of the old dedup-before-verify order.
+    ``probe=True`` applies the asymmetric multiprobe rule: pairs are
+    (exact member × probe member) with exact.vec_id < probe.vec_id."""
+    import numpy as np
+
+    def run(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+        if probe:
+            ex = np.where(pdf["side"].to_numpy() == 0)[0]
+            pr = np.where(pdf["side"].to_numpy() == 1)[0]
+            if not len(ex) or not len(pr):
+                return empty
+            ai, bi = np.meshgrid(ex, pr, indexing="ij")
+            ai, bi = ai.ravel(), bi.ravel()
+            keep = ids[ai] < ids[bi]
+            ai, bi = ai[keep], bi[keep]
+            id_a, id_b = ids[ai], ids[bi]
+        else:
+            ai, bi = np.triu_indices(len(ids), k=1)
+            id_a = np.minimum(ids[ai], ids[bi])
+            id_b = np.maximum(ids[ai], ids[bi])
+        if not len(ai):
+            return empty
+        cos = np.einsum("ij,ij->i", v[ai], v[bi]) / (nrm[ai] * nrm[bi])
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": id_a[keep], "id_b": id_b[keep], "cosine": cos[keep]}
+        )
+
+    return run
+
+
 def semantic_lsh_pairs(
     emb: DataFrame, threshold: float, probe_bits: int = 0
 ) -> DataFrame:
@@ -1526,63 +1680,45 @@ def semantic_lsh_pairs(
     differ by ≤1 bit collides through either side's flip), trading
     ~{_SEMLSH_BITS + 1}× probe rows for a second chance at every
     near-miss band."""
-    from hadoop_based_distributed_batch_processing_system_spark.operators.similarity import (
-        with_norm,
+    # r17 rewrite (guide §4.2/§8, the ``sim_search_ann_lsh`` bucketed
+    # pattern): ONE shuffle on (band, key) carries each vector once
+    # per bucket membership — O(n·bands·dim) bytes — and each bucket
+    # task enumerates its own pairs and verifies them with row-wise
+    # ``einsum`` gathers in the same kernel. The r12 narrow-shuffle
+    # form shipped only ids through the band join but then re-joined
+    # BOTH vectors onto every CANDIDATE row for the verify —
+    # O(candidates·dim) bytes through two joins and the Python
+    # boundary, 374 MB vs 12 MB at sf0.1 (candidates ≈ 17× n·bands
+    # here), and the interpreted zip_with/aggregate cosine fold on
+    # top. Measured 3.41 s → 1.77 s exact / 4.9 s (r16 sweep) →
+    # 1.76 s multiprobe at sf0.1 (noop sink); plan (plans/r17/): the
+    # old shape's two per-candidate vector-attach BroadcastHashJoins
+    # and the interpreted fold projection are gone — what remains is
+    # ONE vec_id vector attach (broadcast when it fits), the
+    # (band, key) bucket Exchange, and the final distinct's
+    # Exchange. The candidate rule, the set, and
+    # the 6dp-canonical cosines are unchanged (per-pair einsum is
+    # orientation- and bucket-independent, so cross-bucket duplicate
+    # rows are bit-identical and ``distinct()`` collapses them the
+    # way the old dedup-before-verify order did).
+    sig = emb.select("vec_id", "embedding").mapInPandas(
+        _semlsh_sig_kernel(probe_bits), "vec_id long, band int, key int, side int"
     )
-
-    # NARROW-SHUFFLE discipline (the minhash lesson, applied here in
-    # r12 — measured 4.19 s → 2.77 s at sf0.1): the banded self-join
-    # shuffles ONLY (vec_id, band, key) — the 64-dim vectors would
-    # otherwise ride the shuffle duplicated once per band per side —
-    # candidate pairs dedup BEFORE any cosine work, and the vectors
-    # join back just-in-time for the verify. The verify fold is the
-    # same strict left fold, so every cosine double (and the hash
-    # oracle) is bit-identical to the wide form.
-    vn = with_norm(emb)
-    sig = vn.select(
-        "vec_id", F.posexplode(F.expr(_semlsh_bands_expr())).alias("band", "key")
+    # attach the exact-widened float64 vector per membership row in
+    # the JVM (AQE broadcasts the vector table when it fits; at scale
+    # this is one vec_id equi-join) — keeps the Python boundary
+    # narrow on the way out of the signature kernel
+    vec = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
     )
-    a = sig.alias("a")
-    if probe_bits == 0:
-        b = sig.alias("b")
-        probe_key = F.col("b.key")
-    else:
-        b = sig.select(
-            "vec_id",
-            "band",
-            F.explode(
-                F.array(
-                    F.col("key"),
-                    *[F.col("key").bitwiseXOR(F.lit(1 << j)) for j in range(_SEMLSH_BITS)],
-                )
-            ).alias("pkey"),
-        ).alias("b")
-        probe_key = F.col("b.pkey")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == probe_key)
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
-    va = vn.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    vb = vn.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-    )
-    cos = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y),"
-        " CAST(0 AS DOUBLE), (s, p) -> s + p)"
-    ) / (F.col("na") * F.col("nb"))
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        sig.join(vec, "vec_id")
+        .groupBy("band", "key")
+        .applyInPandas(
+            _semlsh_bucket_verify_kernel(threshold, probe_bits > 0),
+            "id_a long, id_b long, cosine double",
+        )
+        .distinct()
     )
 
 

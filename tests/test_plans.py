@@ -251,7 +251,8 @@ _NESTED_LOOP_ALLOWED = {
     "join_cross": "J5: the cartesian operator itself",
     "dedup_ngram_jaccard": "guarded brute-force ground truth (raises >100k docs)",
     "dedup_cross_source_matrix": "decorates dedup_ngram_jaccard's guarded pair stream",
-    "dedup_embedding_cosine": "guarded brute-force ground truth",
+    # dedup_embedding_cosine left this list in r17: the brute-force
+    # cosine now distributes as block-pair tasks (no cartesian plan)
     "sim_search_topk": "guarded brute-force ground truth (raises >100k vectors)",
     "knn_label_vote": "exact classifier; broadcast side guarded at 1M vectors",
     # 1-row scalar broadcasts (min/max, totals, probe vectors) — the
