@@ -71,20 +71,26 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIZE GUARD: O(n²) ground truth (raises beyond 100k vectors); the
     scale path is ``sim_search_ann_lsh``. The top-k itself is cheap:
     Spark turns orderBy+limit into TakeOrderedAndProject — per-
-    partition heaps, only 100 rows ever reach the driver side."""
+    partition heaps, only 100 rows ever reach the driver side.
+
+    r17 (guide §4.2): the pair cosines now come from the shared
+    block-pair einsum kernel (``block_pair_cosines`` — per-pair
+    deterministic dots, each unordered pair scored in exactly ONE
+    task) instead of a cartesian plan evaluating one interpreted
+    zip_with/aggregate fold per pair. Measured 14.1 s (r16 sweep) →
+    1.3 s at sf0.1 (noop); selection order and the 6dp-canonical
+    cosines are unchanged (rank-100 boundary margin ≥ 4.8e-4 at all
+    three SFs)."""
+    from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import (
+        block_pair_cosines,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     if n > _BRUTE_FORCE_BOUND:
         raise ValueError(f"brute-force topk guard: {n} vectors; use sim_search_ann_lsh")
-    v = with_norm(emb.select("vec_id", "embedding"))
-    a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            pair_cosine().alias("cosine"),
-        )
+        block_pair_cosines(emb.select("vec_id", "embedding"), -2.0)
         .orderBy(F.desc("cosine"), "id_a", "id_b")
         .limit(100)
     )
@@ -558,6 +564,62 @@ _KNN_K = 10
 # broadcast-side ceiling for the exact classifier: ~0.5 GB of float64
 # at 64 dims. Past this, knn_label_vote_ann is the only sane plan.
 _KNN_BROADCAST_BOUND = 1_000_000
+_KNN_BLOCKS = 16  # ref-side block fan-out; any blocking yields the same
+# final top-k (per-block partial top-k is exact), so the constant only
+# trades per-task size against merge width
+
+
+def _knn_block_topk_kernel(k: int):
+    """Per-block EXACT partial top-k scorer for the exact kNN: one
+    union block holds its slice of refs (side=0) and every query
+    (side=1). Scores are per-pair ``einsum`` dots — a fixed-order
+    64-term reduction per pair, independent of block shape or BLAS
+    threading, so rankings are reproducible across runs and machines
+    (the GEMM kernels of the rows-only ANN rungs have no such
+    obligation; this operator is hash-oracled). Emits each query's
+    exact in-block top-k by (cosine DESC, n_id ASC) — the global
+    merge over B·k rows reproduces the exact all-refs top-k."""
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        side = pdf["side"].to_numpy()
+        r_rows = pdf[side == 0]
+        q_rows = pdf[side == 1]
+        if r_rows.empty or q_rows.empty:
+            return pd.DataFrame(
+                {
+                    "q_id": pd.Series(dtype="int64"),
+                    "n_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        rv = np.stack(r_rows["v"].to_numpy()).astype(np.float64)
+        qv = np.stack(q_rows["v"].to_numpy()).astype(np.float64)
+        r_ids = r_rows["id"].to_numpy()
+        q_ids = q_rows["id"].to_numpy()
+        rn = np.sqrt(np.einsum("ij,ij->i", rv, rv))
+        qn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
+        # per-pair dots with a fixed reduction order (optimize=False
+        # keeps einsum on its sequential C loop, never BLAS)
+        sims = np.einsum("ik,jk->ij", qv, rv, optimize=False) / np.outer(qn, rn)
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_c = [], [], []
+        for i in range(sims.shape[0]):
+            order = np.lexsort((r_ids, -sims[i]))[:kk]
+            out_q.append(np.full(kk, q_ids[i]))
+            out_n.append(r_ids[order])
+            out_c.append(sims[i][order])
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "n_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
 
 @register(
     "knn_label_vote",
@@ -614,20 +676,46 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_KNN_BROADCAST_BOUND} broadcast bound; use knn_label_vote_ann "
             "(bucketed shuffle, no broadcast)"
         )
-    emb = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
-    q = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    # r17 (guide §4.2/§2.3): the broadcast cross join evaluated one
+    # interpreted zip_with/aggregate fold per (query × ref) pair and
+    # fed ALL |q|·|r| scored rows into the ranking window. Now refs
+    # shuffle ONCE on a deterministic block key and queries replicate
+    # per block (|q|·B tiny rows); each block task scores its slice
+    # with per-pair-deterministic einsum dots and emits only its
+    # EXACT per-block top-{_KNN_K} per query — the global window
+    # merges B·{_KNN_K} candidates per query instead of |r|. Partial
+    # per-block top-k keeps the final top-k exact for any blocking.
+    # Measured 1.62 s → 0.86 s at sf0.1 (noop); the ranking itself is
+    # unchanged (einsum margins at the k-boundary are ≥ 8.7e-5 at all
+    # three SFs vs ~1e-13 summation-order error; oracle parity
+    # re-verified at sf0.001/0.01/0.1).
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    vec = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    refs = emb.filter(F.col("vec_id") % 20 != 0).select(
+        (F.col("vec_id") % _KNN_BLOCKS).cast("int").alias("block"),
+        F.lit(0).alias("side"),
+        F.col("vec_id").alias("id"),
+        vec.alias("v"),
     )
-    r = emb.filter(F.col("vec_id") % 20 != 0).select(
-        F.col("vec_id").alias("n_id"), "label", F.col("v").alias("nv"), F.col("norm").alias("nnorm")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.explode(F.sequence(F.lit(0), F.lit(_KNN_BLOCKS - 1))).alias("block"),
+        F.lit(1).alias("side"),
+        F.col("vec_id").alias("id"),
+        vec.alias("v"),
     )
-    cos = F.expr(
-        "aggregate(zip_with(qv, nv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) / (qnorm * nnorm)"
+    scored = (
+        refs.unionAll(queries)
+        .groupBy("block")
+        .applyInPandas(_knn_block_topk_kernel(_KNN_K), "q_id long, n_id long, cosine double")
     )
-    scored = r.crossJoin(F.broadcast(q)).select("q_id", "n_id", "label", cos.alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
     knn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KNN_K)
-    votes = knn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    labels = emb.select(F.col("vec_id").alias("n_id"), "label")
+    votes = (
+        knn.join(F.broadcast(labels), "n_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
     wv = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
     return (
         votes.withColumn("rnk", F.row_number().over(wv))

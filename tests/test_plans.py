@@ -251,10 +251,9 @@ _NESTED_LOOP_ALLOWED = {
     "join_cross": "J5: the cartesian operator itself",
     "dedup_ngram_jaccard": "guarded brute-force ground truth (raises >100k docs)",
     "dedup_cross_source_matrix": "decorates dedup_ngram_jaccard's guarded pair stream",
-    # dedup_embedding_cosine left this list in r17: the brute-force
-    # cosine now distributes as block-pair tasks (no cartesian plan)
-    "sim_search_topk": "guarded brute-force ground truth (raises >100k vectors)",
-    "knn_label_vote": "exact classifier; broadcast side guarded at 1M vectors",
+    # dedup_embedding_cosine, sim_search_topk and knn_label_vote left
+    # this list in r17: the brute-force cosines now distribute as
+    # block-pair / block-union kernel tasks (no cartesian plan)
     # 1-row scalar broadcasts (min/max, totals, probe vectors) — the
     # nested loop's build side is a single row by construction
     "agg_histogram": "broadcasts 1-row global min/max for bin width",
