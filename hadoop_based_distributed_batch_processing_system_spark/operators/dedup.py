@@ -31,7 +31,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+    load_table,
+    parquet_row_count,
+)
 
 # LSH parameters: 16 MinHashes in 8 bands of 2 rows. Collision
 # probability at Jaccard s is 1-(1-s²)⁸: ≈0.90 at s=0.5, ≈0.9998 at
@@ -400,7 +403,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair scored in exactly one task, threshold applied in-kernel so
     only survivors leave Python."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # guard on footer metadata (exact, no Spark job) — the knn_label_vote device
+    n = parquet_row_count(sf_dir, "embeddings")
     if n > _BRUTE_FORCE_BOUND:
         raise ValueError(f"brute-force cosine guard: {n} vectors; use sim_search_ann_lsh")
     return block_pair_cosines(emb, _COSINE_DUP_THRESHOLD)

@@ -86,7 +86,8 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # guard on footer metadata (exact, no Spark job) — the knn_label_vote device
+    n = parquet_row_count(sf_dir, "embeddings")
     if n > _BRUTE_FORCE_BOUND:
         raise ValueError(f"brute-force topk guard: {n} vectors; use sim_search_ann_lsh")
     return (
@@ -339,7 +340,8 @@ def _ivf_train_centroids(spark: SparkSession, sf_dir: str):
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = emb.count()
+    # footer metadata count (exact, no Spark job) — the knn_label_vote device
+    n = parquet_row_count(sf_dir, "embeddings")
     k = max(4, min(_IVF_K_TARGET, n // 25))
 
     sample = np.stack(
