@@ -908,9 +908,25 @@ def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
-    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
-    model = bgc.join(ctx, "w1").select("w1", "w2", (F.col("c12") / F.col("c1")).alias("p"))
+    # r17 (guide §2.3 "aggregate before you shuffle", and this file's
+    # own text_pmi_collocations discipline): the context marginal
+    # c1 = Σ_w2 c12 reads off the bigram model table itself — a
+    # per-w1 window sum over the vocab-sized bgc — instead of
+    # re-exploding and re-shuffling the whole corpus a third time
+    # (a plain ctx re-aggregate still re-computed bgc from the scan:
+    # no static exchange reuse across the two branches). Corpus-wide
+    # work drops from 3 scans + 3 corpus exchanges to 2 + 2; the
+    # added exchange is vocab-sized. Exact integer counts either way.
+    from pyspark.sql.window import Window
+
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    model = bgc.withColumn(
+        "n1", F.sum("n12").over(Window.partitionBy("w1"))
+    ).select(
+        "w1",
+        "w2",
+        (F.col("n12").cast("double") / F.col("n1").cast("double")).alias("p"),
+    )
     return (
         bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
