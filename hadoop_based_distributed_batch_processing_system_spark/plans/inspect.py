@@ -34,6 +34,15 @@ _JOIN_NODES = (
 )
 
 _PYTHON_NODES = (
+    # UDTF nodes FIRST: a UDTF's eval() is per-row by API contract
+    # under EITHER serialization (Arrow vs pickle changes transport
+    # only), so neither spelling is a "row-at-a-time UDF" in the
+    # banned sense — and the spelling is a measured per-operator
+    # choice (r17: Spark 4.1's Arrow UDTF serializer was 8× slower
+    # than pickle on udtf_polymorphic_analyze). Counted separately so
+    # the BatchEvalPython ban below doesn't substring-match them.
+    "BatchEvalPythonUDTF",
+    "ArrowEvalPythonUDTF",
     "BatchEvalPython",       # row-at-a-time Python UDF — banned repo-wide
     "ArrowEvalPython",       # vectorized pandas UDF
     "MapInPandas",
@@ -101,6 +110,10 @@ def plan_facts(df: DataFrame) -> PlanFacts:
             facts.join_strategies[node] = n
     for node in _PYTHON_NODES:
         n = simple.count(node)
+        if node == "BatchEvalPython":
+            n -= simple.count("BatchEvalPythonUDTF")
+        elif node == "ArrowEvalPython":
+            n -= simple.count("ArrowEvalPythonUDTF")
         if n:
             facts.python_nodes[node] = n
     facts.n_scans = simple.count("Scan parquet") + simple.count("Scan json") + simple.count(
