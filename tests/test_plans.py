@@ -249,10 +249,9 @@ def test_bloom_filter_injected_into_fact_scan(spark):
 _NESTED_LOOP_ALLOWED = {
     # intentional cartesian / guarded brute-force ground truth
     "join_cross": "J5: the cartesian operator itself",
-    "dedup_ngram_jaccard": "guarded brute-force ground truth (raises >100k docs)",
-    "dedup_cross_source_matrix": "decorates dedup_ngram_jaccard's guarded pair stream",
+    # dedup_ngram_jaccard (+ its cross_source_matrix decorator),
     # dedup_embedding_cosine, sim_search_topk and knn_label_vote left
-    # this list in r17: the brute-force cosines now distribute as
+    # this list in r17: the brute-force pair scans now distribute as
     # block-pair / block-union kernel tasks (no cartesian plan)
     # 1-row scalar broadcasts (min/max, totals, probe vectors) — the
     # nested loop's build side is a single row by construction
