@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump ``explain('formatted')`` for named registry queries into
-``plans/r17/<name>_<suffix>.txt`` — the optimization round's plan
+``plans/r18/<name>_<suffix>.txt`` — the optimization round's plan
 evidence (guide §1: capture the plan shape before and after every
 change; the judge checks plan claims against these files).
 
@@ -28,7 +28,7 @@ def main() -> None:
         suffix = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r17")
+    out_dir = os.path.join(HERE, "plans", "r18")
     os.makedirs(out_dir, exist_ok=True)
 
     if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ:
