@@ -34,6 +34,7 @@ from hadoop_based_distributed_batch_processing_system_spark.registry import regi
 from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
     load_table,
     parquet_row_count,
+    spread_small_scan,
 )
 
 # LSH parameters: 16 MinHashes in 8 bands of 2 rows. Collision
@@ -59,8 +60,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-INLINED into every reference by CollapseProject, so the naive
     `slice(split(text), i, 3)` form re-splits the text per shingle —
     O(tokens × text_len) per row, measured 2.7 s vs 0.3 s at
-    sf0.1."""
-    docs = load_table(spark, sf_dir, "documents")
+    sf0.1.
+
+    r18: the raw scan is spread across cores when it arrives as an
+    unsplittable single task (``spread_small_scan``, guide §2.6) —
+    the shingling itself is the expensive stage and was serializing
+    on one core locally; at scale the scan splits naturally and the
+    spread is a no-op."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     return (
         docs.filter(F.size(toks) >= _SHINGLE_WIDTH)
@@ -91,8 +98,13 @@ def _shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aliased projection column is re-INLINED into every reference by
     CollapseProject — the aliased form re-ran the whole token-hash
     transform per th[i] lookup, O(tokens²) hashing per row (measured
-    4.7 s vs 0.3 s at sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    4.7 s vs 0.3 s at sf0.1).
+
+    r18: scan spread across cores when it arrives as a single
+    unsplittable task (``spread_small_scan``, guide §2.6) — the
+    token+shingle hashing serialized on one core locally; no-op at
+    scale."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     return (
         docs.filter(F.size(toks) >= _SHINGLE_WIDTH)
@@ -122,6 +134,88 @@ _ORACLE_SHINGLES = f"""
         FROM documents
         WHERE len(string_split(text, ' ')) >= {_SHINGLE_WIDTH}
 """
+
+
+# Loud per-bucket ceiling for the in-bucket pair-verify kernels
+# (VERDICT r17 #4, guide §5): a kernel-side bucket/block materializes
+# in ONE task's memory and enumerates O(n²) pairs — the old join
+# shapes spilled, a kernel cannot. A bucket past this cap means the
+# corpus holds thousands of near-identical members in one LSH bucket /
+# block; the fix at scale is upstream exact-dedup or bucket salting,
+# not a silent OOM. 8192 members ⇒ ≤ 33.5M pairs ⇒ the pair arrays
+# stay well under 1 GB per task.
+_BUCKET_VERIFY_CAP = 8192
+
+
+def _minhash_segment_verify():
+    """Bucket-local exact-Jaccard verify (r18, the semantic-LSH
+    bucket device carried to MinHash banding): consumes the
+    hash-partitioned (band_idx, band_sig, doc_id, sh) membership
+    stream — every bucket is whole within its partition because the
+    upstream exchange partitions on exactly those keys — sorts the
+    partition once, and enumerates each multi-member bucket's pairs
+    with C-speed frozenset ops. ONE kernel call per partition (a
+    per-GROUP applyInPandas was measured at ~2.7 ms/group × 2043
+    groups = 5.6 s of pure per-group overhead at sf0.1).
+
+    Exactness: len(a∩b)/len(a∪b) divides the SAME integers as the
+    retired JVM ``array_intersect``/``array_union`` verify, so a pair
+    colliding in several bands yields bit-identical rows and the
+    trailing ``distinct()`` collapses the multiplicity exactly."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        order = np.lexsort((pdf["band_sig"].to_numpy(), pdf["band_idx"].to_numpy()))
+        bi = pdf["band_idx"].to_numpy()[order]
+        bs = pdf["band_sig"].to_numpy()[order]
+        ids = pdf["doc_id"].to_numpy()[order]
+        sh = pdf["sh"].to_numpy()[order]
+        new = np.flatnonzero((bi[1:] != bi[:-1]) | (bs[1:] != bs[:-1])) + 1
+        starts = np.concatenate(([0], new, [len(bi)]))
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            if n > _BUCKET_VERIFY_CAP:
+                raise ValueError(
+                    f"degenerate LSH bucket: (band_idx={bi[s]}, band_sig={bs[s]}) holds "
+                    f"{n} members (> {_BUCKET_VERIFY_CAP} cap) — the corpus has that many "
+                    "near-identical docs in one bucket; exact-dedup upstream or salt the band key"
+                )
+            sets = [frozenset(x) for x in sh[s:e]]
+            gid = ids[s:e]
+            for i in range(n):
+                si = sets[i]
+                li = len(si)
+                for j in range(i + 1, n):
+                    sj = sets[j]
+                    inter = len(si & sj)
+                    if not inter:
+                        continue
+                    jac = inter / (li + len(sj) - inter)
+                    if jac >= _JACCARD_THRESHOLD:
+                        a, b = gid[i], gid[j]
+                        if a > b:
+                            a, b = b, a
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(jac)
+        yield pd.DataFrame(
+            {
+                "id_a": np.array(out_a, dtype="int64"),
+                "id_b": np.array(out_b, dtype="int64"),
+                "jaccard": np.array(out_j, dtype="float64"),
+            }
+        )
+
+    return run
 
 
 @register(
@@ -180,8 +274,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     9.9 s → 1.9 s at the sf0.01 sweep scale;
     ``dedup_cross_source_matrix`` (8.9 s → 2.1 s) decorates this
     pair stream and inherits the win."""
-    import pandas as pd
-
     tok = _shingles(spark, sf_dir)
     n = tok.count()
     if n > _BRUTE_FORCE_BOUND:
@@ -191,7 +283,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.select(
             "doc_id",
             "sh",
-            (F.col("doc_id") % blocks).alias("own_blk"),
+            # pmod, not %: sign-preserving % drops same-block pairs
+            # among negative ids (ADVICE r17); identical for the
+            # non-negative ids of this corpus.
+            F.pmod(F.col("doc_id"), F.lit(blocks)).alias("own_blk"),
             F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("other_blk"),
         )
         .select(
@@ -203,9 +298,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "blk_lo", "blk_hi"])
     )
+    return ab.groupBy("blk_lo", "blk_hi").applyInPandas(
+        _block_pair_jaccard_kernel(), "id_a long, id_b long, jaccard double"
+    )
 
-    def jaccard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+
+def _block_pair_jaccard_kernel():
+    """One block-pair task of the brute-force Jaccard ground truth:
+    frozensets per doc, each unordered pair intersected once in
+    C-speed set ops (module-level so the loud pair-count guard is
+    unit-testable without a Spark job)."""
+
+    def run(pdf):
         import numpy as np
+        import pandas as pd
 
         empty = pd.DataFrame(
             {
@@ -217,8 +323,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = int(pdf["blk_lo"].iloc[0])
         hi = int(pdf["blk_hi"].iloc[0])
         ids = pdf["doc_id"].to_numpy()
-        sets = [frozenset(sh) for sh in pdf["sh"]]
         own = pdf["own_blk"].to_numpy()
+        if lo == hi:
+            n_pairs = len(ids) * (len(ids) - 1) // 2
+        else:
+            n_pairs = int((own == lo).sum()) * int((own == hi).sum())
+        if n_pairs > _BLOCK_PAIR_MAX_PAIRS:
+            raise ValueError(
+                f"block pair ({lo},{hi}) would enumerate {n_pairs} pairs "
+                f"(> {_BLOCK_PAIR_MAX_PAIRS}) in one task — raise the block "
+                "count or pre-dedup; refusing to materialize"
+            )
+        sets = [frozenset(sh) for sh in pdf["sh"]]
         if lo == hi:
             ai, bi = np.triu_indices(len(ids), k=1)
         else:
@@ -254,9 +370,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ab.groupBy("blk_lo", "blk_hi").applyInPandas(
-        jaccard_kernel, "id_a long, id_b long, jaccard double"
-    )
+    return run
 
 
 @register(
@@ -296,13 +410,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall on the planted near-dups."""
     tok = _shingles_hashed(spark, sf_dir)
 
-    # Bands carry ONLY (doc_id, band_idx, band_sig) — the shingle
-    # arrays must not ride through the candidate shuffle (at scale
-    # they are ~100× the key width; shipping them here was measured
-    # 10× slower at sf0.1). Arrays are joined back just-in-time for
-    # verification of the (tiny) candidate set.
+    # r18 (guide §2.4/§4.2; the r17 semantic-LSH bucket pattern
+    # carried to MinHash banding). The r17 shape paid FOUR
+    # computations of the shingle pipeline — the band self-join
+    # re-executed the whole 16-slot signature subtree for its second
+    # side (+0.65 s of the 1.56 s total at sf0.1), and the verify
+    # re-joined the shingle ARRAYS onto both sides of every
+    # candidate. Now the corpus is scanned and shingled ONCE: the
+    # signatures keep the shingle array alongside (the banding
+    # explode carries it — a BOUNDED 8× of the shingle bytes, unlike
+    # the retired per-CANDIDATE array attach, which duplicated
+    # arrays per collision and is why the r12 note banned arrays in
+    # the candidate shuffle), one exchange on (band_idx, band_sig)
+    # makes every bucket whole within a partition, and a partition-
+    # wise kernel enumerates + exact-verifies each bucket's pairs in
+    # C-speed set ops. Candidate rule unchanged (pair ⟺ shared
+    # (band, sig) bucket — same signatures, same salts), Jaccard
+    # divides the same exact integers, cross-band duplicates are
+    # bit-identical rows collapsed by distinct().
+    # Measured (interleaved A/B, same session): old join form
+    # 0.885 s median / new 0.813 s at sf0.1 with the scan spread in
+    # place for both — the decisive local win is the spread (1.56 s
+    # → ~0.8 s; the sig stage was serializing on the 1-task scan);
+    # this shape additionally removes 3 of the 4 corpus passes and
+    # both per-candidate set-attach joins from the plan
+    # (plans/r18/dedup_minhash_lsh_{before,after}.txt). A fully
+    # vectorized numpy MinHash kernel (exact XXH64 reimplementation,
+    # validated bit-identical on 100k values) was built and measured
+    # SLOWER than the JVM sig fold once the scan was spread
+    # (0.94 s median vs 0.81) — rejected, JVM sigs stay.
     sigs = tok.select(
         "doc_id",
+        "sh",
         *[
             # Salt choice matters: multi-arg salting (xxhash64(h, i) /
             # xxhash64(i, h)) leaves the 16 slots argmin-correlated —
@@ -323,8 +462,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_NUM_HASHES)
         ],
     )
-    bands = sigs.select(
+    memberships = sigs.select(
         "doc_id",
+        "sh",
         F.explode(
             F.array(
                 *[
@@ -336,28 +476,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_sig")
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # a pair can collide in several bands
-    )
-    sha = tok.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = tok.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(F.array_union("sh_a", "sh_b"))
+    ).select("band.band_idx", "band.band_sig", "doc_id", "sh")
     return (
-        candidates.join(sha, "id_a")
-        .join(shb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        memberships.repartition("band_idx", "band_sig")
+        .mapInPandas(_minhash_segment_verify(), "id_a long, id_b long, jaccard double")
+        .distinct()
     )
 
 
@@ -483,6 +606,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOCK_PAIR_BLOCKS = 8
+# Loud in-kernel ceilings (VERDICT r17 #4, guide §5): a block-pair /
+# bucket task enumerates its pairs in ITS OWN memory — joins spilled,
+# kernels cannot. 50M pairs keeps the id/cosine arrays ~1.2 GB; the
+# per-pair einsum gathers are chunked so their transient copies stay
+# ~1 GB regardless of pair count.
+_BLOCK_PAIR_MAX_PAIRS = 50_000_000
+_PAIR_EINSUM_CHUNK = 1_000_000
 
 
 def block_pair_cosines(emb: DataFrame, threshold: float) -> DataFrame:
@@ -490,14 +620,16 @@ def block_pair_cosines(emb: DataFrame, threshold: float) -> DataFrame:
     as B(B+1)/2 block-pair tasks with per-pair einsum dots (the
     deterministic sibling of ``sim_search_topk_blas``'s GEMM — same
     distribution, reproducible per-pair doubles)."""
-    import pandas as pd
-
     blocks = _BLOCK_PAIR_BLOCKS
     ab = (
         emb.select(
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
-            (F.col("vec_id") % blocks).alias("own_blk"),
+            # pmod, not %: Spark's % is sign-preserving, so a negative
+            # vec_id would land in a block no pair enumeration covers
+            # and its pairs would be silently dropped (ADVICE r17).
+            # Identical to % for the non-negative ids of this corpus.
+            F.pmod(F.col("vec_id"), F.lit(blocks)).alias("own_blk"),
             F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("other_blk"),
         )
         .select(
@@ -510,8 +642,19 @@ def block_pair_cosines(emb: DataFrame, threshold: float) -> DataFrame:
         .dropDuplicates(["vec_id", "blk_lo", "blk_hi"])
     )
 
-    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    return ab.groupBy("blk_lo", "blk_hi").applyInPandas(
+        _block_pair_cosine_kernel(threshold), "id_a long, id_b long, cosine double"
+    )
+
+
+def _block_pair_cosine_kernel(threshold: float):
+    """One block-pair task of the exact all-pairs cosine layout
+    (module-level so the loud pair-count guard is unit-testable
+    without a Spark job)."""
+
+    def run(pdf):
         import numpy as np
+        import pandas as pd
 
         empty = pd.DataFrame(
             {
@@ -522,10 +665,25 @@ def block_pair_cosines(emb: DataFrame, threshold: float) -> DataFrame:
         )
         lo = int(pdf["blk_lo"].iloc[0])
         hi = int(pdf["blk_hi"].iloc[0])
+        own = pdf["own_blk"].to_numpy()
+        # loud pair-count guard (VERDICT r17 #4, guide §5): the pair
+        # arrays and the einsum gathers materialize in THIS task; a
+        # degenerate block must raise, not OOM. 50M pairs ≈ 1.2 GB of
+        # pair/index arrays with the gathers chunked below.
+        if lo == hi:
+            n = len(pdf)
+            n_pairs = n * (n - 1) // 2
+        else:
+            n_pairs = int((own == lo).sum()) * int((own == hi).sum())
+        if n_pairs > _BLOCK_PAIR_MAX_PAIRS:
+            raise ValueError(
+                f"block pair ({lo},{hi}) would enumerate {n_pairs} pairs "
+                f"(> {_BLOCK_PAIR_MAX_PAIRS}) in one task — raise the block "
+                "count or pre-dedup; refusing to materialize"
+            )
         v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         ids = pdf["vec_id"].to_numpy()
         nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
-        own = pdf["own_blk"].to_numpy()
         if lo == hi:
             ai, bi = np.triu_indices(len(ids), k=1)
         else:
@@ -539,15 +697,26 @@ def block_pair_cosines(emb: DataFrame, threshold: float) -> DataFrame:
             return empty
         id_a = np.minimum(ids[ai], ids[bi])
         id_b = np.maximum(ids[ai], ids[bi])
-        cos = np.einsum("ij,ij->i", v[ai], v[bi]) / (nrm[ai] * nrm[bi])
+        # chunked per-pair einsum: the v[ai]/v[bi] gathers are
+        # (pairs × dim) copies — 64-dim float64 at 50M pairs would be
+        # 2×24 GB unchunked. Chunking changes NOTHING numerically
+        # (each pair's dot is the same fixed-order 64-term reduction
+        # over its own two rows). Zero-norm vectors yield NaN cosines
+        # and NaN >= threshold is False — degenerate vectors are
+        # DELIBERATELY excluded from the pair stream (ADVICE r17;
+        # pre-r17 they surfaced via NaN-sorts-high in the topk twin).
+        cos = np.empty(len(ai), dtype=np.float64)
+        for s in range(0, len(ai), _PAIR_EINSUM_CHUNK):
+            e = s + _PAIR_EINSUM_CHUNK
+            cos[s:e] = np.einsum("ij,ij->i", v[ai[s:e]], v[bi[s:e]]) / (
+                nrm[ai[s:e]] * nrm[bi[s:e]]
+            )
         keep = cos >= threshold
         return pd.DataFrame(
             {"id_a": id_a[keep], "id_b": id_b[keep], "cosine": cos[keep]}
         )
 
-    return ab.groupBy("blk_lo", "blk_hi").applyInPandas(
-        pair_kernel, "id_a long, id_b long, cosine double"
-    )
+    return run
 
 
 _CC_MAX_ITERS = 20
@@ -1715,6 +1884,12 @@ def _semlsh_bucket_verify_kernel(threshold: float, probe: bool):
         )
         if len(pdf) < 2:
             return empty
+        if len(pdf) > _BUCKET_VERIFY_CAP:
+            raise ValueError(
+                f"degenerate LSH bucket: (band={pdf['band'].iloc[0]}, key={pdf['key'].iloc[0]}) "
+                f"holds {len(pdf)} members (> {_BUCKET_VERIFY_CAP} cap) — the corpus has that "
+                "many near-identical vectors in one bucket; exact-dedup upstream or add band bits"
+            )
         v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         ids = pdf["vec_id"].to_numpy()
         nrm = np.sqrt(np.einsum("ij,ij->i", v, v))

@@ -80,7 +80,13 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate fold per pair. Measured 14.1 s (r16 sweep) →
     1.3 s at sf0.1 (noop); selection order and the 6dp-canonical
     cosines are unchanged (rank-100 boundary margin ≥ 4.8e-4 at all
-    three SFs)."""
+    three SFs).
+
+    Zero-norm vectors (none exist in this corpus): their cosines are
+    NaN and the kernel's ``cos >= threshold`` drops them — DELIBERATE
+    (r18, ADVICE r17): a degenerate all-zeros vector has no defined
+    direction and must not occupy top-k slots the way the pre-r17
+    plan's NaN-sorts-high artifact let it."""
     from hadoop_based_distributed_batch_processing_system_spark.operators.dedup import (
         block_pair_cosines,
     )
@@ -569,6 +575,11 @@ _KNN_BROADCAST_BOUND = 1_000_000
 _KNN_BLOCKS = 16  # ref-side block fan-out; any blocking yields the same
 # final top-k (per-block partial top-k is exact), so the constant only
 # trades per-task size against merge width
+# loud in-kernel ceilings (VERDICT r17 #4): refs per block (the
+# stacked rv matrix, ~1 GB of float64 at 64 dims) and live scoring
+# cells per chunk (8M cells = 64 MB)
+_KNN_BLOCK_REF_CAP = 2_000_000
+_KNN_SIMS_CELL_BUDGET = 8_000_000
 
 
 def _knn_block_topk_kernel(k: int):
@@ -597,22 +608,40 @@ def _knn_block_topk_kernel(k: int):
                     "cosine": pd.Series(dtype="float64"),
                 }
             )
+        # loud per-block guard (VERDICT r17 #4, guide §5): the scoring
+        # matrix lives in THIS task; a skew-degenerate block must
+        # raise, not OOM. Chunked below so the live matrix stays
+        # ≤ ~64 MB; the guard bounds the per-chunk ref axis.
+        if len(r_rows) > _KNN_BLOCK_REF_CAP:
+            raise ValueError(
+                f"knn block holds {len(r_rows)} refs (> {_KNN_BLOCK_REF_CAP}) — "
+                "raise _KNN_BLOCKS so per-block slices stay task-sized"
+            )
         rv = np.stack(r_rows["v"].to_numpy()).astype(np.float64)
         qv = np.stack(q_rows["v"].to_numpy()).astype(np.float64)
         r_ids = r_rows["id"].to_numpy()
         q_ids = q_rows["id"].to_numpy()
         rn = np.sqrt(np.einsum("ij,ij->i", rv, rv))
         qn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
-        # per-pair dots with a fixed reduction order (optimize=False
-        # keeps einsum on its sequential C loop, never BLAS)
-        sims = np.einsum("ik,jk->ij", qv, rv, optimize=False) / np.outer(qn, rn)
-        kk = min(k, sims.shape[1])
+        kk = min(k, len(r_ids))
         out_q, out_n, out_c = [], [], []
-        for i in range(sims.shape[0]):
-            order = np.lexsort((r_ids, -sims[i]))[:kk]
-            out_q.append(np.full(kk, q_ids[i]))
-            out_n.append(r_ids[order])
-            out_c.append(sims[i][order])
+        # query-chunked per-pair dots with a fixed reduction order
+        # (optimize=False keeps einsum on its sequential C loop, never
+        # BLAS). Chunking changes nothing numerically — each (q, r)
+        # dot is the same fixed-order reduction over its own two rows
+        # — and bounds the live sims matrix instead of materializing
+        # |q|×|block| at once.
+        qchunk = max(1, _KNN_SIMS_CELL_BUDGET // max(1, len(r_ids)))
+        for s in range(0, len(q_ids), qchunk):
+            e = s + qchunk
+            sims = np.einsum("ik,jk->ij", qv[s:e], rv, optimize=False) / np.outer(
+                qn[s:e], rn
+            )
+            for i in range(sims.shape[0]):
+                order = np.lexsort((r_ids, -sims[i]))[:kk]
+                out_q.append(np.full(kk, q_ids[s + i]))
+                out_n.append(r_ids[order])
+                out_c.append(sims[i][order])
         return pd.DataFrame(
             {
                 "q_id": np.concatenate(out_q),
@@ -694,7 +723,11 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     vec = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     refs = emb.filter(F.col("vec_id") % 20 != 0).select(
-        (F.col("vec_id") % _KNN_BLOCKS).cast("int").alias("block"),
+        # pmod, not %: sign-preserving % would give negative ids a
+        # block the query explode (0..B-1) never reaches, silently
+        # dropping them from scoring (ADVICE r17); identical for the
+        # non-negative ids of this corpus.
+        F.pmod(F.col("vec_id"), F.lit(_KNN_BLOCKS)).cast("int").alias("block"),
         F.lit(0).alias("side"),
         F.col("vec_id").alias("id"),
         vec.alias("v"),
@@ -1155,16 +1188,19 @@ def pca_power_iteration_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Split of labor is the 100 TB design point: the CORPUS-sized work
     is exactly two passes (the 64 mean aggregates, then the 64×64
-    centered co-moment aggregate — one explode to (i, j, x·y) pairs
-    and a single hash aggregate); the ITERATION runs on the
-    64×64 matrix, which is driver-resident model state like the
-    k-means centroids — 8 matrix-vector products on 4 KB of data,
-    never touching the corpus again. Engine-exactness: mean and
-    covariance are rounded to 6 dp (absorbing partial-agg summation
-    order), the start vector 1/8 is exactly dyadic, and every dot
-    product / norm is a strict ascending fold — the oracle unrolls
-    the identical iteration in SQL, so even an eigensolve
-    hash-matches."""
+    centered co-moment pass — a ``mapInPandas`` kernel that folds
+    each task's Arrow batches into ONE local (X−µ)ᵀ(X−µ) BLAS
+    partial and emits 4096 partial rows into a single hash
+    aggregate; r17); the ITERATION runs on the 64×64 matrix, which
+    is driver-resident model state like the k-means centroids — 8
+    matrix-vector products on 4 KB of data, never touching the
+    corpus again. Engine-exactness: mean and covariance are rounded
+    to 6 dp — the ROUND absorbs the kernel partials' summation order
+    exactly as it absorbed the retired explode-form's partition-
+    order-dependent partial aggregation — the start vector 1/8 is
+    exactly dyadic, and every dot product / norm of the iteration is
+    a strict ascending fold — the oracle unrolls the identical
+    iteration in SQL, so even an eigensolve hash-matches."""
     import math
 
     emb = load_table(spark, sf_dir, "embeddings").select(

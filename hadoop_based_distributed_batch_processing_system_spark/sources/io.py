@@ -207,6 +207,31 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
+    """Scale-ADAPTIVE parallelism restore for CPU-heavy narrow maps
+    over a small scan (guide §2.6 idle capacity / §2.5 deterministic
+    synthetic keys; r18). The local corpus tables are single-file,
+    single-row-group parquet — an unsplittable one-task scan — so any
+    expensive per-row stage downstream (shingle hashing, image/audio
+    decode, per-token md5) serializes on ONE core while the rest of
+    the machine idles; several operators' docstrings already said
+    "repartition to #cores before this stage" without doing it.
+
+    Fires ONLY when the scan's planned parallelism is below the
+    session's default parallelism — at production scale (or any input
+    with >= cores splits) this is a literal no-op and adds no
+    shuffle; the cost when it does fire is one exchange of the small
+    scan itself. The partition key is the table's own id column
+    (deterministic under task retry — never rand(); SPARK-38388), so
+    a retried map task reproduces the same row placement.
+    """
+    sess = df.sparkSession
+    p = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, F.col(key))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-corpus table as a DataFrame.
 
