@@ -497,8 +497,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole thing inside whole-stage codegen with map-side partial
     aggregation, vs. ~6× slower nested higher-order-function lambdas
     (interpreted per element). Bit j set iff ones-count > half the
-    tokens; ties (2·ones == n) vote 0."""
-    docs = load_table(spark, sf_dir, "documents")
+    tokens; ties (2·ones == n) vote 0.
+
+    r18: scan spread across cores when it arrives as one unsplittable
+    task (``spread_small_scan``) — the per-token hashing and the
+    64-column partial aggregation serialized on one core locally;
+    exact integer sums, so partitioning cannot move the result."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tok_hashes = docs.select(
         "doc_id", F.explode(F.expr("transform(split(text, ' '), t -> xxhash64(t))")).alias("h")
     )
@@ -1510,8 +1515,12 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat SUM columns (whole-stage codegen; the nested-HOF form
     measures ~6x slower — see simhash_signatures' note); chunk
     explode is x4; candidate volume is bounded by bucket collision
-    counts exactly as in the xxhash64 variant."""
-    docs = load_table(spark, sf_dir, "documents")
+    counts exactly as in the xxhash64 variant.
+
+    r18: scan spread across cores when it arrives as one unsplittable
+    task (``spread_small_scan``) — the md5-per-token stage serialized
+    on one core locally; exact integer sums, partitioning-safe."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         "doc_id",
         F.explode(F.split("text", " ")).alias("t"),

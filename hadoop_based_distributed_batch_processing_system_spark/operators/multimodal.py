@@ -34,7 +34,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+    load_table,
+    spread_small_scan,
+)
 
 _KINDS = ("image", "audio", "video")
 
@@ -297,6 +300,10 @@ def mm_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # r18: spread measured SLOWER here (interleaved A/B at sf0.1) —
+    # this decode is cheap enough that the spread's extra exchange +
+    # per-task overhead exceeds the parallelism gain; left single-task
+    # locally (splits naturally at scale).
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     wav = docs.mapInPandas(synth_batches, "doc_id long, payload binary")
     return wav.mapInPandas(
@@ -445,6 +452,10 @@ def mm_decode_real_image(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # r18: spread measured SLOWER here (interleaved A/B at sf0.1) —
+    # this decode is cheap enough that the spread's extra exchange +
+    # per-task overhead exceeds the parallelism gain; left single-task
+    # locally (splits naturally at scale).
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     bmp = docs.mapInPandas(synth_batches, "doc_id long, payload binary")
     return bmp.mapInPandas(
@@ -671,7 +682,13 @@ def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r18: the local one-file scan is ONE unsplittable task, so the
+    # synth+decode stage (the docstrings' "repartition to #cores
+    # BEFORE this stage") was serializing on a single core. The
+    # spread shuffles only the 8-byte ids and is a no-op at scale.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     png = docs.mapInPandas(synth_batches, "doc_id long, payload binary")
     return png.mapInPandas(
         decode_batches,
@@ -1001,7 +1018,13 @@ def mm_decode_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["sum_blue"].append(sb)
             yield pd.DataFrame(rows)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r18: the local one-file scan is ONE unsplittable task, so the
+    # synth+decode stage (the docstrings' "repartition to #cores
+    # BEFORE this stage") was serializing on a single core. The
+    # spread shuffles only the 8-byte ids and is a no-op at scale.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     gif = docs.mapInPandas(synth_batches, "doc_id long, payload binary")
     return gif.mapInPandas(
         decode_batches,
@@ -1121,7 +1144,13 @@ def mm_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out[k].append(v)
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r18: the local one-file scan is ONE unsplittable task, so the
+    # synth+decode stage (the docstrings' "repartition to #cores
+    # BEFORE this stage") was serializing on a single core. The
+    # spread shuffles only the 8-byte ids and is a no-op at scale.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     mixed = docs.mapInPandas(synth_batches, "doc_id long, payload binary")
     return mixed.mapInPandas(
         decode_batches,
@@ -1566,7 +1595,13 @@ def mm_decode_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r18: the local one-file scan is ONE unsplittable task, so the
+    # synth+decode stage (the docstrings' "repartition to #cores
+    # BEFORE this stage") was serializing on a single core. The
+    # spread shuffles only the 8-byte ids and is a no-op at scale.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     jpg = docs.mapInPandas(synth_batches, "doc_id long, payload binary")
     return jpg.mapInPandas(
         decode_batches,
