@@ -1255,8 +1255,13 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     array and gram-hash array bound as lambda variables — the
     let-binding discipline); no shuffle until the per-doc aggregate
     projection, which is the row itself. Portable 48-bit md5-prefix
-    gram hashes keep the selected VALUES engine-identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    gram hashes keep the selected VALUES engine-identical.
+
+    r18: scan spread across cores when it arrives as one unsplittable
+    task (``spread_small_scan``) — the md5-per-gram selection
+    serialized on one core locally; interleaved A/B 0.56 vs 1.17 s
+    median at sf0.1. Exact integers, partitioning-safe."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     fps_expr = f"""
         aggregate(array(split(text, ' ')), CAST(array() AS ARRAY<BIGINT>),
@@ -1359,8 +1364,12 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from an EQUI-join on 8-byte fingerprint
     keys — the posting list shuffle is ~2/(w+1) the size of a
     full-gram index, which is the entire point of winnowing; the
-    df cap bounds per-key fan-out, so no key explodes the join."""
-    docs = load_table(spark, sf_dir, "documents")
+    df cap bounds per-key fan-out, so no key explodes the join.
+
+    r18: scan spread (``spread_small_scan``) — same single-task-scan
+    fix as the fingerprint op; interleaved A/B 1.08 vs 1.21 s median
+    at sf0.1. Exact integers, partitioning-safe."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     fps_expr = f"""
         aggregate(array(split(text, ' ')), CAST(array() AS ARRAY<BIGINT>),

@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_based_distributed_batch_processing_system_spark.operators.sorts import bucketed_rank_cumsum
 from hadoop_based_distributed_batch_processing_system_spark.registry import register
-from hadoop_based_distributed_batch_processing_system_spark.sources.io import load_table
+from hadoop_based_distributed_batch_processing_system_spark.sources.io import (
+    load_table,
+    spread_small_scan,
+)
 
 _LN2 = __import__("math").log(2)
 
@@ -829,8 +832,13 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair groupBy, whose key space is bounded by alphabet² — map-side
     partial aggregation collapses each task to at most that many
     rows, so the reduce side is tiny no matter the corpus. The top-k
-    runs TakeOrderedAndProject on the aggregated pair table."""
-    docs = load_table(spark, sf_dir, "documents")
+    runs TakeOrderedAndProject on the aggregated pair table.
+
+    r18: scan spread across cores when it arrives as one unsplittable
+    task (``spread_small_scan``) — the two explodes + partial agg
+    serialized on one core locally; interleaved A/B 0.46 vs 0.82 s
+    median at sf0.1. Exact integer counts, partitioning-safe."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.filter(F.length("text") > 0).select(
         F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
@@ -892,8 +900,17 @@ def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is NOT broadcast by default (unlike the unigram scorer) —
     the shuffle join on (w1, w2) is the 100 TB-safe default, and
     both sides of the join carry only hashed-width keys. Rounded to
-    4 dp for cross-engine float-sum stability, like the unigram op."""
-    docs = load_table(spark, sf_dir, "documents")
+    4 dp for cross-engine float-sum stability, like the unigram op.
+
+    r18: scan spread across cores when it arrives as one unsplittable
+    task (``spread_small_scan``) — the bigram explode + partial agg
+    serialized on one core locally. 4-way interleaved A/B at sf0.1:
+    window form + spread 0.77 s median, window stock 1.07, r16 join
+    form 1.09 / 1.17 with spread — settles VERDICT r17's open
+    question (the r17 window form stays, the r16 form is strictly
+    worse both ways). The 4 dp ROUND absorbs partial-sum order as it
+    already did under AQE-variable partitioning."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     bg = (
         docs.select("doc_id", F.split("text", " ").alias("ts"))
         .filter(F.size("ts") >= 2)
