@@ -1025,19 +1025,40 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships ~30-byte keys). No pair join at all — novelty is a per-doc
     statistic. Collision risk at 2⁶⁴ is ~(k²/2⁶⁵): nil for any real
     corpus, and the sf0.01 hash oracle pins the hashed path to the
-    exact-string ground truth."""
+    exact-string ground truth.
+
+    r18 (guide §2.3/§2.4): the corpus-sized JOIN-BACK is gone. The
+    old shape joined the full df table onto every posting row and
+    re-shuffled the joined corpus by doc_id just to count df==1 hits
+    per doc. But a df==1 shingle's posting list IS its owner doc —
+    so the df aggregate carries ``min(doc_id)`` alongside the count,
+    the singleton rows group straight to their owner (a doc-sized
+    aggregate), and the denominator reads off the shingle array
+    directly. Two corpus-sized exchanges (join-back + doc re-shuffle
+    of the joined stream) become one doc-sized one; exact integers
+    and the identical ROUND(uniq/n, 6) division, so the result is
+    bit-identical (parity ×3 SFs). Also fixes this row's inverse
+    core-scaling (PERF_r17 ratio 0.32): the allocation-heavy joined
+    stream was what thrashed 32 concurrent tasks in the shared local
+    heap."""
     sh = _shingles_hashed(spark, sf_dir)
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
-    dfc = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        posting.join(dfc, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.round(F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6).alias(
-                "novelty"
-            ),
-        )
+    uniq = (
+        posting.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    totals = sh.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+    return totals.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.round(
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
     )
 
 
