@@ -515,6 +515,80 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select("doc_id", F.expr(sig).alias("sig"))
 
 
+def _simhash_segment_verify(max_hamming: int):
+    """Chunk-bucket SimHash verify (r18, the MinHash segment device):
+    consumes the hash-partitioned (chunk_idx, chunk_val, doc_id, sig)
+    membership stream — buckets whole per partition by the upstream
+    exchange — and emits each multi-member bucket's pairs within the
+    Hamming radius. Popcount is a vectorized SWAR fold over the
+    xor'd signatures (exact integer bit math, identical to the JVM
+    ``bit_count``), pairs are canonically oriented, and a pair
+    sharing several chunks yields bit-identical rows for the
+    trailing ``distinct()``. Replaces the chunk SELF-JOIN, whose
+    broadcast build side re-executed the ENTIRE per-token signature
+    pipeline a second time (no exchange reuse across a broadcast —
+    verified in the before-plan: 2 scans, 6 HashAggregates)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        order = np.lexsort((pdf["chunk_val"].to_numpy(), pdf["chunk_idx"].to_numpy()))
+        ci = pdf["chunk_idx"].to_numpy()[order]
+        cv = pdf["chunk_val"].to_numpy()[order]
+        ids = pdf["doc_id"].to_numpy()[order]
+        sigs = pdf["sig"].to_numpy()[order]
+        new = np.flatnonzero((ci[1:] != ci[:-1]) | (cv[1:] != cv[:-1])) + 1
+        starts = np.concatenate(([0], new, [len(ci)]))
+        out_a, out_b, out_h = [], [], []
+        m1 = np.uint64(0x5555555555555555)
+        m2 = np.uint64(0x3333333333333333)
+        m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        h01 = np.uint64(0x0101010101010101)
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            if n > _BUCKET_VERIFY_CAP:
+                raise ValueError(
+                    f"degenerate SimHash bucket: (chunk_idx={ci[s]}, chunk_val={cv[s]}) "
+                    f"holds {n} members (> {_BUCKET_VERIFY_CAP} cap) — exact-dedup "
+                    "upstream or widen the chunk"
+                )
+            ai, bi = np.triu_indices(n, k=1)
+            gid = ids[s:e]
+            gsig = sigs[s:e]
+            x = (gsig[ai] ^ gsig[bi]).view(np.uint64)
+            x = x - ((x >> np.uint64(1)) & m1)
+            x = (x & m2) + ((x >> np.uint64(2)) & m2)
+            x = (x + (x >> np.uint64(4))) & m4
+            ham = ((x * h01) >> np.uint64(56)).astype(np.int64)
+            keep = ham <= max_hamming
+            if not keep.any():
+                continue
+            a = gid[ai[keep]]
+            b = gid[bi[keep]]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_h.append(ham[keep])
+        empty = np.array([], dtype="int64")
+        yield pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else empty,
+                "id_b": np.concatenate(out_b) if out_b else empty,
+                "hamming": (np.concatenate(out_h) if out_h else empty).astype("int32"),
+            }
+        )
+
+    return run
+
+
 @register("dedup_simhash", tags=("L2", "simhash"))  # rows-only: bit-level hashing is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature per doc (per-bit majority
@@ -543,22 +617,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk"),
     ).select("doc_id", "sig", "chunk.chunk_idx", "chunk.chunk_val")
 
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    # r18: chunk-bucket segment verify instead of the self-join —
+    # the broadcast build side re-executed the whole signature
+    # pipeline a second time (see _simhash_segment_verify).
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        chunks.select("chunk_idx", "chunk_val", "doc_id", "sig")
+        .repartition("chunk_idx", "chunk_val")
+        .mapInPandas(
+            _simhash_segment_verify(_SIMHASH_MAX_HAMMING),
+            "id_a long, id_b long, hamming int",
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.expr("bit_count(a.sig ^ b.sig)").alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 
@@ -1584,22 +1653,21 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     ).select("doc_id", "sig", "chunk.chunk_idx", "chunk.chunk_val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    # r18: chunk-bucket segment verify instead of the self-join — the
+    # broadcast build side re-executed the ENTIRE md5-per-token
+    # signature pipeline a second time (before-plan: 2 scans, 6
+    # HashAggregates; after: 1 scan, 3). The SWAR popcount is the
+    # same exact integer bit math as the JVM bit_count, so pairs,
+    # hamming values, and the distinct() collapse are identical
+    # (oracle parity ×3 SFs).
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        chunks.select("chunk_idx", "chunk_val", "doc_id", "sig")
+        .repartition("chunk_idx", "chunk_val")
+        .mapInPandas(
+            _simhash_segment_verify(_SIMHASH_MAX_HAMMING),
+            "id_a long, id_b long, hamming int",
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.expr("CAST(bit_count(a.sig ^ b.sig) AS INT)").alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 

@@ -91,6 +91,50 @@ def test_block_pair_jaccard_cap_raises(monkeypatch):
         kernel(pdf)
 
 
+def test_simhash_segment_cap_raises(monkeypatch):
+    import hadoop_based_distributed_batch_processing_system_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_BUCKET_VERIFY_CAP", 64)
+    kernel = dd._simhash_segment_verify(3)
+    pdf = pd.DataFrame(
+        {
+            "chunk_idx": np.zeros(65, dtype=np.int32),
+            "chunk_val": np.zeros(65, dtype=np.int64),
+            "doc_id": np.arange(65, dtype=np.int64),
+            "sig": np.arange(65, dtype=np.int64),
+        }
+    )
+    with pytest.raises(ValueError, match="degenerate SimHash bucket"):
+        list(kernel(iter([pdf])))
+
+
+def test_simhash_swar_popcount_matches_bit_count():
+    """The kernel's SWAR popcount must equal int.bit_count on the
+    xor'd signatures — exact integer parity with the retired JVM
+    bit_count path."""
+    import hadoop_based_distributed_batch_processing_system_spark.operators.dedup as dd
+
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(-(2**63), 2**63, size=40, dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "chunk_idx": np.zeros(40, dtype=np.int32),
+            "chunk_val": np.zeros(40, dtype=np.int64),
+            "doc_id": np.arange(40, dtype=np.int64),
+            "sig": sigs,
+        }
+    )
+    out = list(dd._simhash_segment_verify(64)(iter([pdf])))[0]
+    assert len(out) == 40 * 39 // 2
+    by_pair = {(a, b): h for a, b, h in out.itertuples(index=False, name=None)}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            # two's-complement popcount (what JVM bit_count computes);
+            # Python's int.bit_count on a negative counts |x| instead
+            expect = (int(sigs[i] ^ sigs[j]) & 0xFFFFFFFFFFFFFFFF).bit_count()
+            assert by_pair[(i, j)] == expect
+
+
 def test_knn_block_ref_cap_raises(monkeypatch):
     import hadoop_based_distributed_batch_processing_system_spark.operators.similarity as sim
 

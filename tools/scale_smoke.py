@@ -116,6 +116,12 @@ def main() -> None:
     copies = 10
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    # r18 (VERDICT r17 #6): --queries lets the smoke cover named rows
+    # beyond the headline 10 — used to take the iterative graph
+    # operators' scaling floor from assertion to measurement.
+    queries = HEADLINE10
+    if "--queries" in sys.argv:
+        queries = sys.argv[sys.argv.index("--queries") + 1].split(",")
     dst = os.path.join("/tmp", f"hbdbps_scale_x{copies}")
 
     from hadoop_based_distributed_batch_processing_system_spark.registry import load_all
@@ -132,7 +138,7 @@ def main() -> None:
     canary = round(time.perf_counter() - t0, 4)
 
     rows = {}
-    for name in HEADLINE10:
+    for name in queries:
         spec = registry[name]
         action = ACTION.get(name, "collect")
         base = time_query(spark, spec, SRC, action)
