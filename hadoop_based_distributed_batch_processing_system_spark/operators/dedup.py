@@ -1097,19 +1097,20 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-string ground truth.
 
     r18 (guide §2.3/§2.4): the corpus-sized JOIN-BACK is gone. The
-    old shape joined the full df table onto every posting row and
-    re-shuffled the joined corpus by doc_id just to count df==1 hits
-    per doc. But a df==1 shingle's posting list IS its owner doc —
-    so the df aggregate carries ``min(doc_id)`` alongside the count,
-    the singleton rows group straight to their owner (a doc-sized
-    aggregate), and the denominator reads off the shingle array
-    directly. Two corpus-sized exchanges (join-back + doc re-shuffle
-    of the joined stream) become one doc-sized one; exact integers
-    and the identical ROUND(uniq/n, 6) division, so the result is
-    bit-identical (parity ×3 SFs). Also fixes this row's inverse
-    core-scaling (PERF_r17 ratio 0.32): the allocation-heavy joined
-    stream was what thrashed 32 concurrent tasks in the shared local
-    heap."""
+    old shape broadcast the full df table onto every posting row and
+    re-shuffled the joined corpus stream by doc_id just to count
+    df==1 hits per doc. But a df==1 shingle's posting list IS its
+    owner doc — so the df aggregate carries ``min(doc_id)`` alongside
+    the count, the singleton rows group straight to their owner, and
+    the denominator reads off the shingle array directly. What
+    remains corpus-sized is only the unavoidable posting→df exchange;
+    the owner exchange carries singleton-shingle rows only and the
+    final join is doc-sized broadcast. Exact integers and the
+    identical ROUND(uniq/n, 6) division, so the result is
+    bit-identical (verified row-for-row vs the old form; parity ×3
+    SFs). Also fixes this row's inverse core-scaling (PERF_r17 ratio
+    0.32 → 0.91): the allocation-heavy joined stream was what
+    thrashed 32 concurrent tasks in the shared local heap."""
     sh = _shingles_hashed(spark, sf_dir)
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
     uniq = (
@@ -1656,8 +1657,9 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r18: chunk-bucket segment verify instead of the self-join — the
     # broadcast build side re-executed the ENTIRE md5-per-token
     # signature pipeline a second time (before-plan: 2 scans, 6
-    # HashAggregates; after: 1 scan, 3). The SWAR popcount is the
-    # same exact integer bit math as the JVM bit_count, so pairs,
+    # HashAggregates; after: 1 scan, 4 — the signature agg and the
+    # trailing distinct, partial+final each). The SWAR popcount is
+    # the same exact integer bit math as the JVM bit_count, so pairs,
     # hamming values, and the distinct() collapse are identical
     # (oracle parity ×3 SFs).
     return (
